@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One named query in the engine's surface: the Spark program and,
+  * when the semantics are ANSI-SQL-expressible, the DuckDB oracle SQL the
+  * driver hash-compares against (SURVEY.md §5.2). Queries without an oracle
+  * (approx sketches, hash-based LSH, streaming state) get a weaker
+  * rows-only check from the driver plus ScalaTest property specs.
+  *
+  * Determinism contract (SURVEY.md §7.4 / FIXTURES.md): every query ends in
+  * a total ORDER BY; floating aggregates rounded to 4 decimals on both
+  * sides; aliases identical on both sides (driver sorts columns by name).
+  */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String] = None,
+    headline: Boolean = false)
+
+/** A themed group of queries (one per SURVEY.md §2.2 area). */
+trait QueryPack {
+  def all: Seq[QueryDef]
+}

@@ -1,0 +1,211 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.{QueryDef, QueryPack}
+import graft.sources.Tables
+
+/** Relational core: scan → filter → project → aggregate → sort pipelines
+  * (SURVEY.md §2.2.1/2.2.2/2.2.6).
+  *
+  * Scale notes: all filters/projections are Column expressions (never UDFs)
+  * so they push into the parquet scan; top-k is expressed as orderBy+limit
+  * so Catalyst plans TakeOrderedAndProject (no global sort materialization);
+  * top-k-per-group uses a single hash-partitioned window (one shuffle on the
+  * group key, local sort only).
+  */
+object Relational extends QueryPack {
+
+  /** TPC-H Q1-style pricing summary — the flagship scan→agg pipeline.
+    * Partial aggregation (map-side combine) happens automatically in
+    * HashAggregateExec; the shuffle carries only |groups| rows per task.
+    */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 4).as("sum_qty"),
+        round(sum("l_extendedprice"), 4).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 4).as("sum_charge"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private val pricingSummarySql =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 4) AS sum_qty,
+      |  round(sum(l_extendedprice), 4) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+      |  round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 4) AS sum_charge,
+      |  round(avg(l_quantity), 4) AS avg_qty,
+      |  round(avg(l_extendedprice), 4) AS avg_price,
+      |  round(avg(l_discount), 4) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q5-style star join: fact ⋈ orders ⋈ customer ⋈ nation ⋈ region.
+    * nation/region are broadcast (tiny at every scale); the lineitem⋈orders
+    * and orders⋈customer joins shuffle on their keys — the correct plan at
+    * 100 TB, where both sides are large. AQE may still convert to broadcast
+    * at small SF; both plans are correct.
+    */
+  def starJoinRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_extendedprice", "l_discount")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+        col("o_orderdate") < to_timestamp(lit("1999-01-01 00:00:00")))
+      .select("o_orderkey", "o_custkey")
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
+  private val starJoinRevenueSql =
+    """SELECT n_name,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  /** Predicate surface: IN / BETWEEN / LIKE / CASE WHEN / NULLIF / COALESCE
+    * — all Column expressions, all pushdown-eligible.
+    */
+  def filterPredicates(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH") &&
+        col("o_totalprice").between(50000.0, 300000.0) &&
+        col("o_orderstatus").like("F%"))
+      .select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        round(col("o_totalprice"), 4).as("price"),
+        when(col("o_totalprice") >= 200000.0, lit("big"))
+          .when(col("o_totalprice") >= 100000.0, lit("mid"))
+          .otherwise(lit("small")).as("bucket"),
+        coalesce(nullif(col("o_orderstatus"), lit("F")), lit("open")).as("status_or_open"))
+      .orderBy("o_orderkey")
+
+  private val filterPredicatesSql =
+    """SELECT o_orderkey, o_custkey,
+      |  round(o_totalprice, 4) AS price,
+      |  CASE WHEN o_totalprice >= 200000.0 THEN 'big'
+      |       WHEN o_totalprice >= 100000.0 THEN 'mid'
+      |       ELSE 'small' END AS bucket,
+      |  coalesce(nullif(o_orderstatus, 'F'), 'open') AS status_or_open
+      |FROM orders
+      |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |  AND o_totalprice BETWEEN 50000.0 AND 300000.0
+      |  AND o_orderstatus LIKE 'F%'
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Global top-k: orderBy+limit → TakeOrderedAndProject (per-partition
+    * heap + driver merge of k rows, not a global sort — the only top-k that
+    * scales to 100 TB).
+    */
+  def topOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 4).as("price"))
+      .orderBy(col("price").desc, col("o_orderkey").asc)
+      .limit(10)
+
+  private val topOrdersSql =
+    """SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS price
+      |FROM orders
+      |ORDER BY price DESC, o_orderkey ASC
+      |LIMIT 10""".stripMargin
+
+  /** Top-k per group: one shuffle on the group key, ranked window. */
+  def topCustomersPerNation(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    Tables.customer(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("c_nationkey"), col("rk"), col("c_custkey"), round(col("c_acctbal"), 4).as("acctbal"))
+      .orderBy("c_nationkey", "rk")
+  }
+
+  private val topCustomersPerNationSql =
+    """SELECT c_nationkey, rk, c_custkey, round(c_acctbal, 4) AS acctbal
+      |FROM (
+      |  SELECT c_nationkey, c_custkey, c_acctbal,
+      |    row_number() OVER (PARTITION BY c_nationkey
+      |                       ORDER BY c_acctbal DESC, c_custkey ASC) AS rk
+      |  FROM customer) t
+      |WHERE rk <= 3
+      |ORDER BY c_nationkey, rk""".stripMargin
+
+  /** SELECT DISTINCT — partial-dedup in the map stage, exchange on the
+    * distinct keys only.
+    */
+  def distinctSegments(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select("c_mktsegment", "c_nationkey")
+      .distinct()
+      .orderBy("c_mktsegment", "c_nationkey")
+
+  private val distinctSegmentsSql =
+    """SELECT DISTINCT c_mktsegment, c_nationkey
+      |FROM customer
+      |ORDER BY c_mktsegment, c_nationkey""".stripMargin
+
+  /** Systematic (key-modulo) sample: deterministic across engines, unlike
+    * seed-based bernoulli sampling whose RNG is engine-specific. A separate
+    * non-oracle query covers df.sample.
+    */
+  def sampleModulo(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(pmod(col("o_orderkey"), lit(20)) === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"), round(col("o_totalprice"), 4).as("price"))
+      .orderBy("o_orderkey")
+
+  private val sampleModuloSql =
+    """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 4) AS price
+      |FROM orders
+      |WHERE o_orderkey % 20 = 0
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Bernoulli sampling (Spark-side RNG; oracle-free, spec-checked). */
+  def sampleBernoulli(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .sample(withReplacement = false, fraction = 0.1, seed = 42L)
+      .select("o_orderkey", "o_orderstatus")
+      .orderBy("o_orderkey")
+
+  override def all: Seq[QueryDef] = Seq(
+    QueryDef("q01_pricing_summary", pricingSummary, Some(pricingSummarySql), headline = true),
+    QueryDef("q02_star_join_revenue", starJoinRevenue, Some(starJoinRevenueSql), headline = true),
+    QueryDef("q03_filter_predicates", filterPredicates, Some(filterPredicatesSql)),
+    QueryDef("q04_top_orders", topOrders, Some(topOrdersSql)),
+    QueryDef("q05_topk_per_nation", topCustomersPerNation, Some(topCustomersPerNationSql)),
+    QueryDef("q06_distinct_segments", distinctSegments, Some(distinctSegmentsSql)),
+    QueryDef("q07_sample_modulo", sampleModulo, Some(sampleModuloSql)),
+    QueryDef("q08_sample_bernoulli", sampleBernoulli, None))
+}

@@ -1,0 +1,61 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scan layer: every fixture table, read with its explicit schema so that
+  * column pruning and filter pushdown reach the parquet scan unchanged.
+  *
+  * Scale notes (100 TB design intent):
+  *   - Scans stay fully declarative (`spark.read.schema(...).parquet`) so
+  *     Catalyst's `PushDownPredicates` / `ColumnPruning` and the vectorized
+  *     reader apply; nothing here materializes or collects.
+  *   - `events.ts` arrives as INT64 nanoseconds; the shim is a codegen'd
+  *     projection (`timestamp_micros(ts div 1000)`) that costs one integer
+  *     op per row and keeps the column vectorizable (SURVEY.md §7.4).
+  */
+object Tables {
+
+  def path(dir: String, table: String): String = s"$dir/$table.parquet"
+
+  private def read(spark: SparkSession, dir: String, table: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).parquet(path(dir, table))
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir, "lineitem", Schemas.lineitem)
+
+  def orders(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir, "orders", Schemas.orders)
+
+  def customer(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir, "customer", Schemas.customer)
+
+  def supplier(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir, "supplier", Schemas.supplier)
+
+  def part(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir, "part", Schemas.part)
+
+  def nation(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir, "nation", Schemas.nation)
+
+  def region(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir, "region", Schemas.region)
+
+  /** `events` with the nanosecond-timestamp shim applied: `ts` becomes a
+    * proper µs-precision TimestampType column (UTC), truncated exactly the
+    * way DuckDB's `CAST(ts AS TIMESTAMP)` truncates, so oracle comparisons
+    * hold. `ts div 1000` is integer division — no double round-trip, no
+    * precision loss on ~1.7e18 ns epochs.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir, "events", Schemas.eventsRaw)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir, "documents", Schemas.documents)
+
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir, "embeddings", Schemas.embeddings)
+}

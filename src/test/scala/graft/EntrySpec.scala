@@ -1,0 +1,33 @@
+package graft
+
+class EntrySpec extends SparkSpec {
+
+  test("entry returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("query names are unique and oracle keys are a subset") {
+    val names = SparkEntry.defs.map(_.name)
+    assert(names.distinct.size == names.size)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("every query runs and returns rows at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sfDir).count()
+      assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("oracle column aliases match the Spark schema (sorted-by-name compare)") {
+    // The driver sorts columns by name before hashing; mismatched aliases
+    // are the most common silent failure. Cheap structural guard: every
+    // query's schema has no auto-generated names like sum(x) or round(x, 4).
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val cols = fn(spark, sfDir).columns
+      cols.foreach { c =>
+        assert(!c.contains("("), s"$name has unaliased column '$c'")
+      }
+    }
+  }
+}
