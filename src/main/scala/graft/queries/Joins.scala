@@ -1,0 +1,201 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, QueryPack}
+import graft.sources.Tables
+
+/** Join surface (SURVEY.md §2.2.3): inner/outer/semi/anti equi joins,
+  * broadcast joins, theta (non-equi), cross, range joins.
+  *
+  * Scale notes:
+  *   - Large⋈large (lineitem⋈orders, orders⋈customer) shuffle on the join
+  *     key — the only strategy that survives 100 TB; AQE handles skew.
+  *   - Small dims (nation/region/supplier, and literal band tables) are
+  *     broadcast explicitly — no shuffle of the big side at all.
+  *   - Semi/anti joins ship only the keys of the right side and never
+  *     multiply rows — preferred over IN-subquery materialization.
+  *   - The range join broadcasts the tiny band table; each probe row finds
+  *     its bands without any shuffle of the fact table.
+  */
+object Joins extends QueryPack {
+
+  /** Left semi: customers that placed at least one urgent order. */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    Tables.customer(spark, dir)
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
+  private val semiJoinSql =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey
+      |                AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Left anti: customers that never placed an order. */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_custkey"))
+    Tables.customer(spark, dir)
+      .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      .orderBy("c_custkey")
+  }
+
+  private val antiJoinSql =
+    """SELECT c_custkey, c_name, c_nationkey
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Left outer join + aggregate: order count per customer including
+    * zero-order customers (count(key) skips the null-padded rows).
+    */
+  def outerJoinOrderCounts(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select("o_custkey", "o_orderkey", "o_totalprice")
+    Tables.customer(spark, dir)
+      .join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey", "c_mktsegment")
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        round(coalesce(sum("o_totalprice"), lit(0.0)), 4).as("total_spent"))
+      .orderBy("c_custkey")
+  }
+
+  private val outerJoinOrderCountsSql =
+    """SELECT c_custkey, c_mktsegment,
+      |  count(o_orderkey) AS n_orders,
+      |  round(coalesce(sum(o_totalprice), 0.0), 4) AS total_spent
+      |FROM customer
+      |LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey, c_mktsegment
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Full outer join over two aggregates keyed differently: per-nation
+    * customer count vs supplier count; either side may be missing.
+    */
+  def fullOuterNationActivity(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_customers"))
+    val s = Tables.supplier(spark, dir).groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_suppliers"))
+    c.join(s, col("c_nationkey") === col("s_nationkey"), "full")
+      .select(
+        coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+      .orderBy("nationkey")
+  }
+
+  private val fullOuterNationActivitySql =
+    """SELECT coalesce(c_nationkey, s_nationkey) AS nationkey,
+      |  coalesce(n_customers, 0) AS n_customers,
+      |  coalesce(n_suppliers, 0) AS n_suppliers
+      |FROM (SELECT c_nationkey, count(*) AS n_customers FROM customer GROUP BY 1) c
+      |FULL JOIN (SELECT s_nationkey, count(*) AS n_suppliers FROM supplier GROUP BY 1) s
+      |  ON c_nationkey = s_nationkey
+      |ORDER BY nationkey""".stripMargin
+
+  /** Theta join: equi key (nation) plus inequality (supplier outranks
+    * customer balance). The equi part keeps it hash-joinable; the
+    * inequality is a post-join filter inside the join operator.
+    */
+  def thetaJoinBalance(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey", "s_acctbal")
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey", "c_acctbal")
+    s.join(c, col("s_nationkey") === col("c_nationkey") && col("s_acctbal") > col("c_acctbal"))
+      .groupBy("s_suppkey")
+      .agg(count(lit(1)).as("n_outranked"))
+      .orderBy("s_suppkey")
+  }
+
+  private val thetaJoinBalanceSql =
+    """SELECT s_suppkey, count(*) AS n_outranked
+      |FROM supplier JOIN customer
+      |  ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
+      |GROUP BY s_suppkey
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** Cross join (tiny × tiny only — never sane on two large inputs). */
+  def crossJoinRegions(spark: SparkSession, dir: String): DataFrame =
+    Tables.region(spark, dir).select("r_name")
+      .crossJoin(Tables.nation(spark, dir).select("n_name"))
+      .orderBy("r_name", "n_name")
+
+  private val crossJoinRegionsSql =
+    """SELECT r_name, n_name
+      |FROM region CROSS JOIN nation
+      |ORDER BY r_name, n_name""".stripMargin
+
+  /** Range join: orders binned into literal price bands via
+    * `lo <= price < hi`. The band table is broadcast — each fact row scans
+    * a handful of bands; no shuffle of the fact side.
+    */
+  def rangeJoinPriceBands(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bands = Seq(
+      ("band0_low", 0.0, 50000.0),
+      ("band1_mid", 50000.0, 150000.0),
+      ("band2_high", 150000.0, 1000000.0)).toDF("band", "lo", "hi")
+    Tables.orders(spark, dir)
+      .join(broadcast(bands),
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_orders"), round(avg("o_totalprice"), 4).as("avg_price"))
+      .orderBy("band")
+  }
+
+  private val rangeJoinPriceBandsSql =
+    """SELECT band, count(*) AS n_orders, round(avg(o_totalprice), 4) AS avg_price
+      |FROM orders
+      |JOIN (VALUES ('band0_low', 0.0, 50000.0),
+      |             ('band1_mid', 50000.0, 150000.0),
+      |             ('band2_high', 150000.0, 1000000.0)) AS bands(band, lo, hi)
+      |  ON o_totalprice >= lo AND o_totalprice < hi
+      |GROUP BY band
+      |ORDER BY band""".stripMargin
+
+  /** Multi-way star with two broadcast dimension chains:
+    * lineitem ⋈ part (brand) and ⋈ supplier→nation (supplier nation).
+    */
+  def starJoinBrandNation(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val p = Tables.part(spark, dir).select("p_partkey", "p_brand")
+    val s = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("p_brand", "n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+      .orderBy("p_brand", "n_name")
+  }
+
+  private val starJoinBrandNationSql =
+    """SELECT p_brand, n_name,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY p_brand, n_name
+      |ORDER BY p_brand, n_name""".stripMargin
+
+  override def all: Seq[QueryDef] = Seq(
+    QueryDef("q10_semi_join", semiJoin, Some(semiJoinSql)),
+    QueryDef("q11_anti_join", antiJoin, Some(antiJoinSql)),
+    QueryDef("q12_outer_join_counts", outerJoinOrderCounts, Some(outerJoinOrderCountsSql)),
+    QueryDef("q13_full_outer_nation", fullOuterNationActivity, Some(fullOuterNationActivitySql)),
+    QueryDef("q14_theta_join_balance", thetaJoinBalance, Some(thetaJoinBalanceSql)),
+    QueryDef("q15_cross_join_regions", crossJoinRegions, Some(crossJoinRegionsSql)),
+    QueryDef("q16_range_join_bands", rangeJoinPriceBands, Some(rangeJoinPriceBandsSql)),
+    QueryDef("q17_star_brand_nation", starJoinBrandNation, Some(starJoinBrandNationSql), headline = true))
+}
