@@ -1,5 +1,22 @@
 package graft
+
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark harness. Prints ONE JSON line to stdout and mirrors it to
+  * BENCH_LATEST.json (sbt prefixes stdout with [info], which broke the
+  * driver's JSON extraction in round 1).
+  *
+  * Methodology (fixes round-1 defects — VERDICT.md "Bench measures the
+  * wrong plan"):
+  *   - Queries execute via the noop sink, not count(): under count(),
+  *     EliminateSorts drops every final orderBy and column pruning guts
+  *     the projections, so sort/projection cost went unmeasured.
+  *   - One warm-up pass per query at sf0.001 first, so JIT/codegen
+  *     startup is not charged to whichever query runs first.
+  *   - Queries run in sorted name order (stable across rounds).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +24,33 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def runNoop(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        dir: String): Unit =
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
+
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Warm-up: full plan compile + JIT at the smallest sf.
+    ordered.foreach { case (_, fn) =>
+      try runNoop(fn, "/root/testdata/sf0.001")
+      catch { case _: Throwable => () }
+    }
+    val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try runNoop(fn, sfDir) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    Files.writeString(Paths.get("BENCH_LATEST.json"), json + "\n")
     spark.stop()
   }
 }

@@ -40,9 +40,14 @@ object Joins extends QueryPack {
       |                AND o_orderpriority = '1-URGENT')
       |ORDER BY c_custkey""".stripMargin
 
-  /** Left anti: customers that never placed an order. */
+  /** Left anti: customers that never placed an urgent order (every
+    * customer has *some* order in the fixtures, so the urgent filter keeps
+    * the result non-empty and the NOT EXISTS semantics meaningful).
+    */
   def antiJoin(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(spark, dir).select(col("o_custkey"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
     Tables.customer(spark, dir)
       .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
@@ -52,7 +57,8 @@ object Joins extends QueryPack {
   private val antiJoinSql =
     """SELECT c_custkey, c_name, c_nationkey
       |FROM customer
-      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |                  AND o_orderpriority = '1-URGENT')
       |ORDER BY c_custkey""".stripMargin
 
   /** Left outer join + aggregate: order count per customer including
@@ -104,13 +110,16 @@ object Joins extends QueryPack {
       |ORDER BY nationkey""".stripMargin
 
   /** Theta join: equi key (nation) plus inequality (supplier outranks
-    * customer balance). The equi part keeps it hash-joinable; the
-    * inequality is a post-join filter inside the join operator.
+    * customer balance). The equi key has only 25 distinct values, so a
+    * shuffle join would collapse to 25 partitions (idle cores, unbounded
+    * skew at scale). Instead the supplier side — dimension-sized at every
+    * sf — is broadcast: the customer side never shuffles at all, and the
+    * inequality is evaluated as a filter inside the broadcast join.
     */
   def thetaJoinBalance(spark: SparkSession, dir: String): DataFrame = {
     val s = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey", "s_acctbal")
     val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey", "c_acctbal")
-    s.join(c, col("s_nationkey") === col("c_nationkey") && col("s_acctbal") > col("c_acctbal"))
+    broadcast(s).join(c, col("s_nationkey") === col("c_nationkey") && col("s_acctbal") > col("c_acctbal"))
       .groupBy("s_suppkey")
       .agg(count(lit(1)).as("n_outranked"))
       .orderBy("s_suppkey")

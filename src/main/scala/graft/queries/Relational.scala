@@ -53,10 +53,13 @@ object Relational extends QueryPack {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   /** TPC-H Q5-style star join: fact ⋈ orders ⋈ customer ⋈ nation ⋈ region.
-    * nation/region are broadcast (tiny at every scale); the lineitem⋈orders
-    * and orders⋈customer joins shuffle on their keys — the correct plan at
-    * 100 TB, where both sides are large. AQE may still convert to broadcast
-    * at small SF; both plans are correct.
+    *
+    * Join order matters at 100 TB: the region filter (1 of 5 regions) is
+    * applied FIRST, by pre-joining nation⋈region(filtered) into one tiny
+    * broadcast dim and joining customer to it before orders/lineitem are
+    * touched. The two large shuffles (orders⋈customer, lineitem⋈orders)
+    * therefore carry only ~1/5 of the customers' rows — Catalyst won't
+    * reorder this on its own without CBO stats.
     */
   def starJoinRevenue(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_extendedprice", "l_discount")
@@ -64,13 +67,16 @@ object Relational extends QueryPack {
       .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
         col("o_orderdate") < to_timestamp(lit("1999-01-01 00:00:00")))
       .select("o_orderkey", "o_custkey")
-    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
     val n = Tables.nation(spark, dir)
     val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
-    li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(c, col("o_custkey") === col("c_custkey"))
-      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
-      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+    // One pre-filtered broadcast dim: only ASIA nations survive.
+    val asiaNations = n.join(r, col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+      .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey", "n_name")
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(li, col("l_orderkey") === col("o_orderkey"))
       .groupBy("n_name")
       .agg(
         round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),

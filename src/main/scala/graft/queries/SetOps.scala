@@ -59,17 +59,22 @@ object SetOps extends QueryPack {
       |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
       |ORDER BY o_custkey""".stripMargin
 
-  /** EXCEPT (set difference): customer keys that never ordered. */
+  /** EXCEPT (set difference): customer keys that never placed an urgent
+    * order (non-empty at every sf; the unfiltered variant is empty because
+    * every fixture customer has at least one order).
+    */
   def exceptCustomers(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir).select(col("c_custkey"))
-    val o = Tables.orders(spark, dir).select(col("o_custkey").as("c_custkey"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("c_custkey"))
     c.except(o).orderBy("c_custkey")
   }
 
   private val exceptCustomersSql =
     """SELECT c_custkey FROM customer
       |EXCEPT
-      |SELECT o_custkey AS c_custkey FROM orders
+      |SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
       |ORDER BY c_custkey""".stripMargin
 
   /** INTERSECT ALL (bag semantics — multiplicities preserved):
