@@ -1,0 +1,267 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, QueryPack}
+import graft.functions.Udafs
+import graft.sources.Tables
+
+/** Aggregation depth (SURVEY.md §2.2.4): distinct aggregates, statistical
+  * aggregates, collect aggregates, rollup/cube + grouping_id, filtered
+  * aggregates, exact percentiles, approx sketches, custom typed Aggregators.
+  *
+  * Scale notes:
+  *   - Everything here is a HashAggregate with map-side partial aggregation;
+  *     the shuffle carries one buffer per (group, task) — the only
+  *     aggregation shape that survives 100 TB.
+  *   - COUNT(DISTINCT) is planned by Spark as expand + two-level aggregate;
+  *     fine for a handful of distinct columns. At extreme cardinality prefer
+  *     approx_count_distinct (q37) — the sketch buffer is constant-size.
+  *   - collect_list/collect_set buffers grow with group size — only sane
+  *     when groups are provably small (25 nations here). Never use them on
+  *     unbounded groups at scale; that is what the approx sketches are for.
+  */
+object Aggregates extends QueryPack {
+
+  /** COUNT(DISTINCT) / SUM(DISTINCT) per order priority. */
+  def distinctAggs(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .agg(
+        countDistinct(col("o_custkey")).as("n_cust"),
+        countDistinct(col("o_orderstatus")).as("n_status"),
+        count(lit(1)).as("n_orders"),
+        round(sum_distinct(col("o_totalprice")), 4).as("sum_dist_price"))
+      .orderBy("o_orderpriority")
+
+  private val distinctAggsSql =
+    """SELECT o_orderpriority,
+      |  count(DISTINCT o_custkey) AS n_cust,
+      |  count(DISTINCT o_orderstatus) AS n_status,
+      |  count(*) AS n_orders,
+      |  round(sum(DISTINCT o_totalprice), 4) AS sum_dist_price
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** Statistical aggregates: stddev/variance/corr/covar (sample forms —
+    * identical definitions in Spark and DuckDB).
+    */
+  def statsAggs(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("cov_qty_price"),
+        round(min(col("l_extendedprice")), 4).as("min_price"),
+        round(max(col("l_extendedprice")), 4).as("max_price"))
+      .orderBy("l_returnflag")
+
+  private val statsAggsSql =
+    """SELECT l_returnflag,
+      |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+      |  round(var_samp(l_quantity), 4) AS var_qty,
+      |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+      |  round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price,
+      |  round(min(l_extendedprice), 4) AS min_price,
+      |  round(max(l_extendedprice), 4) AS max_price
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** Collect aggregates, wrapped in sort_array for determinism. Groups are
+    * provably tiny (25 nations × ≤5 segments) — see scale note above.
+    */
+  def collectAggs(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy("c_nationkey")
+      .agg(
+        sort_array(collect_set(col("c_mktsegment"))).as("segments"),
+        size(collect_set(col("c_mktsegment"))).as("n_segments"),
+        size(collect_list(col("c_mktsegment"))).as("n_customers"))
+      .orderBy("c_nationkey")
+
+  private val collectAggsSql =
+    """SELECT c_nationkey,
+      |  list(DISTINCT c_mktsegment ORDER BY c_mktsegment) AS segments,
+      |  count(DISTINCT c_mktsegment) AS n_segments,
+      |  count(c_mktsegment) AS n_customers
+      |FROM customer
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin
+
+  /** ROLLUP + grouping_id. NULL group markers are coalesced to '(all)' so
+    * the output is null-free and totally ordered identically in both
+    * engines (null sort order differs between Spark and DuckDB).
+    */
+  def rollupAggs(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(
+        grouping_id().as("gid"),
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .select(
+        col("gid"),
+        coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
+        col("sum_qty"), col("n_rows"))
+      .orderBy("gid", "rf", "ls")
+
+  private val rollupAggsSql =
+    """SELECT GROUPING(l_returnflag, l_linestatus) AS gid,
+      |  coalesce(l_returnflag, '(all)') AS rf,
+      |  coalesce(l_linestatus, '(all)') AS ls,
+      |  round(sum(l_quantity), 4) AS sum_qty,
+      |  count(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY gid, rf, ls""".stripMargin
+
+  /** CUBE over order status × priority. */
+  def cubeAggs(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 4).as("sum_price"))
+      .select(
+        col("gid"),
+        coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        col("n_orders"), col("sum_price"))
+      .orderBy("gid", "status", "priority")
+
+  private val cubeAggsSql =
+    """SELECT GROUPING(o_orderstatus, o_orderpriority) AS gid,
+      |  coalesce(o_orderstatus, '(all)') AS status,
+      |  coalesce(o_orderpriority, '(all)') AS priority,
+      |  count(*) AS n_orders,
+      |  round(sum(o_totalprice), 4) AS sum_price
+      |FROM orders
+      |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY gid, status, priority""".stripMargin
+
+  /** Filtered aggregates: agg FILTER (WHERE p) ≡ agg(when(p, x)). */
+  def filteredAggs(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_linestatus")
+      .agg(
+        round(sum(when(col("l_returnflag") === "R", col("l_extendedprice"))), 4).as("sum_returned"),
+        count(when(col("l_discount") > 0.05, lit(1))).as("n_discounted"),
+        round(avg(when(col("l_quantity") > 25.0, col("l_quantity"))), 4).as("avg_big_qty"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_linestatus")
+
+  private val filteredAggsSql =
+    """SELECT l_linestatus,
+      |  round(sum(l_extendedprice) FILTER (WHERE l_returnflag = 'R'), 4) AS sum_returned,
+      |  count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+      |  round(avg(l_quantity) FILTER (WHERE l_quantity > 25.0), 4) AS avg_big_qty,
+      |  count(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin
+
+  /** Exact percentiles (linear interpolation — same definition as DuckDB's
+    * quantile_cont). Exact percentile requires a per-group sort: fine here,
+    * but the 100-TB path is percentile_approx (q37) whose sketch buffer is
+    * constant-size and mergeable.
+    */
+  def exactPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("round(percentile(l_extendedprice, 0.25), 4)").as("p25"),
+        expr("round(percentile(l_extendedprice, 0.50), 4)").as("p50"),
+        expr("round(percentile(l_extendedprice, 0.75), 4)").as("p75"),
+        expr("round(percentile(l_extendedprice, 0.99), 4)").as("p99"))
+      .orderBy("l_returnflag")
+
+  private val exactPercentilesSql =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+      |  round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+      |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+      |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** Approximate sketches (HLL cardinality + quantile sketch). Sketch
+    * internals are engine-specific, so there is no cross-engine oracle;
+    * AggregatesSpec bounds them against the exact answers instead.
+    */
+  def approxAggs(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .agg(
+        approx_count_distinct(col("o_custkey"), 0.02).as("apx_n_cust"),
+        round(percentile_approx(col("o_totalprice"), lit(0.5), lit(5000)), 4).as("apx_median"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
+  /** Custom typed Aggregator (weighted mean) through functions.udaf. */
+  def weightedAvgUdaf(spark: SparkSession, dir: String): DataFrame = {
+    val wavg = udaf(Udafs.WeightedAvg)
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(wavg(col("l_extendedprice"), col("l_quantity")), 4).as("w_avg_price"),
+        round(sum(col("l_quantity")), 4).as("sum_weight"))
+      .orderBy("l_returnflag")
+  }
+
+  private val weightedAvgUdafSql =
+    """SELECT l_returnflag,
+      |  round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS w_avg_price,
+      |  round(sum(l_quantity), 4) AS sum_weight
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** Vector-centroid Aggregator over the 64-d embeddings, per label.
+    * The oracle spot-checks four dimensions (first/second/middle/last);
+    * AggregatesSpec checks all 64 against a posexplode+avg formulation.
+    */
+  def centroidUdaf(spark: SparkSession, dir: String): DataFrame = {
+    val centroid = udaf(new Udafs.VectorCentroid(64))
+    Tables.embeddings(spark, dir)
+      .select(col("label"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .groupBy("label")
+      .agg(centroid(col("v")).as("c"), count(lit(1)).as("n_vecs"))
+      .select(
+        col("label"), col("n_vecs"),
+        round(element_at(col("c"), 1), 4).as("c1"),
+        round(element_at(col("c"), 2), 4).as("c2"),
+        round(element_at(col("c"), 32), 4).as("c32"),
+        round(element_at(col("c"), 64), 4).as("c64"))
+      .orderBy("label")
+  }
+
+  private val centroidUdafSql =
+    """SELECT label, count(*) AS n_vecs,
+      |  round(avg(CAST(embedding[1] AS DOUBLE)), 4) AS c1,
+      |  round(avg(CAST(embedding[2] AS DOUBLE)), 4) AS c2,
+      |  round(avg(CAST(embedding[32] AS DOUBLE)), 4) AS c32,
+      |  round(avg(CAST(embedding[64] AS DOUBLE)), 4) AS c64
+      |FROM embeddings
+      |GROUP BY label
+      |ORDER BY label""".stripMargin
+
+  override def all: Seq[QueryDef] = Seq(
+    QueryDef("q30_distinct_aggs", distinctAggs, Some(distinctAggsSql)),
+    QueryDef("q31_stats_aggs", statsAggs, Some(statsAggsSql)),
+    QueryDef("q32_collect_aggs", collectAggs, Some(collectAggsSql)),
+    QueryDef("q33_rollup", rollupAggs, Some(rollupAggsSql), headline = true),
+    QueryDef("q34_cube", cubeAggs, Some(cubeAggsSql)),
+    QueryDef("q35_filtered_aggs", filteredAggs, Some(filteredAggsSql)),
+    QueryDef("q36_exact_percentiles", exactPercentiles, Some(exactPercentilesSql)),
+    QueryDef("q37_approx_aggs", approxAggs, None),
+    QueryDef("q38_weighted_avg_udaf", weightedAvgUdaf, Some(weightedAvgUdafSql)),
+    QueryDef("q39_centroid_udaf", centroidUdaf, Some(centroidUdafSql)))
+}
