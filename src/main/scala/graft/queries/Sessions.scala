@@ -1,0 +1,128 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, QueryPack}
+import graft.sources.Tables
+
+/** Time-windowed semantics over the event stream, batch-first
+  * (SURVEY.md §2.2.9 note: batch window()/session_window() are the
+  * oracle-checkable equivalents of the streaming operators; the streaming
+  * runs of the same programs are covered by StreamingSpec).
+  *
+  * Scale notes:
+  *   - window()/session_window() are plain groupBy aggregations — partial
+  *     agg + one shuffle on (window, key). Sliding windows multiply input
+  *     by duration/slide (2× here); keep that factor small at scale.
+  *   - Session windows shuffle on user_id then merge sorted sessions per
+  *     key — the same single-shuffle shape Structured Streaming uses.
+  *   - Dedup-keep-first is a window row_number, not dropDuplicates, so the
+  *     kept row is deterministic (dropDuplicates keeps an arbitrary row).
+  */
+object Sessions extends QueryPack {
+
+  /** Tumbling 1-day windows per event type. */
+  def tumblingDaily(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .select(unix_micros(col("w.start")).as("day_start_us"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy("day_start_us", "event_type")
+
+  private val tumblingDailySql =
+    """SELECT epoch_us(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)) AS day_start_us, event_type,
+      |  count(*) AS n_events,
+      |  round(sum(value), 4) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY day_start_us, event_type""".stripMargin
+
+  /** Sliding windows: 1-day duration, 12-hour slide (each event lands in
+    * exactly two windows).
+    */
+  def slidingWindows(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 day", "12 hours").as("w"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .select(unix_micros(col("w.start")).as("w_start_us"), col("n_events"), col("sum_value"))
+      .orderBy("w_start_us")
+
+  private val slidingWindowsSql =
+    """SELECT epoch_us(w_start) AS w_start_us, count(*) AS n_events, round(sum(value), 4) AS sum_value
+      |FROM (
+      |  SELECT unnest([b, b - INTERVAL '12 hours']) AS w_start, value
+      |  FROM (SELECT time_bucket(INTERVAL '12 hours', CAST(ts AS TIMESTAMP)) AS b, value
+      |        FROM events))
+      |GROUP BY w_start
+      |ORDER BY w_start_us""".stripMargin
+
+  /** Gap-based session windows (4-hour gap) per user. Spark sessions are
+    * half-open: an event exactly gap after the previous one starts a NEW
+    * session — the oracle's lag-diff test uses >= to match.
+    */
+  def sessionWindows(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), "4 hours").as("s"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("s.start")).as("s_start_us"),
+        unix_micros(col("s.end")).as("s_end_us"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "s_start_us")
+
+  private val sessionWindowsSql =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value FROM events),
+      |flagged AS (
+      |  SELECT user_id, t, value,
+      |    CASE WHEN lag(t) OVER w IS NULL
+      |           OR t - lag(t) OVER w >= INTERVAL '4 hours' THEN 1 ELSE 0 END AS new_s
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+      |sess AS (
+      |  SELECT user_id, t, value,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flagged)
+      |SELECT user_id,
+      |  epoch_us(min(t)) AS s_start_us,
+      |  epoch_us(max(t) + INTERVAL '4 hours') AS s_end_us,
+      |  count(*) AS n_events,
+      |  round(sum(value), 4) AS sum_value
+      |FROM sess
+      |GROUP BY user_id, sid
+      |ORDER BY user_id, s_start_us""".stripMargin
+
+  /** Deterministic dedup-keep-first per (user, event_type) — the batch
+    * analogue of streaming dropDuplicates.
+    */
+  def dedupKeepFirst(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      .orderBy("user_id", "event_type")
+  }
+
+  private val dedupKeepFirstSql =
+    """SELECT user_id, event_type, event_id, ts_us
+      |FROM (
+      |  SELECT user_id, event_type, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |                       ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+      |  FROM events)
+      |WHERE rn = 1
+      |ORDER BY user_id, event_type""".stripMargin
+
+  override def all: Seq[QueryDef] = Seq(
+    QueryDef("q60_tumbling_daily", tumblingDaily, Some(tumblingDailySql)),
+    QueryDef("q61_sliding_windows", slidingWindows, Some(slidingWindowsSql)),
+    QueryDef("q62_session_windows", sessionWindows, Some(sessionWindowsSql), headline = true),
+    QueryDef("q63_dedup_keep_first", dedupKeepFirst, Some(dedupKeepFirstSql)))
+}
