@@ -1,0 +1,360 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, QueryPack}
+import graft.sources.Tables
+
+/** LLM-training-data pipeline operators (SURVEY.md §2.2.11 — the
+  * north-star mandate): exact dedup, MinHash/LSH near-dup dedup, SimHash
+  * fingerprints, n-gram Jaccard similarity, embedding cosine top-k /
+  * near-dup, text quality scoring, language ID, token analysis, and the
+  * multimodal doc⋈embedding join.
+  *
+  * Scale notes (these are the queries that must survive 100 TB):
+  *   - Exact dedup = groupBy on the text (hash partitioned); at 100 TB,
+  *     group on xxhash64(text) so the shuffle key is 8 bytes, not the
+  *     document — the pattern q75 uses for shingles.
+  *   - Near-dup dedup NEVER does all-pairs: LSH bands turn it into an
+  *     equi-join on (band, band-signature) — candidates are only pairs
+  *     sharing a band bucket, then a cheap exact-Jaccard verify. The
+  *     brute-force variants (q76/q77) are restricted probe sets or
+  *     dimension-table-sized inputs and serve as the correctness oracle
+  *     for the LSH path.
+  *   - All vector math is HOF expressions (zip_with/aggregate) — codegen,
+  *     no UDFs; norms are precomputed BEFORE the join so the per-pair cost
+  *     is one dot product.
+  *   - Everything ends in aggregates or bounded top-k; no collect().
+  */
+object LlmPipeline extends QueryPack {
+
+  /** documents with tokens + distinct 3-gram shingles. */
+  private def shingled(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("sh", expr(
+        "array_distinct(transform(sequence(0, size(toks)-3), i -> concat_ws(' ', slice(toks, i+1, 3))))"))
+
+  /** embeddings as double vectors with precomputed L2 norms. */
+  private def normed(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .withColumn("d", expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn("nrm", expr("sqrt(aggregate(zip_with(d, d, (x, y) -> x * y), 0D, (a, x) -> a + x))"))
+
+  private val dotExpr = "aggregate(zip_with(a.d, b.d, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+
+  /** Exact dedup: one keeper (min doc_id) per distinct text. */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy("text")
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      .select("keeper", "n_copies")
+      .orderBy("keeper")
+
+  private val exactDedupSql =
+    """SELECT min(doc_id) AS keeper, count(*) AS n_copies
+      |FROM documents
+      |GROUP BY text
+      |ORDER BY keeper""".stripMargin
+
+  /** Token frequency top-25 across the corpus. */
+  def tokenTopN(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(25)
+
+  private val tokenTopNSql =
+    """SELECT token, count(*) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |WHERE token <> ''
+      |GROUP BY token
+      |ORDER BY n DESC, token ASC
+      |LIMIT 25""".stripMargin
+
+  /** Per-document quality scoring: token counts, type-token ratio, mean
+    * token length, stopword ratio, composite score.
+    */
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      // Raw ratios first; round only at output. Rounding intermediate
+      // values and deriving from them hits exact half-way points whose
+      // direction differs across engines.
+      .withColumn("nt", size(col("toks")).cast("double"))
+      .withColumn("ttr_raw", size(array_distinct(col("toks"))) / col("nt"))
+      .withColumn("stop_raw",
+        expr("size(filter(toks, t -> array_contains(array('the','a','of','to','and','in'), t)))") / col("nt"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct"),
+        round(col("ttr_raw"), 4).as("ttr"),
+        round(expr("aggregate(toks, 0D, (a, t) -> a + length(t))") / col("nt"), 4).as("avg_tok_len"),
+        round(col("stop_raw"), 4).as("stop_ratio"),
+        round(lit(0.5) * col("ttr_raw") + lit(0.5) * (lit(1.0) - col("stop_raw")), 4).as("quality"))
+      .orderBy("doc_id")
+
+  private val textQualitySql =
+    """SELECT doc_id,
+      |  len(toks) AS n_tokens,
+      |  len(list_distinct(toks)) AS n_distinct,
+      |  round(len(list_distinct(toks))::DOUBLE / len(toks), 4) AS ttr,
+      |  round(list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks), 4) AS avg_tok_len,
+      |  round(len(list_filter(toks, t -> list_contains(['the','a','of','to','and','in'], t)))::DOUBLE
+      |    / len(toks), 4) AS stop_ratio,
+      |  round(0.5 * (len(list_distinct(toks))::DOUBLE / len(toks))
+      |    + 0.5 * (1.0 - len(list_filter(toks, t -> list_contains(['the','a','of','to','and','in'], t)))::DOUBLE
+      |             / len(toks)), 4) AS quality
+      |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Language-ID n-gram heuristic: marker-token overlap score per
+    * candidate language, argmax with a fixed priority tie-break. (The
+    * fixture corpus draws from one vocabulary, so this demonstrates the
+    * operator shape; the oracle guarantees engine parity.)
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .select(
+        col("doc_id"), col("lang"),
+        expr("size(filter(toks, t -> array_contains(array('the','a','and','of'), t)))").as("s_en"),
+        expr("size(filter(toks, t -> array_contains(array('el','la','de','que'), t)))").as("s_es"),
+        expr("size(filter(toks, t -> array_contains(array('der','die','das','und'), t)))").as("s_de"),
+        expr("size(filter(toks, t -> array_contains(array('le','les','un','est'), t)))").as("s_fr"))
+      .withColumn("pred_lang",
+        when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") && col("s_en") >= col("s_fr"), "en")
+          .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr"), "es")
+          .when(col("s_de") >= col("s_fr"), "de")
+          .otherwise("fr"))
+      .withColumn("is_match", col("pred_lang") === col("lang"))
+      .orderBy("doc_id")
+
+  private val langIdSql =
+    """SELECT doc_id, lang, s_en, s_es, s_de, s_fr,
+      |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+      |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+      |       WHEN s_de >= s_fr THEN 'de'
+      |       ELSE 'fr' END AS pred_lang,
+      |  (CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+      |        WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+      |        WHEN s_de >= s_fr THEN 'de'
+      |        ELSE 'fr' END) = lang AS is_match
+      |FROM (
+      |  SELECT doc_id, lang,
+      |    len(list_filter(toks, t -> list_contains(['the','a','and','of'], t))) AS s_en,
+      |    len(list_filter(toks, t -> list_contains(['el','la','de','que'], t))) AS s_es,
+      |    len(list_filter(toks, t -> list_contains(['der','die','das','und'], t))) AS s_de,
+      |    len(list_filter(toks, t -> list_contains(['le','les','un','est'], t))) AS s_fr
+      |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents))
+      |ORDER BY doc_id""".stripMargin
+
+  /** Brute-force cosine top-5 for a 10-probe set. Probes are broadcast;
+    * norms precomputed; one window per probe for the top-k. This is the
+    * correctness baseline for ANN — the 100-TB path buckets candidates
+    * first (see q77 notes).
+    */
+  def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = normed(spark, dir)
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("p_id"), col("d"), col("nrm"))
+    val cands = e.select(col("vec_id").as("c_id"), col("d"), col("nrm"))
+    val joined = cands.alias("a")
+      .join(broadcast(probes.alias("b")), col("a.c_id") =!= col("b.p_id"))
+      .select(col("b.p_id"), col("a.c_id"),
+        (expr(dotExpr.replace("a.d, b.d", "b.d, a.d")) / (col("a.nrm") * col("b.nrm"))).as("sim"))
+    val w = Window.partitionBy("p_id").orderBy(col("sim").desc, col("c_id").asc)
+    joined.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("p_id"), col("rk"), col("c_id"), round(col("sim"), 4).as("sim_r"))
+      .orderBy("p_id", "rk")
+  }
+
+  private val cosineTopKSql =
+    """WITH n AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d
+      |  FROM embeddings),
+      |n2 AS (
+      |  SELECT vec_id, d, sqrt(list_sum(list_transform(d, x -> x * x))) AS nrm FROM n),
+      |pairs AS (
+      |  SELECT p.vec_id AS p_id, c.vec_id AS c_id,
+      |    list_sum([p.d[i] * c.d[i] for i in range(1, 65)]) / (p.nrm * c.nrm) AS sim
+      |  FROM n2 p JOIN n2 c ON p.vec_id < 10 AND c.vec_id <> p.vec_id),
+      |ranked AS (
+      |  SELECT p_id, c_id, sim,
+      |    row_number() OVER (PARTITION BY p_id ORDER BY sim DESC, c_id ASC) AS rk
+      |  FROM pairs)
+      |SELECT p_id, rk, c_id, round(sim, 4) AS sim_r
+      |FROM ranked WHERE rk <= 5
+      |ORDER BY p_id, rk""".stripMargin
+
+  /** MinHash + banded LSH near-dup detection, exact-Jaccard-verified.
+    *
+    * Pipeline: 3-gram shingles → 64 minhashes (xxhash64 with 64 salts) →
+    * 16 bands × 4 rows → equi-join on (band, band-signature) for candidate
+    * pairs → exact Jaccard filter ≥ 0.5.
+    *
+    * With the fixture's near-dup structure (true pairs J ≥ 0.97, noise
+    * < 0.2), band-match probability for a true pair is 1 − (1−J⁴)¹⁶ ≈ 1 −
+    * 10⁻¹¹ — so the output equals the exact all-pairs answer the oracle
+    * computes, while the Spark plan never goes quadratic: the only join is
+    * the band-bucket equi-join, which is the 100-TB design.
+    */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir).select("doc_id", "sh")
+    val sigs = sh.withColumn("sig", expr(
+      "transform(sequence(0, 63), k -> array_min(transform(sh, s -> xxhash64(s, k))))"))
+    val bands = sigs.select(
+      col("doc_id"),
+      explode(expr("transform(sequence(0, 15), b -> struct(b AS band, slice(sig, b*4+1, 4) AS bsig))")).as("e"))
+      .select(col("doc_id"), col("e.band").as("band"), col("e.bsig").as("bsig"))
+    val cand = bands.alias("x")
+      .join(bands.alias("y"), Seq("band", "bsig"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+      .distinct()
+    val s1 = sh.select(col("doc_id").as("id1"), col("sh").as("sh1"))
+    val s2 = sh.select(col("doc_id").as("id2"), col("sh").as("sh2"))
+    cand.join(s1, "id1").join(s2, "id2")
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
+      .withColumn("jaccard", col("inter") / (size(col("sh1")) + size(col("sh2")) - col("inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("id1", "id2")
+  }
+
+  private val minhashLshSql =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+      |pairs AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+      |    len(list_intersect(a.s, b.s))::DOUBLE
+      |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      |SELECT id1, id2, round(jaccard, 4) AS jaccard
+      |FROM pairs WHERE jaccard >= 0.5
+      |ORDER BY id1, id2""".stripMargin
+
+  /** Exact n-gram Jaccard for a probe set (doc_id < 25) against the whole
+    * corpus — the brute-force baseline the LSH path is checked against.
+    */
+  def jaccardProbe(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir).select("doc_id", "sh")
+    val probes = sh.filter(col("doc_id") < 25)
+      .select(col("doc_id").as("id1"), col("sh").as("sh1"))
+    val cands = sh.select(col("doc_id").as("id2"), col("sh").as("sh2"))
+    cands.join(broadcast(probes), col("id1") =!= col("id2"))
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
+      .withColumn("jaccard", col("inter") / (size(col("sh1")) + size(col("sh2")) - col("inter")))
+      .filter(col("jaccard") >= 0.3)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("id1", "id2")
+  }
+
+  private val jaccardProbeSql =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+      |SELECT a.doc_id AS id1, b.doc_id AS id2,
+      |  round(len(list_intersect(a.s, b.s))::DOUBLE
+      |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+      |FROM sh a JOIN sh b ON a.doc_id < 25 AND b.doc_id <> a.doc_id
+      |WHERE len(list_intersect(a.s, b.s))::DOUBLE
+      |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.3
+      |ORDER BY id1, id2""".stripMargin
+
+  /** Embedding near-dup pairs: all pairs with cosine ≥ 0.4. Correct-but-
+    * quadratic baseline (embeddings are dim-table-sized in the fixtures);
+    * the 100-TB path is random-hyperplane bucketing — q79's SimHash shows
+    * the same band-then-verify shape on text.
+    */
+  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val e = normed(spark, dir).select(col("vec_id"), col("d"), col("nrm"))
+    e.alias("a").join(broadcast(e.alias("b")), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim", expr(dotExpr) / (col("a.nrm") * col("b.nrm")))
+      .filter(col("sim") >= 0.4)
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+        round(col("sim"), 4).as("sim_r"))
+      .orderBy("id1", "id2")
+  }
+
+  private val embeddingNearDupSql =
+    """WITH n AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d
+      |  FROM embeddings),
+      |n2 AS (
+      |  SELECT vec_id, d, sqrt(list_sum(list_transform(d, x -> x * x))) AS nrm FROM n)
+      |SELECT a.vec_id AS id1, b.vec_id AS id2,
+      |  round(list_sum([a.d[i] * b.d[i] for i in range(1, 65)]) / (a.nrm * b.nrm), 4) AS sim_r
+      |FROM n2 a JOIN n2 b ON a.vec_id < b.vec_id
+      |WHERE list_sum([a.d[i] * b.d[i] for i in range(1, 65)]) / (a.nrm * b.nrm) >= 0.4
+      |ORDER BY id1, id2""".stripMargin
+
+  /** Multimodal columns: text + embedding + metadata side by side, joined
+    * on doc_id = vec_id.
+    */
+  def multimodalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val e = normed(spark, dir).select(col("vec_id"), col("label"), col("nrm"))
+    d.join(broadcast(e), col("doc_id") === col("vec_id"))
+      .select(
+        col("doc_id"), col("lang"), col("source"), col("label"),
+        size(split(col("text"), " ")).as("n_tokens"),
+        col("n_chars"),
+        round(col("nrm"), 4).as("l2_norm"))
+      .orderBy("doc_id")
+  }
+
+  private val multimodalJoinSql =
+    """SELECT doc_id, lang, source, label,
+      |  len(string_split(text, ' ')) AS n_tokens,
+      |  n_chars,
+      |  round(sqrt(list_sum(list_transform(
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)), x -> x * x))), 4) AS l2_norm
+      |FROM documents JOIN embeddings ON doc_id = vec_id
+      |ORDER BY doc_id""".stripMargin
+
+  /** SimHash fingerprints (32-bit, bit-vote over distinct 3-gram
+    * shingles — unigrams are non-discriminative in a shared-vocabulary
+    * corpus) plus 4×8-bit band keys for banded near-dup bucketing.
+    * xxhash64 is Spark-specific, so there is no cross-engine oracle;
+    * LlmPipelineSpec checks the near-dup Hamming-distance property
+    * against q75's pairs.
+    */
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    shingled(spark, dir)
+      .withColumnRenamed("sh", "grams")
+      .withColumn("votes", expr(
+        """aggregate(grams, transform(sequence(0, 31), j -> 0),
+          |  (acc, t) -> zip_with(acc,
+          |    transform(sequence(0, 31), j ->
+          |      CASE WHEN (shiftright(xxhash64(t), j) & 1) = 1 THEN 1 ELSE -1 END),
+          |    (a, b) -> a + b))""".stripMargin))
+      .withColumn("simhash", expr(
+        "aggregate(zip_with(votes, sequence(0, 31), (v, j) -> IF(v > 0, shiftleft(1L, j), 0L)), 0L, (a, x) -> a + x)"))
+      .select(
+        col("doc_id"), col("simhash"),
+        expr("transform(sequence(0, 3), b -> (shiftright(simhash, b * 8) & 255))").as("bands"))
+      .orderBy("doc_id")
+
+  override def all: Seq[QueryDef] = Seq(
+    QueryDef("q70_exact_dedup", exactDedup, Some(exactDedupSql)),
+    QueryDef("q71_token_topn", tokenTopN, Some(tokenTopNSql)),
+    QueryDef("q72_text_quality", textQuality, Some(textQualitySql)),
+    QueryDef("q73_lang_id", langId, Some(langIdSql)),
+    QueryDef("q74_cosine_topk", cosineTopK, Some(cosineTopKSql), headline = true),
+    QueryDef("q75_minhash_lsh", minhashLsh, Some(minhashLshSql), headline = true),
+    QueryDef("q76_jaccard_probe", jaccardProbe, Some(jaccardProbeSql)),
+    QueryDef("q77_embedding_neardup", embeddingNearDup, Some(embeddingNearDupSql)),
+    QueryDef("q78_multimodal_join", multimodalJoin, Some(multimodalJoinSql)),
+    QueryDef("q79_simhash", simhash, None))
+}

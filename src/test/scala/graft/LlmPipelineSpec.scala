@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.LlmPipeline
+
+/** Property checks for the LLM-pipeline operators that have no
+  * cross-engine oracle (SimHash) plus internal-consistency checks between
+  * the LSH path and the brute-force baselines.
+  */
+class LlmPipelineSpec extends SparkSpec {
+
+  test("minhash LSH finds the same pairs as exact Jaccard on its probe subset") {
+    // q76 (brute force, probes doc_id < 25, J >= 0.3) must be a superset
+    // of q75's pairs restricted to that probe set and J >= 0.5: LSH may
+    // only miss with negligible probability, never invent pairs.
+    val lsh = LlmPipeline.minhashLsh(spark, sfDir)
+      .filter(col("id1") < 25 || col("id2") < 25)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = LlmPipeline.jaccardProbe(spark, sfDir)
+      .filter(col("jaccard") >= 0.5)
+      .select("id1", "id2").collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)), math.max(r.getLong(0), r.getLong(1))))
+      .toSet
+    assert(lsh == brute, s"LSH $lsh vs brute-force $brute")
+  }
+
+  test("simhash: near-dup pairs have much smaller Hamming distance than random pairs") {
+    val sig = LlmPipeline.simhash(spark, sfDir).select("doc_id", "simhash")
+    val pairs = LlmPipeline.minhashLsh(spark, sfDir).select("id1", "id2")
+    val s1 = sig.select(col("doc_id").as("id1"), col("simhash").as("h1"))
+    val s2 = sig.select(col("doc_id").as("id2"), col("simhash").as("h2"))
+    val nearMean = pairs.join(s1, "id1").join(s2, "id2")
+      .select(bit_count(col("h1").bitwiseXOR(col("h2"))).as("d"))
+      .agg(avg("d")).head.getDouble(0)
+    // Random baseline: consecutive doc ids (unrelated by construction).
+    val randMean = s1.withColumn("id2", col("id1") + 250)
+      .join(s2, "id2")
+      .select(bit_count(col("h1").bitwiseXOR(col("h2"))).as("d"))
+      .agg(avg("d")).head.getDouble(0)
+    assert(nearMean < randMean / 2,
+      s"near-dup mean hamming $nearMean not well below random $randMean")
+    assert(randMean > 8.0, s"random pairs should differ in many bits, got $randMean")
+  }
+
+  test("simhash is deterministic and complete") {
+    val a = LlmPipeline.simhash(spark, sfDir).collect()
+    val b = LlmPipeline.simhash(spark, sfDir).collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.length == 500)
+  }
+
+  test("exact dedup keeps every doc at sf0.001 (no duplicate texts) and is idempotent") {
+    val out = LlmPipeline.exactDedup(spark, sfDir)
+    val n = out.count()
+    val total = graft.sources.Tables.documents(spark, sfDir).count()
+    assert(out.agg(sum("n_copies")).head.getLong(0) == total)
+    assert(out.select("keeper").distinct().count() == n)
+  }
+}
