@@ -109,6 +109,32 @@ object Joins extends QueryPack {
       |  ON c_nationkey = s_nationkey
       |ORDER BY nationkey""".stripMargin
 
+  /** Right outer join: urgent orders right-joined to customer — every
+    * customer appears, unmatched ones null-padded, aggregated per segment.
+    */
+  def rightOuterSegments(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey", "o_orderkey")
+    o.join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"), "right")
+      .groupBy("c_mktsegment")
+      .agg(
+        count(col("o_orderkey")).as("n_urgent"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("c_mktsegment")
+  }
+
+  private val rightOuterSegmentsSql =
+    """SELECT c_mktsegment,
+      |  count(o_orderkey) AS n_urgent,
+      |  count(*) AS n_rows
+      |FROM (SELECT o_custkey, o_orderkey FROM orders
+      |      WHERE o_orderpriority = '1-URGENT') o
+      |RIGHT JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
   /** Theta join: equi key (nation) plus inequality (supplier outranks
     * customer balance). The equi key has only 25 distinct values, so a
     * shuffle join would collapse to 25 partitions (idle cores, unbounded
@@ -206,5 +232,6 @@ object Joins extends QueryPack {
     QueryDef("q14_theta_join_balance", thetaJoinBalance, Some(thetaJoinBalanceSql)),
     QueryDef("q15_cross_join_regions", crossJoinRegions, Some(crossJoinRegionsSql)),
     QueryDef("q16_range_join_bands", rangeJoinPriceBands, Some(rangeJoinPriceBandsSql)),
-    QueryDef("q17_star_brand_nation", starJoinBrandNation, Some(starJoinBrandNationSql), headline = true))
+    QueryDef("q17_star_brand_nation", starJoinBrandNation, Some(starJoinBrandNationSql), headline = true),
+    QueryDef("q18_right_outer_segments", rightOuterSegments, Some(rightOuterSegmentsSql)))
 }

@@ -1,0 +1,138 @@
+package graft.queries
+
+import java.nio.file.Paths
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{QueryDef, QueryPack}
+import graft.sources.Tables
+
+/** Source/sink completeness (SURVEY.md §2.2.1): CSV and JSON ingest
+  * (round-tripped through a scratch dir so the query is self-contained),
+  * partitioned parquet sink, in-memory literal source, and
+  * partition-local sort.
+  *
+  * Scale notes:
+  *   - The partitioned sink (`partitionBy`) is the 100-TB layout tool:
+  *     one directory per key value enables partition pruning on read —
+  *     the read side below filters on the partition column and Catalyst
+  *     prunes to the matching directories (PartitionFilters, not data
+  *     filters).
+  *   - CSV/JSON reads use explicit schemas — schema inference is a full
+  *     extra pass over the data and is never acceptable at scale.
+  *   - sortWithinPartitions is the shuffle-free pre-sort: local order for
+  *     downstream per-partition consumers without a global range exchange.
+  */
+object SourcesOps extends QueryPack {
+
+  private def scratch(name: String): String =
+    Paths.get(sys.props("java.io.tmpdir"), s"graft_srcops_$name").toString
+
+  /** CSV round-trip: write a projection as CSV, read it back with an
+    * explicit schema, aggregate. Oracle computes the same aggregate from
+    * the original parquet.
+    */
+  def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratch("csv")
+    Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .write.mode(SaveMode.Overwrite).option("header", "true").csv(out)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType)))
+    spark.read.schema(schema).option("header", "true").csv(out)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 4).as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  private val csvRoundtripSql =
+    """SELECT o_orderstatus, count(*) AS n_orders, round(sum(o_totalprice), 4) AS sum_price
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
+  /** JSON-lines round-trip over a documents projection. */
+  def jsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratch("json")
+    Tables.documents(spark, dir)
+      .select("doc_id", "lang", "n_chars")
+      .write.mode(SaveMode.Overwrite).json(out)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("lang", StringType),
+      StructField("n_chars", LongType)))
+    spark.read.schema(schema).json(out)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .orderBy("lang")
+  }
+
+  private val jsonRoundtripSql =
+    """SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  /** Partitioned parquet sink + partition-pruned read-back: write customer
+    * partitioned by mktsegment, read back ONE partition (pruned at the
+    * directory level), aggregate per nation.
+    */
+  def partitionedSink(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratch("psink")
+    Tables.customer(spark, dir)
+      .write.mode(SaveMode.Overwrite).partitionBy("c_mktsegment").parquet(out)
+    spark.read.parquet(out)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_cust"), round(sum("c_acctbal"), 4).as("sum_bal"))
+      .orderBy("c_nationkey")
+  }
+
+  private val partitionedSinkSql =
+    """SELECT c_nationkey, count(*) AS n_cust, round(sum(c_acctbal), 4) AS sum_bal
+      |FROM customer
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin
+
+  /** In-memory literal source joined against a parquet dim table. */
+  def inMemorySource(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bonuses = Seq((0, 100.0), (1, 250.0), (2, 50.0), (3, 75.0), (4, 120.0))
+      .toDF("regionkey", "bonus")
+    Tables.nation(spark, dir)
+      .join(broadcast(bonuses), col("n_regionkey") === col("regionkey"))
+      .select(col("n_name"), col("bonus"))
+      .orderBy("n_name")
+  }
+
+  private val inMemorySourceSql =
+    """SELECT n_name, bonus
+      |FROM nation
+      |JOIN (VALUES (0, 100.0), (1, 250.0), (2, 50.0), (3, 75.0), (4, 120.0))
+      |  AS b(regionkey, bonus) ON n_regionkey = regionkey
+      |ORDER BY n_name""".stripMargin
+
+  /** Partition-local sort: range-repartition by order key, sort inside
+    * each partition (no global exchange after the range split). Output
+    * order is only locally defined, so there is no hash oracle — the
+    * driver records a rows-only check and SourcesOpsSpec asserts
+    * per-partition sortedness.
+    */
+  def localSort(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .repartitionByRange(8, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+
+  override def all: Seq[QueryDef] = Seq(
+    QueryDef("q80_csv_roundtrip", csvRoundtrip, Some(csvRoundtripSql)),
+    QueryDef("q81_json_roundtrip", jsonRoundtrip, Some(jsonRoundtripSql)),
+    QueryDef("q82_partitioned_sink", partitionedSink, Some(partitionedSinkSql)),
+    QueryDef("q83_in_memory_source", inMemorySource, Some(inMemorySourceSql)),
+    QueryDef("q84_local_sort", localSort, None))
+}
