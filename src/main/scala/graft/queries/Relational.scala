@@ -69,8 +69,10 @@ object Relational extends QueryPack {
       .select("o_orderkey", "o_custkey")
     val n = Tables.nation(spark, dir)
     val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
-    // One pre-filtered broadcast dim: only ASIA nations survive.
-    val asiaNations = n.join(r, col("n_regionkey") === col("r_regionkey"))
+    // One pre-filtered broadcast dim: only ASIA nations survive. The
+    // region side is explicitly broadcast too — the dim⋈dim pre-join must
+    // never cost a shuffle, with or without CBO stats.
+    val asiaNations = n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .select("n_nationkey", "n_name")
     val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
       .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"))

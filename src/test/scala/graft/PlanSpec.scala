@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+import graft.queries.{Joins, LlmPipeline, Relational}
+
+/** Plan-shape assertions (SURVEY.md §5.2.4, VERDICT r1 item 8): the 2×
+  * perf gate depends on broadcasts, pushdown, and top-k staying in the
+  * plan — these tests fail if a future change regresses the physical
+  * plan, without needing big data in CI.
+  *
+  * Statistics-based auto-broadcast is disabled inside these tests: at
+  * sf0.001 every table is broadcast-sized, which would hide the intended
+  * 100-TB join shapes. Explicit broadcast() hints still apply — which is
+  * exactly what the tests verify.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  private def simple(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def withoutAutoBroadcast[A](body: => A): A = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try body finally spark.conf.set(key, prev)
+  }
+
+  test("q01: filter is pushed down to the parquet scan and scan is pruned") {
+    val plan = formatted(Relational.pricingSummary(spark, sfDir))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"missing pushdown:\n$plan")
+    // Column pruning: the scan must not read join keys the query ignores.
+    assert(!plan.contains("l_partkey"), "scan reads pruned column l_partkey")
+  }
+
+  test("q01: aggregation pipeline runs inside WholeStageCodegen") {
+    val df = Relational.pricingSummary(spark, sfDir)
+    df.collect() // materialize so AQE finalizes the plan
+    val plan = df.queryExecution.executedPlan.toString
+    // AQE's finalized simple-mode rendering marks codegen stages "*(n)".
+    assert(plan.contains("*(") || plan.contains("WholeStageCodegen"),
+      s"no codegen spans in final plan:\n$plan")
+  }
+
+  test("q02: hinted dim broadcast survives; exactly two shuffle joins carry the facts") {
+    withoutAutoBroadcast {
+      val plan = simple(Relational.starJoinRevenue(spark, sfDir))
+      val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+      assert(bhj >= 1, s"no broadcast join:\n$plan")
+      val shuffleJoins = "(SortMergeJoin|ShuffledHashJoin)".r.findAllIn(plan).size
+      assert(shuffleJoins == 2, s"expected 2 shuffle joins, got $shuffleJoins:\n$plan")
+      // The region filter must sit under the broadcast side (pre-join
+      // pruning), not after the big joins.
+      assert(plan.contains("ASIA"), "region filter missing from plan")
+    }
+  }
+
+  test("q04: top-k plans as TakeOrderedAndProject, not a global sort") {
+    val plan = simple(Relational.topOrders(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k not TakeOrdered:\n$plan")
+  }
+
+  test("q17: all three dims broadcast by hint, fact table never shuffles") {
+    withoutAutoBroadcast {
+      val plan = simple(Joins.starJoinBrandNation(spark, sfDir))
+      val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+      assert(bhj == 3, s"expected 3 broadcast joins, got $bhj:\n$plan")
+      assert(!plan.contains("SortMergeJoin"), "fact table should never shuffle here")
+    }
+  }
+
+  test("q14: theta join broadcasts the supplier side (no 25-key shuffle)") {
+    withoutAutoBroadcast {
+      val plan = simple(Joins.thetaJoinBalance(spark, sfDir))
+      assert(plan.contains("BroadcastHashJoin"), s"theta join must broadcast:\n$plan")
+      assert(!plan.contains("CartesianProduct"), "theta join fell back to cartesian")
+    }
+  }
+
+  test("q75: LSH candidate generation is an equi join, never quadratic") {
+    withoutAutoBroadcast {
+      val plan = simple(LlmPipeline.minhashLsh(spark, sfDir))
+      assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r.findAllIn(plan).nonEmpty,
+        "band join must be an equi join")
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"LSH must never go quadratic:\n$plan")
+    }
+  }
+}
