@@ -346,6 +346,30 @@ object LlmPipeline extends QueryPack {
         expr("transform(sequence(0, 3), b -> (shiftright(simhash, b * 8) & 255))").as("bands"))
       .orderBy("doc_id")
 
+  /** Multimodal binary-column pipeline: synthesized media payloads →
+    * partition-batched decode-stub features → per-kind aggregate
+    * (graft.multimodal.Multimodal). The oracle reproduces the stub's
+    * deterministic byte math in SQL.
+    */
+  def mediaFeatures(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.featureSummary(spark, dir)
+
+  private val mediaFeaturesSql =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+      |    strlen(text) AS n_bytes,
+      |    list_sum([ascii(text[i]) for i in range(1, strlen(text) + 1)]) AS bsum
+      |  FROM documents)
+      |SELECT kind,
+      |  count(*) AS n_media,
+      |  sum(n_bytes) AS total_bytes,
+      |  min(16 + bsum % 64) AS min_w,
+      |  max(16 + (bsum // 64) % 64) AS max_h
+      |FROM f
+      |GROUP BY kind
+      |ORDER BY kind""".stripMargin
+
   override def all: Seq[QueryDef] = Seq(
     QueryDef("q70_exact_dedup", exactDedup, Some(exactDedupSql)),
     QueryDef("q71_token_topn", tokenTopN, Some(tokenTopNSql)),
@@ -356,5 +380,6 @@ object LlmPipeline extends QueryPack {
     QueryDef("q76_jaccard_probe", jaccardProbe, Some(jaccardProbeSql)),
     QueryDef("q77_embedding_neardup", embeddingNearDup, Some(embeddingNearDupSql)),
     QueryDef("q78_multimodal_join", multimodalJoin, Some(multimodalJoinSql)),
-    QueryDef("q79_simhash", simhash, None))
+    QueryDef("q79_simhash", simhash, None),
+    QueryDef("q85_media_features", mediaFeatures, Some(mediaFeaturesSql)))
 }
