@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native Catalyst expression (SURVEY.md §2.2.10 last row): fused cosine
+  * similarity over two `array<double>` columns, with whole-stage codegen.
+  *
+  * Compared to the HOF formulation (`zip_with` + `aggregate` + two norm
+  * aggregates), this fuses dot product and both norms into ONE pass with
+  * no intermediate array allocation — the per-pair inner loop of every
+  * similarity join, so it is the single hottest scalar in the §2.2.11
+  * pipeline at 100 TB. Returns null when either vector has zero norm.
+  *
+  * Null/absent elements are treated as 0.0 (embeddings are non-null by
+  * schema); vectors of unequal length compare over the common prefix.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim expects two array<double> arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = x.getDouble(i); val yv = y.getDouble(i)
+      dot += xv * yv; nx += xv * xv; ny += yv * yv
+      i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) null else dot / math.sqrt(nx * ny)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xv = $a.getDouble($i);
+         |  double $yv = $b.getDouble($i);
+         |  $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
+         |}
+         |if ($nx == 0.0 || $ny == 0.0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $dot / java.lang.Math.sqrt($nx * $ny);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Session-level registration for the native expressions, mirroring what
+  * a SparkSessionExtensions.injectFunction would do at session build time
+  * (the harness owns session construction, so registration is performed
+  * by the queries that use the function).
+  */
+object NativeFunctions {
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim",
+      exprs => CosineSimilarity(exprs.head, exprs(1)),
+      "scala_udf")
+}

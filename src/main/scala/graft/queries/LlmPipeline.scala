@@ -346,6 +346,23 @@ object LlmPipeline extends QueryPack {
         expr("transform(sequence(0, 3), b -> (shiftright(simhash, b * 8) & 255))").as("bands"))
       .orderBy("doc_id")
 
+  /** Embedding near-dup via the native codegen'd CosineSimilarity
+    * expression (graft.functions.CosineSimilarity): one fused pass per
+    * pair — dot + both norms — no intermediate arrays, vs the HOF chain
+    * in q77. Same semantics, same oracle shape as q77.
+    */
+  def nativeCosineNearDup(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("d"))
+    e.alias("a").join(broadcast(e.alias("b")), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim", expr("cosine_sim(a.d, b.d)"))
+      .filter(col("sim") >= 0.4)
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+        round(col("sim"), 4).as("sim_r"))
+      .orderBy("id1", "id2")
+  }
+
   /** Multimodal binary-column pipeline: synthesized media payloads →
     * partition-batched decode-stub features → per-kind aggregate
     * (graft.multimodal.Multimodal). The oracle reproduces the stub's
@@ -381,5 +398,6 @@ object LlmPipeline extends QueryPack {
     QueryDef("q77_embedding_neardup", embeddingNearDup, Some(embeddingNearDupSql)),
     QueryDef("q78_multimodal_join", multimodalJoin, Some(multimodalJoinSql)),
     QueryDef("q79_simhash", simhash, None),
-    QueryDef("q85_media_features", mediaFeatures, Some(mediaFeaturesSql)))
+    QueryDef("q85_media_features", mediaFeatures, Some(mediaFeaturesSql)),
+    QueryDef("q86_native_cosine", nativeCosineNearDup, Some(embeddingNearDupSql)))
 }
