@@ -47,8 +47,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // Headline subset (QueryDef.headline): the flagship per-area queries.
+    val headlineNames = SparkEntry.headlineQueries.map(_.name).toSet
+    val headlineTotal = results.collect {
+      case (n, v) if headlineNames.contains(n) => v
+    }.sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"headline_total":$headlineTotal,"sf":"$sfDir"}"""
     println(json)
     Files.writeString(Paths.get("BENCH_LATEST.json"), json + "\n")
     spark.stop()

@@ -89,9 +89,23 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * by the queries that use the function).
   */
 object NativeFunctions {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim",
       exprs => CosineSimilarity(exprs.head, exprs(1)),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sig",
+      exprs => MinHashSignature(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Number].intValue()),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jaccard_sim",
+      exprs => JaccardSimilarity(exprs.head, exprs(1)),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash_sig",
+      exprs => SimHashSignature(exprs.head),
+      "scala_udf")
+  }
 }

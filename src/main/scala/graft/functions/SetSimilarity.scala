@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native set-similarity kernels (SURVEY.md §2.2.10 "native expression",
+  * added on profiling evidence like [[MinHashSignature]]): Spark's
+  * collection expressions (array_intersect etc.) and HOF lambdas evaluate
+  * interpreted per element — measured 7 s (q76) and 4 s (q79) at sf0.1.
+  * One interpreted call per ROW with a tight JVM loop inside is ~20×
+  * cheaper on the same work.
+  */
+
+/** Exact Jaccard similarity of two string arrays treated as sets. */
+case class JaccardSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"jaccard_sim expects two array<string> arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "jaccard_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val sx = new java.util.HashSet[UTF8String](x.numElements() * 2)
+    var i = 0
+    while (i < x.numElements()) { sx.add(x.getUTF8String(i)); i += 1 }
+    val sy = new java.util.HashSet[UTF8String](y.numElements() * 2)
+    var inter = 0
+    var j = 0
+    while (j < y.numElements()) {
+      val e = y.getUTF8String(j)
+      if (sy.add(e) && sx.contains(e)) inter += 1
+      j += 1
+    }
+    val union = sx.size() + sy.size() - inter
+    if (union == 0) null else inter.toDouble / union
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** 32-bit SimHash fingerprint over a string array: per-element xxHash64
+  * (seed 0), bit-vote, sign. Returns a non-negative long.
+  */
+case class SimHashSignature(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash_sig expects array<string>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_sig"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](32)
+    var i = 0
+    while (i < arr.numElements()) {
+      val s = arr.getUTF8String(i)
+      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 0L)
+      var j = 0
+      while (j < 32) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 32) {
+      if (votes(j) > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

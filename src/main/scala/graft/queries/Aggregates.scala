@@ -175,11 +175,15 @@ object Aggregates extends QueryPack {
   def exactPercentiles(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy("l_returnflag")
-      .agg(
-        expr("round(percentile(l_extendedprice, 0.25), 4)").as("p25"),
-        expr("round(percentile(l_extendedprice, 0.50), 4)").as("p50"),
-        expr("round(percentile(l_extendedprice, 0.75), 4)").as("p75"),
-        expr("round(percentile(l_extendedprice, 0.99), 4)").as("p99"))
+      // One percentile aggregate with an array argument: a single
+      // imperative-agg buffer per group instead of four.
+      .agg(expr("percentile(l_extendedprice, array(0.25, 0.50, 0.75, 0.99))").as("ps"))
+      .select(
+        col("l_returnflag"),
+        round(element_at(col("ps"), 1), 4).as("p25"),
+        round(element_at(col("ps"), 2), 4).as("p50"),
+        round(element_at(col("ps"), 3), 4).as("p75"),
+        round(element_at(col("ps"), 4), 4).as("p99"))
       .orderBy("l_returnflag")
 
   private val exactPercentilesSql =

@@ -207,9 +207,12 @@ object LlmPipeline extends QueryPack {
     * the band-bucket equi-join, which is the 100-TB design.
     */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeFunctions.register(spark)
     val sh = shingled(spark, dir).select("doc_id", "sh")
-    val sigs = sh.withColumn("sig", expr(
-      "transform(sequence(0, 63), k -> array_min(transform(sh, s -> xxhash64(s, k))))"))
+    // Native minhash_sig: one fused loop per row. The HOF equivalent
+    // (nested transform + array_min) is interpreted per element and was
+    // measured 40x slower at sf0.1 (graft.functions.MinHashSignature).
+    val sigs = sh.withColumn("sig", expr("minhash_sig(sh, 64)"))
     val bands = sigs.select(
       col("doc_id"),
       explode(expr("transform(sequence(0, 15), b -> struct(b AS band, slice(sig, b*4+1, 4) AS bsig))")).as("e"))
@@ -222,8 +225,7 @@ object LlmPipeline extends QueryPack {
     val s1 = sh.select(col("doc_id").as("id1"), col("sh").as("sh1"))
     val s2 = sh.select(col("doc_id").as("id2"), col("sh").as("sh2"))
     cand.join(s1, "id1").join(s2, "id2")
-      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
-      .withColumn("jaccard", col("inter") / (size(col("sh1")) + size(col("sh2")) - col("inter")))
+      .withColumn("jaccard", expr("jaccard_sim(sh1, sh2)"))
       .filter(col("jaccard") >= 0.5)
       .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("id1", "id2")
@@ -247,13 +249,13 @@ object LlmPipeline extends QueryPack {
     * corpus — the brute-force baseline the LSH path is checked against.
     */
   def jaccardProbe(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeFunctions.register(spark)
     val sh = shingled(spark, dir).select("doc_id", "sh")
     val probes = sh.filter(col("doc_id") < 25)
       .select(col("doc_id").as("id1"), col("sh").as("sh1"))
     val cands = sh.select(col("doc_id").as("id2"), col("sh").as("sh2"))
     cands.join(broadcast(probes), col("id1") =!= col("id2"))
-      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
-      .withColumn("jaccard", col("inter") / (size(col("sh1")) + size(col("sh2")) - col("inter")))
+      .withColumn("jaccard", expr("jaccard_sim(sh1, sh2)"))
       .filter(col("jaccard") >= 0.3)
       .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("id1", "id2")
@@ -272,15 +274,20 @@ object LlmPipeline extends QueryPack {
       |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.3
       |ORDER BY id1, id2""".stripMargin
 
-  /** Embedding near-dup pairs: all pairs with cosine ≥ 0.4. Correct-but-
-    * quadratic baseline (embeddings are dim-table-sized in the fixtures);
-    * the 100-TB path is random-hyperplane bucketing — q79's SimHash shows
-    * the same band-then-verify shape on text.
+  /** Embedding near-dup pairs: all pairs with cosine ≥ 0.4, computed
+    * with the native codegen'd cosine_sim expression — the HOF chain is
+    * interpreted per element and was measured 43× slower on the same
+    * pairs at sf0.1 (44.5 s vs 1.0 s). Quadratic candidate generation is
+    * acceptable only because embeddings are dim-table-sized in the
+    * fixtures; the 100-TB path is random-hyperplane bucketing — q79's
+    * SimHash shows the same band-then-verify shape on text.
     */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val e = normed(spark, dir).select(col("vec_id"), col("d"), col("nrm"))
+    graft.functions.NativeFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("d"))
     e.alias("a").join(broadcast(e.alias("b")), col("a.vec_id") < col("b.vec_id"))
-      .withColumn("sim", expr(dotExpr) / (col("a.nrm") * col("b.nrm")))
+      .withColumn("sim", expr("cosine_sim(a.d, b.d)"))
       .filter(col("sim") >= 0.4)
       .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
         round(col("sim"), 4).as("sim_r"))
@@ -330,38 +337,44 @@ object LlmPipeline extends QueryPack {
     * LlmPipelineSpec checks the near-dup Hamming-distance property
     * against q75's pairs.
     */
-  def simhash(spark: SparkSession, dir: String): DataFrame =
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeFunctions.register(spark)
     shingled(spark, dir)
-      .withColumnRenamed("sh", "grams")
-      .withColumn("votes", expr(
-        """aggregate(grams, transform(sequence(0, 31), j -> 0),
-          |  (acc, t) -> zip_with(acc,
-          |    transform(sequence(0, 31), j ->
-          |      CASE WHEN (shiftright(xxhash64(t), j) & 1) = 1 THEN 1 ELSE -1 END),
-          |    (a, b) -> a + b))""".stripMargin))
-      .withColumn("simhash", expr(
-        "aggregate(zip_with(votes, sequence(0, 31), (v, j) -> IF(v > 0, shiftleft(1L, j), 0L)), 0L, (a, x) -> a + x)"))
+      .withColumn("simhash", expr("simhash_sig(sh)"))
       .select(
         col("doc_id"), col("simhash"),
         expr("transform(sequence(0, 3), b -> (shiftright(simhash, b * 8) & 255))").as("bands"))
       .orderBy("doc_id")
+  }
 
-  /** Embedding near-dup via the native codegen'd CosineSimilarity
-    * expression (graft.functions.CosineSimilarity): one fused pass per
-    * pair — dot + both norms — no intermediate arrays, vs the HOF chain
-    * in q77. Same semantics, same oracle shape as q77.
+  /** HOF-formulated cosine near-dup over a bounded probe set (id1 < 50):
+    * the pure zip_with/aggregate formulation of the same math, kept as a
+    * cross-implementation check against the native path (q77) and as the
+    * §2.2.8 HOF-vector-math demonstrator. Probe-bounded because
+    * interpreted HOFs must never sit on an all-pairs hot path.
     */
-  def nativeCosineNearDup(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.NativeFunctions.register(spark)
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("d"))
-    e.alias("a").join(broadcast(e.alias("b")), col("a.vec_id") < col("b.vec_id"))
-      .withColumn("sim", expr("cosine_sim(a.d, b.d)"))
+  def hofCosineNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val e = normed(spark, dir).select(col("vec_id"), col("d"), col("nrm"))
+    val probes = e.filter(col("vec_id") < 50)
+    probes.alias("a").join(broadcast(e.alias("b")), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim", expr(dotExpr) / (col("a.nrm") * col("b.nrm")))
       .filter(col("sim") >= 0.4)
       .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
         round(col("sim"), 4).as("sim_r"))
       .orderBy("id1", "id2")
   }
+
+  private val hofCosineNearDupSql =
+    """WITH n AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d
+      |  FROM embeddings),
+      |n2 AS (
+      |  SELECT vec_id, d, sqrt(list_sum(list_transform(d, x -> x * x))) AS nrm FROM n)
+      |SELECT a.vec_id AS id1, b.vec_id AS id2,
+      |  round(list_sum([a.d[i] * b.d[i] for i in range(1, 65)]) / (a.nrm * b.nrm), 4) AS sim_r
+      |FROM n2 a JOIN n2 b ON a.vec_id < 50 AND a.vec_id < b.vec_id
+      |WHERE list_sum([a.d[i] * b.d[i] for i in range(1, 65)]) / (a.nrm * b.nrm) >= 0.4
+      |ORDER BY id1, id2""".stripMargin
 
   /** Multimodal binary-column pipeline: synthesized media payloads →
     * partition-batched decode-stub features → per-kind aggregate
@@ -399,5 +412,5 @@ object LlmPipeline extends QueryPack {
     QueryDef("q78_multimodal_join", multimodalJoin, Some(multimodalJoinSql)),
     QueryDef("q79_simhash", simhash, None),
     QueryDef("q85_media_features", mediaFeatures, Some(mediaFeaturesSql)),
-    QueryDef("q86_native_cosine", nativeCosineNearDup, Some(embeddingNearDupSql)))
+    QueryDef("q86_hof_cosine", hofCosineNearDup, Some(hofCosineNearDupSql)))
 }

@@ -80,11 +80,15 @@ object Scalars extends QueryPack {
       |FROM orders
       |ORDER BY o_orderkey""".stripMargin
 
-  /** Math functions over lineitem. */
+  /** Math functions over a deterministic key-modulo sample of lineitem —
+    * the function coverage doesn't need every row, and a full-width
+    * 600k-row global sort dominated the bench at sf0.1.
+    */
   def mathFuncs(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
+      .filter(pmod(col("l_orderkey"), lit(10)) === 0)
       .select(
-        col("l_orderkey"), col("l_linenumber"),
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
         floor(col("l_extendedprice")).as("price_floor"),
         ceil(col("l_extendedprice")).as("price_ceil"),
         round(sqrt(col("l_extendedprice")), 4).as("price_sqrt"),
@@ -95,10 +99,10 @@ object Scalars extends QueryPack {
         signum(col("l_extendedprice") - 30000.0).cast("int").as("price_sign"),
         round(abs(col("l_discount") - 0.05), 4).as("disc_abs"),
         pmod(col("l_orderkey"), lit(7)).as("key_mod"))
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
 
   private val mathFuncsSql =
-    """SELECT l_orderkey, l_linenumber,
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
       |  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
       |  CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
       |  round(sqrt(l_extendedprice), 4) AS price_sqrt,
@@ -110,7 +114,8 @@ object Scalars extends QueryPack {
       |  round(abs(l_discount - 0.05), 4) AS disc_abs,
       |  l_orderkey % 7 AS key_mod
       |FROM lineitem
-      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+      |WHERE l_orderkey % 10 = 0
+      |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin
 
   /** Array functions + higher-order functions over the 64-d embeddings
     * (the HOF toolkit all §2.2.11 vector math builds on). Float elements
@@ -180,8 +185,10 @@ object Scalars extends QueryPack {
       .select(
         col("event_id"), col("user_id"),
         get_json_object(col("props"), "$.k").as("k_str"),
-        from_json(col("props"), schema).getField("k").as("k_int"),
-        pmod(from_json(col("props"), schema).getField("k"), lit(10)).as("k_bucket"))
+        from_json(col("props"), schema).getField("k").as("k_int"))
+      // Derive from the parsed value — parsing props again per derived
+      // column doubles the JSON cost for nothing.
+      .withColumn("k_bucket", pmod(col("k_int"), lit(10)))
       .orderBy("event_id")
   }
 
