@@ -224,6 +224,43 @@ object Joins extends QueryPack {
       |GROUP BY p_brand, n_name
       |ORDER BY p_brand, n_name""".stripMargin
 
+  /** Skew-safe top-k per LOW-cardinality group (3 order statuses): a
+    * single window over o_orderstatus would collapse to 3 tasks at any
+    * scale. Phase 1 salts the partition key (status × 16 salts from a
+    * hash of the row key) and takes a local top-k per salted group;
+    * phase 2 re-windows only the ≤ 16·k surviving rows per group. Same
+    * result as the naive single window — which is what the oracle
+    * computes — but every stage is parallel.
+    */
+  def saltedTopK(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 10
+    val salted = Window.partitionBy("o_orderstatus", "salt")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val global = Window.partitionBy("o_orderstatus")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .withColumn("salt", pmod(xxhash64(col("o_orderkey")), lit(16)))
+      .withColumn("local_rk", row_number().over(salted))
+      .filter(col("local_rk") <= k)
+      .withColumn("rk", row_number().over(global))
+      .filter(col("rk") <= k)
+      .select(col("o_orderstatus"), col("rk"), col("o_orderkey"),
+        round(col("o_totalprice"), 4).as("price"))
+      .orderBy("o_orderstatus", "rk")
+  }
+
+  private val saltedTopKSql =
+    """SELECT o_orderstatus, rk, o_orderkey, round(o_totalprice, 4) AS price
+      |FROM (
+      |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderstatus
+      |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+      |  FROM orders)
+      |WHERE rk <= 10
+      |ORDER BY o_orderstatus, rk""".stripMargin
+
   override def all: Seq[QueryDef] = Seq(
     QueryDef("q10_semi_join", semiJoin, Some(semiJoinSql)),
     QueryDef("q11_anti_join", antiJoin, Some(antiJoinSql)),
@@ -233,5 +270,6 @@ object Joins extends QueryPack {
     QueryDef("q15_cross_join_regions", crossJoinRegions, Some(crossJoinRegionsSql)),
     QueryDef("q16_range_join_bands", rangeJoinPriceBands, Some(rangeJoinPriceBandsSql)),
     QueryDef("q17_star_brand_nation", starJoinBrandNation, Some(starJoinBrandNationSql), headline = true),
-    QueryDef("q18_right_outer_segments", rightOuterSegments, Some(rightOuterSegmentsSql)))
+    QueryDef("q18_right_outer_segments", rightOuterSegments, Some(rightOuterSegmentsSql)),
+    QueryDef("q19_salted_topk", saltedTopK, Some(saltedTopKSql)))
 }
