@@ -146,6 +146,34 @@ object Aggregates extends QueryPack {
       |GROUP BY CUBE(o_orderstatus, o_orderpriority)
       |ORDER BY gid, status, priority""".stripMargin
 
+  /** Explicit GROUPING SETS — only expressible through the SQL entry
+    * point (Spark SQL is the engine's parser for SQL-string commands,
+    * matching the reference's command-log intent): two disjoint
+    * groupings, neither a rollup prefix of the other.
+    */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_gs")
+    spark.sql(
+      """SELECT grouping_id() AS gid,
+        |  coalesce(o_orderstatus, '(all)') AS status,
+        |  coalesce(o_orderpriority, '(all)') AS priority,
+        |  count(*) AS n_orders,
+        |  round(sum(o_totalprice), 4) AS sum_price
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY gid, status, priority""".stripMargin)
+  }
+
+  private val groupingSetsSql =
+    """SELECT GROUPING(o_orderstatus, o_orderpriority) AS gid,
+      |  coalesce(o_orderstatus, '(all)') AS status,
+      |  coalesce(o_orderpriority, '(all)') AS priority,
+      |  count(*) AS n_orders,
+      |  round(sum(o_totalprice), 4) AS sum_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+      |ORDER BY gid, status, priority""".stripMargin
+
   /** Filtered aggregates: agg FILTER (WHERE p) ≡ agg(when(p, x)). */
   def filteredAggs(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
@@ -263,6 +291,7 @@ object Aggregates extends QueryPack {
     QueryDef("q32_collect_aggs", collectAggs, Some(collectAggsSql)),
     QueryDef("q33_rollup", rollupAggs, Some(rollupAggsSql), headline = true),
     QueryDef("q34_cube", cubeAggs, Some(cubeAggsSql)),
+    QueryDef("q29_grouping_sets", groupingSets, Some(groupingSetsSql)),
     QueryDef("q35_filtered_aggs", filteredAggs, Some(filteredAggsSql)),
     QueryDef("q36_exact_percentiles", exactPercentiles, Some(exactPercentilesSql)),
     QueryDef("q37_approx_aggs", approxAggs, None),

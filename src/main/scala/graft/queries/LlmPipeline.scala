@@ -376,6 +376,68 @@ object LlmPipeline extends QueryPack {
       |WHERE list_sum([a.d[i] * b.d[i] for i in range(1, 65)]) / (a.nrm * b.nrm) >= 0.4
       |ORDER BY id1, id2""".stripMargin
 
+  /** LSH-bucketed approximate nearest neighbors — the 100-TB scale path
+    * for similarity search (q74 is the brute-force correctness baseline).
+    * Coarse quantizer: 4 random-hyperplane sign bits from fixed ±1
+    * projections (integer-derived so the oracle reproduces them exactly)
+    * → 16 buckets; each probe searches ONLY its bucket — candidate
+    * generation is an equi-join on the bucket id, never all-pairs. Probes
+    * retrieve top-3 within-bucket by native cosine. Recall vs exact top-k
+    * is the usual ANN trade-off; the oracle replicates the same algorithm
+    * (bucketing included), so correctness is still hash-exact.
+    */
+  def lshBucketedAnn(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeFunctions.register(spark)
+    val bucketExpr =
+      """aggregate(transform(sequence(0, 3), j ->
+        |  CASE WHEN aggregate(zip_with(d, sequence(0, 63),
+        |         (x, i) -> CASE WHEN pmod(i * 31 + j * 17, 7) < 4 THEN x ELSE -x END),
+        |       0D, (a, x) -> a + x) >= 0
+        |  THEN shiftleft(1, j) ELSE 0 END), 0, (a, x) -> a + x)""".stripMargin
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("d"))
+      .withColumn("bucket", expr(bucketExpr))
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("p_id"), col("d").as("pd"), col("bucket"))
+    val cands = e.select(col("vec_id").as("c_id"), col("d").as("cd"), col("bucket"))
+    val w = Window.partitionBy("p_id").orderBy(col("sim").desc, col("c_id").asc)
+    cands.join(broadcast(probes), "bucket")
+      .filter(col("c_id") =!= col("p_id"))
+      .withColumn("sim", expr("cosine_sim(pd, cd)"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("p_id"), col("rk"), col("c_id"), col("bucket"),
+        round(col("sim"), 4).as("sim_r"))
+      .orderBy("p_id", "rk")
+  }
+
+  private val lshBucketedAnnSql =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d
+      |  FROM embeddings),
+      |b AS (
+      |  SELECT vec_id, d,
+      |    list_sum([CASE WHEN list_sum([
+      |        CASE WHEN ((i - 1) * 31 + j * 17) % 7 < 4 THEN d[i] ELSE -d[i] END
+      |        for i in range(1, 65)]) >= 0
+      |      THEN (1 << j) ELSE 0 END for j in range(0, 4)]) AS bucket
+      |  FROM e),
+      |n AS (
+      |  SELECT vec_id, d, bucket,
+      |    sqrt(list_sum(list_transform(d, x -> x * x))) AS nrm FROM b),
+      |pairs AS (
+      |  SELECT p.vec_id AS p_id, c.vec_id AS c_id, p.bucket AS bucket,
+      |    list_sum([p.d[i] * c.d[i] for i in range(1, 65)]) / (p.nrm * c.nrm) AS sim
+      |  FROM n p JOIN n c ON p.bucket = c.bucket
+      |  WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id),
+      |ranked AS (
+      |  SELECT p_id, c_id, bucket, sim,
+      |    row_number() OVER (PARTITION BY p_id ORDER BY sim DESC, c_id ASC) AS rk
+      |  FROM pairs)
+      |SELECT p_id, rk, c_id, bucket, round(sim, 4) AS sim_r
+      |FROM ranked WHERE rk <= 3
+      |ORDER BY p_id, rk""".stripMargin
+
   /** Multimodal binary-column pipeline: synthesized media payloads →
     * partition-batched decode-stub features → per-kind aggregate
     * (graft.multimodal.Multimodal). The oracle reproduces the stub's
@@ -412,5 +474,6 @@ object LlmPipeline extends QueryPack {
     QueryDef("q78_multimodal_join", multimodalJoin, Some(multimodalJoinSql)),
     QueryDef("q79_simhash", simhash, None),
     QueryDef("q85_media_features", mediaFeatures, Some(mediaFeaturesSql)),
-    QueryDef("q86_hof_cosine", hofCosineNearDup, Some(hofCosineNearDupSql)))
+    QueryDef("q86_hof_cosine", hofCosineNearDup, Some(hofCosineNearDupSql)),
+    QueryDef("q87_lsh_bucketed_ann", lshBucketedAnn, Some(lshBucketedAnnSql)))
 }

@@ -108,6 +108,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming parquet file sink (append mode) writes the deduped rows") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_sink").toString
+    val input = MemoryStream[Ev]
+    val q = EventStreams.dedupWithinWatermark(input.toDF()).writeStream
+      .format("parquet")
+      .option("path", s"$base/data")
+      .option("checkpointLocation", s"$base/chk")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(
+        Ev(1, t("2024-01-01 00:10:00"), 1, "view", 1.0),
+        Ev(1, t("2024-01-01 00:11:00"), 1, "view", 1.0),
+        Ev(2, t("2024-01-01 00:12:00"), 1, "click", 2.0)))
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$base/data")
+      assert(out.select("event_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState running count equals batch groupBy count") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
