@@ -146,6 +146,30 @@ object Aggregates extends QueryPack {
       |GROUP BY CUBE(o_orderstatus, o_orderpriority)
       |ORDER BY gid, status, priority""".stripMargin
 
+  /** Money-safe decimal aggregation (SURVEY.md §1.2 type system):
+    * doubles drift with summation order; DecimalType(18,2) sums are
+    * exact and engine-independent with NO rounding needed on either
+    * side — the correct type for money at any scale.
+    */
+  def decimalAggs(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .withColumn("price_dec", col("o_totalprice").cast("decimal(18,2)"))
+      .groupBy("o_orderstatus")
+      .agg(
+        sum(col("price_dec")).as("sum_price_dec"),
+        avg(col("price_dec")).cast("decimal(18,4)").as("avg_price_dec"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderstatus")
+
+  private val decimalAggsSql =
+    """SELECT o_orderstatus,
+      |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price_dec,
+      |  CAST(avg(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS avg_price_dec,
+      |  count(*) AS n_orders
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
   /** Explicit GROUPING SETS — only expressible through the SQL entry
     * point (Spark SQL is the engine's parser for SQL-string commands,
     * matching the reference's command-log intent): two disjoint
@@ -291,6 +315,7 @@ object Aggregates extends QueryPack {
     QueryDef("q32_collect_aggs", collectAggs, Some(collectAggsSql)),
     QueryDef("q33_rollup", rollupAggs, Some(rollupAggsSql), headline = true),
     QueryDef("q34_cube", cubeAggs, Some(cubeAggsSql)),
+    QueryDef("q28_decimal_aggs", decimalAggs, Some(decimalAggsSql)),
     QueryDef("q29_grouping_sets", groupingSets, Some(groupingSetsSql)),
     QueryDef("q35_filtered_aggs", filteredAggs, Some(filteredAggsSql)),
     QueryDef("q36_exact_percentiles", exactPercentiles, Some(exactPercentilesSql)),
