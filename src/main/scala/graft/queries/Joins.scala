@@ -62,16 +62,22 @@ object Joins extends QueryPack {
       |ORDER BY c_custkey""".stripMargin
 
   /** Left outer join + aggregate: order count per customer including
-    * zero-order customers (count(key) skips the null-padded rows).
+    * zero-order customers. Orders are PRE-aggregated per custkey before
+    * the join, so the join shuffle carries one row per customer instead
+    * of every order — the standard pre-aggregation rewrite; at 100 TB it
+    * shrinks the outer join's probe side by the orders-per-customer
+    * factor. (count(key) over the null-padded row ≡ coalesce(n, 0).)
     */
   def outerJoinOrderCounts(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(spark, dir).select("o_custkey", "o_orderkey", "o_totalprice")
+    val perCust = Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"), sum("o_totalprice").as("s"))
     Tables.customer(spark, dir)
-      .join(o, col("c_custkey") === col("o_custkey"), "left")
-      .groupBy("c_custkey", "c_mktsegment")
-      .agg(
-        count(col("o_orderkey")).as("n_orders"),
-        round(coalesce(sum("o_totalprice"), lit(0.0)), 4).as("total_spent"))
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(
+        col("c_custkey"), col("c_mktsegment"),
+        coalesce(col("n"), lit(0L)).as("n_orders"),
+        round(coalesce(col("s"), lit(0.0)), 4).as("total_spent"))
       .orderBy("c_custkey")
   }
 

@@ -30,10 +30,15 @@ object TimeJoins extends QueryPack {
     */
   def asofJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
-    val wq = Window.partitionBy("user_id", "ts").orderBy(col("event_id").desc)
+    // Dedup quotes per (user, µs) keeping max event_id — expressed as a
+    // window over user_id ONLY (ordered ts, event_id desc; the keeper is
+    // the first row of its ts-run), so it shares the main as-of window's
+    // hash partitioning: one user_id exchange serves both windows.
+    val wq = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id").desc)
     val quotes = ev.filter(col("event_type") === "signup")
       .select(col("user_id"), col("ts"), col("value"), col("event_id"))
-      .withColumn("rq", row_number().over(wq)).filter(col("rq") === 1)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(wq))
+      .filter(col("prev_ts").isNull || col("prev_ts") =!= col("ts"))
       .select(col("user_id"), col("ts"), lit(0).as("is_probe"), col("event_id"),
         struct(col("ts").as("q_ts"), col("value").as("q_value")).as("q"))
     val probes = ev.filter(col("event_type") === "purchase")
