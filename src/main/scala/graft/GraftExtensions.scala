@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{CosineSimilarity, JaccardSimilarity, MinHashSignature, SimHashSignature}
+
+/** SparkSessionExtensions installer for the engine's native expressions
+  * (SURVEY.md §2.2.10): a deployment sets
+  * `spark.sql.extensions=graft.GraftExtensions` (or
+  * `builder.withExtensions(new GraftExtensions)`) and the similarity
+  * kernels resolve in ANY SQL/DataFrame context of that session — the
+  * production packaging of what `NativeFunctions.register` does
+  * per-session for the harness-owned sessions (the driver builds the
+  * SparkSession, so queries cannot rely on session-construction hooks).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, clazz: Class[_]): ExpressionInfo =
+    new ExpressionInfo(clazz.getName, name)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", classOf[CosineSimilarity]),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", classOf[MinHashSignature]),
+      (exprs: Seq[Expression]) => MinHashSignature(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Number].intValue())))
+    ext.injectFunction((
+      FunctionIdentifier("jaccard_sim"),
+      info("jaccard_sim", classOf[JaccardSimilarity]),
+      (exprs: Seq[Expression]) => JaccardSimilarity(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("simhash_sig"),
+      info("simhash_sig", classOf[SimHashSignature]),
+      (exprs: Seq[Expression]) => SimHashSignature(exprs.head)))
+  }
+}

@@ -64,8 +64,8 @@ object Aggregates extends QueryPack {
     """SELECT l_returnflag,
       |  round(stddev_samp(l_quantity), 4) AS sd_qty,
       |  round(var_samp(l_quantity), 4) AS var_qty,
-      |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
-      |  round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price,
+      |  round(corr(l_quantity, l_extendedprice), 4) + 0 AS corr_qty_price,
+      |  round(covar_samp(l_quantity, l_extendedprice), 4) + 0 AS cov_qty_price,
       |  round(min(l_extendedprice), 4) AS min_price,
       |  round(max(l_extendedprice), 4) AS max_price
       |FROM lineitem
@@ -301,10 +301,10 @@ object Aggregates extends QueryPack {
 
   private val centroidUdafSql =
     """SELECT label, count(*) AS n_vecs,
-      |  round(avg(CAST(embedding[1] AS DOUBLE)), 4) AS c1,
-      |  round(avg(CAST(embedding[2] AS DOUBLE)), 4) AS c2,
-      |  round(avg(CAST(embedding[32] AS DOUBLE)), 4) AS c32,
-      |  round(avg(CAST(embedding[64] AS DOUBLE)), 4) AS c64
+      |  round(avg(CAST(embedding[1] AS DOUBLE)), 4) + 0 AS c1,
+      |  round(avg(CAST(embedding[2] AS DOUBLE)), 4) + 0 AS c2,
+      |  round(avg(CAST(embedding[32] AS DOUBLE)), 4) + 0 AS c32,
+      |  round(avg(CAST(embedding[64] AS DOUBLE)), 4) + 0 AS c64
       |FROM embeddings
       |GROUP BY label
       |ORDER BY label""".stripMargin

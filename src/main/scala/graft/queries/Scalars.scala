@@ -32,7 +32,9 @@ object Scalars extends QueryPack {
         element_at(split(col("p_name"), " "), 1).as("first_word"),
         regexp_replace(col("p_name"), " ", "_").as("name_us"),
         instr(col("p_name"), "a").as("a_pos"),
-        levenshtein(col("p_brand"), col("p_type")).as("lev_bt"))
+        levenshtein(col("p_brand"), col("p_type")).as("lev_bt"),
+        regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word_re"),
+        trim(concat(lit("  "), col("p_brand"), lit("  "))).as("brand_trim"))
       .orderBy("p_partkey")
 
   private val stringFuncsSql =
@@ -46,7 +48,9 @@ object Scalars extends QueryPack {
       |  string_split(p_name, ' ')[1] AS first_word,
       |  replace(p_name, ' ', '_') AS name_us,
       |  instr(p_name, 'a') AS a_pos,
-      |  levenshtein(p_brand, p_type) AS lev_bt
+      |  levenshtein(p_brand, p_type) AS lev_bt,
+      |  regexp_extract(p_name, '([a-z]+)$', 1) AS last_word_re,
+      |  trim('  ' || p_brand || '  ') AS brand_trim
       |FROM part
       |ORDER BY p_partkey""".stripMargin
 
@@ -63,7 +67,10 @@ object Scalars extends QueryPack {
         dayofweek(col("o_orderdate")).as("dow"),
         datediff(to_date(lit("1998-12-31")), to_date(col("o_orderdate"))).as("days_to_end"),
         date_add(to_date(col("o_orderdate")), 30).as("ship_by"),
-        unix_micros(col("o_orderdate")).as("epoch_us"))
+        unix_micros(col("o_orderdate")).as("epoch_us"),
+        unix_micros(make_timestamp(
+          year(col("o_orderdate")), month(col("o_orderdate")), dayofmonth(col("o_orderdate")),
+          lit(12), lit(0), lit(0))).as("noon_us"))
       .orderBy("o_orderkey")
 
   private val dateFuncsSql =
@@ -76,7 +83,9 @@ object Scalars extends QueryPack {
       |  dayofweek(o_orderdate) + 1 AS dow,
       |  datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS days_to_end,
       |  CAST(o_orderdate AS DATE) + 30 AS ship_by,
-      |  epoch_us(o_orderdate) AS epoch_us
+      |  epoch_us(o_orderdate) AS epoch_us,
+      |  epoch_us(make_timestamp(year(o_orderdate), month(o_orderdate), day(o_orderdate),
+      |                          12, 0, 0)) AS noon_us
       |FROM orders
       |ORDER BY o_orderkey""".stripMargin
 
@@ -133,19 +142,22 @@ object Scalars extends QueryPack {
         expr("round(aggregate(d, 0D, (a, x) -> a + abs(x)), 4)").as("l1_norm"),
         expr("round(aggregate(zip_with(d, d, (x, y) -> x * y), 0D, (a, x) -> a + x), 4)").as("sq_norm"),
         round(array_max(col("d")), 4).as("max_v"),
-        round(element_at(sort_array(col("d")), 1), 4).as("min_v"))
+        round(element_at(sort_array(col("d")), 1), 4).as("min_v"),
+        expr("round(aggregate(flatten(array(slice(d, 1, 2), slice(d, 3, 2))), 0D, (a, x) -> a + x), 4)")
+          .as("flat4_sum"))
       .orderBy("vec_id")
 
   private val arrayHofsSql =
     """SELECT vec_id,
       |  len(embedding) AS dim,
-      |  round(list_sum(d[1:4]), 4) AS head4_sum,
+      |  round(list_sum(d[1:4]), 4) + 0 AS head4_sum,
       |  len(list_filter(d, x -> x > 0)) AS n_pos,
       |  len(list_filter(d, x -> x > 0.25)) > 0 AS any_big,
       |  round(list_sum(list_transform(d, x -> abs(x))), 4) AS l1_norm,
       |  round(list_sum(list_transform(d, x -> x * x)), 4) AS sq_norm,
       |  round(list_max(d), 4) AS max_v,
-      |  round(list_min(d), 4) AS min_v
+      |  round(list_min(d), 4) AS min_v,
+      |  round(list_sum(flatten([d[1:2], d[3:4]])), 4) + 0 AS flat4_sum
       |FROM (SELECT vec_id, embedding,
       |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d
       |      FROM embeddings)
