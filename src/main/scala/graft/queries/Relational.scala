@@ -170,6 +170,32 @@ object Relational extends QueryPack {
       |WHERE rk <= 3
       |ORDER BY c_nationkey, rk""".stripMargin
 
+  /** Top-k per group through the engine's custom whole-operator plan
+    * (graft.plans.TopKPerGroup: logical node → strategy → heap-based
+    * physical exec). Same semantics as the q05 window composite — which
+    * is what the oracle computes — but the plan never sorts partitions:
+    * one bounded k-heap per group (see TopKPerGroup scaladoc).
+    */
+  def customTopKPerNation(spark: SparkSession, dir: String): DataFrame = {
+    val top = graft.plans.TopKPerGroup.topKPerGroup(
+      Tables.customer(spark, dir).select("c_nationkey", "c_custkey", "c_acctbal"),
+      groupCols = Seq("c_nationkey"),
+      orderSpec = Seq("c_acctbal" -> true, "c_custkey" -> false),
+      k = 3)
+    top.select(col("c_nationkey"), col("c_custkey"), round(col("c_acctbal"), 4).as("acctbal"))
+      .orderBy(col("c_nationkey"), col("acctbal").desc, col("c_custkey"))
+  }
+
+  private val customTopKPerNationSql =
+    """SELECT c_nationkey, c_custkey, round(c_acctbal, 4) AS acctbal
+      |FROM (
+      |  SELECT c_nationkey, c_custkey, c_acctbal,
+      |    row_number() OVER (PARTITION BY c_nationkey
+      |                       ORDER BY c_acctbal DESC, c_custkey ASC) AS rk
+      |  FROM customer) t
+      |WHERE rk <= 3
+      |ORDER BY c_nationkey, acctbal DESC, c_custkey""".stripMargin
+
   /** SELECT DISTINCT — partial-dedup in the map stage, exchange on the
     * distinct keys only.
     */
@@ -215,5 +241,6 @@ object Relational extends QueryPack {
     QueryDef("q05_topk_per_nation", topCustomersPerNation, Some(topCustomersPerNationSql)),
     QueryDef("q06_distinct_segments", distinctSegments, Some(distinctSegmentsSql)),
     QueryDef("q07_sample_modulo", sampleModulo, Some(sampleModuloSql)),
-    QueryDef("q08_sample_bernoulli", sampleBernoulli, None))
+    QueryDef("q08_sample_bernoulli", sampleBernoulli, None),
+    QueryDef("q09_custom_topk", customTopKPerNation, Some(customTopKPerNationSql)))
 }
