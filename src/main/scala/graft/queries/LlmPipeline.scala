@@ -97,6 +97,10 @@ object LlmPipeline extends QueryPack {
         round(col("ttr_raw"), 4).as("ttr"),
         round(expr("aggregate(toks, 0D, (a, t) -> a + length(t))") / col("nt"), 4).as("avg_tok_len"),
         round(col("stop_raw"), 4).as("stop_ratio"),
+        // BPE-ish token count: ≤4-char subword units per word — the shape
+        // a byte-pair tokenizer yields on unseen words (mandated
+        // alongside whitespace counting).
+        expr("aggregate(toks, 0, (a, t) -> a + cast(ceil(length(t) / 4.0) as int))").as("n_subtokens"),
         round(lit(0.5) * col("ttr_raw") + lit(0.5) * (lit(1.0) - col("stop_raw")), 4).as("quality"))
       .orderBy("doc_id")
 
@@ -108,6 +112,7 @@ object LlmPipeline extends QueryPack {
       |  round(list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks), 4) AS avg_tok_len,
       |  round(len(list_filter(toks, t -> list_contains(['the','a','of','to','and','in'], t)))::DOUBLE
       |    / len(toks), 4) AS stop_ratio,
+      |  list_sum([CAST(ceil(length(t) / 4.0) AS INTEGER) for t in toks]) AS n_subtokens,
       |  round(0.5 * (len(list_distinct(toks))::DOUBLE / len(toks))
       |    + 0.5 * (1.0 - len(list_filter(toks, t -> list_contains(['the','a','of','to','and','in'], t)))::DOUBLE
       |             / len(toks)), 4) AS quality
@@ -438,6 +443,45 @@ object LlmPipeline extends QueryPack {
       |FROM ranked WHERE rk <= 3
       |ORDER BY p_id, rk""".stripMargin
 
+  /** Document fingerprinting via rolling hash (mandated text-analysis
+    * row): Rabin-Karp polynomial hashes over every 16-char window
+    * (base 131 mod 1e9+7 — integer-exact in both engines), sampled
+    * winnowing-style at h % 8 == 0; the fingerprint is the min sampled
+    * hash. Content-defined chunking and plagiarism-style overlap
+    * detection build directly on these columns at scale.
+    */
+  def rollingFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("chars", expr("transform(split(text, ''), c -> ascii(c))"))
+      .withColumn("hs", expr(
+        """transform(sequence(1, greatest(size(chars) - 15, 1)),
+          |  i -> aggregate(slice(chars, i, 16), 0L, (a, c) -> (a * 131 + c) % 1000000007))""".stripMargin))
+      .withColumn("sampled", expr("filter(hs, h -> h % 8 = 0)"))
+      .select(
+        col("doc_id"),
+        size(col("hs")).as("n_windows"),
+        size(col("sampled")).as("n_chunks"),
+        coalesce(array_min(col("sampled")), lit(-1L)).as("fingerprint"),
+        expr("aggregate(chars, 0L, (a, c) -> (a * 131 + c) % 1000000007)").as("doc_hash"))
+      .orderBy("doc_id")
+
+  private val rollingFingerprintSql =
+    """SELECT doc_id,
+      |  len(hs) AS n_windows,
+      |  len(sampled) AS n_chunks,
+      |  coalesce(list_min(sampled), -1) AS fingerprint,
+      |  list_reduce(chars, (a, c) -> (a * 131 + c) % 1000000007) AS doc_hash
+      |FROM (
+      |  SELECT doc_id, chars, hs, list_filter(hs, h -> h % 8 = 0) AS sampled
+      |  FROM (
+      |    SELECT doc_id, chars,
+      |      [list_reduce(chars[i:i+15], (a, c) -> (a * 131 + c) % 1000000007)
+      |       for i in range(1, greatest(len(chars) - 15, 1) + 1)] AS hs
+      |    FROM (
+      |      SELECT doc_id, [CAST(ascii(text[i]) AS BIGINT) for i in range(1, strlen(text) + 1)] AS chars
+      |      FROM documents)))
+      |ORDER BY doc_id""".stripMargin
+
   /** Multimodal binary-column pipeline: synthesized media payloads →
     * partition-batched decode-stub features → per-kind aggregate
     * (graft.multimodal.Multimodal). The oracle reproduces the stub's
@@ -475,5 +519,6 @@ object LlmPipeline extends QueryPack {
     QueryDef("q79_simhash", simhash, None),
     QueryDef("q85_media_features", mediaFeatures, Some(mediaFeaturesSql)),
     QueryDef("q86_hof_cosine", hofCosineNearDup, Some(hofCosineNearDupSql)),
-    QueryDef("q87_lsh_bucketed_ann", lshBucketedAnn, Some(lshBucketedAnnSql)))
+    QueryDef("q87_lsh_bucketed_ann", lshBucketedAnn, Some(lshBucketedAnnSql)),
+    QueryDef("q88_rolling_fingerprint", rollingFingerprint, Some(rollingFingerprintSql)))
 }
