@@ -102,6 +102,18 @@ object Multimodal {
       .select(col("media_id"), col("kind"), col("n_bytes"),
         size(col("chunks")).as("n_chunks"), col("chunks"))
 
+  /** "Resize" on the decoded dimensions: fit into a box preserving
+    * aspect ratio (integer math — a real pipeline would resample pixels
+    * here; the dimension arithmetic is the part that shapes downstream
+    * batching and is fully real).
+    */
+  def resizeToBox(features: DataFrame, box: Int): DataFrame =
+    features
+      .withColumn("long_side", greatest(col("fake_width"), col("fake_height")))
+      .withColumn("res_w", (col("fake_width") * box / col("long_side")).cast("int"))
+      .withColumn("res_h", (col("fake_height") * box / col("long_side")).cast("int"))
+      .drop("long_side")
+
   /** End-to-end feature query: decode-stub features joined back to the
     * typed metadata, aggregated per kind.
     */

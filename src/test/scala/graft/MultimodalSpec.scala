@@ -27,6 +27,18 @@ class MultimodalSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("resize fits the box and preserves aspect ordering") {
+    val feats = Multimodal.extractFeatures(Multimodal.mediaCorpus(spark, sfDir)).toDF()
+    val resized = Multimodal.resizeToBox(feats, 32)
+    val bad = resized.filter(
+      col("res_w") > 32 || col("res_h") > 32 ||
+      col("res_w") < 1 || col("res_h") < 1 ||
+      (col("fake_width") >= col("fake_height")) =!= (col("res_w") >= col("res_h"))).count()
+    assert(bad == 0)
+    // The long side always hits the box exactly.
+    assert(resized.filter(greatest(col("res_w"), col("res_h")) =!= 32).count() == 0)
+  }
+
   test("chunk sampling covers the payload with the declared stride") {
     val media = Multimodal.mediaCorpus(spark, sfDir)
     val chunks = Multimodal.sampleChunks(media, chunk = 16, everyK = 2)
