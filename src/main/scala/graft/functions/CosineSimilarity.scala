@@ -107,5 +107,9 @@ object NativeFunctions {
       "simhash_sig",
       exprs => SimHashSignature(exprs.head),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "rolling_stats",
+      exprs => RollingHashStats(exprs.head),
+      "scala_udf")
   }
 }
