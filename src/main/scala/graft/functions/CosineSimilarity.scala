@@ -111,5 +111,10 @@ object NativeFunctions {
       "rolling_stats",
       exprs => RollingHashStats(exprs.head),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_shingles",
+      exprs => WordShingles(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Number].intValue()),
+      "scala_udf")
   }
 }

@@ -30,12 +30,15 @@ import graft.sources.Tables
   */
 object LlmPipeline extends QueryPack {
 
-  /** documents with tokens + distinct 3-gram shingles. */
-  private def shingled(spark: SparkSession, dir: String): DataFrame =
+  /** documents with distinct 3-gram shingles (native word_shingles —
+    * the per-window HOF lambda chain was the last interpreted hot spot;
+    * LlmPipelineSpec pins native == HOF equality).
+    */
+  private def shingled(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeFunctions.register(spark)
     Tables.documents(spark, dir)
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("sh", expr(
-        "array_distinct(transform(sequence(0, size(toks)-3), i -> concat_ws(' ', slice(toks, i+1, 3))))"))
+      .withColumn("sh", expr("word_shingles(text, 3)"))
+  }
 
   /** embeddings as double vectors with precomputed L2 norms. */
   private def normed(spark: SparkSession, dir: String): DataFrame =

@@ -44,6 +44,21 @@ class LlmPipelineSpec extends SparkSpec {
     assert(randMean > 8.0, s"random pairs should differ in many bits, got $randMean")
   }
 
+  test("native word_shingles equals the HOF shingle formulation as sets") {
+    graft.functions.NativeFunctions.register(spark)
+    val base = graft.sources.Tables.documents(spark, sfDir)
+      .withColumn("toks", split(col("text"), " "))
+    val both = base
+      .withColumn("native", expr("word_shingles(text, 3)"))
+      .withColumn("hof", expr(
+        "array_distinct(transform(sequence(0, size(toks)-3), i -> concat_ws(' ', slice(toks, i+1, 3))))"))
+      .select(
+        size(expr("array_except(native, hof)")).as("extra"),
+        size(expr("array_except(hof, native)")).as("missing"))
+      .agg(sum("extra").as("e"), sum("missing").as("m")).head
+    assert(both.getLong(0) == 0 && both.getLong(1) == 0)
+  }
+
   test("simhash is deterministic and complete") {
     val a = LlmPipeline.simhash(spark, sfDir).collect()
     val b = LlmPipeline.simhash(spark, sfDir).collect()
