@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, JaccardSimilarity, MinHashSignature, SimHashSignature}
+import graft.functions.{CosineSimilarity, JaccardSimilarity, MinHashSignature, NativeFunctions, RollingHashStats, SimHashSignature, WordShingles}
 
 /** SparkSessionExtensions installer for the engine's native expressions
   * (SURVEY.md §2.2.10): a deployment sets
@@ -30,7 +30,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("minhash_sig"),
       info("minhash_sig", classOf[MinHashSignature]),
       (exprs: Seq[Expression]) => MinHashSignature(exprs.head,
-        exprs(1).eval(null).asInstanceOf[Number].intValue())))
+        NativeFunctions.intLiteralArg("minhash_sig", exprs, 1))))
     ext.injectFunction((
       FunctionIdentifier("jaccard_sim"),
       info("jaccard_sim", classOf[JaccardSimilarity]),
@@ -39,5 +39,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash_sig"),
       info("simhash_sig", classOf[SimHashSignature]),
       (exprs: Seq[Expression]) => SimHashSignature(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("rolling_stats"),
+      info("rolling_stats", classOf[RollingHashStats]),
+      (exprs: Seq[Expression]) => RollingHashStats(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      info("word_shingles", classOf[WordShingles]),
+      (exprs: Seq[Expression]) => WordShingles(exprs.head,
+        NativeFunctions.intLiteralArg("word_shingles", exprs, 1))))
   }
 }

@@ -89,6 +89,24 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * by the queries that use the function).
   */
 object NativeFunctions {
+
+  /** Evaluates a function argument that must be a foldable int literal
+    * (hash counts, shingle sizes), failing with a real analysis error
+    * instead of an NPE/cast exception on misuse.
+    */
+  private[graft] def intLiteralArg(
+      name: String, exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      idx: Int): Int = {
+    require(exprs.length > idx, s"$name expects ${idx + 1} arguments, got ${exprs.length}")
+    val e = exprs(idx)
+    require(e.foldable, s"$name: argument ${idx + 1} must be a literal int, got ${e.sql}")
+    e.eval(null) match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$name: argument ${idx + 1} must be an int literal, got $other")
+    }
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim",
@@ -96,8 +114,7 @@ object NativeFunctions {
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sig",
-      exprs => MinHashSignature(exprs.head,
-        exprs(1).eval(null).asInstanceOf[Number].intValue()),
+      exprs => MinHashSignature(exprs.head, intLiteralArg("minhash_sig", exprs, 1)),
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "jaccard_sim",
@@ -113,8 +130,7 @@ object NativeFunctions {
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_shingles",
-      exprs => WordShingles(exprs.head,
-        exprs(1).eval(null).asInstanceOf[Number].intValue()),
+      exprs => WordShingles(exprs.head, intLiteralArg("word_shingles", exprs, 1)),
       "scala_udf")
   }
 }

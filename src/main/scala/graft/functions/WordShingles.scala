@@ -36,9 +36,12 @@ case class WordShingles(child: Expression, n: Int)
     val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
     val out = mutable.LinkedHashSet.empty[UTF8String]
     if (toks.length < n) {
-      // sequence(0, size-n) with size < n yields the single window
-      // Spark's sequence(0, neg) would reject — callers guarantee
-      // size >= n in the fixtures; mirror the degenerate one-window case.
+      // Deliberate DIVERGENCE from the HOF formulation for short inputs:
+      // sequence(0, size-n) with size < n ERRORS in Spark, so the HOF
+      // chain cannot process <n-token rows at all. We degrade to a
+      // single whole-text shingle instead. The native==HOF equality spec
+      // therefore only holds for rows with >= n tokens (all fixture
+      // documents qualify: min 10 tokens).
       out.add(UTF8String.fromString(toks.mkString(" ")))
     } else {
       var i = 0
