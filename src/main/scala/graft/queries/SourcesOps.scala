@@ -77,6 +77,30 @@ object SourcesOps extends QueryPack {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  /** ORC round-trip: the third columnar/row format next to parquet and
+    * CSV/JSON (ORC support is built into spark-sql).
+    */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratch("orc")
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_returnflag", "l_quantity")
+      .write.mode(SaveMode.Overwrite).orc(out)
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("l_returnflag", StringType),
+      StructField("l_quantity", DoubleType)))
+    spark.read.schema(schema).orc(out)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_lines"), round(sum("l_quantity"), 4).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  private val orcRoundtripSql =
+    """SELECT l_returnflag, count(*) AS n_lines, round(sum(l_quantity), 4) AS sum_qty
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   /** Partitioned parquet sink + partition-pruned read-back: write customer
     * partitioned by mktsegment, read back ONE partition (pruned at the
     * directory level), aggregate per nation.
@@ -134,5 +158,6 @@ object SourcesOps extends QueryPack {
     QueryDef("q81_json_roundtrip", jsonRoundtrip, Some(jsonRoundtripSql)),
     QueryDef("q82_partitioned_sink", partitionedSink, Some(partitionedSinkSql)),
     QueryDef("q83_in_memory_source", inMemorySource, Some(inMemorySourceSql)),
-    QueryDef("q84_local_sort", localSort, None))
+    QueryDef("q84_local_sort", localSort, None),
+    QueryDef("q89_orc_roundtrip", orcRoundtrip, Some(orcRoundtripSql)))
 }
