@@ -233,6 +233,17 @@ object Relational extends QueryPack {
       .select("o_orderkey", "o_orderstatus")
       .orderBy("o_orderkey")
 
+  /** Stratified sampling: per-stratum Bernoulli fractions via
+    * df.stat.sampleBy (Spark-side RNG — oracle-free; RelationalSpec
+    * bounds the per-stratum rates).
+    */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .stat.sampleBy("o_orderstatus",
+        Map("F" -> 0.05, "O" -> 0.20, "P" -> 0.50), 42L)
+      .select("o_orderkey", "o_orderstatus")
+      .orderBy("o_orderkey")
+
   override def all: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", pricingSummary, Some(pricingSummarySql), headline = true),
     QueryDef("q02_star_join_revenue", starJoinRevenue, Some(starJoinRevenueSql), headline = true),
@@ -242,5 +253,6 @@ object Relational extends QueryPack {
     QueryDef("q06_distinct_segments", distinctSegments, Some(distinctSegmentsSql)),
     QueryDef("q07_sample_modulo", sampleModulo, Some(sampleModuloSql)),
     QueryDef("q08_sample_bernoulli", sampleBernoulli, None),
-    QueryDef("q09_custom_topk", customTopKPerNation, Some(customTopKPerNationSql)))
+    QueryDef("q09_custom_topk", customTopKPerNation, Some(customTopKPerNationSql)),
+    QueryDef("q90_sample_stratified", sampleStratified, None))
 }

@@ -87,6 +87,22 @@ class EdgeCaseSpec extends SparkSpec {
     assert(a.exceptAll(b).count() == 2)  // one (1,1) survives + (2,2)
   }
 
+  test("explode drops null/empty arrays; explode_outer keeps the row") {
+    import org.apache.spark.sql.Row
+    val schema = StructType(Seq(
+      StructField("k", LongType),
+      StructField("xs", ArrayType(LongType), nullable = true)))
+    val d = df(Seq(
+      Row(1L, Seq(10L, 20L)),
+      Row(2L, Seq.empty[Long]),
+      Row(3L, null)), schema)
+    assert(d.select(col("k"), explode(col("xs"))).count() == 2)
+    val outer = d.select(col("k"), explode_outer(col("xs")).as("x")).collect()
+    assert(outer.length == 4)
+    assert(outer.count(_.isNullAt(1)) == 2) // empty + null both null-padded
+    assert(d.select(col("k"), posexplode_outer(col("xs"))).count() == 4)
+  }
+
   test("empty join sides and empty windows are safe") {
     val empty = df(Seq.empty, kv)
     val d = df(Seq(Row(1L, 1.0)), kv)

@@ -15,8 +15,8 @@ class EntrySpec extends SparkSpec {
   test("registry regression guard: every pack stays registered") {
     // Round 1's worst defect was silently-unregistered packs. Exact
     // counts force any change here to be deliberate.
-    assert(SparkEntry.defs.size == 78,
-      s"query count ${SparkEntry.defs.size} != 78 — update this guard deliberately")
+    assert(SparkEntry.defs.size == 79,
+      s"query count ${SparkEntry.defs.size} != 79 — update this guard deliberately")
     assert(SparkEntry.oracleSql.size == 74,
       s"oracle count ${SparkEntry.oracleSql.size} != 74 — update this guard deliberately")
     // One representative per pack must be present.

@@ -108,6 +108,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join with watermarks equals the batch join") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val purchases = MemoryStream[Ev]
+    val errors = MemoryStream[Ev]
+    def joined(p: org.apache.spark.sql.DataFrame, e: org.apache.spark.sql.DataFrame) = {
+      val pw = p.select(col("user_id"), col("ts").as("p_ts"), col("value"))
+      val ew = e.select(col("user_id").as("e_user"), col("ts").as("e_ts"))
+      pw.join(ew,
+        col("user_id") === col("e_user") &&
+        col("p_ts") >= col("e_ts") &&
+        col("p_ts") < col("e_ts") + expr("INTERVAL 1 HOUR"))
+        .select(col("user_id"), col("p_ts"), col("e_ts"), col("value"))
+    }
+    val q = joined(
+        purchases.toDF().withWatermark("ts", "2 hours"),
+        errors.toDF().withWatermark("ts", "2 hours"))
+      .writeStream.format("memory").queryName("ssj_out").outputMode("append").start()
+    try {
+      val pRows = Seq(
+        Ev(1, t("2024-01-01 10:30:00"), 1, "purchase", 5.0),
+        Ev(2, t("2024-01-01 12:30:00"), 1, "purchase", 7.0),
+        Ev(3, t("2024-01-01 10:40:00"), 2, "purchase", 9.0))
+      val eRows = Seq(
+        Ev(10, t("2024-01-01 10:00:00"), 1, "error", 0.0),
+        Ev(11, t("2024-01-01 10:20:00"), 2, "error", 0.0))
+      purchases.addData(pRows); errors.addData(eRows); q.processAllAvailable()
+      // Advance both watermarks so all joinable pairs are emitted.
+      purchases.addData(Seq(Ev(99, t("2024-01-02 00:00:00"), 9, "purchase", 0.0)))
+      errors.addData(Seq(Ev(98, t("2024-01-02 00:00:00"), 9, "error", 0.0)))
+      q.processAllAvailable()
+      val streamed = spark.table("ssj_out")
+        .filter(col("user_id") < 9).collect().map(_.toString).sorted.toSeq
+      val batched = joined(pRows.toDF(), eRows.toDF())
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamed == batched, s"stream $streamed vs batch $batched")
+      assert(batched.size == 2) // u1@10:30 joins e@10:00; u2@10:40 joins e@10:20
+    } finally q.stop()
+  }
+
   test("streaming parquet file sink (append mode) writes the deduped rows") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
