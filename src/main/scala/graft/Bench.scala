@@ -39,13 +39,23 @@ object Bench {
       try runNoop(fn, "/root/testdata/sf0.001")
       catch { case _: Throwable => () }
     }
+    // A failed query must not masquerade as a fast one: its elapsed time
+    // still lands in "queries", but the error is recorded by name so the
+    // total is known-tainted (round-2 ADVICE: silent swallow).
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try runNoop(fn, sfDir) catch { case _: Throwable => () }
+      try runNoop(fn, sfDir) catch {
+        case t: Throwable =>
+          errors.put(name, t.toString.replaceAll("[\"\\\\\n\r\t]", " ").take(160))
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    errors.keys.foreach(n => System.err.println(s"BENCH ERROR: $n failed — see errors field"))
     val total = results.map(_._2).sum
     // Headline subset (QueryDef.headline): the flagship per-area queries.
     val headlineNames = SparkEntry.headlineQueries.map(_.name).toSet
@@ -53,7 +63,7 @@ object Bench {
       case (n, v) if headlineNames.contains(n) => v
     }.sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"headline_total":$headlineTotal,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"headline_total":$headlineTotal,"errors":$errJson,"sf":"$sfDir"}"""
     println(json)
     Files.writeString(Paths.get("BENCH_LATEST.json"), json + "\n")
     spark.stop()

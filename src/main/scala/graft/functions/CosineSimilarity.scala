@@ -132,5 +132,9 @@ object NativeFunctions {
       "word_shingles",
       exprs => WordShingles(exprs.head, intLiteralArg("word_shingles", exprs, 1)),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hyperplane_bucket",
+      exprs => HyperplaneBucket(exprs.head, intLiteralArg("hyperplane_bucket", exprs, 1)),
+      "scala_udf")
   }
 }

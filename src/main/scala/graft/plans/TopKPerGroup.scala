@@ -108,16 +108,32 @@ object TopKPerGroup {
       groupCols: Seq[String],
       orderSpec: Seq[(String, Boolean)],
       k: Int): DataFrame = {
+    // An empty grouping would reach ClusteredDistribution(Nil), which
+    // only fails later at planning time — reject it here instead.
+    require(groupCols.nonEmpty, "topKPerGroup requires at least one group column")
+    require(orderSpec.nonEmpty, "topKPerGroup requires at least one order column")
     val spark = df.sparkSession
-    if (!spark.experimental.extraStrategies.exists(_.isInstanceOf[TopKPerGroupStrategy])) {
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ new TopKPerGroupStrategy
+    // Check-then-append is racy across threads sharing the session;
+    // a duplicate strategy is harmless but the lost-update could drop a
+    // concurrently-added one. Serialize the install.
+    spark.experimental.synchronized {
+      if (!spark.experimental.extraStrategies.exists(_.isInstanceOf[TopKPerGroupStrategy])) {
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ new TopKPerGroupStrategy
+      }
     }
     val analyzed = df.queryExecution.analyzed
-    val byName = analyzed.output.map(a => a.name -> a).toMap
-    val g = groupCols.map(byName(_))
+    val byName = analyzed.output.groupBy(_.name)
+    def resolve(name: String): Attribute = byName.getOrElse(name, Nil) match {
+      case Seq(one) => one
+      case Nil => throw new IllegalArgumentException(
+        s"topKPerGroup: no column '$name' in (${analyzed.output.map(_.name).mkString(", ")})")
+      case many => throw new IllegalArgumentException(
+        s"topKPerGroup: ambiguous column '$name' (${many.size} attributes match)")
+    }
+    val g = groupCols.map(resolve)
     val so = orderSpec.map { case (name, desc) =>
-      SortOrder(byName(name), if (desc) Descending else Ascending)
+      SortOrder(resolve(name), if (desc) Descending else Ascending)
     }
     GraftBridge.ofRows(spark, TopKPerGroup(g, so, k, analyzed))
   }

@@ -151,23 +151,27 @@ object Aggregates extends QueryPack {
 
   /** Money-safe decimal aggregation (SURVEY.md §1.2 type system):
     * doubles drift with summation order; DecimalType(18,2) sums are
-    * exact and engine-independent with NO rounding needed on either
-    * side — the correct type for money at any scale.
+    * exact and engine-independent. The SUM/AVG run entirely in the
+    * decimal domain; only the final output is cast to double so both
+    * engines emit an identical wire type (Spark sums to DECIMAL(28,2),
+    * DuckDB to DECIMAL(38,2) — value-equal but dtype-distinct, which
+    * the driver's pandas-hash comparer rejects). The money-safety
+    * claim lives in the computation, not the wire type.
     */
   def decimalAggs(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .withColumn("price_dec", col("o_totalprice").cast("decimal(18,2)"))
       .groupBy("o_orderstatus")
       .agg(
-        sum(col("price_dec")).as("sum_price_dec"),
-        avg(col("price_dec")).cast("decimal(18,4)").as("avg_price_dec"),
+        sum(col("price_dec")).cast("double").as("sum_price_dec"),
+        avg(col("price_dec")).cast("decimal(18,4)").cast("double").as("avg_price_dec"),
         count(lit(1)).as("n_orders"))
       .orderBy("o_orderstatus")
 
   private val decimalAggsSql =
     """SELECT o_orderstatus,
-      |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price_dec,
-      |  CAST(avg(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS avg_price_dec,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price_dec,
+      |  CAST(CAST(avg(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS DOUBLE) AS avg_price_dec,
       |  count(*) AS n_orders
       |FROM orders
       |GROUP BY o_orderstatus

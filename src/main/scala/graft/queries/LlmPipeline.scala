@@ -115,7 +115,7 @@ object LlmPipeline extends QueryPack {
       |  round(list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks), 4) AS avg_tok_len,
       |  round(len(list_filter(toks, t -> list_contains(['the','a','of','to','and','in'], t)))::DOUBLE
       |    / len(toks), 4) AS stop_ratio,
-      |  list_sum([CAST(ceil(length(t) / 4.0) AS INTEGER) for t in toks]) AS n_subtokens,
+      |  CAST(list_sum([CAST(ceil(length(t) / 4.0) AS INTEGER) for t in toks]) AS INTEGER) AS n_subtokens,
       |  round(0.5 * (len(list_distinct(toks))::DOUBLE / len(toks))
       |    + 0.5 * (1.0 - len(list_filter(toks, t -> list_contains(['the','a','of','to','and','in'], t)))::DOUBLE
       |             / len(toks)), 4) AS quality
@@ -343,7 +343,9 @@ object LlmPipeline extends QueryPack {
     * corpus) plus 4×8-bit band keys for banded near-dup bucketing.
     * xxhash64 is Spark-specific, so there is no cross-engine oracle;
     * LlmPipelineSpec checks the near-dup Hamming-distance property
-    * against q75's pairs.
+    * against q75's pairs. Bands are emitted CSV-scalarized (the q32
+    * pattern): the driver's rows-only pandas check cannot sort/hash an
+    * array column (round-2 checker crash).
     */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.NativeFunctions.register(spark)
@@ -351,7 +353,9 @@ object LlmPipeline extends QueryPack {
       .withColumn("simhash", expr("simhash_sig(sh)"))
       .select(
         col("doc_id"), col("simhash"),
-        expr("transform(sequence(0, 3), b -> (shiftright(simhash, b * 8) & 255))").as("bands"))
+        array_join(
+          expr("transform(sequence(0, 3), b -> (shiftright(simhash, b * 8) & 255))"),
+          ",").as("bands"))
       .orderBy("doc_id")
   }
 
@@ -396,15 +400,12 @@ object LlmPipeline extends QueryPack {
     */
   def lshBucketedAnn(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.NativeFunctions.register(spark)
-    val bucketExpr =
-      """aggregate(transform(sequence(0, 3), j ->
-        |  CASE WHEN aggregate(zip_with(d, sequence(0, 63),
-        |         (x, i) -> CASE WHEN pmod(i * 31 + j * 17, 7) < 4 THEN x ELSE -x END),
-        |       0D, (a, x) -> a + x) >= 0
-        |  THEN shiftleft(1, j) ELSE 0 END), 0, (a, x) -> a + x)""".stripMargin
+    // Native fused sign-bit quantizer (graft.functions.HyperplaneBucket);
+    // the HOF formulation evaluated ~256 interpreted lambda steps per row
+    // (CodegenFallback) — NativeExprSpec pins native == HOF equality.
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("d"))
-      .withColumn("bucket", expr(bucketExpr))
+      .withColumn("bucket", expr("hyperplane_bucket(d, 4)"))
     val probes = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("p_id"), col("d").as("pd"), col("bucket"))
     val cands = e.select(col("vec_id").as("c_id"), col("d").as("cd"), col("bucket"))
@@ -425,10 +426,10 @@ object LlmPipeline extends QueryPack {
       |  FROM embeddings),
       |b AS (
       |  SELECT vec_id, d,
-      |    list_sum([CASE WHEN list_sum([
+      |    CAST(list_sum([CASE WHEN list_sum([
       |        CASE WHEN ((i - 1) * 31 + j * 17) % 7 < 4 THEN d[i] ELSE -d[i] END
       |        for i in range(1, 65)]) >= 0
-      |      THEN (1 << j) ELSE 0 END for j in range(0, 4)]) AS bucket
+      |      THEN (1 << j) ELSE 0 END for j in range(0, 4)]) AS INTEGER) AS bucket
       |  FROM e),
       |n AS (
       |  SELECT vec_id, d, bucket,
@@ -442,7 +443,7 @@ object LlmPipeline extends QueryPack {
       |  SELECT p_id, c_id, bucket, sim,
       |    row_number() OVER (PARTITION BY p_id ORDER BY sim DESC, c_id ASC) AS rk
       |  FROM pairs)
-      |SELECT p_id, rk, c_id, bucket, round(sim, 4) AS sim_r
+      |SELECT p_id, rk, c_id, bucket, round(sim, 4) + 0 AS sim_r
       |FROM ranked WHERE rk <= 3
       |ORDER BY p_id, rk""".stripMargin
 
@@ -503,9 +504,9 @@ object LlmPipeline extends QueryPack {
       |  FROM documents)
       |SELECT kind,
       |  count(*) AS n_media,
-      |  sum(n_bytes) AS total_bytes,
-      |  min(16 + bsum % 64) AS min_w,
-      |  max(16 + (bsum // 64) % 64) AS max_h
+      |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+      |  CAST(min(16 + bsum % 64) AS INTEGER) AS min_w,
+      |  CAST(max(16 + (bsum // 64) % 64) AS INTEGER) AS max_h
       |FROM f
       |GROUP BY kind
       |ORDER BY kind""".stripMargin

@@ -120,9 +120,36 @@ object Sessions extends QueryPack {
       |WHERE rn = 1
       |ORDER BY user_id, event_type""".stripMargin
 
+  /** Batch equivalent of the streaming watermark-dedup: dropDuplicates on
+    * the dedup key. (dropDuplicatesWithinWatermark itself is
+    * streaming-only in Spark 4.1 — StreamingSpec runs it over the same
+    * duplicate structure and asserts the identical retained key set, so
+    * this row is the hard cross-engine signal for the streaming-dedup
+    * family that previously had `no_oracle`.) Which duplicate survives is
+    * engine-arbitrary, so the query aggregates over the retained KEY SET
+    * only. event_id is unique in the fixture, so byte-identical
+    * duplicates are injected first (10% re-union) — the operator must
+    * actually drop them.
+    */
+  def dedupWatermarkBatch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val withDups = ev.unionAll(ev.filter(pmod(col("event_id"), lit(10)) === 0))
+    withDups.dropDuplicates("event_id")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_kept"))
+      .orderBy("event_type")
+  }
+
+  private val dedupWatermarkBatchSql =
+    """SELECT event_type, count(*) AS n_kept
+      |FROM (SELECT DISTINCT event_id, event_type FROM events)
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   override def all: Seq[QueryDef] = Seq(
     QueryDef("q60_tumbling_daily", tumblingDaily, Some(tumblingDailySql)),
     QueryDef("q61_sliding_windows", slidingWindows, Some(slidingWindowsSql)),
     QueryDef("q62_session_windows", sessionWindows, Some(sessionWindowsSql), headline = true),
-    QueryDef("q63_dedup_keep_first", dedupKeepFirst, Some(dedupKeepFirstSql)))
+    QueryDef("q63_dedup_keep_first", dedupKeepFirst, Some(dedupKeepFirstSql)),
+    QueryDef("q64_dedup_watermark_batch", dedupWatermarkBatch, Some(dedupWatermarkBatchSql)))
 }

@@ -3,6 +3,7 @@ package graft.queries
 import java.nio.file.Paths
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -72,7 +73,7 @@ object SourcesOps extends QueryPack {
   }
 
   private val jsonRoundtripSql =
-    """SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+    """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
       |FROM documents
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
@@ -141,23 +142,61 @@ object SourcesOps extends QueryPack {
       |  AS b(regionkey, bonus) ON n_regionkey = regionkey
       |ORDER BY n_name""".stripMargin
 
-  /** Partition-local sort: range-repartition by order key, sort inside
-    * each partition (no global exchange after the range split). Output
-    * order is only locally defined, so there is no hash oracle — the
-    * driver records a rows-only check and SourcesOpsSpec asserts
-    * per-partition sortedness.
+  /** Partition-local sort, raw form: range-repartition by order key, sort
+    * inside each partition (no global exchange after the range split).
+    * Output order is only locally defined — SourcesOpsSpec asserts
+    * per-partition sortedness on this form directly.
     */
-  def localSort(spark: SparkSession, dir: String): DataFrame =
+  def localSortRaw(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .select("o_orderkey", "o_custkey", "o_totalprice")
       .repartitionByRange(8, col("o_orderkey"))
       .sortWithinPartitions("o_orderkey")
+
+  /** Oracle-able partition-local sort (q84): rows are clustered by an
+    * explicit pid = o_orderkey % 8, locally sorted by (pid, o_orderkey),
+    * and the query emits per-pid row counts plus the number of
+    * physical-adjacency inversions. Physical row order is observed via
+    * monotonically_increasing_id() (partition-indexed: high bits = the
+    * physical partition, low bits = position), so a broken local sort
+    * yields n_inversions > 0 and the hash compare fails — a hard
+    * cross-engine signal for an operator whose raw output order is not
+    * SQL-expressible.
+    */
+  def localSort(spark: SparkSession, dir: String): DataFrame = {
+    val sorted = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .withColumn("pid", pmod(col("o_orderkey"), lit(8)).cast("int"))
+      .repartition(8, col("pid"))
+      .sortWithinPartitions("pid", "o_orderkey")
+      .withColumn("seq", monotonically_increasing_id())
+    val physPart = Window.partitionBy(expr("shiftright(seq, 33)")).orderBy("seq")
+    sorted
+      .withColumn("prev_pid", lag("pid", 1).over(physPart))
+      .withColumn("prev_key", lag("o_orderkey", 1).over(physPart))
+      .withColumn("inv",
+        when(col("prev_pid").isNull, 0)
+          .when(col("prev_pid") < col("pid"), 0)
+          .when(col("prev_pid") === col("pid") && col("prev_key") <= col("o_orderkey"), 0)
+          .otherwise(1))
+      .groupBy("pid")
+      .agg(count(lit(1)).as("n_rows"), sum("inv").as("n_inversions"))
+      .orderBy("pid")
+  }
+
+  private val localSortSql =
+    """SELECT CAST(o_orderkey % 8 AS INTEGER) AS pid,
+      |  count(*) AS n_rows,
+      |  CAST(0 AS BIGINT) AS n_inversions
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY pid""".stripMargin
 
   override def all: Seq[QueryDef] = Seq(
     QueryDef("q80_csv_roundtrip", csvRoundtrip, Some(csvRoundtripSql)),
     QueryDef("q81_json_roundtrip", jsonRoundtrip, Some(jsonRoundtripSql)),
     QueryDef("q82_partitioned_sink", partitionedSink, Some(partitionedSinkSql)),
     QueryDef("q83_in_memory_source", inMemorySource, Some(inMemorySourceSql)),
-    QueryDef("q84_local_sort", localSort, None),
+    QueryDef("q84_local_sort", localSort, Some(localSortSql)),
     QueryDef("q89_orc_roundtrip", orcRoundtrip, Some(orcRoundtripSql)))
 }

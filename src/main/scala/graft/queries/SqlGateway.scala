@@ -1,0 +1,48 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.{QueryDef, QueryPack}
+import graft.sources.Tables
+
+/** SQL-string command surface (reference-direct: the replicated log's
+  * payload is a SQL command string — /root/reference/src/raft/node.go:16-19
+  * — applied in commit order to a SQL store). Here the "store" is the
+  * Spark session catalog: [[sql]] registers every fixture table as a view
+  * and routes the command through Spark SQL's full parser → Catalyst →
+  * Tungsten path, so an arbitrary textual SQL command is a first-class way
+  * to drive the engine — same plans, same pushdown, same codegen as the
+  * DataFrame surface.
+  *
+  * Scale notes: views are lazy scans with explicit schemas (Tables), so a
+  * SQL command gets identical partition pruning / filter pushdown to the
+  * declarative API; nothing about the string entry point costs anything
+  * at 100 TB.
+  */
+object SqlGateway extends QueryPack {
+
+  /** Execute one SQL command string against the registered fixture views. */
+  def sql(spark: SparkSession, dir: String, cmd: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(cmd)
+  }
+
+  /** Demo command: revenue per nation, authored as a plain SQL string.
+    * The identical text runs in DuckDB as the oracle — one command, two
+    * engines, hash-equal answers.
+    */
+  private val revenueByNationCmd =
+    """SELECT n.n_name AS nation, count(*) AS n_orders,
+      |  round(sum(o.o_totalprice), 4) AS revenue
+      |FROM orders o
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |GROUP BY n.n_name
+      |ORDER BY nation""".stripMargin
+
+  def sqlCommand(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir, revenueByNationCmd)
+
+  override def all: Seq[QueryDef] = Seq(
+    QueryDef("q91_sql_command", sqlCommand, Some(revenueByNationCmd)))
+}

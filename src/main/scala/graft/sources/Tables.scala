@@ -58,4 +58,22 @@ object Tables {
 
   def embeddings(spark: SparkSession, dir: String): DataFrame =
     read(spark, dir, "embeddings", Schemas.embeddings)
+
+  /** Register every fixture table as a temp view — the catalog surface
+    * behind the SQL-string command entry (queries.SqlGateway). Views stay
+    * lazy scans, so pushdown/pruning through `spark.sql(...)` is
+    * identical to the DataFrame path.
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    orders(spark, dir).createOrReplaceTempView("orders")
+    customer(spark, dir).createOrReplaceTempView("customer")
+    supplier(spark, dir).createOrReplaceTempView("supplier")
+    part(spark, dir).createOrReplaceTempView("part")
+    nation(spark, dir).createOrReplaceTempView("nation")
+    region(spark, dir).createOrReplaceTempView("region")
+    events(spark, dir).createOrReplaceTempView("events")
+    documents(spark, dir).createOrReplaceTempView("documents")
+    embeddings(spark, dir).createOrReplaceTempView("embeddings")
+  }
 }

@@ -52,6 +52,38 @@ class NativeExprSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("native hyperplane_bucket matches the HOF formulation on every embedding") {
+    NativeFunctions.register(spark)
+    val hofBucket =
+      """aggregate(transform(sequence(0, 3), j ->
+        |  CASE WHEN aggregate(zip_with(d, sequence(0, 63),
+        |         (x, i) -> CASE WHEN pmod(i * 31 + j * 17, 7) < 4 THEN x ELSE -x END),
+        |       0D, (a, x) -> a + x) >= 0
+        |  THEN shiftleft(1, j) ELSE 0 END), 0, (a, x) -> a + x)""".stripMargin
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("d"))
+    val nMismatch = e
+      .select(expr("hyperplane_bucket(d, 4)").as("native"), expr(hofBucket).as("hof"))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(nMismatch == 0, s"$nMismatch embeddings bucketed differently from the HOF formulation")
+    val buckets = e.select(expr("hyperplane_bucket(d, 4)").as("b"))
+      .agg(min("b"), max("b"), countDistinct("b")).head
+    assert(buckets.getInt(0) >= 0 && buckets.getInt(1) <= 15, "4 planes must give buckets in [0, 15]")
+    assert(buckets.getLong(2) > 1, "embeddings should spread across buckets")
+  }
+
+  test("hyperplane_bucket stays inside WholeStageCodegen on a parquet-backed plan") {
+    NativeFunctions.register(spark)
+    val df = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("d"))
+      .select(col("vec_id"), expr("hyperplane_bucket(d, 4)").as("bucket"))
+    df.collect() // finalize AQE
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("hyperplane_bucket"), s"expression missing:\n$plan")
+    assert(plan.contains("*("), s"no codegen spans:\n$plan")
+  }
+
   test("minhash_sig equals the HOF minhash formulation") {
     NativeFunctions.register(spark)
     val sh = graft.sources.Tables.documents(spark, sfDir)

@@ -8,7 +8,7 @@ class SourcesOpsSpec extends SparkSpec {
 
   test("local sort: every partition is internally sorted by o_orderkey") {
     import spark.implicits._
-    val bad = SourcesOps.localSort(spark, sfDir)
+    val bad = SourcesOps.localSortRaw(spark, sfDir)
       .select("o_orderkey").as[Long]
       .mapPartitions { it =>
         val keys = it.toSeq
