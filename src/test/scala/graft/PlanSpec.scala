@@ -91,4 +91,13 @@ class PlanSpec extends SparkSpec {
         s"LSH must never go quadratic:\n$plan")
     }
   }
+
+  test("q87: ANN scale path joins candidates on the bucket key, never quadratic") {
+    val plan = simple(LlmPipeline.lshBucketedAnn(spark, sfDir))
+    assert(plan.contains("hyperplane_bucket"), s"native bucket expression missing:\n$plan")
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r.findAllIn(plan).nonEmpty,
+      "bucket join must be an equi join")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"bucketed ANN must never go quadratic:\n$plan")
+  }
 }
