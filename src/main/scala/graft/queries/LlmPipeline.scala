@@ -447,6 +447,52 @@ object LlmPipeline extends QueryPack {
       |FROM ranked WHERE rk <= 3
       |ORDER BY p_id, rk""".stripMargin
 
+  /** Bucketed embedding near-dup — the 100-TB answer to q77's documented
+    * all-pairs scale-killer: candidate generation is an EQUI-JOIN on the
+    * native hyperplane_bucket id (16 buckets from 4 sign-bit planes),
+    * then a native-cosine verify at >= 0.4. Per-row cost is one fused
+    * array scan (codegen'd), join cost is |bucket|² summed over buckets
+    * instead of n² — at 100 TB the bucket count scales with n (more
+    * planes) to keep buckets bounded, and recall is recovered with
+    * multiple independent hash tables (the q75 banding pattern applied
+    * to vectors). Recall vs q77's exact answer is the standard LSH
+    * trade-off; the oracle replicates the same bucketing, so the result
+    * is still hash-exact.
+    */
+  def bucketedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("d"))
+      .withColumn("bucket", expr("hyperplane_bucket(d, 4)"))
+    e.alias("a").join(e.alias("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim", expr("cosine_sim(a.d, b.d)"))
+      .filter(col("sim") >= 0.4)
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+        col("a.bucket").as("bucket"), (round(col("sim"), 4) + lit(0)).as("sim_r"))
+      .orderBy("id1", "id2")
+  }
+
+  private val bucketedNearDupSql =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d
+      |  FROM embeddings),
+      |b AS (
+      |  SELECT vec_id, d,
+      |    CAST(list_sum([CASE WHEN list_sum([
+      |        CASE WHEN ((i - 1) * 31 + j * 17) % 7 < 4 THEN d[i] ELSE -d[i] END
+      |        for i in range(1, 65)]) >= 0
+      |      THEN (1 << j) ELSE 0 END for j in range(0, 4)]) AS INTEGER) AS bucket
+      |  FROM e),
+      |n AS (
+      |  SELECT vec_id, d, bucket,
+      |    sqrt(list_sum(list_transform(d, x -> x * x))) AS nrm FROM b)
+      |SELECT a.vec_id AS id1, b.vec_id AS id2, a.bucket AS bucket,
+      |  round(list_sum([a.d[i] * b.d[i] for i in range(1, 65)]) / (a.nrm * b.nrm), 4) + 0 AS sim_r
+      |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      |WHERE list_sum([a.d[i] * b.d[i] for i in range(1, 65)]) / (a.nrm * b.nrm) >= 0.4
+      |ORDER BY id1, id2""".stripMargin
+
   /** Document fingerprinting via rolling hash (mandated text-analysis
     * row): Rabin-Karp polynomial hashes over every 16-char window
     * (base 131 mod 1e9+7 — integer-exact in both engines), sampled
@@ -525,5 +571,6 @@ object LlmPipeline extends QueryPack {
     QueryDef("q85_media_features", mediaFeatures, Some(mediaFeaturesSql)),
     QueryDef("q86_hof_cosine", hofCosineNearDup, Some(hofCosineNearDupSql)),
     QueryDef("q87_lsh_bucketed_ann", lshBucketedAnn, Some(lshBucketedAnnSql)),
-    QueryDef("q88_rolling_fingerprint", rollingFingerprint, Some(rollingFingerprintSql)))
+    QueryDef("q88_rolling_fingerprint", rollingFingerprint, Some(rollingFingerprintSql)),
+    QueryDef("q92_bucketed_neardup", bucketedNearDup, Some(bucketedNearDupSql)))
 }

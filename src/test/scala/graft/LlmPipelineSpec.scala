@@ -26,6 +26,23 @@ class LlmPipelineSpec extends SparkSpec {
     assert(lsh == brute, s"LSH $lsh vs brute-force $brute")
   }
 
+  test("bucketed near-dup (q92) is a same-sim subset of exact near-dup (q77)") {
+    // Bucketing can only REMOVE candidate pairs (different buckets),
+    // never invent them, and surviving pairs must carry the identical
+    // similarity the exact path computes.
+    val exact = LlmPipeline.embeddingNearDup(spark, sfDir)
+      .select("id1", "id2", "sim_r").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val bucketed = LlmPipeline.bucketedNearDup(spark, sfDir)
+      .select("id1", "id2", "sim_r").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(bucketed.nonEmpty, "bucketed near-dup found nothing — bucketing broken")
+    bucketed.foreach { case (pair, sim) =>
+      assert(exact.contains(pair), s"bucketed invented pair $pair")
+      assert(math.abs(exact(pair) - sim) < 1e-9, s"sim mismatch on $pair")
+    }
+  }
+
   test("simhash: near-dup pairs have much smaller Hamming distance than random pairs") {
     val sig = LlmPipeline.simhash(spark, sfDir).select("doc_id", "simhash")
     val pairs = LlmPipeline.minhashLsh(spark, sfDir).select("id1", "id2")

@@ -92,6 +92,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q92: bucketed near-dup joins on the bucket key, never quadratic") {
+    withoutAutoBroadcast {
+      val plan = simple(LlmPipeline.bucketedNearDup(spark, sfDir))
+      assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r.findAllIn(plan).nonEmpty,
+        "bucket join must be an equi join")
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"bucketed near-dup must never go quadratic:\n$plan")
+    }
+  }
+
   test("q87: ANN scale path joins candidates on the bucket key, never quadratic") {
     val plan = simple(LlmPipeline.lshBucketedAnn(spark, sfDir))
     assert(plan.contains("hyperplane_bucket"), s"native bucket expression missing:\n$plan")
