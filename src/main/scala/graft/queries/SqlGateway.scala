@@ -27,6 +27,16 @@ object SqlGateway extends QueryPack {
     spark.sql(cmd)
   }
 
+  /** Apply an ordered sequence of SQL commands (DDL/DML/query) — the
+    * engine-side analogue of replaying the reference's committed command
+    * log (replication.go:88-103 applies entries strictly in log order).
+    * Each command sees the catalog state left by its predecessors;
+    * SqlCommandLogSpec replays a CREATE/INSERT sequence and checks the
+    * final table state is exactly the ordered application.
+    */
+  def applyLog(spark: SparkSession, commands: Seq[String]): Unit =
+    commands.foreach(spark.sql(_))
+
   /** Demo command: revenue per nation, authored as a plain SQL string.
     * The identical text runs in DuckDB as the oracle — one command, two
     * engines, hash-equal answers.
