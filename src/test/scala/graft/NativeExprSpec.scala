@@ -73,6 +73,22 @@ class NativeExprSpec extends SparkSpec {
     assert(buckets.getLong(2) > 1, "embeddings should spread across buckets")
   }
 
+  test("hyperplane_bucket edge cases: empty vector, null vector, bucket range") {
+    NativeFunctions.register(spark)
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Some(Seq.empty[Double])),
+      (2L, Option.empty[Seq[Double]]),
+      (3L, Some(Seq(1.0, -2.0, 3.0))))
+      .toDF("id", "v")
+      .select(col("id"), expr("hyperplane_bucket(v, 4)").as("b"))
+      .orderBy("id").collect()
+    // Empty vector: every plane sum is 0.0, and 0.0 >= 0 sets the bit.
+    assert(rows(0).getInt(1) == 15)
+    assert(rows(1).isNullAt(1))
+    assert(rows(2).getInt(1) >= 0 && rows(2).getInt(1) <= 15)
+  }
+
   test("hyperplane_bucket stays inside WholeStageCodegen on a parquet-backed plan") {
     NativeFunctions.register(spark)
     val df = graft.sources.Tables.embeddings(spark, sfDir)
