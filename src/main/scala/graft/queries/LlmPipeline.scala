@@ -225,10 +225,24 @@ object LlmPipeline extends QueryPack {
       col("doc_id"),
       explode(expr("transform(sequence(0, 15), b -> struct(b AS band, slice(sig, b*4+1, 4) AS bsig))")).as("e"))
       .select(col("doc_id"), col("e.band").as("band"), col("e.bsig").as("bsig"))
-    val cand = bands.alias("x")
-      .join(bands.alias("y"), Seq("band", "bsig"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+    // Candidate generation groups each band bucket ONCE and emits its
+    // member pairs locally (sorted ids ⇒ id1 < id2 by construction). The
+    // earlier self-join formulation was candidate-equivalent but Spark
+    // does not reuse the exchange across a self-join's sides here (the
+    // exploded band subplans canonicalize differently), so the shingle +
+    // minhash stage — the dominant per-row cost at scale — executed
+    // TWICE and the documents scan four times. This shape shuffles the
+    // signature stream exactly once; pair blowup stays Σ|bucket|² either
+    // way, and exact-dedup (q70) runs first in a real pipeline so
+    // buckets stay near-dup-group-sized.
+    val cand = bands.groupBy("band", "bsig")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (a, i) ->
+          |  transform(slice(ids, i + 2, size(ids) - i - 1),
+          |            b -> named_struct('id1', a, 'id2', b))))""".stripMargin)).as("p"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
       .distinct()
     val s1 = sh.select(col("doc_id").as("id1"), col("sh").as("sh1"))
     val s2 = sh.select(col("doc_id").as("id2"), col("sh").as("sh2"))
