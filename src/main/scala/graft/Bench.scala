@@ -46,14 +46,14 @@ object Bench {
     val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try runNoop(fn, sfDir) catch {
-        case t: Throwable =>
-          errors.put(name, t.toString.replaceAll("[\"\\\\\n\r\t]", " ").take(160))
+        case t: Throwable => errors.put(name, t.toString.take(160))
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errJson = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+    val errJson = errors
+      .map { case (k, v) => s"${JsonEscape.quote(k)}:${JsonEscape.quote(v)}" }
       .mkString("{", ",", "}")
     errors.keys.foreach(n => System.err.println(s"BENCH ERROR: $n failed — see errors field"))
     val total = results.map(_._2).sum

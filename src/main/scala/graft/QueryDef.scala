@@ -22,3 +22,21 @@ final case class QueryDef(
 trait QueryPack {
   def all: Seq[QueryDef]
 }
+
+/** JSON string escaping shared by the driver-facing JSON emitters
+  * (Verify's oracle_sql.json, Bench's metric line): backslash, quote,
+  * and ALL control chars (<0x20) — a tab or CR in builder-authored SQL
+  * or an exception message would otherwise make the driver's json.load
+  * fail and silently zero the round's correctness/bench signal.
+  */
+private[graft] object JsonEscape {
+  def quote(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+}

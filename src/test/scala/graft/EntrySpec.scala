@@ -20,7 +20,7 @@ class EntrySpec extends SparkSpec {
     assert(SparkEntry.oracleSql.size == 78,
       s"oracle count ${SparkEntry.oracleSql.size} != 78 — update this guard deliberately")
     // One representative per pack must be present.
-    val reps = Seq("q01_", "q10_", "q20_", "q30_", "q40_", "q50_", "q60_", "q65_", "q70_", "q80_")
+    val reps = Seq("q01_", "q10_", "q20_", "q26_", "q30_", "q40_", "q50_", "q60_", "q65_", "q70_", "q80_", "q91_")
     val names = SparkEntry.defs.map(_.name)
     reps.foreach(p => assert(names.exists(_.startsWith(p)), s"no query with prefix $p — pack unregistered?"))
     assert(SparkEntry.headlineQueries.nonEmpty)

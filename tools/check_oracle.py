@@ -81,7 +81,14 @@ def main():
         d for d in os.listdir(out_dir)
         if os.path.isdir(os.path.join(out_dir, d)))
     n_pass = n_fail = n_rows_only = 0
-    for name in dumped:
+    # Iterate the UNION of dump dirs and oracle keys: an oracle-checked
+    # query whose Verify dump failed (no dir written) must FAIL loudly,
+    # not silently drop out of the gate.
+    for name in sorted(set(dumped) | set(oracle)):
+        if name not in dumped:
+            print(f"FAIL {name}: oracle-checked query has NO Verify dump (query threw?)")
+            n_fail += 1
+            continue
         try:
             got = sort_rows(pd.read_parquet(os.path.join(out_dir, name)))
         except Exception as exc:
