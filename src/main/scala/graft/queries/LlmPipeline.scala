@@ -547,6 +547,48 @@ object LlmPipeline extends QueryPack {
       |      FROM documents)))
       |ORDER BY doc_id""".stripMargin
 
+  /** TF-IDF term scoring (text-analysis family): per-(doc, token) term
+    * frequency × ln(N / document-frequency). Classic retrieval/quality
+    * signal over the same token stream as q71/q72. The output is keyed
+    * and ordered by (doc_id, token) — integer/string keys only — so the
+    * float tfidf is value-compared but never used for ranking, which
+    * would be cross-engine fragile when two (tf, df) pairs make the
+    * same product in real arithmetic but differ by one ulp of libm.
+    *
+    * Scale notes: two partial-agg shuffles — (doc_id, token) then
+    * (token) — both high-cardinality keys; the corpus size N is a
+    * broadcast scalar; no windows, no collects.
+    */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+    tf.join(dfreq, "token")
+      .crossJoin(broadcast(n))
+      .filter(col("doc_id") < 50 && col("tf") >= 2)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4).as("tfidf_r"))
+      .orderBy("doc_id", "token")
+  }
+
+  private val tfidfSql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |t AS (
+      |  SELECT doc_id, token, count(*) AS tf
+      |  FROM toks WHERE token <> '' GROUP BY 1, 2),
+      |d AS (SELECT token, count(*) AS df FROM t GROUP BY 1),
+      |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+      |SELECT doc_id, token, tf, df,
+      |  round(tf * ln(n_docs::DOUBLE / df), 4) AS tfidf_r
+      |FROM t JOIN d USING (token) CROSS JOIN n
+      |WHERE doc_id < 50 AND tf >= 2
+      |ORDER BY doc_id, token""".stripMargin
+
   /** Multimodal binary-column pipeline: synthesized media payloads →
     * partition-batched decode-stub features → per-kind aggregate
     * (graft.multimodal.Multimodal). The oracle reproduces the stub's
@@ -586,5 +628,6 @@ object LlmPipeline extends QueryPack {
     QueryDef("q86_hof_cosine", hofCosineNearDup, Some(hofCosineNearDupSql)),
     QueryDef("q87_lsh_bucketed_ann", lshBucketedAnn, Some(lshBucketedAnnSql)),
     QueryDef("q88_rolling_fingerprint", rollingFingerprint, Some(rollingFingerprintSql)),
-    QueryDef("q92_bucketed_neardup", bucketedNearDup, Some(bucketedNearDupSql)))
+    QueryDef("q92_bucketed_neardup", bucketedNearDup, Some(bucketedNearDupSql)),
+    QueryDef("q93_tfidf", tfidf, Some(tfidfSql)))
 }

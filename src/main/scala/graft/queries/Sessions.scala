@@ -146,10 +146,60 @@ object Sessions extends QueryPack {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Ordered funnel analysis: per user, first 'view', first 'click' at
+    * or after that view, first 'purchase' at or after that click —
+    * the staged-behavior query every event-analytics user of a SQL
+    * engine runs. Timestamps emitted as epoch-µs (nullable), stage =
+    * how deep the user got (1–3).
+    *
+    * Scale notes: three filtered partial aggregations and two joins,
+    * all keyed on user_id (high-cardinality) — co-partitioned shuffles,
+    * no windows over the full stream, no skew (per-user event counts
+    * are bounded).
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select("user_id", "event_type", "ts")
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") >= col("t_view"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_click"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") >= col("t_click"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_purchase"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select(col("user_id"),
+        unix_micros(col("t_view")).as("t_view_us"),
+        unix_micros(col("t_click")).as("t_click_us"),
+        unix_micros(col("t_purchase")).as("t_purchase_us"),
+        (lit(1) + when(col("t_click").isNotNull, 1).otherwise(0)
+          + when(col("t_purchase").isNotNull, 1).otherwise(0)).as("stage"))
+      .orderBy("user_id")
+  }
+
+  private val funnelSql =
+    """WITH e AS (
+      |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS t FROM events),
+      |v AS (SELECT user_id, min(t) AS t_view FROM e
+      |      WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(t) AS t_click FROM e JOIN v USING (user_id)
+      |      WHERE event_type = 'click' AND t >= t_view GROUP BY 1),
+      |p AS (SELECT e.user_id, min(t) AS t_purchase FROM e JOIN c USING (user_id)
+      |      WHERE event_type = 'purchase' AND t >= t_click GROUP BY 1)
+      |SELECT v.user_id,
+      |  epoch_us(t_view) AS t_view_us,
+      |  epoch_us(t_click) AS t_click_us,
+      |  epoch_us(t_purchase) AS t_purchase_us,
+      |  CAST(1 + CASE WHEN t_click IS NULL THEN 0 ELSE 1 END
+      |         + CASE WHEN t_purchase IS NULL THEN 0 ELSE 1 END AS INTEGER) AS stage
+      |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+      |ORDER BY user_id""".stripMargin
+
   override def all: Seq[QueryDef] = Seq(
     QueryDef("q60_tumbling_daily", tumblingDaily, Some(tumblingDailySql)),
     QueryDef("q61_sliding_windows", slidingWindows, Some(slidingWindowsSql)),
     QueryDef("q62_session_windows", sessionWindows, Some(sessionWindowsSql), headline = true),
     QueryDef("q63_dedup_keep_first", dedupKeepFirst, Some(dedupKeepFirstSql)),
-    QueryDef("q64_dedup_watermark_batch", dedupWatermarkBatch, Some(dedupWatermarkBatchSql)))
+    QueryDef("q64_dedup_watermark_batch", dedupWatermarkBatch, Some(dedupWatermarkBatchSql)),
+    QueryDef("q94_funnel", funnel, Some(funnelSql)))
 }
