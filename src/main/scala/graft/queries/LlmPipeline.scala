@@ -547,6 +547,96 @@ object LlmPipeline extends QueryPack {
       |      FROM documents)))
       |ORDER BY doc_id""".stripMargin
 
+  /** Multi-probe IVF approximate nearest neighbors — the second mandated
+    * ANN scale path next to LSH bucketing (q87/q92): a coarse quantizer
+    * of k=8 FIXED centroid vectors (vec_id < 8, standing in for an
+    * offline-trained codebook — training is a separate batch job in a
+    * real IVF deployment, and fixed centroids keep every step
+    * bit-deterministic across engines), each vector assigned to its
+    * nearest cell by L2, and each probe searching its nprobe=2 nearest
+    * cells — the standard recall knob.
+    *
+    * All distance math is native: l2² = |v|² + |c|² − 2·cos·|v|·|c| with
+    * cos from the codegen'd cosine_sim kernel, and the oracle mirrors
+    * the exact same operation ORDER so both engines produce
+    * bit-identical doubles (same-order IEEE ops are deterministic; a
+    * "simplified" 2·dot form would differ by ulps and flip near-tie
+    * argmins). Cell assignment is a partial-agg min(struct) — no window
+    * over the full vector stream; candidate generation is the
+    * cell-key equi-join.
+    */
+  def ivfAnn(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeFunctions.register(spark)
+    val e = normed(spark, dir).select(col("vec_id"), col("d"), col("nrm"))
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell"), col("d").as("cd"), col("nrm").as("cnrm"))
+    val dist = e.crossJoin(broadcast(cents))
+      .withColumn("l2sq",
+        col("nrm") * col("nrm") + col("cnrm") * col("cnrm")
+          - lit(2.0) * expr("cosine_sim(d, cd)") * col("nrm") * col("cnrm"))
+    // Members: one nearest cell per vector (lexicographic struct min ⇒
+    // deterministic cell tie-break); vectors re-attached by key join.
+    val members = dist.groupBy("vec_id")
+      .agg(min(struct(col("l2sq"), col("cell"))).as("a"))
+      .select(col("vec_id").as("c_id"), col("a.cell").as("cell"))
+      .join(e.select(col("vec_id").as("c_id"), col("d").as("cd2"), col("nrm").as("cnrm2")), "c_id")
+    // Probes: nprobe=2 nearest cells each (8 structs collected per probe
+    // — k is small by construction, this never grows with n).
+    val probes = dist.filter(col("vec_id") < 10)
+      .groupBy("vec_id")
+      .agg(slice(sort_array(collect_list(struct(col("l2sq"), col("cell")))), 1, 2).as("cs"))
+      .select(col("vec_id").as("p_id"), explode(col("cs")).as("c"))
+      .select(col("p_id"), col("c.cell").as("cell"))
+      .join(e.select(col("vec_id").as("p_id"), col("d").as("pd"), col("nrm").as("pnrm")), "p_id")
+    val w = Window.partitionBy("p_id").orderBy(col("sim").desc, col("c_id").asc)
+    members.join(broadcast(probes), "cell")
+      .filter(col("c_id") =!= col("p_id"))
+      .withColumn("sim", expr("cosine_sim(pd, cd2)"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("p_id"), col("rk"), col("c_id"), col("cell"),
+        (round(col("sim"), 4) + lit(0)).as("sim_r"))
+      .orderBy("p_id", "rk")
+  }
+
+  private val ivfAnnSql =
+    """WITH n AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d
+      |  FROM embeddings),
+      |n2 AS (
+      |  SELECT vec_id, d, sqrt(list_sum(list_transform(d, x -> x * x))) AS nrm FROM n),
+      |cents AS (
+      |  SELECT vec_id AS cell, d AS cd, nrm AS cnrm FROM n2 WHERE vec_id < 8),
+      |dist AS (
+      |  SELECT v.vec_id, c.cell,
+      |    v.nrm * v.nrm + c.cnrm * c.cnrm
+      |      - 2 * (list_sum([v.d[i] * c.cd[i] for i in range(1, 65)]) / (v.nrm * c.cnrm))
+      |          * v.nrm * c.cnrm AS l2sq
+      |  FROM n2 v CROSS JOIN cents c),
+      |ranked_cells AS (
+      |  SELECT vec_id, cell, l2sq,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY l2sq, cell) AS crk
+      |  FROM dist),
+      |members AS (
+      |  SELECT r.vec_id AS c_id, r.cell, v.d AS cd2, v.nrm AS cnrm2
+      |  FROM ranked_cells r JOIN n2 v ON r.vec_id = v.vec_id WHERE crk = 1),
+      |probes AS (
+      |  SELECT r.vec_id AS p_id, r.cell, v.d AS pd, v.nrm AS pnrm
+      |  FROM ranked_cells r JOIN n2 v ON r.vec_id = v.vec_id
+      |  WHERE crk <= 2 AND r.vec_id < 10),
+      |pairs AS (
+      |  SELECT p.p_id, m.c_id, m.cell,
+      |    list_sum([p.pd[i] * m.cd2[i] for i in range(1, 65)]) / (p.pnrm * m.cnrm2) AS sim
+      |  FROM members m JOIN probes p ON m.cell = p.cell
+      |  WHERE m.c_id <> p.p_id),
+      |ranked AS (
+      |  SELECT p_id, c_id, cell, sim,
+      |    row_number() OVER (PARTITION BY p_id ORDER BY sim DESC, c_id ASC) AS rk
+      |  FROM pairs)
+      |SELECT p_id, rk, c_id, cell, round(sim, 4) + 0 AS sim_r
+      |FROM ranked WHERE rk <= 3
+      |ORDER BY p_id, rk""".stripMargin
+
   /** TF-IDF term scoring (text-analysis family): per-(doc, token) term
     * frequency × ln(N / document-frequency). Classic retrieval/quality
     * signal over the same token stream as q71/q72. The output is keyed
@@ -629,5 +719,6 @@ object LlmPipeline extends QueryPack {
     QueryDef("q87_lsh_bucketed_ann", lshBucketedAnn, Some(lshBucketedAnnSql)),
     QueryDef("q88_rolling_fingerprint", rollingFingerprint, Some(rollingFingerprintSql)),
     QueryDef("q92_bucketed_neardup", bucketedNearDup, Some(bucketedNearDupSql)),
-    QueryDef("q93_tfidf", tfidf, Some(tfidfSql)))
+    QueryDef("q93_tfidf", tfidf, Some(tfidfSql)),
+    QueryDef("q95_ivf_ann", ivfAnn, Some(ivfAnnSql)))
 }

@@ -102,6 +102,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q95: IVF search joins candidates on the cell key, never quadratic") {
+    val plan = simple(LlmPipeline.ivfAnn(spark, sfDir))
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r.findAllIn(plan).nonEmpty,
+      "cell join must be an equi join")
+    // The k=8 centroid broadcast cross join is the only nested-loop step
+    // and is bounded by the codebook size, never by n.
+    assert(!plan.contains("CartesianProduct"), s"IVF fell back to cartesian:\n$plan")
+  }
+
   test("q87: ANN scale path joins candidates on the bucket key, never quadratic") {
     val plan = simple(LlmPipeline.lshBucketedAnn(spark, sfDir))
     assert(plan.contains("hyperplane_bucket"), s"native bucket expression missing:\n$plan")
