@@ -679,6 +679,82 @@ object LlmPipeline extends QueryPack {
       |WHERE doc_id < 50 AND tf >= 2
       |ORDER BY doc_id, token""".stripMargin
 
+  /** End-to-end corpus curation — the LLM-data pipeline composed into
+    * one program: exact dedup (keep min doc_id per text) → near-dup
+    * removal (drop any survivor with a smaller LSH near-dup partner that
+    * survived stage 1 — the standard greedy keep-first policy, no
+    * iterative connected components) → quality filter on the RAW q72
+    * score (both engines compute the ratio arithmetic in the same
+    * operation order, so the >= threshold selects the identical set; the
+    * threshold 0.65 sits mid-distribution, fixture range 0.59–0.97) →
+    * per-language corpus stats. Aggregates are chosen deterministic:
+    * counts and integer sums are exact, min/max of doubles are
+    * order-independent — no float avg whose summation order could
+    * diverge across engines.
+    *
+    * Scale notes: stage 1 is one hash shuffle on text (at 100 TB: on
+    * xxhash64(text)); stage 2 reuses q75's single-pass banded LSH —
+    * never quadratic; stage 3 is a codegen'd scan-side filter.
+    */
+  def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeFunctions.register(spark)
+    val docs = Tables.documents(spark, dir)
+    val keepIds = docs.groupBy("text").agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val kept1 = docs.join(keepIds, "doc_id")
+    val pairs = minhashLsh(spark, dir).select("id1", "id2")
+    val removed = pairs
+      .join(keepIds.select(col("doc_id").as("id1")), "id1")
+      .select(col("id2").as("doc_id")).distinct()
+    val kept2 = kept1.join(removed, Seq("doc_id"), "left_anti")
+    val scored = kept2
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("nt", size(col("toks")).cast("double"))
+      .withColumn("q",
+        lit(0.5) * (size(array_distinct(col("toks"))) / col("nt"))
+          + lit(0.5) * (lit(1.0) -
+            expr("size(filter(toks, t -> array_contains(array('the','a','of','to','and','in'), t)))")
+              / col("nt")))
+      .filter(col("q") >= 0.65)
+    scored.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("sum_chars"),
+      round(min(col("q")), 4).as("min_q"),
+      round(max(col("q")), 4).as("max_q"))
+      .orderBy("lang")
+  }
+
+  private val curationPipelineSql =
+    """WITH k AS (
+      |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+      |kept1 AS (
+      |  SELECT d.* FROM documents d JOIN k USING (doc_id)),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+      |pairs AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+      |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+      |removed AS (
+      |  SELECT DISTINCT p.id2 AS doc_id FROM pairs p JOIN k ON p.id1 = k.doc_id),
+      |kept2 AS (
+      |  SELECT * FROM kept1 WHERE doc_id NOT IN (SELECT doc_id FROM removed)),
+      |scored AS (
+      |  SELECT lang, n_chars,
+      |    0.5 * (len(list_distinct(toks))::DOUBLE / len(toks))
+      |      + 0.5 * (1.0 - len(list_filter(toks, t -> list_contains(['the','a','of','to','and','in'], t)))::DOUBLE
+      |               / len(toks)) AS q
+      |  FROM (SELECT lang, n_chars, string_split(text, ' ') AS toks FROM kept2))
+      |SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  round(min(q), 4) AS min_q, round(max(q), 4) AS max_q
+      |FROM scored
+      |WHERE q >= 0.65
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   /** Multimodal binary-column pipeline: synthesized media payloads →
     * partition-batched decode-stub features → per-kind aggregate
     * (graft.multimodal.Multimodal). The oracle reproduces the stub's
@@ -720,5 +796,6 @@ object LlmPipeline extends QueryPack {
     QueryDef("q88_rolling_fingerprint", rollingFingerprint, Some(rollingFingerprintSql)),
     QueryDef("q92_bucketed_neardup", bucketedNearDup, Some(bucketedNearDupSql)),
     QueryDef("q93_tfidf", tfidf, Some(tfidfSql)),
-    QueryDef("q95_ivf_ann", ivfAnn, Some(ivfAnnSql)))
+    QueryDef("q95_ivf_ann", ivfAnn, Some(ivfAnnSql)),
+    QueryDef("q96_curation_pipeline", curationPipeline, Some(curationPipelineSql)))
 }
