@@ -46,7 +46,13 @@ object Bench {
     val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try runNoop(fn, sfDir) catch {
-        case t: Throwable => errors.put(name, t.toString.take(160))
+        case t: Throwable =>
+          // Truncate on a code-point boundary: a take() that splits a
+          // surrogate pair leaves a lone surrogate the UTF-8 writer
+          // rejects at output time, losing the whole bench run.
+          val cut = t.toString.take(160)
+          errors.put(name,
+            if (cut.nonEmpty && Character.isHighSurrogate(cut.last)) cut.dropRight(1) else cut)
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
@@ -62,8 +68,10 @@ object Bench {
     val headlineTotal = results.collect {
       case (n, v) if headlineNames.contains(n) => v
     }.sum
+    // sfDir is environment-controlled — escape it like every other
+    // string (query names in qs are fixed [a-z0-9_] identifiers).
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"headline_total":$headlineTotal,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"headline_total":$headlineTotal,"errors":$errJson,"sf":${JsonEscape.quote(sfDir)}}"""
     println(json)
     Files.writeString(Paths.get("BENCH_LATEST.json"), json + "\n")
     spark.stop()

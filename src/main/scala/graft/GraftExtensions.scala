@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, HyperplaneBucket, JaccardSimilarity, MinHashSignature, NativeFunctions, RollingHashStats, SimHashSignature, WordShingles}
+import graft.functions.{CosineSimilarity, DotProduct, HyperplaneBucket, JaccardSimilarity, MinHashSignature, NativeFunctions, RollingHashStats, SimHashSignature, WordShingles}
 
 /** SparkSessionExtensions installer for the engine's native expressions
   * (SURVEY.md §2.2.10): a deployment sets
@@ -53,5 +53,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("hyperplane_bucket", classOf[HyperplaneBucket]),
       (exprs: Seq[Expression]) => HyperplaneBucket(exprs.head,
         NativeFunctions.intLiteralArg("hyperplane_bucket", exprs, 1))))
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      info("dot_product", classOf[DotProduct]),
+      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
   }
 }

@@ -136,5 +136,9 @@ object NativeFunctions {
       "hyperplane_bucket",
       exprs => HyperplaneBucket(exprs.head, intLiteralArg("hyperplane_bucket", exprs, 1)),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product",
+      exprs => DotProduct(exprs.head, exprs(1)),
+      "scala_udf")
   }
 }

@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native dot product over two `array<double>` columns (whole-stage
+  * codegen), ascending-index summation.
+  *
+  * Exists alongside [[CosineSimilarity]] for cross-engine bit-exactness:
+  * cosine_sim normalizes by sqrt(nx*ny), which differs by ulps from the
+  * sqrt(nx)*sqrt(ny) a SQL oracle carrying precomputed norms computes —
+  * harmless when only the rounded similarity is compared, but fatal when
+  * a raw float feeds an argmin or ranking (q95 IVF cell assignment).
+  * With the raw dot exposed, both engines build l2² = |v|² + |c|² − 2·dot
+  * and sim = dot/(|v|·|c|) from identically-ordered IEEE ops and agree
+  * bit-for-bit. Vectors of unequal length compare over the common prefix.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_product expects two array<double> arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "dot_product"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      dot += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -214,41 +214,52 @@ object LlmPipeline extends QueryPack {
     * computes, while the Spark plan never goes quadratic: the only join is
     * the band-bucket equi-join, which is the 100-TB design.
     */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.NativeFunctions.register(spark)
-    val sh = shingled(spark, dir).select("doc_id", "sh")
-    // Native minhash_sig: one fused loop per row. The HOF equivalent
-    // (nested transform + array_min) is interpreted per element and was
-    // measured 40x slower at sf0.1 (graft.functions.MinHashSignature).
+  /** Banded-LSH near-dup pairs (id1 < id2, exact-Jaccard-verified ≥ 0.5)
+    * for any (doc_id, sh) relation — shared by q75 (whole corpus) and
+    * q96 (exact-dedup survivors).
+    *
+    * Candidate generation groups each (band, bsig) bucket ONCE and
+    * streams its member pairs out through two chained explodes — no
+    * Σ|bucket|²-element array is ever materialized in a single row (a
+    * degenerate bucket costs one m-element id list and m streamed
+    * generator rows, not an m²-struct value). The earlier self-join
+    * formulation was candidate-equivalent but Spark does not reuse the
+    * exchange across a self-join's sides here (the exploded band
+    * subplans canonicalize differently), so the shingle + minhash stage
+    * — the dominant per-row cost at scale — executed TWICE and the
+    * documents scan four times. This shape shuffles the signature
+    * stream exactly once. Residual skew (one task per giant bucket) is
+    * inherent to bucketing; the mitigations at 100 TB are exact-dedup
+    * first (q96 does) and per-bucket pair caps/salting.
+    *
+    * Native minhash_sig: one fused loop per row. The HOF equivalent
+    * (nested transform + array_min) is interpreted per element and was
+    * measured 40x slower at sf0.1 (graft.functions.MinHashSignature).
+    */
+  private def lshNearDupPairs(sh: DataFrame): DataFrame = {
     val sigs = sh.withColumn("sig", expr("minhash_sig(sh, 64)"))
     val bands = sigs.select(
       col("doc_id"),
       explode(expr("transform(sequence(0, 15), b -> struct(b AS band, slice(sig, b*4+1, 4) AS bsig))")).as("e"))
       .select(col("doc_id"), col("e.band").as("band"), col("e.bsig").as("bsig"))
-    // Candidate generation groups each band bucket ONCE and emits its
-    // member pairs locally (sorted ids ⇒ id1 < id2 by construction). The
-    // earlier self-join formulation was candidate-equivalent but Spark
-    // does not reuse the exchange across a self-join's sides here (the
-    // exploded band subplans canonicalize differently), so the shingle +
-    // minhash stage — the dominant per-row cost at scale — executed
-    // TWICE and the documents scan four times. This shape shuffles the
-    // signature stream exactly once; pair blowup stays Σ|bucket|² either
-    // way, and exact-dedup (q70) runs first in a real pipeline so
-    // buckets stay near-dup-group-sized.
     val cand = bands.groupBy("band", "bsig")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(expr(
-        """flatten(transform(ids, (a, i) ->
-          |  transform(slice(ids, i + 2, size(ids) - i - 1),
-          |            b -> named_struct('id1', a, 'id2', b))))""".stripMargin)).as("p"))
-      .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
+      .select(col("ids"), explode(col("ids")).as("id1"))
+      .select(col("id1"), explode(expr("filter(ids, x -> x > id1)")).as("id2"))
       .distinct()
     val s1 = sh.select(col("doc_id").as("id1"), col("sh").as("sh1"))
     val s2 = sh.select(col("doc_id").as("id2"), col("sh").as("sh2"))
     cand.join(s1, "id1").join(s2, "id2")
       .withColumn("jaccard", expr("jaccard_sim(sh1, sh2)"))
       .filter(col("jaccard") >= 0.5)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeFunctions.register(spark)
+    val sh = shingled(spark, dir).select("doc_id", "sh")
+    lshNearDupPairs(sh)
       .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("id1", "id2")
   }
@@ -556,14 +567,16 @@ object LlmPipeline extends QueryPack {
     * nearest cell by L2, and each probe searching its nprobe=2 nearest
     * cells — the standard recall knob.
     *
-    * All distance math is native: l2² = |v|² + |c|² − 2·cos·|v|·|c| with
-    * cos from the codegen'd cosine_sim kernel, and the oracle mirrors
-    * the exact same operation ORDER so both engines produce
-    * bit-identical doubles (same-order IEEE ops are deterministic; a
-    * "simplified" 2·dot form would differ by ulps and flip near-tie
-    * argmins). Cell assignment is a partial-agg min(struct) — no window
-    * over the full vector stream; candidate generation is the
-    * cell-key equi-join.
+    * All distance math is native and built from the raw `dot_product`
+    * kernel: l2² = |v|² + |c|² − 2·dot and sim = dot/(|v|·|c|), with the
+    * oracle computing the identical formulas in the identical operation
+    * ORDER — same-order IEEE double ops are bit-deterministic, so the
+    * raw-float argmin/ranking cannot flip across engines. (cosine_sim is
+    * deliberately NOT used here: it normalizes by sqrt(nx·ny), which
+    * differs by ulps from the sqrt(nx)·sqrt(ny) an oracle carrying
+    * precomputed norms forms.) Cell assignment is a partial-agg
+    * min(struct) — no window over the full vector stream; candidate
+    * generation is the cell-key equi-join.
     */
   def ivfAnn(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.NativeFunctions.register(spark)
@@ -573,7 +586,7 @@ object LlmPipeline extends QueryPack {
     val dist = e.crossJoin(broadcast(cents))
       .withColumn("l2sq",
         col("nrm") * col("nrm") + col("cnrm") * col("cnrm")
-          - lit(2.0) * expr("cosine_sim(d, cd)") * col("nrm") * col("cnrm"))
+          - lit(2.0) * expr("dot_product(d, cd)"))
     // Members: one nearest cell per vector (lexicographic struct min ⇒
     // deterministic cell tie-break); vectors re-attached by key join.
     val members = dist.groupBy("vec_id")
@@ -591,7 +604,7 @@ object LlmPipeline extends QueryPack {
     val w = Window.partitionBy("p_id").orderBy(col("sim").desc, col("c_id").asc)
     members.join(broadcast(probes), "cell")
       .filter(col("c_id") =!= col("p_id"))
-      .withColumn("sim", expr("cosine_sim(pd, cd2)"))
+      .withColumn("sim", expr("dot_product(pd, cd2)") / (col("pnrm") * col("cnrm2")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .select(col("p_id"), col("rk"), col("c_id"), col("cell"),
@@ -610,8 +623,7 @@ object LlmPipeline extends QueryPack {
       |dist AS (
       |  SELECT v.vec_id, c.cell,
       |    v.nrm * v.nrm + c.cnrm * c.cnrm
-      |      - 2 * (list_sum([v.d[i] * c.cd[i] for i in range(1, 65)]) / (v.nrm * c.cnrm))
-      |          * v.nrm * c.cnrm AS l2sq
+      |      - 2 * list_sum([v.d[i] * c.cd[i] for i in range(1, 65)]) AS l2sq
       |  FROM n2 v CROSS JOIN cents c),
       |ranked_cells AS (
       |  SELECT vec_id, cell, l2sq,
@@ -702,9 +714,14 @@ object LlmPipeline extends QueryPack {
     val keepIds = docs.groupBy("text").agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
     val kept1 = docs.join(keepIds, "doc_id")
-    val pairs = minhashLsh(spark, dir).select("id1", "id2")
-    val removed = pairs
-      .join(keepIds.select(col("doc_id").as("id1")), "id1")
+    // LSH runs over the stage-1 SURVIVORS, not the raw corpus: exact
+    // duplicates would inflate every band bucket by their group size
+    // (and their signatures/verifies would be wasted work — any pair
+    // involving a removed duplicate is unusable for stage-2 removal).
+    // Both pair endpoints are survivors, so removal is a plain anti-join.
+    val shKept = kept1.withColumn("sh", expr("word_shingles(text, 3)"))
+      .select("doc_id", "sh")
+    val removed = lshNearDupPairs(shKept)
       .select(col("id2").as("doc_id")).distinct()
     val kept2 = kept1.join(removed, Seq("doc_id"), "left_anti")
     val scored = kept2
@@ -732,14 +749,14 @@ object LlmPipeline extends QueryPack {
       |sh AS (
       |  SELECT doc_id,
       |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS s
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM kept1)),
       |pairs AS (
       |  SELECT a.doc_id AS id1, b.doc_id AS id2
       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
       |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
       |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
       |removed AS (
-      |  SELECT DISTINCT p.id2 AS doc_id FROM pairs p JOIN k ON p.id1 = k.doc_id),
+      |  SELECT DISTINCT id2 AS doc_id FROM pairs),
       |kept2 AS (
       |  SELECT * FROM kept1 WHERE doc_id NOT IN (SELECT doc_id FROM removed)),
       |scored AS (

@@ -52,6 +52,22 @@ class NativeExprSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("native dot_product matches the HOF formulation bit-for-bit on embedding pairs") {
+    NativeFunctions.register(spark)
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("d"))
+    // Bit-for-bit, not tolerance: both run the same ascending-index sum,
+    // which is what q95's cross-engine argmin determinism rests on.
+    val nMismatch = e.alias("a").join(broadcast(e.alias("b")), col("a.vec_id") < col("b.vec_id"))
+      .filter(col("a.vec_id") < 30)
+      .select(
+        expr("dot_product(a.d, b.d)").as("native"),
+        expr("aggregate(zip_with(a.d, b.d, (x, y) -> x * y), 0D, (acc, x) -> acc + x)").as("hof"))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(nMismatch == 0, s"$nMismatch pairs differ from the ascending-sum HOF value")
+  }
+
   test("native hyperplane_bucket matches the HOF formulation on every embedding") {
     NativeFunctions.register(spark)
     val hofBucket =
