@@ -107,30 +107,44 @@ object NativeFunctions {
     }
   }
 
+  /** Arity guard for the builder lambdas: `exprs(1)` on a 1-arg call is
+    * an IndexOutOfBoundsException from inside the registry — surface a
+    * real "wrong number of arguments" analysis error instead.
+    */
+  private def arity(name: String,
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      n: Int): Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    if (exprs.length != n) {
+      throw new IllegalArgumentException(
+        s"$name expects $n arguments, got ${exprs.length}")
+    }
+    exprs
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim",
-      exprs => CosineSimilarity(exprs.head, exprs(1)),
+      exprs => { val e = arity("cosine_sim", exprs, 2); CosineSimilarity(e.head, e(1)) },
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sig",
-      exprs => MinHashSignature(exprs.head, intLiteralArg("minhash_sig", exprs, 1)),
+      exprs => { val e = arity("minhash_sig", exprs, 2); MinHashSignature(e.head, intLiteralArg("minhash_sig", e, 1)) },
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "jaccard_sim",
-      exprs => JaccardSimilarity(exprs.head, exprs(1)),
+      exprs => { val e = arity("jaccard_sim", exprs, 2); JaccardSimilarity(e.head, e(1)) },
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash_sig",
-      exprs => SimHashSignature(exprs.head),
+      exprs => SimHashSignature(arity("simhash_sig", exprs, 1).head),
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "rolling_stats",
-      exprs => RollingHashStats(exprs.head),
+      exprs => RollingHashStats(arity("rolling_stats", exprs, 1).head),
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_shingles",
-      exprs => WordShingles(exprs.head, intLiteralArg("word_shingles", exprs, 1)),
+      exprs => { val e = arity("word_shingles", exprs, 2); WordShingles(e.head, intLiteralArg("word_shingles", e, 1)) },
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hyperplane_bucket",
@@ -138,7 +152,7 @@ object NativeFunctions {
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_product",
-      exprs => DotProduct(exprs.head, exprs(1)),
+      exprs => { val e = arity("dot_product", exprs, 2); DotProduct(e.head, e(1)) },
       "scala_udf")
   }
 }

@@ -16,7 +16,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * a raw float feeds an argmin or ranking (q95 IVF cell assignment).
   * With the raw dot exposed, both engines build l2² = |v|² + |c|² − 2·dot
   * and sim = dot/(|v|·|c|) from identically-ordered IEEE ops and agree
-  * bit-for-bit. Vectors of unequal length compare over the common prefix.
+  * bit-for-bit. Vectors of unequal length yield NULL: a malformed
+  * embedding must surface as a visible missing value, not a
+  * plausible-but-wrong common-prefix dot.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -34,12 +36,15 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  override def nullable: Boolean = true
+
   override def prettyName: String = "dot_product"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0
     var i = 0
     while (i < n) {
@@ -55,12 +60,16 @@ case class DotProduct(left: Expression, right: Expression)
       val dot = ctx.freshName("dot")
       val i = ctx.freshName("i")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $dot;
          |}
-         |${ev.value} = $dot;
        """.stripMargin
     })
 

@@ -228,21 +228,40 @@ object LlmPipeline extends QueryPack {
     * subplans canonicalize differently), so the shingle + minhash stage
     * — the dominant per-row cost at scale — executed TWICE and the
     * documents scan four times. This shape shuffles the signature
-    * stream exactly once. Residual skew (one task per giant bucket) is
-    * inherent to bucketing; the mitigations at 100 TB are exact-dedup
-    * first (q96 does) and per-bucket pair caps/salting.
+    * stream exactly once.
+    *
+    * Degenerate-bucket cap: a pathological bucket (boilerplate — m docs
+    * sharing one band signature) would otherwise materialize one
+    * m-element id list and stream m²/2 candidate pairs out of a single
+    * task. Members are therefore ranked within each (band, bsig) bucket
+    * by doc_id BEFORE aggregation and only the lowest [[LshBucketCap]]
+    * kept, so per-bucket state is ≤ cap ids and per-bucket pair count is
+    * ≤ cap·(cap−1)/2 — bounded per task regardless of skew. The window
+    * and the groupBy share the (band, bsig) hash partitioning, so this
+    * adds a sort but NO extra shuffle. Semantics: pairs are only lost
+    * inside buckets wider than the cap — near-identical boilerplate for
+    * which the kept representatives still link every retained document;
+    * fixture buckets are far below the cap, so output is unchanged
+    * (LshSkewSpec proves the bound adversarially and the no-op on real
+    * data).
     *
     * Native minhash_sig: one fused loop per row. The HOF equivalent
     * (nested transform + array_min) is interpreted per element and was
     * measured 40x slower at sf0.1 (graft.functions.MinHashSignature).
     */
-  private def lshNearDupPairs(sh: DataFrame): DataFrame = {
+  private[graft] val LshBucketCap = 512
+
+  private[graft] def lshNearDupPairs(sh: DataFrame, bucketCap: Int = LshBucketCap): DataFrame = {
     val sigs = sh.withColumn("sig", expr("minhash_sig(sh, 64)"))
     val bands = sigs.select(
       col("doc_id"),
       explode(expr("transform(sequence(0, 15), b -> struct(b AS band, slice(sig, b*4+1, 4) AS bsig))")).as("e"))
       .select(col("doc_id"), col("e.band").as("band"), col("e.bsig").as("bsig"))
-    val cand = bands.groupBy("band", "bsig")
+    val wBucket = Window.partitionBy("band", "bsig").orderBy("doc_id")
+    val cand = bands
+      .withColumn("brk", row_number().over(wBucket))
+      .filter(col("brk") <= bucketCap)
+      .groupBy("band", "bsig")
       .agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(col("ids"), explode(col("ids")).as("id1"))
@@ -317,10 +336,15 @@ object LlmPipeline extends QueryPack {
     */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.NativeFunctions.register(spark)
+    // sim is dot/(nrm*nrm) from the raw dot_product kernel, NOT
+    // cosine_sim: cosine_sim normalizes by sqrt(nx*ny), ulp-different
+    // from the sqrt(nx)*sqrt(ny) the oracle's precomputed norms form,
+    // and the raw float crosses the >= 0.4 gate (the q95 recipe).
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("d"))
+      .withColumn("nrm", expr("sqrt(dot_product(d, d))"))
     e.alias("a").join(broadcast(e.alias("b")), col("a.vec_id") < col("b.vec_id"))
-      .withColumn("sim", expr("cosine_sim(a.d, b.d)"))
+      .withColumn("sim", expr("dot_product(a.d, b.d)") / (col("a.nrm") * col("b.nrm")))
       .filter(col("sim") >= 0.4)
       .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
         round(col("sim"), 4).as("sim_r"))
@@ -431,13 +455,17 @@ object LlmPipeline extends QueryPack {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("d"))
       .withColumn("bucket", expr("hyperplane_bucket(d, 4)"))
+      .withColumn("nrm", expr("sqrt(dot_product(d, d))"))
     val probes = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("p_id"), col("d").as("pd"), col("bucket"))
-    val cands = e.select(col("vec_id").as("c_id"), col("d").as("cd"), col("bucket"))
+      .select(col("vec_id").as("p_id"), col("d").as("pd"), col("nrm").as("pnrm"), col("bucket"))
+    val cands = e.select(col("vec_id").as("c_id"), col("d").as("cd"), col("nrm").as("cnrm"), col("bucket"))
     val w = Window.partitionBy("p_id").orderBy(col("sim").desc, col("c_id").asc)
     cands.join(broadcast(probes), "bucket")
       .filter(col("c_id") =!= col("p_id"))
-      .withColumn("sim", expr("cosine_sim(pd, cd)"))
+      // dot/(nrm*nrm), not cosine_sim: the raw float feeds row_number
+      // ranking, so both engines must execute identically-ordered IEEE
+      // ops (the q95 recipe; cosine_sim's sqrt(nx*ny) is ulp-different).
+      .withColumn("sim", expr("dot_product(pd, cd)") / (col("pnrm") * col("cnrm")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .select(col("p_id"), col("rk"), col("c_id"), col("bucket"),
@@ -489,9 +517,12 @@ object LlmPipeline extends QueryPack {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("d"))
       .withColumn("bucket", expr("hyperplane_bucket(d, 4)"))
+      .withColumn("nrm", expr("sqrt(dot_product(d, d))"))
     e.alias("a").join(e.alias("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("sim", expr("cosine_sim(a.d, b.d)"))
+      // dot/(nrm*nrm) so the >= 0.4 gate sees the same raw float both
+      // engines computed (the q95 recipe; cosine_sim is ulp-different).
+      .withColumn("sim", expr("dot_product(a.d, b.d)") / (col("a.nrm") * col("b.nrm")))
       .filter(col("sim") >= 0.4)
       .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
         col("a.bucket").as("bucket"), (round(col("sim"), 4) + lit(0)).as("sim_r"))

@@ -39,11 +39,15 @@ object SqlGateway extends QueryPack {
 
   /** Demo command: revenue per nation, authored as a plain SQL string.
     * The identical text runs in DuckDB as the oracle — one command, two
-    * engines, hash-equal answers.
+    * engines, hash-equal answers. The sum runs in DECIMAL(18,2):
+    * o_totalprice is a double, and double summation is order-dependent
+    * across shuffle merge order and across engines (the q26 decimalAggs
+    * hazard) — exact decimal addition is associative, so the final
+    * double cast is deterministic.
     */
   private val revenueByNationCmd =
     """SELECT n.n_name AS nation, count(*) AS n_orders,
-      |  round(sum(o.o_totalprice), 4) AS revenue
+      |  round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS revenue
       |FROM orders o
       |JOIN customer c ON o.o_custkey = c.c_custkey
       |JOIN nation n ON c.c_nationkey = n.n_nationkey
