@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
@@ -57,11 +57,24 @@ case class JaccardSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** 32-bit SimHash fingerprint over a string array: per-element xxHash64
-  * (seed 0), bit-vote, sign. Returns a non-negative long.
+/** 30-bit SimHash fingerprint over a string array: per-element
+  * Rabin-Karp polynomial hash (base 131 mod 1e9+7 over UTF-8 bytes —
+  * the [[RollingHashStats]] q88 hash, integer-exact in any engine),
+  * bit-vote over the 30 hash bits (1e9+7 < 2³⁰), sign. Returns a
+  * non-negative long.
+  *
+  * The earlier xxHash64 formulation was Spark-specific, which blocked
+  * any cross-engine oracle for q79; the polynomial hash is reproducible
+  * in plain SQL (`list_reduce` over character codes), making the whole
+  * fingerprint hash-comparable while keeping the same bit-vote
+  * semantics. Ties (vote sum 0) leave the bit 0 in both engines.
   */
 case class SimHashSignature(child: Expression)
     extends UnaryExpression with CodegenFallback {
+
+  private val Base = 131L
+  private val Mod = 1000000007L
+  private val Bits = 30
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -74,13 +87,18 @@ case class SimHashSignature(child: Expression)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    val votes = new Array[Int](32)
+    val votes = new Array[Int](Bits)
     var i = 0
     while (i < arr.numElements()) {
-      val s = arr.getUTF8String(i)
-      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 0L)
+      val bytes = arr.getUTF8String(i).getBytes
+      var h = 0L
+      var k = 0
+      while (k < bytes.length) {
+        h = (h * Base + (bytes(k) & 0xff)) % Mod
+        k += 1
+      }
       var j = 0
-      while (j < 32) {
+      while (j < Bits) {
         if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
         j += 1
       }
@@ -88,7 +106,7 @@ case class SimHashSignature(child: Expression)
     }
     var sig = 0L
     var j = 0
-    while (j < 32) {
+    while (j < Bits) {
       if (votes(j) > 0) sig |= (1L << j)
       j += 1
     }

@@ -387,14 +387,16 @@ object LlmPipeline extends QueryPack {
       |FROM documents JOIN embeddings ON doc_id = vec_id
       |ORDER BY doc_id""".stripMargin
 
-  /** SimHash fingerprints (32-bit, bit-vote over distinct 3-gram
+  /** SimHash fingerprints (30-bit, bit-vote over distinct 3-gram
     * shingles — unigrams are non-discriminative in a shared-vocabulary
     * corpus) plus 4×8-bit band keys for banded near-dup bucketing.
-    * xxhash64 is Spark-specific, so there is no cross-engine oracle;
-    * LlmPipelineSpec checks the near-dup Hamming-distance property
-    * against q75's pairs. Bands are emitted CSV-scalarized (the q32
-    * pattern): the driver's rows-only pandas check cannot sort/hash an
-    * array column (round-2 checker crash).
+    * The per-shingle hash is the q88 Rabin-Karp polynomial hash
+    * (base 131 mod 1e9+7 — integer-exact in any engine), so the whole
+    * fingerprint is cross-engine hash-comparable; LlmPipelineSpec
+    * additionally checks the near-dup Hamming-distance property against
+    * q75's pairs. Bands are emitted CSV-scalarized (the q32 pattern):
+    * the driver's pandas check cannot sort/hash an array column
+    * (round-2 checker crash).
     */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.NativeFunctions.register(spark)
@@ -407,6 +409,33 @@ object LlmPipeline extends QueryPack {
           ",").as("bands"))
       .orderBy("doc_id")
   }
+
+
+  private val simhashSql =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+      |g AS (SELECT doc_id, unnest(s) AS gram FROM sh),
+      |h AS (
+      |  SELECT doc_id,
+      |    list_reduce([CAST(ascii(gram[i]) AS BIGINT) for i in range(1, strlen(gram) + 1)],
+      |      (a, c) -> (a * 131 + c) % 1000000007) AS hv
+      |  FROM g),
+      |v AS (
+      |  SELECT doc_id, bits.j AS j,
+      |    sum(CASE WHEN (hv >> bits.j) & 1 = 1 THEN 1 ELSE -1 END) AS votes
+      |  FROM h CROSS JOIN (SELECT unnest(range(0, 30)) AS j) bits
+      |  GROUP BY doc_id, bits.j),
+      |sig AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN votes > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM v GROUP BY doc_id)
+      |SELECT sh.doc_id,
+      |  coalesce(sig.simhash, 0) AS simhash,
+      |  array_to_string([(coalesce(sig.simhash, 0) >> (b * 8)) & 255 for b in range(0, 4)], ',') AS bands
+      |FROM sh LEFT JOIN sig ON sh.doc_id = sig.doc_id
+      |ORDER BY sh.doc_id""".stripMargin
 
   /** HOF-formulated cosine near-dup over a bounded probe set (id1 < 50):
     * the pure zip_with/aggregate formulation of the same math, kept as a
@@ -837,7 +866,7 @@ object LlmPipeline extends QueryPack {
     QueryDef("q76_jaccard_probe", jaccardProbe, Some(jaccardProbeSql)),
     QueryDef("q77_embedding_neardup", embeddingNearDup, Some(embeddingNearDupSql)),
     QueryDef("q78_multimodal_join", multimodalJoin, Some(multimodalJoinSql)),
-    QueryDef("q79_simhash", simhash, None),
+    QueryDef("q79_simhash", simhash, Some(simhashSql)),
     QueryDef("q85_media_features", mediaFeatures, Some(mediaFeaturesSql)),
     QueryDef("q86_hof_cosine", hofCosineNearDup, Some(hofCosineNearDupSql)),
     QueryDef("q87_lsh_bucketed_ann", lshBucketedAnn, Some(lshBucketedAnnSql)),
