@@ -148,7 +148,15 @@ object NativeFunctions {
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hyperplane_bucket",
-      exprs => HyperplaneBucket(exprs.head, intLiteralArg("hyperplane_bucket", exprs, 1)),
+      exprs => {
+        if (exprs.length != 2 && exprs.length != 3) {
+          throw new IllegalArgumentException(
+            s"hyperplane_bucket expects 2 or 3 arguments, got ${exprs.length}")
+        }
+        val table =
+          if (exprs.length == 3) intLiteralArg("hyperplane_bucket", exprs, 2) else -1
+        HyperplaneBucket(exprs.head, intLiteralArg("hyperplane_bucket", exprs, 1), table)
+      },
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_product",

@@ -17,6 +17,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   *   bit_j   = [ Σ_i sign_ij · d[i]  >=  0 ]
   *   bucket  = Σ_j bit_j · 2^j
   *
+  * Multi-table variant (q97 recall recovery): a third argument selects
+  * an independent hash TABLE — plane j of table t is global plane
+  * J = j + numPlanes·t drawn from the mod-13 family
+  * sign_iJ = +1 if ((i·31 + J·17) mod 13) < 7 else -1. Because 17 is
+  * invertible mod 13, tables 0..2 with 4 planes each use 12 DISTINCT
+  * hyperplanes — no plane is shared between tables, which the legacy
+  * mod-7 family cannot provide (it only has 7 distinct planes). The
+  * 2-arg form keeps the original mod-7 planes so q87/q92 oracles are
+  * unchanged.
+  *
   * The HOF formulation (nested aggregate/zip_with over sequence(0,63) per
   * plane) is CodegenFallback: ~4 planes × 64 dims = 256 interpreted
   * lambda steps per ROW — the exact pattern measured 40× slower on the
@@ -29,7 +39,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * Null/absent elements are not expected (embeddings are non-null by
   * schema); a null vector yields a null bucket.
   */
-case class HyperplaneBucket(child: Expression, numPlanes: Int)
+case class HyperplaneBucket(child: Expression, numPlanes: Int, table: Int = -1)
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -52,10 +62,19 @@ case class HyperplaneBucket(child: Expression, numPlanes: Int)
     while (j < numPlanes) {
       var s = 0.0
       var i = 0
-      while (i < n) {
-        val v = arr.getDouble(i)
-        s += (if ((i * 31 + j * 17) % 7 < 4) v else -v)
-        i += 1
+      if (table < 0) {
+        while (i < n) {
+          val v = arr.getDouble(i)
+          s += (if ((i * 31 + j * 17) % 7 < 4) v else -v)
+          i += 1
+        }
+      } else {
+        val jj = j + numPlanes * table
+        while (i < n) {
+          val v = arr.getDouble(i)
+          s += (if ((i * 31 + jj * 17) % 13 < 7) v else -v)
+          i += 1
+        }
       }
       if (s >= 0.0) bucket |= 1 << j
       j += 1
@@ -71,6 +90,9 @@ case class HyperplaneBucket(child: Expression, numPlanes: Int)
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
       val v = ctx.freshName("v")
+      val sign =
+        if (table < 0) s"((($i * 31 + $j * 17) % 7) < 4)"
+        else s"((($i * 31 + ($j + ${numPlanes * table}) * 17) % 13) < 7)"
       s"""
          |int $n = $a.numElements();
          |int $bucket = 0;
@@ -78,7 +100,7 @@ case class HyperplaneBucket(child: Expression, numPlanes: Int)
          |  double $s = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
          |    double $v = $a.getDouble($i);
-         |    $s += ((($i * 31 + $j * 17) % 7) < 4) ? $v : -$v;
+         |    $s += $sign ? $v : -$v;
          |  }
          |  if ($s >= 0.0) $bucket |= 1 << $j;
          |}

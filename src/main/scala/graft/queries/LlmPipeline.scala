@@ -578,6 +578,71 @@ object LlmPipeline extends QueryPack {
       |WHERE list_sum([a.d[i] * b.d[i] for i in range(1, 65)]) / (a.nrm * b.nrm) >= 0.4
       |ORDER BY id1, id2""".stripMargin
 
+
+  /** Multi-table LSH near-dup (q92's documented recall-recovery
+    * extension, implemented): L=3 INDEPENDENT hyperplane tables — table
+    * t uses global planes J = j + 4t from the mod-13 sign family, so no
+    * hyperplane is shared between tables — and a pair is a candidate if
+    * it collides in ANY table. Candidate generation is the q75 banding
+    * shape applied to vectors: explode each vector to 3 (table, bucket)
+    * keys, one equi-join on the composite key, dedup to distinct pairs
+    * (n_tabs = how many tables agreed — the standard LSH amplification
+    * 1−(1−p)^L), then one exact verify at sim ≥ 0.4 computed as
+    * dot/(nrm·nrm) from the raw dot_product kernel (cross-engine ulp
+    * identity, the q95 recipe). The plan is never quadratic — the only
+    * joins are the (tbl, bucket) equi-join and the two id re-attachment
+    * joins (PlanSpec proves no cartesian/BNLJ) — and recall on the
+    * fixture is strictly above single-table q92's (LshSkewSpec
+    * quantifies both against exact q77).
+    */
+  def multiTableNearDup(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("d"))
+      .withColumn("nrm", expr("sqrt(dot_product(d, d))"))
+    val keyed = e.select(col("vec_id"), explode(expr(
+      "array(struct(0 AS tbl, hyperplane_bucket(d, 4, 0) AS bucket), " +
+        "struct(1 AS tbl, hyperplane_bucket(d, 4, 1) AS bucket), " +
+        "struct(2 AS tbl, hyperplane_bucket(d, 4, 2) AS bucket))")).as("tb"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val cand = keyed.alias("a").join(keyed.alias("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
+      .groupBy("id1", "id2")
+      .agg(count(lit(1)).as("n_tabs"))
+    cand
+      .join(e.select(col("vec_id").as("id1"), col("d").as("d1"), col("nrm").as("nrm1")), "id1")
+      .join(e.select(col("vec_id").as("id2"), col("d").as("d2"), col("nrm").as("nrm2")), "id2")
+      .withColumn("sim", expr("dot_product(d1, d2)") / (col("nrm1") * col("nrm2")))
+      .filter(col("sim") >= 0.4)
+      .select(col("id1"), col("id2"), col("n_tabs"),
+        (round(col("sim"), 4) + lit(0)).as("sim_r"))
+      .orderBy("id1", "id2")
+  }
+
+  private val multiTableNearDupSql =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d
+      |  FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, d, sqrt(list_sum(list_transform(d, x -> x * x))) AS nrm,
+      |    [CAST(list_sum([CASE WHEN list_sum([
+      |        CASE WHEN ((i - 1) * 31 + (j + 4 * t) * 17) % 13 < 7 THEN d[i] ELSE -d[i] END
+      |        for i in range(1, 65)]) >= 0
+      |      THEN (1 << j) ELSE 0 END for j in range(0, 4)]) AS INTEGER) for t in range(0, 3)] AS bks
+      |  FROM e),
+      |cand AS (
+      |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+      |    CAST((a.bks[1] = b.bks[1])::INTEGER + (a.bks[2] = b.bks[2])::INTEGER
+      |      + (a.bks[3] = b.bks[3])::INTEGER AS BIGINT) AS n_tabs,
+      |    list_sum([a.d[i] * b.d[i] for i in range(1, 65)]) / (a.nrm * b.nrm) AS sim
+      |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |    AND (a.bks[1] = b.bks[1] OR a.bks[2] = b.bks[2] OR a.bks[3] = b.bks[3]))
+      |SELECT id1, id2, n_tabs, round(sim, 4) + 0 AS sim_r
+      |FROM cand WHERE sim >= 0.4
+      |ORDER BY id1, id2""".stripMargin
+
   /** Document fingerprinting via rolling hash (mandated text-analysis
     * row): Rabin-Karp polynomial hashes over every 16-char window
     * (base 131 mod 1e9+7 — integer-exact in both engines), sampled
@@ -874,5 +939,6 @@ object LlmPipeline extends QueryPack {
     QueryDef("q92_bucketed_neardup", bucketedNearDup, Some(bucketedNearDupSql)),
     QueryDef("q93_tfidf", tfidf, Some(tfidfSql)),
     QueryDef("q95_ivf_ann", ivfAnn, Some(ivfAnnSql)),
-    QueryDef("q96_curation_pipeline", curationPipeline, Some(curationPipelineSql)))
+    QueryDef("q96_curation_pipeline", curationPipeline, Some(curationPipelineSql)),
+    QueryDef("q97_multitable_neardup", multiTableNearDup, Some(multiTableNearDupSql)))
 }

@@ -60,6 +60,24 @@ class LshSkewSpec extends SparkSpec {
       "cap must keep the deterministic lowest doc_ids")
   }
 
+  test("multi-table LSH recall (q97) strictly exceeds single-table recall (q92) vs exact q77") {
+    // Exact answer: q77's all-pairs cosine >= 0.4 at sf0.01. One table of
+    // 4 hyperplanes only catches pairs agreeing on all 4 sign bits;
+    // 3 independent tables recover 1-(1-p)^3 of them.
+    val dir = "/root/testdata/sf0.01"
+    import org.apache.spark.sql.Row
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id1", "id2").collect().map { case Row(a: Long, b: Long) => (a, b) }.toSet
+    val exact = pairSet(queries.LlmPipeline.embeddingNearDup(spark, dir))
+    val single = pairSet(queries.LlmPipeline.bucketedNearDup(spark, dir))
+    val multi = pairSet(queries.LlmPipeline.multiTableNearDup(spark, dir))
+    assert(single.subsetOf(exact) && multi.subsetOf(exact),
+      "LSH candidates verified at the same threshold must be subsets of the exact answer")
+    assert(multi.size > single.size,
+      s"multi-table recall ${multi.size}/${exact.size} must strictly exceed " +
+        s"single-table ${single.size}/${exact.size}")
+  }
+
   test("cap is a no-op below the threshold") {
     graft.functions.NativeFunctions.register(spark)
     val sh = spark.range(0, 40).toDF("doc_id")

@@ -119,4 +119,15 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"bucketed ANN must never go quadratic:\n$plan")
   }
+
+  test("q97: multi-table near-dup joins on (table, bucket), never quadratic") {
+    withoutAutoBroadcast {
+      val plan = simple(LlmPipeline.multiTableNearDup(spark, sfDir))
+      assert(plan.contains("hyperplane_bucket"), s"native bucket expression missing:\n$plan")
+      assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r.findAllIn(plan).nonEmpty,
+        "table-bucket join must be an equi join")
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"multi-table near-dup must never go quadratic:\n$plan")
+    }
+  }
 }
