@@ -267,6 +267,57 @@ object Joins extends QueryPack {
       |WHERE rk <= 10
       |ORDER BY o_orderstatus, rk""".stripMargin
 
+
+  /** Runtime Bloom-filter join (q99): the non-partition-key complement
+    * to q98's DPP. A selective dim filter (urgent orders) cannot prune
+    * file partitions when the fact table isn't laid out on the join key
+    * — instead Spark's InjectRuntimeFilter builds a bloom_filter_agg
+    * over the dim join keys and semi-filters the fact scan with
+    * BloomFilterMightContain BEFORE the shuffle, cutting the shuffled
+    * fact volume by the dim selectivity (~20% here; at 100 TB this is
+    * the difference between shuffling the whole fact table and a
+    * fifth of it). Injection happens at execution planning, so the
+    * bloom-filtered join is executed inside this function with the
+    * thresholds scoped (fixture scans are far below the 10 GiB default
+    * application-side threshold) and the session conf restored after;
+    * PlanSpec asserts bloom_filter_agg + the scan-side might_contain
+    * on the same shape. Broadcast is disabled so the demonstrated plan
+    * is the 100-TB shuffle-join shape; the sum aggregates integral
+    * l_quantity, which is order-independent in doubles.
+    */
+  def bloomFilteredJoin(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Paths
+      .get(sys.props("java.io.tmpdir"), "graft_join_bloom").toString
+    val conf = spark.conf
+    val overrides = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = overrides.map { case (k, _) => k -> conf.getOption(k) }
+    try {
+      overrides.foreach { case (k, v) => conf.set(k, v) }
+      val urgent = Tables.orders(spark, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      Tables.lineitem(spark, dir)
+        .join(urgent, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_lines"), round(sum("l_quantity"), 4).as("sum_qty"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+    spark.read.parquet(out).orderBy("l_returnflag")
+  }
+
+  private val bloomFilteredJoinSql =
+    """SELECT l_returnflag, count(*) AS n_lines, round(sum(l_quantity), 4) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   override def all: Seq[QueryDef] = Seq(
     QueryDef("q10_semi_join", semiJoin, Some(semiJoinSql)),
     QueryDef("q11_anti_join", antiJoin, Some(antiJoinSql)),
@@ -277,5 +328,6 @@ object Joins extends QueryPack {
     QueryDef("q16_range_join_bands", rangeJoinPriceBands, Some(rangeJoinPriceBandsSql)),
     QueryDef("q17_star_brand_nation", starJoinBrandNation, Some(starJoinBrandNationSql), headline = true),
     QueryDef("q18_right_outer_segments", rightOuterSegments, Some(rightOuterSegmentsSql)),
-    QueryDef("q19_salted_topk", saltedTopK, Some(saltedTopKSql)))
+    QueryDef("q19_salted_topk", saltedTopK, Some(saltedTopKSql)),
+    QueryDef("q99_bloom_filter_join", bloomFilteredJoin, Some(bloomFilteredJoinSql)))
 }

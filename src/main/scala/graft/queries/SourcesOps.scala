@@ -192,11 +192,44 @@ object SourcesOps extends QueryPack {
       |GROUP BY 1
       |ORDER BY pid""".stripMargin
 
+
+  /** Dynamic partition pruning (q98): the 100-TB star-schema pattern —
+    * a FACT table laid out partitioned on the join key (customer
+    * partitioned by c_nationkey; at scale this is the multi-TB side)
+    * joined to a DIM table carrying a selective filter (nation in region
+    * 1). The partition filter on the fact scan is not known until
+    * runtime, so Catalyst inserts a DynamicPruningExpression subquery
+    * reusing the dim broadcast: only the 5 matching c_nationkey
+    * directories are read, the other 20 are never opened.
+    * SourcesOpsSpec asserts `dynamicpruningexpression` is present in the
+    * fact scan's PartitionFilters and that pruning actually reduced the
+    * partition count.
+    */
+  def dynamicPartitionPruning(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratch("dpp")
+    Tables.customer(spark, dir)
+      .write.mode(SaveMode.Overwrite).partitionBy("c_nationkey").parquet(out)
+    val fact = spark.read.parquet(out)
+    val dim = Tables.nation(spark, dir).filter(col("n_regionkey") === 1)
+    fact.join(dim, col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_cust"), round(sum("c_acctbal"), 4).as("sum_bal"))
+      .orderBy("n_name")
+  }
+
+  private val dynamicPartitionPruningSql =
+    """SELECT n_name, count(*) AS n_cust, round(sum(c_acctbal), 4) AS sum_bal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |WHERE n_regionkey = 1
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
   override def all: Seq[QueryDef] = Seq(
     QueryDef("q80_csv_roundtrip", csvRoundtrip, Some(csvRoundtripSql)),
     QueryDef("q81_json_roundtrip", jsonRoundtrip, Some(jsonRoundtripSql)),
     QueryDef("q82_partitioned_sink", partitionedSink, Some(partitionedSinkSql)),
     QueryDef("q83_in_memory_source", inMemorySource, Some(inMemorySourceSql)),
     QueryDef("q84_local_sort", localSort, Some(localSortSql)),
-    QueryDef("q89_orc_roundtrip", orcRoundtrip, Some(orcRoundtripSql)))
+    QueryDef("q89_orc_roundtrip", orcRoundtrip, Some(orcRoundtripSql)),
+    QueryDef("q98_dynamic_partition_pruning", dynamicPartitionPruning, Some(dynamicPartitionPruningSql)))
 }

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions.{col, count, lit}
 
 import graft.queries.{Joins, LlmPipeline, Relational}
 
@@ -118,6 +119,36 @@ class PlanSpec extends SparkSpec {
       "bucket join must be an equi join")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"bucketed ANN must never go quadratic:\n$plan")
+  }
+
+  test("q99: runtime Bloom filter is injected into the fact side of the join") {
+    // Same shape q99 executes internally: selective dim filter, no
+    // broadcast, application-side threshold scoped to fixture scale.
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      keys.foreach { case (k, v) => spark.conf.set(k, v) }
+      val urgent = graft.sources.Tables.orders(spark, sfDir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val df = graft.sources.Tables.lineitem(spark, sfDir)
+        .join(urgent, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n_lines"))
+      df.collect()
+      val plan = simple(df)
+      assert(plan.contains("bloom_filter_agg"),
+        s"no bloom filter built over the dim keys: $plan")
+      assert(plan.toLowerCase.contains("might_contain"),
+        s"fact scan not semi-filtered by the bloom filter: $plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        "demonstrated shape must be the 100-TB shuffle join")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("q97: multi-table near-dup joins on (table, bucket), never quadratic") {
