@@ -897,6 +897,51 @@ object LlmPipeline extends QueryPack {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+
+  /** Train/eval decontamination (q100): the overlap scan every LLM
+    * training pipeline runs before training — find training documents
+    * sharing n-gram shingles with a held-out evaluation set so they can
+    * be dropped (benchmark leakage). Eval set = doc_id % 10 == 7 (a
+    * deterministic ~10% of the corpus standing in for an external
+    * benchmark); overlap = count of shared distinct 3-gram shingles
+    * (real deployments use ~13-grams; fixture texts are short), reported
+    * for training docs with >= 2 shared shingles.
+    *
+    * Scale notes: the eval shingle set is dimension-sized (benchmarks
+    * are tiny next to a 100-TB corpus) — at scale it broadcasts, and
+    * shingles join as 8-byte xxhash64 keys rather than strings. Shingle
+    * arrays are already distinct per doc (word_shingles) and the eval
+    * side is dedup'd, so the join emits each (doc, shingle) hit once
+    * and a plain count(*) is the overlap cardinality — no
+    * count-distinct shuffle.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeFunctions.register(spark)
+    val sh = shingled(spark, dir).select("doc_id", "sh")
+    val evalSh = sh.filter(pmod(col("doc_id"), lit(10)) === 7)
+      .select(explode(col("sh")).as("g")).distinct()
+    val trainSh = sh.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+    trainSh.join(broadcast(evalSh), "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .orderBy("doc_id")
+  }
+
+  private val decontaminateSql =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+      |ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 10 = 7),
+      |tr AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 10 <> 7)
+      |SELECT doc_id, count(*) AS n_shared
+      |FROM tr JOIN ev USING (g)
+      |GROUP BY doc_id
+      |HAVING count(*) >= 2
+      |ORDER BY doc_id""".stripMargin
+
   /** Multimodal binary-column pipeline: synthesized media payloads →
     * partition-batched decode-stub features → per-kind aggregate
     * (graft.multimodal.Multimodal). The oracle reproduces the stub's
@@ -940,5 +985,6 @@ object LlmPipeline extends QueryPack {
     QueryDef("q93_tfidf", tfidf, Some(tfidfSql)),
     QueryDef("q95_ivf_ann", ivfAnn, Some(ivfAnnSql)),
     QueryDef("q96_curation_pipeline", curationPipeline, Some(curationPipelineSql)),
-    QueryDef("q97_multitable_neardup", multiTableNearDup, Some(multiTableNearDupSql)))
+    QueryDef("q97_multitable_neardup", multiTableNearDup, Some(multiTableNearDupSql)),
+    QueryDef("q100_decontaminate", decontaminate, Some(decontaminateSql)))
 }
