@@ -942,6 +942,87 @@ object LlmPipeline extends QueryPack {
       |HAVING count(*) >= 2
       |ORDER BY doc_id""".stripMargin
 
+
+  /** Near-dup cluster assignment via connected components (q101) — the
+    * iterative-algorithm capability class: real dedup pipelines cluster
+    * the near-dup GRAPH and keep one representative per component
+    * (greedy pairwise removal, q96's stage 2, over-deletes chains
+    * A~B~C where A~C was never a candidate pair). Components are
+    * computed by min-label propagation over the q75 LSH pair graph:
+    * every node starts labeled with its own id; each round a node takes
+    * the min of its own and its neighbors' labels; at fixpoint the
+    * label is the component's min doc_id — a deterministic,
+    * engine-independent cluster id the DuckDB oracle reproduces with a
+    * recursive CTE.
+    *
+    * Scale notes: each round is one shuffle join + partial-agg min —
+    * the standard distributed CC loop (GraphX's CC is this exact
+    * computation); rounds needed = component diameter, and near-dup
+    * components are shallow (duplicates of a common source). The loop
+    * is driver-side CONTROL only — the convergence check is a scalar
+    * count aggregate, no row data reaches the driver; per-round
+    * persist() caps lineage growth (at 100 TB: checkpoint every few
+    * rounds instead).
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeFunctions.register(spark)
+    val sh = shingled(spark, dir).select("doc_id", "sh")
+    val pairs = lshNearDupPairs(sh).select("id1", "id2")
+    val edges = pairs.union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+      .persist()
+    var labels = edges.select(col("id1").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 64) {
+      val prop = edges.join(labels, edges("id1") === labels("id"))
+        .select(col("id2").as("id"), col("label"))
+      val next = labels.select("id", "label").union(prop)
+        .groupBy("id").agg(min("label").as("label"))
+        .persist()
+      val changed = next.alias("n")
+        .join(labels.alias("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") =!= col("o.label"))
+        .count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      rounds += 1
+    }
+    require(converged, s"connected components did not converge in $rounds rounds")
+    edges.unpersist()
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("id").as("doc_id"), col("label").as("cluster"), col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
+  // pairs/edges are MATERIALIZED: DuckDB inlines plain CTEs, so the
+  // recursive member would otherwise re-run the all-pairs Jaccard scan
+  // on every fixpoint iteration.
+  private val dedupClustersSql =
+    """WITH RECURSIVE sh AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+      |pairs AS MATERIALIZED (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+      |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+      |edges AS MATERIALIZED (
+      |  SELECT id1, id2 FROM pairs UNION ALL SELECT id2 AS id1, id1 AS id2 FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT id1 AS id, id1 AS r FROM edges
+      |  UNION
+      |  SELECT e.id1 AS id, reach.r FROM edges e JOIN reach ON e.id2 = reach.id),
+      |labels AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+      |sizes AS (SELECT cluster, count(*) AS cluster_size FROM labels GROUP BY cluster)
+      |SELECT id AS doc_id, cluster, cluster_size
+      |FROM labels JOIN sizes USING (cluster)
+      |ORDER BY doc_id""".stripMargin
+
   /** Multimodal binary-column pipeline: synthesized media payloads →
     * partition-batched decode-stub features → per-kind aggregate
     * (graft.multimodal.Multimodal). The oracle reproduces the stub's
@@ -986,5 +1067,6 @@ object LlmPipeline extends QueryPack {
     QueryDef("q95_ivf_ann", ivfAnn, Some(ivfAnnSql)),
     QueryDef("q96_curation_pipeline", curationPipeline, Some(curationPipelineSql)),
     QueryDef("q97_multitable_neardup", multiTableNearDup, Some(multiTableNearDupSql)),
-    QueryDef("q100_decontaminate", decontaminate, Some(decontaminateSql)))
+    QueryDef("q100_decontaminate", decontaminate, Some(decontaminateSql)),
+    QueryDef("q101_dedup_clusters", dedupClusters, Some(dedupClustersSql)))
 }

@@ -78,6 +78,26 @@ class LshSkewSpec extends SparkSpec {
         s"single-table ${single.size}/${exact.size}")
   }
 
+  test("q101 clusters satisfy the component laws against the q75 pair graph") {
+    // Engine-local graph laws (the DuckDB recursive-CTE oracle is the
+    // cross-engine signal): both endpoints of every near-dup pair share
+    // a cluster, every cluster id is the min doc_id of its members, and
+    // cluster sizes sum to the node count.
+    val dir = "/root/testdata/sf0.01"
+    val clusters = queries.LlmPipeline.dedupClusters(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val pairs = queries.LlmPipeline.minhashLsh(spark, dir)
+      .select("id1", "id2").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a)._1 == clusters(b)._1, s"pair ($a,$b) split across clusters")
+    }
+    clusters.groupBy(_._2._1).foreach { case (cid, members) =>
+      assert(members.keys.min == cid, s"cluster $cid is not its min member id")
+      assert(members.values.forall(_._2 == members.size), s"cluster $cid size mismatch")
+    }
+  }
+
   test("cap is a no-op below the threshold") {
     graft.functions.NativeFunctions.register(spark)
     val sh = spark.range(0, 40).toDF("doc_id")
