@@ -973,6 +973,14 @@ object LlmPipeline extends QueryPack {
     var labels = edges.select(col("id1").as("id")).distinct()
       .withColumn("label", col("id"))
       .persist()
+    // Convergence via a monotone invariant instead of a per-round
+    // diff join: labels only ever DECREASE (min of self and
+    // neighbors), so the label sum strictly decreases every round
+    // that changes anything and is equal exactly at the fixpoint —
+    // one scalar aggregate per round, no join against the previous
+    // labels. (At 100 TB sum the labels as decimal to keep the
+    // invariant overflow-proof.)
+    var prevSum = labels.agg(sum(col("label"))).head.getLong(0)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 64) {
@@ -981,13 +989,11 @@ object LlmPipeline extends QueryPack {
       val next = labels.select("id", "label").union(prop)
         .groupBy("id").agg(min("label").as("label"))
         .persist()
-      val changed = next.alias("n")
-        .join(labels.alias("o"), col("n.id") === col("o.id"))
-        .filter(col("n.label") =!= col("o.label"))
-        .count()
+      val nextSum = next.agg(sum(col("label"))).head.getLong(0)
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = nextSum == prevSum
+      prevSum = nextSum
       rounds += 1
     }
     require(converged, s"connected components did not converge in $rounds rounds")
