@@ -970,9 +970,14 @@ object LlmPipeline extends QueryPack {
     val pairs = lshNearDupPairs(sh).select("id1", "id2")
     val edges = pairs.union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
       .persist()
+    // Each round's labels are localCheckpoint'ed (not merely cached):
+    // iterative plans otherwise DOUBLE their lineage every round (next
+    // references labels twice), exploding optimizer/explain cost — the
+    // checkpoint truncates the logical plan to the materialized rows,
+    // exactly the every-few-rounds checkpoint a 100-TB CC job performs.
     var labels = edges.select(col("id1").as("id")).distinct()
       .withColumn("label", col("id"))
-      .persist()
+      .localCheckpoint()
     // Convergence via a monotone invariant instead of a per-round
     // diff join: labels only ever DECREASE (min of self and
     // neighbors), so the label sum strictly decreases every round
@@ -988,9 +993,8 @@ object LlmPipeline extends QueryPack {
         .select(col("id2").as("id"), col("label"))
       val next = labels.select("id", "label").union(prop)
         .groupBy("id").agg(min("label").as("label"))
-        .persist()
+        .localCheckpoint()
       val nextSum = next.agg(sum(col("label"))).head.getLong(0)
-      labels.unpersist()
       labels = next
       converged = nextSum == prevSum
       prevSum = nextSum
