@@ -4,9 +4,9 @@ import org.apache.spark.sql.functions._
 
 import graft.queries.LlmPipeline
 
-/** Property checks for the LLM-pipeline operators that have no
-  * cross-engine oracle (SimHash) plus internal-consistency checks between
-  * the LSH path and the brute-force baselines.
+/** Internal-consistency checks between the LSH path and the
+  * brute-force baselines, plus property laws for SimHash on top of its
+  * r4 cross-engine oracle (engine-neutral Rabin-Karp bit votes).
   */
 class LlmPipelineSpec extends SparkSpec {
 
