@@ -1057,6 +1057,86 @@ object LlmPipeline extends QueryPack {
       |GROUP BY kind
       |ORDER BY kind""".stripMargin
 
+  /** Duplicate-n-gram repetition score (q103): the Gopher/C4-style
+    * "repetitious document" quality rule — the fraction of word 3-grams
+    * in a document that are repeats of an earlier 3-gram. Highly
+    * repetitive documents (boilerplate, keyword stuffing, broken
+    * scrapes) are dropped by every serious pretraining curation recipe.
+    *
+    * Scale design: deliberately ZERO shuffles before the presentation
+    * sort — total 3-grams is `size(split) - 2` (pure arithmetic) and
+    * distinct 3-grams is `size(word_shingles(text, 3))` (the native
+    * one-pass kernel q75 profiling bought), so the whole metric is a
+    * per-row map over the scan. The naive alternative (explode grams →
+    * groupBy doc) shuffles every gram in the corpus; this shape ships
+    * two ints per document. dup_frac is one int subtraction and one
+    * double division in the same order on both engines — bit-exact.
+    */
+  def gramRepetition(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("n_grams", size(split(col("text"), " ")) - 2)
+      .filter(col("n_grams") >= 1)
+      .withColumn("n_distinct", size(expr("word_shingles(text, 3)")))
+      .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+        round((col("n_grams") - col("n_distinct")).cast("double") / col("n_grams"), 4)
+          .as("dup_frac"))
+      .orderBy("doc_id")
+
+  private val gramRepetitionSql =
+    """SELECT doc_id, n_grams, n_distinct,
+      |  round((n_grams - n_distinct)::DOUBLE / n_grams, 4) AS dup_frac
+      |FROM (
+      |  SELECT doc_id, len(toks) - 2 AS n_grams,
+      |    len(list_distinct([array_to_string(toks[i:i+2], ' ')
+      |                       for i in range(1, len(toks)-1)])) AS n_distinct
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+      |WHERE n_grams >= 1
+      |ORDER BY doc_id""".stripMargin
+
+  /** Int8 embedding quantization (q104): per-vector symmetric max-abs
+    * quantization — scale = 127 / max|x|, q_i = round(x_i · scale) —
+    * the standard 4× storage/serving compression for embedding stores
+    * (FAISS SQ8 and every vector DB's int8 mode). At 100 TB of float
+    * embeddings this is the difference between caching the index in
+    * executor memory and not.
+    *
+    * Determinism: fully per-row (no shuffle before the sort). The float
+    * element promotes to double identically on both engines, scale is
+    * formed with the SAME operation order (127.0 / maxabs, then
+    * x · scale), and the emitted stats are integer aggregates of the
+    * quantized values (L1 mass, squared norm) plus maxabs itself, which
+    * is an exact input element — the cross-engine float-identity recipe
+    * q95 established (never emit re-rounded derived floats). The HOF
+    * lambdas are interpreted per element; the native-kernel escalation
+    * path (dot_product's) is documented for a hot production loop.
+    */
+  def int8Quant(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .withColumn("maxabs", expr("array_max(transform(embedding, x -> abs(x)))"))
+      .withColumn("scale", lit(127.0) / col("maxabs"))
+      .withColumn("qv", expr("transform(embedding, x -> CAST(round(x * scale) AS BIGINT))"))
+      .select(col("vec_id"), size(col("embedding")).as("n_dims"),
+        expr("aggregate(qv, CAST(0 AS BIGINT), (acc, x) -> acc + abs(x))").as("q_l1"),
+        expr("aggregate(qv, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)").as("q_sq"),
+        // maxabs is an exact input element (abs only flips a sign bit), so
+        // it compares bit-identically cross-engine with no rounding dance.
+        col("maxabs").cast("double").as("maxabs"))
+      .orderBy("vec_id")
+
+  private val int8QuantSql =
+    """SELECT vec_id, n_dims,
+      |  CAST(list_sum([abs(x) for x in qv]) AS BIGINT) AS q_l1,
+      |  CAST(list_sum([x * x for x in qv]) AS BIGINT) AS q_sq,
+      |  CAST(maxabs AS DOUBLE) AS maxabs
+      |FROM (
+      |  SELECT vec_id, len(embedding) AS n_dims, maxabs,
+      |    [CAST(round(x * (127.0 / maxabs)) AS BIGINT) for x in embedding] AS qv
+      |  FROM (
+      |    SELECT vec_id, embedding,
+      |      list_max([abs(x) for x in embedding]) AS maxabs
+      |    FROM embeddings))
+      |ORDER BY vec_id""".stripMargin
+
   override def all: Seq[QueryDef] = Seq(
     QueryDef("q70_exact_dedup", exactDedup, Some(exactDedupSql)),
     QueryDef("q71_token_topn", tokenTopN, Some(tokenTopNSql)),
@@ -1078,5 +1158,7 @@ object LlmPipeline extends QueryPack {
     QueryDef("q96_curation_pipeline", curationPipeline, Some(curationPipelineSql)),
     QueryDef("q97_multitable_neardup", multiTableNearDup, Some(multiTableNearDupSql)),
     QueryDef("q100_decontaminate", decontaminate, Some(decontaminateSql)),
-    QueryDef("q101_dedup_clusters", dedupClusters, Some(dedupClustersSql)))
+    QueryDef("q101_dedup_clusters", dedupClusters, Some(dedupClustersSql)),
+    QueryDef("q103_gram_repetition", gramRepetition, Some(gramRepetitionSql)),
+    QueryDef("q104_int8_quant", int8Quant, Some(int8QuantSql)))
 }

@@ -224,6 +224,74 @@ object SourcesOps extends QueryPack {
       |GROUP BY n_name
       |ORDER BY n_name""".stripMargin
 
+  /** Shuffle-free co-located join over BUCKETED tables (q102): the
+    * complement to q82/q98's partitioned layout and the standard 100-TB
+    * answer to "this fact⋈fact join shuffles both sides every night".
+    * Both tables are written once with `bucketBy(8, custkey).sortBy`,
+    * so every join on the bucket key forever after is a SortMergeJoin
+    * whose children are already hash-clustered on disk: zero shuffle
+    * Exchange in the plan (BucketingSpec asserts it on the executed AQE
+    * plan; a local per-bucket Sort may remain, since Spark only trusts
+    * the on-disk sortBy order when each bucket is a single file — the
+    * network exchange is what matters). The downstream per-customer aggregate
+    * reuses the same clustering, so it too runs exchange-free — the
+    * only shuffle in the whole query is the final presentation
+    * ORDER BY. Broadcast is disabled at action time (q99 pattern) so
+    * the demonstrated shape is the one that matters at scale, where
+    * neither side fits in memory. Per-customer spend is summed as
+    * DECIMAL(18,2) (q26 pattern) — bucket-file row order is
+    * write-dependent, so a double sum would be order-sensitive.
+    */
+  private[graft] def bucketedJoinCore(spark: SparkSession, dir: String): DataFrame = {
+    spark.sql("DROP TABLE IF EXISTS graft_buck_orders")
+    spark.sql("DROP TABLE IF EXISTS graft_buck_customer")
+    Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode(SaveMode.Overwrite)
+      .option("path", scratch("buck_orders"))
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("graft_buck_orders")
+    Tables.customer(spark, dir)
+      .select("c_custkey", "c_mktsegment", "c_nationkey")
+      .write.mode(SaveMode.Overwrite)
+      .option("path", scratch("buck_customer"))
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("graft_buck_customer")
+    spark.table("graft_buck_orders")
+      .join(spark.table("graft_buck_customer")
+          .filter(col("c_mktsegment") === "MACHINERY"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_nationkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_spend"))
+  }
+
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratch("buck_result")
+    val conf = spark.conf
+    val overrides = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = overrides.map { case (k, _) => k -> conf.getOption(k) }
+    try {
+      overrides.foreach { case (k, v) => conf.set(k, v) }
+      bucketedJoinCore(spark, dir)
+        .write.mode(SaveMode.Overwrite).parquet(out)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+    spark.read.parquet(out).orderBy("c_custkey")
+  }
+
+  private val bucketedJoinSql =
+    """SELECT c_custkey, c_nationkey, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_spend
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'MACHINERY'
+      |GROUP BY c_custkey, c_nationkey
+      |ORDER BY c_custkey""".stripMargin
+
   override def all: Seq[QueryDef] = Seq(
     QueryDef("q80_csv_roundtrip", csvRoundtrip, Some(csvRoundtripSql)),
     QueryDef("q81_json_roundtrip", jsonRoundtrip, Some(jsonRoundtripSql)),
@@ -231,5 +299,6 @@ object SourcesOps extends QueryPack {
     QueryDef("q83_in_memory_source", inMemorySource, Some(inMemorySourceSql)),
     QueryDef("q84_local_sort", localSort, Some(localSortSql)),
     QueryDef("q89_orc_roundtrip", orcRoundtrip, Some(orcRoundtripSql)),
-    QueryDef("q98_dynamic_partition_pruning", dynamicPartitionPruning, Some(dynamicPartitionPruningSql)))
+    QueryDef("q98_dynamic_partition_pruning", dynamicPartitionPruning, Some(dynamicPartitionPruningSql)),
+    QueryDef("q102_bucketed_join", bucketedJoin, Some(bucketedJoinSql)))
 }

@@ -49,4 +49,32 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS customer_b")
     }
   }
+
+  test("q102 core: join AND per-customer aggregate run with zero shuffle exchange") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(k => spark.conf.set(k, "-1"))
+    try {
+      val core = graft.queries.SourcesOps.bucketedJoinCore(spark, sfDir)
+      assert(core.count() > 0)
+      // AQE final plan (after the action): the bucketed scans satisfy both
+      // the SMJ's and the aggregate's clustering, so no ShuffleExchange
+      // anywhere — the shape that holds when neither side is broadcastable.
+      val finalPlan = core.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val shuffles = finalPlan.collect { case s: ShuffleExchangeLike => s }
+      assert(shuffles.isEmpty,
+        s"expected a fully co-located plan, found ${shuffles.size} shuffle(s):\n$finalPlan")
+      assert(finalPlan.toString.contains("SortMergeJoin"),
+        s"expected a sort-merge join over bucketed scans:\n$finalPlan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

@@ -83,6 +83,37 @@ class LlmPipelineSpec extends SparkSpec {
     assert(a.length == 500)
   }
 
+  test("q103: dup_frac is in [0,1), covers every doc, and zero only when all grams distinct") {
+    val rep = LlmPipeline.gramRepetition(spark, sfDir)
+    val docs = graft.sources.Tables.documents(spark, sfDir).count()
+    assert(rep.count() == docs)
+    val bad = rep.filter(col("dup_frac") < 0.0 || col("dup_frac") >= 1.0 ||
+      col("n_distinct") > col("n_grams") || col("n_distinct") < 1).count()
+    assert(bad == 0)
+    val inconsistent = rep.filter(
+      (col("dup_frac") === 0.0) =!= (col("n_grams") === col("n_distinct"))).count()
+    assert(inconsistent == 0)
+  }
+
+  test("q104: int8 quantization bounds — |q|<=127 implies L1/L2 mass caps, maxabs quantizes to ±127") {
+    val q = LlmPipeline.int8Quant(spark, sfDir)
+    val bad = q.filter(col("q_l1") > col("n_dims") * 127 ||
+      col("q_sq") > col("n_dims") * 127L * 127L || col("q_l1") < 1).count()
+    assert(bad == 0)
+    // The max-magnitude element maps to exactly ±127, so q_sq >= 127².
+    assert(q.filter(col("q_sq") < 127L * 127L).count() == 0)
+    // Reconstruction: dequantized values differ from the input by at most
+    // 0.5/scale per element — check via the aggregate identity on one row.
+    val over = graft.sources.Tables.embeddings(spark, sfDir)
+      .withColumn("maxabs", expr("array_max(transform(embedding, x -> abs(x)))"))
+      .withColumn("scale", lit(127.0) / col("maxabs"))
+      .withColumn("err", expr(
+        "array_max(transform(embedding, x -> abs(x - round(x * scale) / scale)))"))
+      .filter(col("err") > lit(0.5) / col("scale") + lit(1e-12))
+      .count()
+    assert(over == 0, s"$over vectors exceed the half-step reconstruction bound")
+  }
+
   test("exact dedup keeps every doc at sf0.001 (no duplicate texts) and is idempotent") {
     val out = LlmPipeline.exactDedup(spark, sfDir)
     val n = out.count()
