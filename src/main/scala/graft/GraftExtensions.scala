@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, DotProduct, HyperplaneBucket, JaccardSimilarity, MinHashSignature, NativeFunctions, RollingHashStats, SimHashSignature, WordShingles}
+import graft.functions.{CosineSimilarity, DotProduct, HyperplaneBucket, JaccardSimilarity, MinHashSignature, NativeFunctions, RollingHashStats, ShingleHash64, SimHashSignature, WordShingles}
 
 /** SparkSessionExtensions installer for the engine's native expressions
   * (SURVEY.md §2.2.10): a deployment sets
@@ -48,6 +48,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("word_shingles", classOf[WordShingles]),
       (exprs: Seq[Expression]) => WordShingles(exprs.head,
         NativeFunctions.intLiteralArg("word_shingles", exprs, 1))))
+    ext.injectFunction((
+      FunctionIdentifier("shingle_hash64"),
+      info("shingle_hash64", classOf[ShingleHash64]),
+      (exprs: Seq[Expression]) => ShingleHash64(exprs.head)))
     ext.injectFunction((
       FunctionIdentifier("hyperplane_bucket"),
       info("hyperplane_bucket", classOf[HyperplaneBucket]),

@@ -147,6 +147,10 @@ object NativeFunctions {
       exprs => { val e = arity("word_shingles", exprs, 2); WordShingles(e.head, intLiteralArg("word_shingles", e, 1)) },
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle_hash64",
+      exprs => ShingleHash64(arity("shingle_hash64", exprs, 1).head),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hyperplane_bucket",
       exprs => {
         if (exprs.length != 2 && exprs.length != 3) {

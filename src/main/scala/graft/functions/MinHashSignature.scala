@@ -21,17 +21,28 @@ import org.apache.spark.unsafe.types.UTF8String
   * allocation beyond the output array): the whole signature stage
   * becomes sub-second. One interpreted call per ROW (CodegenFallback) is
   * irrelevant at that point.
+  *
+  * Accepts `array<string>` (raw shingles) or `array<bigint>`
+  * ([[ShingleHash64]]-hashed shingles — the 100-TB form where shingle
+  * payloads shuffle as 8-byte keys); the long path hashes each element
+  * with the same salted xxHash64 family (`XXH64.hashLong`).
   */
 case class MinHashSignature(child: Expression, numHashes: Int)
     extends UnaryExpression with CodegenFallback {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) if numHashes > 0 => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) | ArrayType(LongType, _) if numHashes > 0 =>
+      TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"minhash_sig expects array<string> and a positive hash count, got ${other.simpleString}")
+      s"minhash_sig expects array<string> or array<bigint> and a positive hash count, got ${other.simpleString}")
   }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private lazy val elementsAreLong: Boolean = child.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -39,15 +50,25 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     val mins = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     while (i < n) {
-      val s = arr.getUTF8String(i)
-      val base = s.getBaseObject
-      val off = s.getBaseOffset
-      val len = s.numBytes()
-      var k = 0
-      while (k < numHashes) {
-        val h = XXH64.hashUnsafeBytes(base, off, len, k.toLong)
-        if (h < mins(k)) mins(k) = h
-        k += 1
+      if (elementsAreLong) {
+        val v = arr.getLong(i)
+        var k = 0
+        while (k < numHashes) {
+          val h = XXH64.hashLong(v, k.toLong)
+          if (h < mins(k)) mins(k) = h
+          k += 1
+        }
+      } else {
+        val s = arr.getUTF8String(i)
+        val base = s.getBaseObject
+        val off = s.getBaseOffset
+        val len = s.numBytes()
+        var k = 0
+        while (k < numHashes) {
+          val h = XXH64.hashUnsafeBytes(base, off, len, k.toLong)
+          if (h < mins(k)) mins(k) = h
+          k += 1
+        }
       }
       i += 1
     }

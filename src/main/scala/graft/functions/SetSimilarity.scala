@@ -15,41 +15,82 @@ import org.apache.spark.unsafe.types.UTF8String
   * cheaper on the same work.
   */
 
-/** Exact Jaccard similarity of two string arrays treated as sets. */
+/** Exact Jaccard similarity of two arrays treated as sets — either two
+  * `array<string>` (raw shingles) or two `array<bigint>`
+  * ([[ShingleHash64]]-hashed shingles, the 8-byte-key form the LSH
+  * verify join ships at scale). The long path is a sort-merge
+  * intersection over primitive arrays: no boxing, no hash table.
+  */
 case class JaccardSimilarity(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
 
-  override def checkInputDataTypes(): TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(StringType, _) => true
-      case _ => false
-    })
-    if (ok) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"jaccard_sim expects two array<string> arguments, got " +
-        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
-  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"jaccard_sim expects two array<string> or two array<bigint> arguments, got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    }
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "jaccard_sim"
 
+  private lazy val elementsAreLong: Boolean = left.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  /** Sorted copy of a long array-column value with duplicates removed
+    * in place; returns (array, distinctCount).
+    */
+  private def sortedDistinct(a: ArrayData): (Array[Long], Int) = {
+    val n = a.numElements()
+    val arr = new Array[Long](n)
+    var i = 0
+    while (i < n) { arr(i) = a.getLong(i); i += 1 }
+    java.util.Arrays.sort(arr)
+    var w = 0
+    i = 0
+    while (i < n) {
+      if (w == 0 || arr(i) != arr(w - 1)) { arr(w) = arr(i); w += 1 }
+      i += 1
+    }
+    (arr, w)
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val sx = new java.util.HashSet[UTF8String](x.numElements() * 2)
-    var i = 0
-    while (i < x.numElements()) { sx.add(x.getUTF8String(i)); i += 1 }
-    val sy = new java.util.HashSet[UTF8String](y.numElements() * 2)
-    var inter = 0
-    var j = 0
-    while (j < y.numElements()) {
-      val e = y.getUTF8String(j)
-      if (sy.add(e) && sx.contains(e)) inter += 1
-      j += 1
+    if (elementsAreLong) {
+      val (ax, nx) = sortedDistinct(x)
+      val (ay, ny) = sortedDistinct(y)
+      var i = 0; var j = 0; var inter = 0
+      while (i < nx && j < ny) {
+        if (ax(i) == ay(j)) { inter += 1; i += 1; j += 1 }
+        else if (ax(i) < ay(j)) i += 1
+        else j += 1
+      }
+      val union = nx + ny - inter
+      if (union == 0) null else inter.toDouble / union
+    } else {
+      val sx = new java.util.HashSet[UTF8String](x.numElements() * 2)
+      var i = 0
+      while (i < x.numElements()) { sx.add(x.getUTF8String(i)); i += 1 }
+      val sy = new java.util.HashSet[UTF8String](y.numElements() * 2)
+      var inter = 0
+      var j = 0
+      while (j < y.numElements()) {
+        val e = y.getUTF8String(j)
+        if (sy.add(e) && sx.contains(e)) inter += 1
+        j += 1
+      }
+      val union = sx.size() + sy.size() - inter
+      if (union == 0) null else inter.toDouble / union
     }
-    val union = sx.size() + sy.size() - inter
-    if (union == 0) null else inter.toDouble / union
   }
 
   override protected def withNewChildrenInternal(

@@ -16,7 +16,17 @@ import graft.sources.Tables
   * Scale notes (these are the queries that must survive 100 TB):
   *   - Exact dedup = groupBy on the text (hash partitioned); at 100 TB,
   *     group on xxhash64(text) so the shuffle key is 8 bytes, not the
-  *     document — the pattern q75 uses for shingles.
+  *     document.
+  *   - Shingles shuffle as 8-byte keys, not strings: the LSH family
+  *     (q75/q96/q100/q101) hashes every shingle with the engine-neutral
+  *     shingle_hash64 kernel immediately after shingling, so the
+  *     band/verify joins — the pipeline's dominant shuffle payload —
+  *     carry array<bigint>, not array<string>. The string-truth
+  *     baselines (q76/q77 brute force) stay on raw shingles, and the
+  *     DuckDB oracles compute string Jaccard: a hash collision anywhere
+  *     would shift a Jaccard value and fail the cross-engine gate
+  *     loudly (LlmPipelineSpec additionally pins hashed == string
+  *     Jaccard and corpus-wide hash distinctness).
   *   - Near-dup dedup NEVER does all-pairs: LSH bands turn it into an
   *     equi-join on (band, band-signature) — candidates are only pairs
   *     sharing a band bucket, then a cheap exact-Jaccard verify. The
@@ -38,6 +48,17 @@ object LlmPipeline extends QueryPack {
     graft.functions.NativeFunctions.register(spark)
     Tables.documents(spark, dir)
       .withColumn("sh", expr("word_shingles(text, 3)"))
+  }
+
+  /** documents with shingles hashed to 8-byte keys (shingle_hash64) —
+    * the form the LSH band/verify pipeline shuffles at scale. Set
+    * cardinalities (and hence Jaccard) are preserved absent a hash
+    * collision, which the oracles would catch as a hash mismatch.
+    */
+  private def hashShingled(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeFunctions.register(spark)
+    Tables.documents(spark, dir)
+      .withColumn("sh", expr("shingle_hash64(word_shingles(text, 3))"))
   }
 
   /** embeddings as double vectors with precomputed L2 norms. */
@@ -277,7 +298,7 @@ object LlmPipeline extends QueryPack {
 
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.NativeFunctions.register(spark)
-    val sh = shingled(spark, dir).select("doc_id", "sh")
+    val sh = hashShingled(spark, dir).select("doc_id", "sh")
     lshNearDupPairs(sh)
       .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("id1", "id2")
@@ -844,7 +865,7 @@ object LlmPipeline extends QueryPack {
     // (and their signatures/verifies would be wasted work — any pair
     // involving a removed duplicate is unusable for stage-2 removal).
     // Both pair endpoints are survivors, so removal is a plain anti-join.
-    val shKept = kept1.withColumn("sh", expr("word_shingles(text, 3)"))
+    val shKept = kept1.withColumn("sh", expr("shingle_hash64(word_shingles(text, 3))"))
       .select("doc_id", "sh")
     val removed = lshNearDupPairs(shKept)
       .select(col("id2").as("doc_id")).distinct()
@@ -908,8 +929,8 @@ object LlmPipeline extends QueryPack {
     * for training docs with >= 2 shared shingles.
     *
     * Scale notes: the eval shingle set is dimension-sized (benchmarks
-    * are tiny next to a 100-TB corpus) — at scale it broadcasts, and
-    * shingles join as 8-byte xxhash64 keys rather than strings. Shingle
+    * are tiny next to a 100-TB corpus) — it broadcasts, and shingles
+    * join as 8-byte shingle_hash64 keys rather than strings. Shingle
     * arrays are already distinct per doc (word_shingles) and the eval
     * side is dedup'd, so the join emits each (doc, shingle) hit once
     * and a plain count(*) is the overlap cardinality — no
@@ -917,7 +938,7 @@ object LlmPipeline extends QueryPack {
     */
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.NativeFunctions.register(spark)
-    val sh = shingled(spark, dir).select("doc_id", "sh")
+    val sh = hashShingled(spark, dir).select("doc_id", "sh")
     val evalSh = sh.filter(pmod(col("doc_id"), lit(10)) === 7)
       .select(explode(col("sh")).as("g")).distinct()
     val trainSh = sh.filter(pmod(col("doc_id"), lit(10)) =!= 7)
@@ -966,7 +987,7 @@ object LlmPipeline extends QueryPack {
     */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.NativeFunctions.register(spark)
-    val sh = shingled(spark, dir).select("doc_id", "sh")
+    val sh = hashShingled(spark, dir).select("doc_id", "sh")
     val pairs = lshNearDupPairs(sh).select("id1", "id2")
     val edges = pairs.union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
       .persist()
@@ -975,37 +996,52 @@ object LlmPipeline extends QueryPack {
     // references labels twice), exploding optimizer/explain cost — the
     // checkpoint truncates the logical plan to the materialized rows,
     // exactly the every-few-rounds checkpoint a 100-TB CC job performs.
-    var labels = edges.select(col("id1").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
-    // Convergence via a monotone invariant instead of a per-round
-    // diff join: labels only ever DECREASE (min of self and
-    // neighbors), so the label sum strictly decreases every round
-    // that changes anything and is equal exactly at the fixpoint —
-    // one scalar aggregate per round, no join against the previous
-    // labels. (At 100 TB sum the labels as decimal to keep the
-    // invariant overflow-proof.)
-    var prevSum = labels.agg(sum(col("label"))).head.getLong(0)
-    var converged = false
-    var rounds = 0
-    while (!converged && rounds < 64) {
-      val prop = edges.join(labels, edges("id1") === labels("id"))
-        .select(col("id2").as("id"), col("label"))
-      val next = labels.select("id", "label").union(prop)
-        .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint()
-      val nextSum = next.agg(sum(col("label"))).head.getLong(0)
-      labels = next
-      converged = nextSum == prevSum
-      prevSum = nextSum
-      rounds += 1
+    // An empty pair graph (nothing near-duplicated — plausible at a new
+    // scale factor) has an empty component set; short-circuit rather
+    // than let sum() over zero rows return NULL into the convergence
+    // scalar.
+    if (edges.isEmpty) {
+      edges.unpersist()
+      return edges.select(col("id1").as("doc_id"), col("id1").as("cluster"),
+        lit(0L).as("cluster_size"))
     }
-    require(converged, s"connected components did not converge in $rounds rounds")
-    edges.unpersist()
-    val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "label")
-      .select(col("id").as("doc_id"), col("label").as("cluster"), col("cluster_size"))
-      .orderBy("doc_id")
+    try {
+      var labels = edges.select(col("id1").as("id")).distinct()
+        .withColumn("label", col("id"))
+        .localCheckpoint()
+      // Convergence via a monotone invariant instead of a per-round
+      // diff join: labels only ever DECREASE (min of self and
+      // neighbors), so the label sum strictly decreases every round
+      // that changes anything and is equal exactly at the fixpoint —
+      // one scalar aggregate per round, no join against the previous
+      // labels. Summed as decimal(38,0): at 100-TB id cardinality a
+      // bigint sum of ~2⁶³-sized labels overflows (and Spark's ANSI-off
+      // long sum wraps silently, which would corrupt the invariant).
+      def labelSum(df: DataFrame): java.math.BigDecimal =
+        df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+      var prevSum = labelSum(labels)
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 64) {
+        val prop = edges.join(labels, edges("id1") === labels("id"))
+          .select(col("id2").as("id"), col("label"))
+        val next = labels.select("id", "label").union(prop)
+          .groupBy("id").agg(min("label").as("label"))
+          .localCheckpoint()
+        val nextSum = labelSum(next)
+        labels = next
+        converged = nextSum.compareTo(prevSum) == 0
+        prevSum = nextSum
+        rounds += 1
+      }
+      require(converged, s"connected components did not converge in $rounds rounds")
+      val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, "label")
+        .select(col("id").as("doc_id"), col("label").as("cluster"), col("cluster_size"))
+        .orderBy("doc_id")
+    } finally {
+      edges.unpersist()
+    }
   }
 
   // pairs/edges are MATERIALIZED: DuckDB inlines plain CTEs, so the

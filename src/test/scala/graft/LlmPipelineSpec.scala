@@ -76,6 +76,36 @@ class LlmPipelineSpec extends SparkSpec {
     assert(both.getLong(0) == 0 && both.getLong(1) == 0)
   }
 
+  test("shingle_hash64: hashed Jaccard equals string Jaccard, hashes collision-free on the corpus") {
+    graft.functions.NativeFunctions.register(spark)
+    val sh = graft.sources.Tables.documents(spark, sfDir)
+      .withColumn("sh", expr("word_shingles(text, 3)"))
+      .withColumn("hsh", expr("shingle_hash64(word_shingles(text, 3))"))
+      .select("doc_id", "sh", "hsh")
+    // No collision anywhere in the corpus: distinct shingle strings and
+    // distinct hash keys must be in bijection, globally and per doc.
+    val counts = sh.select(explode(col("sh")).as("g"))
+      .agg(countDistinct(col("g"))).head.getLong(0)
+    val hashCounts = sh.select(explode(col("hsh")).as("g"))
+      .agg(countDistinct(col("g"))).head.getLong(0)
+    assert(counts == hashCounts,
+      s"shingle_hash64 collision: $counts distinct strings vs $hashCounts distinct hashes")
+    val sizeMismatch = sh.filter(size(col("sh")) =!= size(col("hsh"))).count()
+    assert(sizeMismatch == 0, "per-doc shingle/hash cardinality mismatch")
+    // Hashed pairwise Jaccard == string pairwise Jaccard on the probe
+    // cross (the comparison the LSH verify join performs).
+    val a = sh.select(col("doc_id").as("id1"), col("sh").as("sh1"), col("hsh").as("hsh1"))
+      .filter(col("id1") < 50)
+    val b = sh.select(col("doc_id").as("id2"), col("sh").as("sh2"), col("hsh").as("hsh2"))
+    val diff = a.join(b, col("id1") < col("id2"))
+      .select(
+        expr("jaccard_sim(sh1, sh2)").as("js"),
+        expr("jaccard_sim(hsh1, hsh2)").as("jh"))
+      .filter(col("js") =!= col("jh"))
+      .count()
+    assert(diff == 0, s"$diff pairs where hashed Jaccard != string Jaccard")
+  }
+
   test("simhash is deterministic and complete") {
     val a = LlmPipeline.simhash(spark, sfDir).collect()
     val b = LlmPipeline.simhash(spark, sfDir).collect()
