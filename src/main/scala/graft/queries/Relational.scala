@@ -244,6 +244,61 @@ object Relational extends QueryPack {
       .select("o_orderkey", "o_orderstatus")
       .orderBy("o_orderkey")
 
+  /** Deterministic hash-threshold Bernoulli sampling (q105): the
+    * reproducible form a 100-TB pipeline uses instead of RNG sampling —
+    * keep a row iff a hash of its key falls under the rate threshold,
+    * so the sample is (a) stable across runs/engines/retries, (b)
+    * consistent for the same key across derived tables, and (c) a pure
+    * scan-side filter (no shuffle, no RNG state). The hash is a Lehmer
+    * multiplicative permutation h = (key·48271) mod (2³¹−1) — a
+    * full-period generator step, so h is uniform over [1, 2³¹−2] while
+    * staying int64-exact in ANY engine (products < 2⁴⁶): unlike
+    * xxhash64, the oracle can reproduce it in plain SQL. Rate 5% via
+    * h % 10000 < 500. q07's plain modulo keeps every 20th key
+    * (correlated with key locality); the multiplicative step
+    * decorrelates sample membership from key order, which is why this
+    * is the form stratified/repeatable pipelines standardize on
+    * (q08/q90 remain the engine-RNG spec-only variants).
+    */
+  def sampleHashThreshold(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .withColumn("h", expr("pmod(pmod(o_orderkey, 2147483647) * 48271, 2147483647)"))
+      .filter(pmod(col("h"), lit(10000)) < 500)
+      .select(col("o_orderkey"), col("o_orderstatus"), round(col("o_totalprice"), 4).as("price"))
+      .orderBy("o_orderkey")
+
+  private val sampleHashThresholdSql =
+    """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 4) AS price
+      |FROM orders
+      |WHERE ((o_orderkey % 2147483647) * 48271) % 2147483647 % 10000 < 500
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Stratified hash-threshold sampling (q106): per-stratum rates over
+    * the same Lehmer hash — the oracle-checkable counterpart of q90's
+    * RNG sampleBy. Per-stratum acceptance stays a scan-side CASE
+    * filter; the output is the per-stratum sample summary (count +
+    * exact key sum), so any membership difference — not just a count
+    * difference — shifts the key sum and fails the hash compare.
+    */
+  def sampleStratifiedHash(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .withColumn("h", expr("pmod(pmod(o_orderkey, 2147483647) * 48271, 2147483647)"))
+      .withColumn("threshold", expr(
+        "CASE o_orderstatus WHEN 'F' THEN 500 WHEN 'O' THEN 2000 ELSE 5000 END"))
+      .filter(pmod(col("h"), lit(10000)) < col("threshold"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_sampled"), sum(col("o_orderkey")).as("key_sum"))
+      .orderBy("o_orderstatus")
+
+  private val sampleStratifiedHashSql =
+    """SELECT o_orderstatus, count(*) AS n_sampled,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+      |FROM orders
+      |WHERE ((o_orderkey % 2147483647) * 48271) % 2147483647 % 10000
+      |  < CASE o_orderstatus WHEN 'F' THEN 500 WHEN 'O' THEN 2000 ELSE 5000 END
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
   override def all: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", pricingSummary, Some(pricingSummarySql), headline = true),
     QueryDef("q02_star_join_revenue", starJoinRevenue, Some(starJoinRevenueSql), headline = true),
@@ -254,5 +309,7 @@ object Relational extends QueryPack {
     QueryDef("q07_sample_modulo", sampleModulo, Some(sampleModuloSql)),
     QueryDef("q08_sample_bernoulli", sampleBernoulli, None),
     QueryDef("q09_custom_topk", customTopKPerNation, Some(customTopKPerNationSql)),
-    QueryDef("q90_sample_stratified", sampleStratified, None))
+    QueryDef("q90_sample_stratified", sampleStratified, None),
+    QueryDef("q105_sample_hash_threshold", sampleHashThreshold, Some(sampleHashThresholdSql)),
+    QueryDef("q106_sample_stratified_hash", sampleStratifiedHash, Some(sampleStratifiedHashSql)))
 }

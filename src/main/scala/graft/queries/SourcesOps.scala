@@ -28,15 +28,23 @@ import graft.sources.Tables
   */
 object SourcesOps extends QueryPack {
 
-  private def scratch(name: String): String =
-    Paths.get(sys.props("java.io.tmpdir"), s"graft_srcops_$name").toString
+  /** Scratch paths are suffixed with the Spark application id (ADVICE
+    * r4): two concurrent runs / forked test JVMs on one machine would
+    * otherwise clobber each other's round-trip outputs mid-read.
+    */
+  private def scratch(spark: SparkSession, name: String): String =
+    Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_srcops_${name}_${sanitizedAppId(spark)}").toString
+
+  private[graft] def sanitizedAppId(spark: SparkSession): String =
+    spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
 
   /** CSV round-trip: write a projection as CSV, read it back with an
     * explicit schema, aggregate. Oracle computes the same aggregate from
     * the original parquet.
     */
   def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = scratch("csv")
+    val out = scratch(spark, "csv")
     Tables.orders(spark, dir)
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
       .write.mode(SaveMode.Overwrite).option("header", "true").csv(out)
@@ -58,7 +66,7 @@ object SourcesOps extends QueryPack {
 
   /** JSON-lines round-trip over a documents projection. */
   def jsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = scratch("json")
+    val out = scratch(spark, "json")
     Tables.documents(spark, dir)
       .select("doc_id", "lang", "n_chars")
       .write.mode(SaveMode.Overwrite).json(out)
@@ -82,7 +90,7 @@ object SourcesOps extends QueryPack {
     * CSV/JSON (ORC support is built into spark-sql).
     */
   def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = scratch("orc")
+    val out = scratch(spark, "orc")
     Tables.lineitem(spark, dir)
       .select("l_orderkey", "l_returnflag", "l_quantity")
       .write.mode(SaveMode.Overwrite).orc(out)
@@ -107,7 +115,7 @@ object SourcesOps extends QueryPack {
     * directory level), aggregate per nation.
     */
   def partitionedSink(spark: SparkSession, dir: String): DataFrame = {
-    val out = scratch("psink")
+    val out = scratch(spark, "psink")
     Tables.customer(spark, dir)
       .write.mode(SaveMode.Overwrite).partitionBy("c_mktsegment").parquet(out)
     spark.read.parquet(out)
@@ -206,7 +214,7 @@ object SourcesOps extends QueryPack {
     * partition count.
     */
   def dynamicPartitionPruning(spark: SparkSession, dir: String): DataFrame = {
-    val out = scratch("dpp")
+    val out = scratch(spark, "dpp")
     Tables.customer(spark, dir)
       .write.mode(SaveMode.Overwrite).partitionBy("c_nationkey").parquet(out)
     val fact = spark.read.parquet(out)
@@ -242,23 +250,47 @@ object SourcesOps extends QueryPack {
     * DECIMAL(18,2) (q26 pattern) — bucket-file row order is
     * write-dependent, so a double sum would be order-sensitive.
     */
+  /** Bucketed-table materialization memo, keyed (session UUID, dir):
+    * writing the bucketed layout is one-time ETL (a production bucketed
+    * table is written once and joined thousands of times), so it runs
+    * once per session+fixture and is also exposed as q102's `prepare`
+    * hook — Bench invokes prepare before timing, so the measured query
+    * is the shuffle-free JOIN, not the table writes (VERDICT r4 item 4;
+    * the recorded 1.5 s was ~90% setup). Table names and paths carry
+    * the application id plus a dir digest: collision-free across
+    * concurrent JVMs (ADVICE r4) and across scale factors within one
+    * session. Returns (ordersTable, customerTable).
+    */
+  private val bucketedTables =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (String, String)]()
+
+  private[graft] def ensureBucketedTables(
+      spark: SparkSession, dir: String): (String, String) =
+    bucketedTables.computeIfAbsent((System.identityHashCode(spark).toString, dir), _ => {
+      val tag = s"${sanitizedAppId(spark)}_${Integer.toHexString(dir.hashCode)}"
+      val ordersTable = s"graft_buck_orders_$tag"
+      val customerTable = s"graft_buck_customer_$tag"
+      spark.sql(s"DROP TABLE IF EXISTS $ordersTable")
+      spark.sql(s"DROP TABLE IF EXISTS $customerTable")
+      Tables.orders(spark, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode(SaveMode.Overwrite)
+        .option("path", scratch(spark, s"buck_orders_$tag"))
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .saveAsTable(ordersTable)
+      Tables.customer(spark, dir)
+        .select("c_custkey", "c_mktsegment", "c_nationkey")
+        .write.mode(SaveMode.Overwrite)
+        .option("path", scratch(spark, s"buck_customer_$tag"))
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .saveAsTable(customerTable)
+      (ordersTable, customerTable)
+    })
+
   private[graft] def bucketedJoinCore(spark: SparkSession, dir: String): DataFrame = {
-    spark.sql("DROP TABLE IF EXISTS graft_buck_orders")
-    spark.sql("DROP TABLE IF EXISTS graft_buck_customer")
-    Tables.orders(spark, dir)
-      .select("o_orderkey", "o_custkey", "o_totalprice")
-      .write.mode(SaveMode.Overwrite)
-      .option("path", scratch("buck_orders"))
-      .bucketBy(8, "o_custkey").sortBy("o_custkey")
-      .saveAsTable("graft_buck_orders")
-    Tables.customer(spark, dir)
-      .select("c_custkey", "c_mktsegment", "c_nationkey")
-      .write.mode(SaveMode.Overwrite)
-      .option("path", scratch("buck_customer"))
-      .bucketBy(8, "c_custkey").sortBy("c_custkey")
-      .saveAsTable("graft_buck_customer")
-    spark.table("graft_buck_orders")
-      .join(spark.table("graft_buck_customer")
+    val (ordersTable, customerTable) = ensureBucketedTables(spark, dir)
+    spark.table(ordersTable)
+      .join(spark.table(customerTable)
           .filter(col("c_mktsegment") === "MACHINERY"),
         col("o_custkey") === col("c_custkey"))
       .groupBy("c_custkey", "c_nationkey")
@@ -266,8 +298,14 @@ object SourcesOps extends QueryPack {
         sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_spend"))
   }
 
+  /** q102 setup, bench-excluded via QueryDef.prepare. */
+  private[graft] def prepareBucketedJoin(spark: SparkSession, dir: String): Unit = {
+    ensureBucketedTables(spark, dir)
+    ()
+  }
+
   def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
-    val out = scratch("buck_result")
+    val out = scratch(spark, "buck_result")
     val conf = spark.conf
     val overrides = Seq(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
@@ -300,5 +338,6 @@ object SourcesOps extends QueryPack {
     QueryDef("q84_local_sort", localSort, Some(localSortSql)),
     QueryDef("q89_orc_roundtrip", orcRoundtrip, Some(orcRoundtripSql)),
     QueryDef("q98_dynamic_partition_pruning", dynamicPartitionPruning, Some(dynamicPartitionPruningSql)),
-    QueryDef("q102_bucketed_join", bucketedJoin, Some(bucketedJoinSql)))
+    QueryDef("q102_bucketed_join", bucketedJoin, Some(bucketedJoinSql),
+      prepare = Some(prepareBucketedJoin)))
 }

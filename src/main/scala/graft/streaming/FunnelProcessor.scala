@@ -47,7 +47,12 @@ class FunnelProcessor
     var s = if (state.exists()) state.get() else FunnelState(-1L, -1L, -1L)
     // Per-key per-batch rows are bounded (a user's events in one
     // micro-batch); sort so the staged transitions see event-time order.
-    rows.toSeq.sortBy(e => (e.ts_us, e.event_type)).foreach { e =>
+    // Timestamp TIES break by funnel-stage order (view < click <
+    // purchase), matching the batch q94 semantics where a click with
+    // ts == t_view qualifies (>= comparison): alphabetical order would
+    // process 'click' before 'view' at an equal timestamp and silently
+    // drop a qualifying click.
+    rows.toSeq.sortBy(e => (e.ts_us, FunnelProcessor.stageRank(e.event_type))).foreach { e =>
       e.event_type match {
         case "view" if s.t_view_us < 0 =>
           s = s.copy(t_view_us = e.ts_us)
@@ -62,5 +67,19 @@ class FunnelProcessor
     if (s.t_view_us >= 0) {
       Iterator.single((key, s.t_view_us, s.t_click_us, s.t_purchase_us, s.stage))
     } else Iterator.empty
+  }
+}
+
+object FunnelProcessor {
+  /** Funnel-stage rank for event-time tie-breaks: a view, click, and
+    * purchase sharing one timestamp legitimately advance all three
+    * stages in batch q94, so equal-ts events must be processed in stage
+    * order. Unknown event types sort last (they match no transition).
+    */
+  def stageRank(eventType: String): Int = eventType match {
+    case "view" => 0
+    case "click" => 1
+    case "purchase" => 2
+    case _ => 3
   }
 }

@@ -151,6 +151,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("window/json family (q40/q41/q42/q55) plans audit clean: one window exchange, no joins") {
+    // These four rows were blank in round 4's PLANS.md — the Tables
+    // relation memo threw ConcurrentHashMap "Recursive update" when the
+    // events_shimmed build re-entered the memo for the raw events
+    // relation (bin-sharing dependent, hence intermittent). Pin both
+    // the fix (plans render) and the expected shapes.
+    val qs = Map(
+      "q40_lag_lead" -> 1, "q41_running_sum" -> 1,
+      "q42_trailing_7d" -> 1, "q55_json_funcs" -> 0)
+    qs.foreach { case (name, windowExchanges) =>
+      val plan = simple(SparkEntry.queries(name)(spark, sfDir))
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(hashEx == windowExchanges,
+        s"$name: expected $windowExchanges hash exchange(s), got $hashEx:\n$plan")
+      assert("Exchange rangepartitioning".r.findAllIn(plan).size == 1,
+        s"$name: expected exactly the presentation sort's range exchange:\n$plan")
+      assert(!plan.contains("Join"), s"$name: unexpected join:\n$plan")
+    }
+  }
+
   test("q97: multi-table near-dup joins on (table, bucket), never quadratic") {
     withoutAutoBroadcast {
       val plan = simple(LlmPipeline.multiTableNearDup(spark, sfDir))
