@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool (VERDICT r4 item 6): empirical scale-curve evidence for the
+  * LSH dedup path. The 100-TB claims for q75/q96/q101 are design
+  * arguments (banded equi-join, bucket cap, per-round checkpointing);
+  * this measures them: build a corpus 10× sf0.1 and record runtime at
+  * both scales. Near-linear growth (ratio ≈ 10, not ≈ 100) is the
+  * evidence that no quadratic or unbounded-bucket stage survives.
+  *
+  * Corpus construction (deterministic, no RNG):
+  *   - 10 replicas of the sf0.1 documents (5,000 → 50,000 docs). Every
+  *     token in replica r > 0 is suffixed with the replica id, so
+  *     replicas share NO shingles: each is an independent universe with
+  *     the fixture's exact near-dup structure — workload grows exactly
+  *     10×, making the expected-linear baseline well-defined.
+  *   - plus a 2,000-doc boilerplate family (one shared 61-token text,
+  *     unique last token per doc): every band bucket of the family is
+  *     degenerate (≫ LshBucketCap), so the run exercises the 512-cap
+  *     under real skew — without the cap this family alone would emit
+  *     ~2M pairs per band from one task.
+  *
+  * Usage: `sbt "runMain graft.ScaleCurve"` (SPARK_GRAFT_CPUS to set
+  * parallelism; defaults to 32 to match the bench record config).
+  * Prints a markdown table for BASELINE.md.
+  */
+object ScaleCurve {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val baseDir = "/root/testdata/sf0.1"
+    val bigDir = s"/tmp/graft_scale10x_${queries.SourcesOps.sanitizedAppId(spark)}"
+
+    // --- corpus generation -------------------------------------------------
+    val base = graft.sources.Tables.documents(spark, baseDir)
+    val replicas = base
+      .crossJoin(spark.range(10).select(col("id").as("rep")))
+      .select(
+        (col("doc_id") + col("rep") * 1000000L).as("doc_id"),
+        when(col("rep") === 0, col("text"))
+          .otherwise(array_join(
+            transform(split(col("text"), " "),
+              t => concat(t, lit("r"), col("rep").cast("string"))), " "))
+          .as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    val boilerText = (1 to 61).map(i => s"boiler$i").mkString(" ")
+    val boiler = spark.range(2000).select(
+      (col("id") + 50000000L).as("doc_id"),
+      concat(lit(boilerText + " tail"), col("id").cast("string")).as("text"),
+      lit("en").as("lang"), lit("boiler").as("source"),
+      lit(boilerText.length + 8).cast("long").as("n_chars"))
+    replicas.unionAll(boiler)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode(SaveMode.Overwrite).parquet(s"$bigDir/documents.parquet")
+    val nBig = spark.read.parquet(s"$bigDir/documents.parquet").count()
+    println(s"corpus: base=5000+fixture-dups, big=$nBig docs at $bigDir")
+
+    // --- measurement -------------------------------------------------------
+    val probes: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
+      "q75_minhash_lsh" -> queries.LlmPipeline.minhashLsh _,
+      "q96_curation_pipeline" -> queries.LlmPipeline.curationPipeline _,
+      "q101_dedup_clusters" -> queries.LlmPipeline.dedupClusters _)
+
+    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        dir: String): Double = {
+      val t0 = System.nanoTime()
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // Warm-up (JIT + codegen) on the small fixture.
+    probes.foreach { case (_, fn) => time(fn, "/root/testdata/sf0.01") }
+
+    println("| query | sf0.1 (s) | 10x (s) | ratio (linear = 10) |")
+    println("|---|---|---|---|")
+    probes.foreach { case (name, fn) =>
+      val tBase = time(fn, baseDir)
+      val tBig = time(fn, bigDir)
+      println(f"| $name | $tBase%.1f | $tBig%.1f | ${tBig / tBase}%.1f |")
+    }
+
+    // Sanity: replica pairs must be EXACTLY 10x the fixture's q75 pair
+    // count (disjoint shingle universes), and the boilerplate family —
+    // whose every band bucket is degenerate — must stay within the cap's
+    // worst-case bound of cap·(cap−1)/2 pairs per band x 16 bands
+    // (members kept per bucket can differ across bands, so the union
+    // bound is per-band, not global). Without the cap it would approach
+    // 2000·1999/2 ≈ 2.0M pairs emitted from single tasks.
+    graft.functions.NativeFunctions.register(spark)
+    val basePairs = queries.LlmPipeline.minhashLsh(spark, baseDir).count()
+    val sh = graft.sources.Tables.documents(spark, bigDir)
+      .withColumn("sh", expr("shingle_hash64(word_shingles(text, 3))"))
+      .select("doc_id", "sh")
+    val pairs = queries.LlmPipeline.lshNearDupPairs(sh)
+      .select(col("id1"), col("id2")).persist()
+    val boilerPairs = pairs.filter(col("id1") >= 50000000L).count()
+    val repPairs = pairs.filter(col("id1") < 50000000L).count()
+    val cap = queries.LlmPipeline.LshBucketCap.toLong
+    val bound = 16L * cap * (cap - 1) / 2
+    println(s"pairs: replicas=$repPairs (= 10 x base $basePairs: ${repPairs == 10 * basePairs}), " +
+      s"boiler=$boilerPairs (16-band cap bound $bound: ${boilerPairs <= bound})")
+    require(repPairs == 10 * basePairs, "replica pair count is not exactly 10x base")
+    require(boilerPairs <= bound, "bucket cap bound violated")
+    pairs.unpersist()
+    spark.stop()
+  }
+}
