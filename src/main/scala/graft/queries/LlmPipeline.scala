@@ -77,6 +77,27 @@ object LlmPipeline extends QueryPack {
       .select("keeper", "n_copies")
       .orderBy("keeper")
 
+  /** Exact dedup keyed on an 8-byte text hash (q108): the 100-TB form
+    * of q70 — grouping on the full text shuffles every document body;
+    * grouping on a 64-bit content hash shuffles 8 bytes per row, which
+    * is the pattern the header scale notes prescribe. The hash is the
+    * engine-neutral Rabin-Karp pair (`shingle_hash64(array(text))[0]` —
+    * same kernel the LSH pipeline hashes shingles with), so the oracle
+    * stays the plain group-by-text answer: a hash collision would merge
+    * two distinct texts, shift keeper/n_copies, and fail the
+    * cross-engine hash gate loudly (same loud-collision contract as the
+    * hashed-shingle queries; ~2⁻³⁰ birthday odds at 2³⁰ distinct docs).
+    */
+  def exactDedupHashed(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeFunctions.register(spark)
+    Tables.documents(spark, dir)
+      .withColumn("txt_h", expr("shingle_hash64(array(text))[0]"))
+      .groupBy("txt_h")
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      .select("keeper", "n_copies")
+      .orderBy("keeper")
+  }
+
   private val exactDedupSql =
     """SELECT min(doc_id) AS keeper, count(*) AS n_copies
       |FROM documents
@@ -1196,5 +1217,6 @@ object LlmPipeline extends QueryPack {
     QueryDef("q100_decontaminate", decontaminate, Some(decontaminateSql)),
     QueryDef("q101_dedup_clusters", dedupClusters, Some(dedupClustersSql)),
     QueryDef("q103_gram_repetition", gramRepetition, Some(gramRepetitionSql)),
-    QueryDef("q104_int8_quant", int8Quant, Some(int8QuantSql)))
+    QueryDef("q104_int8_quant", int8Quant, Some(int8QuantSql)),
+    QueryDef("q108_exact_dedup_hashed", exactDedupHashed, Some(exactDedupSql)))
 }
