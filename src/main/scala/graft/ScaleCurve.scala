@@ -22,12 +22,14 @@ import org.apache.spark.sql.functions._
   *     under real skew — without the cap this family alone would emit
   *     ~2M pairs per band from one task.
   *
-  * Usage: `sbt "runMain graft.ScaleCurve"` (SPARK_GRAFT_CPUS to set
-  * parallelism; defaults to 32 to match the bench record config).
-  * Prints a markdown table for BASELINE.md.
+  * Usage: `sbt "runMain graft.ScaleCurve [replicas]"` — replicas
+  * defaults to 10; pass 100 for the second curve point (520k docs).
+  * SPARK_GRAFT_CPUS sets parallelism (default 32, the bench record
+  * config). Prints a markdown table for BASELINE.md.
   */
 object ScaleCurve {
   def main(args: Array[String]): Unit = {
+    val replicas = if (args.nonEmpty) args(0).toInt else 10
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -38,12 +40,12 @@ object ScaleCurve {
     spark.sparkContext.setLogLevel("WARN")
 
     val baseDir = "/root/testdata/sf0.1"
-    val bigDir = s"/tmp/graft_scale10x_${queries.SourcesOps.sanitizedAppId(spark)}"
+    val bigDir = s"/tmp/graft_scale${replicas}x_${queries.SourcesOps.sanitizedAppId(spark)}"
 
     // --- corpus generation -------------------------------------------------
     val base = graft.sources.Tables.documents(spark, baseDir)
-    val replicas = base
-      .crossJoin(spark.range(10).select(col("id").as("rep")))
+    val replicaDocs = base
+      .crossJoin(spark.range(replicas).select(col("id").as("rep")))
       .select(
         (col("doc_id") + col("rep") * 1000000L).as("doc_id"),
         when(col("rep") === 0, col("text"))
@@ -54,15 +56,15 @@ object ScaleCurve {
         col("lang"), col("source"), col("n_chars"))
     val boilerText = (1 to 61).map(i => s"boiler$i").mkString(" ")
     val boiler = spark.range(2000).select(
-      (col("id") + 50000000L).as("doc_id"),
+      (col("id") + 1000000000L).as("doc_id"),
       concat(lit(boilerText + " tail"), col("id").cast("string")).as("text"),
       lit("en").as("lang"), lit("boiler").as("source"),
       lit(boilerText.length + 8).cast("long").as("n_chars"))
-    replicas.unionAll(boiler)
+    replicaDocs.unionAll(boiler)
       .repartition(spark.sparkContext.defaultParallelism)
       .write.mode(SaveMode.Overwrite).parquet(s"$bigDir/documents.parquet")
     val nBig = spark.read.parquet(s"$bigDir/documents.parquet").count()
-    println(s"corpus: base=5000+fixture-dups, big=$nBig docs at $bigDir")
+    println(s"corpus: base=5000+fixture-dups, big=$nBig docs (${replicas}x + skew family) at $bigDir")
 
     // --- measurement -------------------------------------------------------
     val probes: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
@@ -80,7 +82,7 @@ object ScaleCurve {
     // Warm-up (JIT + codegen) on the small fixture.
     probes.foreach { case (_, fn) => time(fn, "/root/testdata/sf0.01") }
 
-    println("| query | sf0.1 (s) | 10x (s) | ratio (linear = 10) |")
+    println(s"| query | sf0.1 (s) | ${replicas}x (s) | ratio (linear = $replicas) |")
     println("|---|---|---|---|")
     probes.foreach { case (name, fn) =>
       val tBase = time(fn, baseDir)
@@ -102,13 +104,13 @@ object ScaleCurve {
       .select("doc_id", "sh")
     val pairs = queries.LlmPipeline.lshNearDupPairs(sh)
       .select(col("id1"), col("id2")).persist()
-    val boilerPairs = pairs.filter(col("id1") >= 50000000L).count()
-    val repPairs = pairs.filter(col("id1") < 50000000L).count()
+    val boilerPairs = pairs.filter(col("id1") >= 1000000000L).count()
+    val repPairs = pairs.filter(col("id1") < 1000000000L).count()
     val cap = queries.LlmPipeline.LshBucketCap.toLong
     val bound = 16L * cap * (cap - 1) / 2
-    println(s"pairs: replicas=$repPairs (= 10 x base $basePairs: ${repPairs == 10 * basePairs}), " +
+    println(s"pairs: replicas=$repPairs (= $replicas x base $basePairs: ${repPairs == replicas * basePairs}), " +
       s"boiler=$boilerPairs (16-band cap bound $bound: ${boilerPairs <= bound})")
-    require(repPairs == 10 * basePairs, "replica pair count is not exactly 10x base")
+    require(repPairs == replicas * basePairs, s"replica pair count is not exactly ${replicas}x base")
     require(boilerPairs <= bound, "bucket cap bound violated")
     pairs.unpersist()
     spark.stop()

@@ -104,6 +104,79 @@ object LlmPipeline extends QueryPack {
       |GROUP BY text
       |ORDER BY keeper""".stripMargin
 
+  /** Regex pattern scan (q109): the pattern-audit stage every curation
+    * pipeline runs before release (PII detection, markup stripping,
+    * boilerplate flags) — here counting vowel-initial tokens and a
+    * literal needle per language. Patterns stay in the RE2 ∩ Java-regex
+    * common subset (word boundary, character classes, literals) so both
+    * engines count identical matches; counts are integers, so the
+    * aggregate is exact. Scan-side `regexp_count` is codegen'd and
+    * per-row — no shuffle before the per-lang aggregate.
+    */
+  def regexScan(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        expr("regexp_count(text, '\\\\b[aeiou][a-z]*')").as("v"),
+        expr("regexp_count(text, 'spark')").as("s"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("v")).as("vowel_tokens"),
+        sum(col("s")).as("needle_hits"))
+      .orderBy("lang")
+
+  private val regexScanSql =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(len(regexp_extract_all(text, '\b[aeiou][a-z]*'))) AS BIGINT) AS vowel_tokens,
+      |  CAST(sum(len(regexp_extract_all(text, 'spark'))) AS BIGINT) AS needle_hits
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  /** Corpus bigram-frequency quality scoring (q110): the KenLM-style
+    * filter shape — score each document by how "typical" its token
+    * bigrams are corpus-wide, then surface the 20 least-typical
+    * documents (the candidates a quality gate drops). Two passes over
+    * the exploded bigram stream: (1) corpus bigram counts (groupBy),
+    * (2) re-join each document's bigrams to their counts and average
+    * per doc. All statistics are INTEGER (bigram counts and sums) so
+    * both engines agree bit-for-bit; the only division happens once at
+    * output from exact integers (the oracle-determinism rule: derive
+    * from raw values, round only at the end). A real LM filter replaces
+    * the count table with n-gram log-probs; the dataflow — explode →
+    * count → re-join → per-doc aggregate → global top-k — is identical,
+    * and at 100 TB the count table is itself big (this is why the join
+    * is a plain shuffle equi-join on the bigram, not a broadcast).
+    */
+  def bigramQuality(spark: SparkSession, dir: String): DataFrame = {
+    val bg = Tables.documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> concat(toks[i - 1], ' ', toks[i]))"))
+        .as("bigram"))
+    val freq = bg.groupBy("bigram").agg(count(lit(1)).as("bg_n"))
+    bg.join(freq, "bigram")
+      .groupBy("doc_id")
+      .agg(sum(col("bg_n")).as("freq_sum"), count(lit(1)).as("n_bigrams"))
+      .select(col("doc_id"),
+        round(col("freq_sum") / col("n_bigrams"), 4).as("typicality"))
+      .orderBy(col("typicality").asc, col("doc_id").asc)
+      .limit(20)
+  }
+
+  private val bigramQualitySql =
+    """WITH bg AS (
+      |  SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS bigram
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+      |freq AS (SELECT bigram, count(*) AS bg_n FROM bg GROUP BY bigram),
+      |scored AS (
+      |  SELECT doc_id, CAST(sum(bg_n) AS BIGINT) AS freq_sum, count(*) AS n_bigrams
+      |  FROM bg JOIN freq USING (bigram)
+      |  GROUP BY doc_id)
+      |SELECT doc_id, round(freq_sum::DOUBLE / n_bigrams, 4) AS typicality
+      |FROM scored
+      |ORDER BY typicality ASC, doc_id ASC
+      |LIMIT 20""".stripMargin
+
   /** Token frequency top-25 across the corpus. */
   def tokenTopN(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -1218,5 +1291,7 @@ object LlmPipeline extends QueryPack {
     QueryDef("q101_dedup_clusters", dedupClusters, Some(dedupClustersSql)),
     QueryDef("q103_gram_repetition", gramRepetition, Some(gramRepetitionSql)),
     QueryDef("q104_int8_quant", int8Quant, Some(int8QuantSql)),
-    QueryDef("q108_exact_dedup_hashed", exactDedupHashed, Some(exactDedupSql)))
+    QueryDef("q108_exact_dedup_hashed", exactDedupHashed, Some(exactDedupSql)),
+    QueryDef("q109_regex_scan", regexScan, Some(regexScanSql)),
+    QueryDef("q110_bigram_quality", bigramQuality, Some(bigramQualitySql)))
 }
