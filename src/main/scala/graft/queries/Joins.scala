@@ -286,8 +286,11 @@ object Joins extends QueryPack {
     * l_quantity, which is order-independent in doubles.
     */
   def bloomFilteredJoin(spark: SparkSession, dir: String): DataFrame = {
+    // App-id-suffixed scratch path: two concurrent runs / forked test
+    // JVMs on one machine must not clobber each other's output mid-read.
     val out = java.nio.file.Paths
-      .get(sys.props("java.io.tmpdir"), "graft_join_bloom").toString
+      .get(sys.props("java.io.tmpdir"),
+        s"graft_join_bloom_${SourcesOps.sanitizedAppId(spark)}").toString
     val conf = spark.conf
     val overrides = Seq(
       "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",

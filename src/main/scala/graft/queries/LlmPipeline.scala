@@ -177,6 +177,164 @@ object LlmPipeline extends QueryPack {
       |ORDER BY typicality ASC, doc_id ASC
       |LIMIT 20""".stripMargin
 
+  /** Corpus-wide duplicated-chunk detection (q111): the exact
+    * substring-dedup shape (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better") at chunk granularity — split each
+    * document into non-overlapping 8-token chunks, find chunks that
+    * occur more than once anywhere in the corpus, and report per-doc
+    * contamination counts. The corpus-wide count is a window over the
+    * chunk key (ONE shuffle hash-partitioned on the chunk — the
+    * groupBy+join-back alternative costs two), then a per-doc
+    * aggregate. All outputs are integers — exact cross-engine. At
+    * 100 TB the chunk key would be shingle_hash64(chunk) (8 bytes, the
+    * q108/q75 recipe) and the window becomes a count over that key —
+    * same plan shape, smaller payload.
+    */
+  def chunkDedupStats(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = Tables.documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) div 8 - 1), k -> concat_ws(' ', slice(toks, k*8+1, 8)))"))
+        .as("chunk"))
+    chunks
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("chunk")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("cnt") > 1, 1).otherwise(0)).as("n_dup_chunks"))
+      .orderBy("doc_id")
+  }
+
+  private val chunkDedupStatsSql =
+    """WITH c AS (
+      |  SELECT doc_id, unnest([array_to_string(toks[k*8+1:k*8+8], ' ')
+      |                         for k in range(0, len(toks)//8)]) AS chunk
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+      |w AS (SELECT doc_id, count(*) OVER (PARTITION BY chunk) AS cnt FROM c)
+      |SELECT doc_id, count(*) AS n_chunks,
+      |  CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+      |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Greedy sequence packing (q112): pack documents into fixed-capacity
+    * training sequences (L = 128 tokens) — the batching step every
+    * pretraining pipeline runs between curation and the data loader.
+    * Docs are bucketed (`doc_id % 8`; at 100 TB the bucket count is
+    * ~#cores × k so every core streams its own buckets) and packed
+    * greedily in doc_id order within each bucket: a doc joins the
+    * current sequence unless it would overflow L, else it opens the
+    * next one. The prefix-dependence makes this inherently sequential
+    * PER BUCKET, so the distribution axis is the bucket: repartition on
+    * bucket + sortWithinPartitions(bucket, doc_id) + a STREAMING
+    * mapPartitions that keeps O(1) state (current bucket / seq / fill)
+    * and emits one row per completed sequence — never buffering docs or
+    * sequences. This is the mapPartitions escape hatch used exactly
+    * where SURVEY §2.2.10 reserves it: genuine per-partition imperative
+    * logic the relational operators cannot express. Output (all
+    * integers, exact): per (bucket, seq_id) doc count, token fill, and
+    * padding waste. Oracle: a DuckDB recursive CTE replays the same
+    * greedy recurrence row by row.
+    */
+  def sequencePacking(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val capacity = 128
+    val packed = Tables.documents(spark, dir)
+      .select(pmod(col("doc_id"), lit(8)).cast("int").as("_1"),
+        col("doc_id").as("_2"),
+        size(split(col("text"), " ")).as("_3"))
+      .repartition(col("_1"))
+      .sortWithinPartitions("_1", "_2")
+      .as[(Int, Long, Int)]
+      .mapPartitions { it =>
+        // Streaming greedy packer: one (bucket, seq_id, n_docs, fill)
+        // row per completed sequence; partitions hold whole buckets
+        // (hash-partitioned on bucket) sorted by (bucket, doc_id).
+        new Iterator[(Int, Long, Long, Long)] {
+          private var curBucket = Int.MinValue
+          private var seqId = -1L
+          private var nDocs = 0L
+          private var fill = 0L
+          private var flushed = false
+          private var ready = false
+          private var out: (Int, Long, Long, Long) = _
+          private def emit(): Unit = {
+            out = (curBucket, seqId, nDocs, fill); ready = true
+          }
+          private def advance(): Unit = {
+            while (!ready && it.hasNext) {
+              val (b, _, n) = it.next()
+              if (b != curBucket) {
+                if (nDocs > 0) emit()
+                curBucket = b; seqId = 0L; nDocs = 1L; fill = n.toLong
+              } else if (fill + n <= capacity) {
+                nDocs += 1; fill += n
+              } else {
+                emit(); seqId += 1; nDocs = 1L; fill = n.toLong
+              }
+            }
+            if (!ready && !it.hasNext && nDocs > 0 && !flushed) {
+              emit(); flushed = true
+            }
+          }
+          def hasNext: Boolean = { advance(); ready }
+          def next(): (Int, Long, Long, Long) = {
+            advance()
+            if (!ready) throw new NoSuchElementException("empty packer")
+            ready = false; out
+          }
+        }
+      }
+    packed.toDF("bucket", "seq_id", "n_docs", "fill_tokens")
+      .withColumn("waste", lit(capacity) - col("fill_tokens"))
+      .orderBy("bucket", "seq_id")
+  }
+
+  private val sequencePackingSql =
+    """WITH RECURSIVE docs AS (
+      |  SELECT doc_id % 8 AS bucket, doc_id, len(string_split(text, ' ')) AS n_tok,
+      |         row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+      |  FROM documents),
+      |pack AS (
+      |  SELECT bucket, doc_id, n_tok, rn, n_tok AS fill, 0 AS seq
+      |  FROM docs WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.bucket, d.doc_id, d.n_tok, d.rn,
+      |    CASE WHEN p.fill + d.n_tok <= 128 THEN p.fill + d.n_tok ELSE d.n_tok END,
+      |    CASE WHEN p.fill + d.n_tok <= 128 THEN p.seq ELSE p.seq + 1 END
+      |  FROM docs d JOIN pack p ON d.bucket = p.bucket AND d.rn = p.rn + 1)
+      |SELECT bucket, seq AS seq_id, count(*) AS n_docs,
+      |  CAST(sum(n_tok) AS BIGINT) AS fill_tokens,
+      |  128 - CAST(sum(n_tok) AS BIGINT) AS waste
+      |FROM pack GROUP BY bucket, seq ORDER BY bucket, seq_id""".stripMargin
+
+  /** Overlapping token-window chunking (q113): split each document into
+    * windows of 32 tokens at stride 24 (8-token overlap) — the chunk
+    * prep step for embedding/RAG indexing and long-document training.
+    * Pure per-row explode (transform over a sequence of window starts,
+    * slice per window): zero shuffles before the output sort, codegen
+    * throughout. Emits the chunk table a downstream embedder consumes:
+    * (doc_id, chunk_idx, chunk text, token count).
+    */
+  def tokenChunks(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, (size(toks) - 1) div 24), i -> concat_ws(' ', slice(toks, i*24+1, 32)))")))
+      .toDF("doc_id", "chunk_idx", "chunk")
+      .withColumn("n_chunk_toks", size(split(col("chunk"), " ")))
+      .orderBy("doc_id", "chunk_idx")
+
+  private val tokenChunksSql =
+    """SELECT doc_id, chunk_idx, chunk,
+      |  len(string_split(chunk, ' ')) AS n_chunk_toks
+      |FROM (
+      |  SELECT doc_id,
+      |    unnest([{'chunk_idx': i,
+      |             'chunk': array_to_string(toks[i*24+1 : least(i*24+32, len(toks))], ' ')}
+      |            for i in range(0, ((len(toks) - 1) // 24) + 1)],
+      |           recursive := true)
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
   /** Token frequency top-25 across the corpus. */
   def tokenTopN(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -1293,5 +1451,8 @@ object LlmPipeline extends QueryPack {
     QueryDef("q104_int8_quant", int8Quant, Some(int8QuantSql)),
     QueryDef("q108_exact_dedup_hashed", exactDedupHashed, Some(exactDedupSql)),
     QueryDef("q109_regex_scan", regexScan, Some(regexScanSql)),
-    QueryDef("q110_bigram_quality", bigramQuality, Some(bigramQualitySql)))
+    QueryDef("q110_bigram_quality", bigramQuality, Some(bigramQualitySql)),
+    QueryDef("q111_chunk_dedup", chunkDedupStats, Some(chunkDedupStatsSql)),
+    QueryDef("q112_sequence_packing", sequencePacking, Some(sequencePackingSql)),
+    QueryDef("q113_token_chunks", tokenChunks, Some(tokenChunksSql)))
 }
