@@ -1,0 +1,156 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, QueryPack}
+import graft.sources.Tables
+
+/** Warehouse-maintenance operators over an ordered change log — the
+  * reference's core abstraction (a Raft-replicated command log,
+  * `/root/reference/src/raft/replication.go:11-103`) viewed from the
+  * state-maintenance side: compacting a log into current state (q114),
+  * building a versioned SCD2 history from it (q115), and reconciling
+  * two table snapshots into a change set (q116). The events fixture
+  * plays the log: per-user operations ordered by (ts, event_id), with
+  * `error` acting as the delete tombstone.
+  *
+  * Scale notes:
+  *   - Compaction and SCD2 are ONE shuffle each — every window in a
+  *     query shares the user_id partitioning, so Spark plans a single
+  *     exchange followed by in-partition sorts. This is the plan a
+  *     100-TB CDC compactor needs: shuffle the log once by key,
+  *     never materialize intermediate per-key state on the driver.
+  *   - Snapshot diff is one full-outer shuffle join on the key plus a
+  *     tiny aggregate; both sides stream. At 100 TB both snapshots
+  *     arrive key-partitioned (bucketed layout, q102) and the join is
+  *     shuffle-free.
+  */
+object Changelog extends QueryPack {
+
+  /** Ordered per-user op log with epoch-µs timestamps (FIXTURES.md
+    * determinism rule: timestamps leave the engine as integers).
+    */
+  private def opLog(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("event_type"), col("value"))
+
+  /** CDC log compaction (q114): materialize current state from the
+    * change log — last writer wins per user, `error` tombstones delete
+    * the key. The row_number and the per-user op count ride the SAME
+    * window partitioning, so the whole compaction is one shuffle.
+    */
+  def logCompaction(spark: SparkSession, dir: String): DataFrame = {
+    val byKey = Window.partitionBy("user_id")
+    val latest = byKey.orderBy(col("ts_us").desc, col("event_id").desc)
+    opLog(spark, dir)
+      .withColumn("rn", row_number().over(latest))
+      .withColumn("n_ops", count(lit(1)).over(byKey))
+      .filter(col("rn") === 1 && col("event_type") =!= "error")
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("ts_us").as("last_ts_us"), col("event_type").as("last_type"),
+        round(col("value"), 4).as("last_value"), col("n_ops"))
+      .orderBy("user_id")
+  }
+
+  private val logCompactionSql =
+    """SELECT user_id, last_event_id, last_ts_us, last_type, last_value, n_ops
+      |FROM (
+      |  SELECT user_id, event_id AS last_event_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS last_ts_us,
+      |    event_type AS last_type, round(value, 4) AS last_value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+      |    count(*) OVER (PARTITION BY user_id) AS n_ops
+      |  FROM events)
+      |WHERE rn = 1 AND last_type <> 'error'
+      |ORDER BY user_id""".stripMargin
+
+  /** SCD2 history build (q115): turn the state-setting ops (tombstones
+    * excluded) into a type-2 slowly-changing dimension — one row per
+    * state version with [valid_from, valid_to) interval and a dense
+    * version number; the open (current) interval carries valid_to = -1.
+    * row_number and lead share one window → one shuffle.
+    */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    opLog(spark, dir)
+      .filter(col("event_type") =!= "error")
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_to_us", coalesce(lead(col("ts_us"), 1).over(w), lit(-1L)))
+      .select(col("user_id"), col("version"), col("event_id"),
+        col("ts_us").as("valid_from_us"), col("valid_to_us"),
+        col("event_type").as("state_type"), round(col("value"), 4).as("state_value"))
+      .orderBy("user_id", "version")
+  }
+
+  private val scd2HistorySql =
+    """SELECT user_id, version, event_id, valid_from_us,
+      |  coalesce(lead(valid_from_us) OVER w, -1) AS valid_to_us,
+      |  state_type, state_value
+      |FROM (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS valid_from_us,
+      |    event_type AS state_type, round(value, 4) AS state_value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version
+      |  FROM events WHERE event_type <> 'error')
+      |WINDOW w AS (PARTITION BY user_id ORDER BY valid_from_us, event_id)
+      |ORDER BY user_id, version""".stripMargin
+
+  /** Snapshot diff / reconciliation (q116): classify every key of two
+    * table snapshots as insert / delete / update / keep and emit the
+    * per-action summary — the integrity check a warehouse runs after
+    * applying a change batch. Snapshot B is derived from A by
+    * deterministic rules (drop keys ≡0 mod 97; bump balance by 10 for
+    * keys ≡0 mod 5; insert key+1000000 for keys ≡0 mod 101) so both
+    * engines build bit-identical inputs. One full-outer shuffle join;
+    * key sums are exact integers, the balance delta sums values with
+    * at most 2 decimals (no half-way rounding points).
+    */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val a = cust.select(col("c_custkey").as("k"), col("c_acctbal").as("bal_a"))
+    val bUpd = cust.filter(col("c_custkey") % 97 =!= 0)
+      .select(col("c_custkey").as("k"),
+        (col("c_acctbal") + when(col("c_custkey") % 5 === 0, 10.0).otherwise(0.0)).as("bal_b"))
+    val bIns = cust.filter(col("c_custkey") % 101 === 0)
+      .select((col("c_custkey") + 1000000L).as("k"), lit(0.0).as("bal_b"))
+    a.join(bUpd.unionAll(bIns), Seq("k"), "full_outer")
+      .withColumn("action",
+        when(col("bal_a").isNull, "insert")
+          .when(col("bal_b").isNull, "delete")
+          .when(col("bal_a") =!= col("bal_b"), "update")
+          .otherwise("keep"))
+      .groupBy("action")
+      .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("key_sum"),
+        round(sum(abs(coalesce(col("bal_b"), lit(0.0)) - coalesce(col("bal_a"), lit(0.0)))), 2)
+          .as("abs_delta"))
+      .orderBy("action")
+  }
+
+  private val snapshotDiffSql =
+    """WITH a AS (SELECT c_custkey AS k, c_acctbal AS bal_a FROM customer),
+      |b AS (
+      |  SELECT c_custkey AS k,
+      |    c_acctbal + CASE WHEN c_custkey % 5 = 0 THEN 10.0 ELSE 0.0 END AS bal_b
+      |  FROM customer WHERE c_custkey % 97 <> 0
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000 AS k, 0.0 AS bal_b
+      |  FROM customer WHERE c_custkey % 101 = 0)
+      |SELECT action, count(*) AS n_rows, CAST(sum(k) AS BIGINT) AS key_sum,
+      |  round(sum(abs(coalesce(bal_b, 0.0) - coalesce(bal_a, 0.0))), 2) AS abs_delta
+      |FROM (
+      |  SELECT coalesce(a.k, b.k) AS k, bal_a, bal_b,
+      |    CASE WHEN bal_a IS NULL THEN 'insert'
+      |         WHEN bal_b IS NULL THEN 'delete'
+      |         WHEN bal_a <> bal_b THEN 'update'
+      |         ELSE 'keep' END AS action
+      |  FROM a FULL OUTER JOIN b ON a.k = b.k)
+      |GROUP BY action ORDER BY action""".stripMargin
+
+  override def all: Seq[QueryDef] = Seq(
+    QueryDef("q114_log_compaction", logCompaction, Some(logCompactionSql)),
+    QueryDef("q115_scd2_history", scd2History, Some(scd2HistorySql)),
+    QueryDef("q116_snapshot_diff", snapshotDiff, Some(snapshotDiffSql)))
+}
