@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, QueryPack}
+import graft.sources.Tables
+
+/** Data-profiling / diagnostics operators — the introspection surface a
+  * production engine runs BEFORE committing to a plan at 100 TB:
+  * join-key skew profiling (q117 — decides salting vs AQE skew-join vs
+  * broadcast, cf. the q19 salted top-k this repo already ships) and
+  * ANALYZE-style per-column statistics (q118 — the catalog stats a
+  * cost-based optimizer consumes).
+  *
+  * Scale notes:
+  *   - The skew profile is a groupBy on the join key (one shuffle,
+  *     map-side partial aggregation) followed by a scalar summary
+  *     broadcast back over the tiny top-k — never a driver loop.
+  *   - The column profile runs one column-pruned scan per column
+  *     (ReadSchema shows exactly one column each), so at 100 TB each
+  *     stat reads only its own parquet column chunks; exact NDV is the
+  *     demo (oracle-checkable), approx_count_distinct is the documented
+  *     scale path (q37 covers the sketch itself).
+  */
+object Profiling extends QueryPack {
+
+  /** Join-key skew profile (q117): per-key frequencies of the
+    * orders⋈customer key, the global skew summary (max/avg ratio), and
+    * the top-10 heavy hitters. The summary is a 1-row aggregate
+    * broadcast-joined onto the top-k — the output a skew-mitigation
+    * planner (or operator) reads to pick a strategy.
+    */
+  def keySkewProfile(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.orders(spark, dir).groupBy("o_custkey").count()
+    val summary = counts.agg(
+      count(lit(1)).as("n_keys"),
+      sum("count").as("n_rows"),
+      max("count").as("max_rows"))
+      .withColumn("skew_ratio",
+        round(col("max_rows") * col("n_keys") / col("n_rows"), 4))
+    counts.orderBy(col("count").desc, col("o_custkey")).limit(10)
+      .crossJoin(broadcast(summary))
+      .select(col("o_custkey").as("hot_key"), col("count").as("key_rows"),
+        col("n_keys"), col("n_rows"), col("skew_ratio"))
+      .orderBy(col("key_rows").desc, col("hot_key"))
+  }
+
+  private val keySkewProfileSql =
+    """WITH counts AS (
+      |  SELECT o_custkey, count(*) AS key_rows FROM orders GROUP BY o_custkey),
+      |summary AS (
+      |  SELECT count(*) AS n_keys, CAST(sum(key_rows) AS BIGINT) AS n_rows,
+      |    CAST(max(key_rows) AS BIGINT) AS max_rows
+      |  FROM counts)
+      |SELECT o_custkey AS hot_key, key_rows, n_keys, n_rows,
+      |  round(max_rows * n_keys / CAST(n_rows AS DOUBLE), 4) AS skew_ratio
+      |FROM (SELECT * FROM counts ORDER BY key_rows DESC, o_custkey LIMIT 10), summary
+      |ORDER BY key_rows DESC, hot_key""".stripMargin
+
+  /** ANALYZE-style column statistics (q118): row count, null count,
+    * exact NDV, and (for integer/date columns) min/max as BIGINT —
+    * epoch days for dates, NULL where min/max has no integer form.
+    * One column-pruned scan per column, unioned: the per-column stats
+    * jobs a catalog runs, each reading only its own parquet column.
+    */
+  def columnProfile(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    def stat(name: String, minMax: Option[org.apache.spark.sql.Column]): DataFrame =
+      orders.agg(
+        count(lit(1)).as("n"),
+        sum(col(name).isNull.cast("long")).as("n_null"),
+        count_distinct(col(name)).as("ndv"),
+        min(minMax.getOrElse(lit(null).cast("long"))).as("min_v"),
+        max(minMax.getOrElse(lit(null).cast("long"))).as("max_v"))
+        .select(lit(name).as("column"), col("n"), col("n_null"), col("ndv"),
+          col("min_v").cast("long"), col("max_v").cast("long"))
+    Seq(
+      stat("o_orderkey", Some(col("o_orderkey"))),
+      stat("o_custkey", Some(col("o_custkey"))),
+      stat("o_orderstatus", None),
+      stat("o_totalprice", None),
+      stat("o_orderdate", Some(unix_micros(col("o_orderdate")))),
+      stat("o_orderpriority", None))
+      .reduce(_ unionAll _)
+      .orderBy("column")
+  }
+
+  private val columnProfileSql =
+    """SELECT 'o_orderkey' AS "column", count(*) AS n,
+      |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+      |  count(DISTINCT o_orderkey) AS ndv,
+      |  CAST(min(o_orderkey) AS BIGINT) AS min_v, CAST(max(o_orderkey) AS BIGINT) AS max_v
+      |FROM orders
+      |UNION ALL SELECT 'o_custkey', count(*),
+      |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |  count(DISTINCT o_custkey),
+      |  CAST(min(o_custkey) AS BIGINT), CAST(max(o_custkey) AS BIGINT) FROM orders
+      |UNION ALL SELECT 'o_orderstatus', count(*),
+      |  CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |  count(DISTINCT o_orderstatus), NULL, NULL FROM orders
+      |UNION ALL SELECT 'o_totalprice', count(*),
+      |  CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |  count(DISTINCT o_totalprice), NULL, NULL FROM orders
+      |UNION ALL SELECT 'o_orderdate', count(*),
+      |  CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |  count(DISTINCT o_orderdate),
+      |  epoch_us(CAST(min(o_orderdate) AS TIMESTAMP)),
+      |  epoch_us(CAST(max(o_orderdate) AS TIMESTAMP)) FROM orders
+      |UNION ALL SELECT 'o_orderpriority', count(*),
+      |  CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |  count(DISTINCT o_orderpriority), NULL, NULL FROM orders
+      |ORDER BY "column"""".stripMargin
+
+  override def all: Seq[QueryDef] = Seq(
+    QueryDef("q117_key_skew_profile", keySkewProfile, Some(keySkewProfileSql)),
+    QueryDef("q118_column_profile", columnProfile, Some(columnProfileSql)))
+}
