@@ -321,6 +321,69 @@ object Joins extends QueryPack {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** Manual skew-split two-path join (q119): the third skew strategy in
+    * the repo's toolkit, alongside salting (q19) and AQE skew-split
+    * (AqeSkewSpec) — used at 100 TB when AQE cannot see the skew (it
+    * only fires post-shuffle on partition sizes, not on per-KEY
+    * hotness) or the dim is too big to broadcast whole while its
+    * hot-key slice is tiny. The hot set comes from the q117-style
+    * frequency profile (top-10 keys, broadcast); the fact stream splits
+    * into a broadcast-joined hot path and a shuffle-joined cold path,
+    * unioned before the aggregate. Per-path totals stay integer-exact
+    * (count + 2-decimal money sums) so the oracle — the PLAIN join, no
+    * split — hash-matches: the rewrite must be semantically invisible.
+    * Broadcast thresholds are disabled for the cold path inside a
+    * scoped conf (q99 recipe: execute to scratch parquet inside the
+    * scope) so the demonstrated plan genuinely contains BOTH join
+    * strategies (SkewJoinSpec asserts it).
+    */
+  def skewSplitJoin(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Paths
+      .get(sys.props("java.io.tmpdir"),
+        s"graft_join_skewsplit_${SourcesOps.sanitizedAppId(spark)}").toString
+    val conf = spark.conf
+    val overrides = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = overrides.map { case (k, _) => k -> conf.getOption(k) }
+    try {
+      overrides.foreach { case (k, v) => conf.set(k, v) }
+      skewSplitJoined(spark, dir)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+    spark.read.parquet(out).orderBy("c_mktsegment")
+  }
+
+  /** The two-path join itself, conf-agnostic (the spec applies its own
+    * scoped thresholds to audit the plan before any write).
+    */
+  private[graft] def skewSplitJoined(spark: SparkSession, dir: String): DataFrame = {
+    val fact = Tables.orders(spark, dir)
+    val dim = Tables.customer(spark, dir)
+    val hot = broadcast(
+      fact.groupBy("o_custkey").count()
+        .orderBy(col("count").desc, col("o_custkey")).limit(10)
+        .select(col("o_custkey").as("hk")))
+    val factHot = fact.join(hot, col("o_custkey") === col("hk"), "left_semi")
+    val factCold = fact.join(hot, col("o_custkey") === col("hk"), "left_anti")
+    val dimHot = broadcast(dim.join(hot, col("c_custkey") === col("hk"), "left_semi"))
+    factHot.join(dimHot, col("o_custkey") === col("c_custkey"))
+      .unionAll(factCold.join(dim, col("o_custkey") === col("c_custkey")))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+  }
+
+  private val skewSplitJoinSql =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
   override def all: Seq[QueryDef] = Seq(
     QueryDef("q10_semi_join", semiJoin, Some(semiJoinSql)),
     QueryDef("q11_anti_join", antiJoin, Some(antiJoinSql)),
@@ -332,5 +395,6 @@ object Joins extends QueryPack {
     QueryDef("q17_star_brand_nation", starJoinBrandNation, Some(starJoinBrandNationSql), headline = true),
     QueryDef("q18_right_outer_segments", rightOuterSegments, Some(rightOuterSegmentsSql)),
     QueryDef("q19_salted_topk", saltedTopK, Some(saltedTopKSql)),
-    QueryDef("q99_bloom_filter_join", bloomFilteredJoin, Some(bloomFilteredJoinSql)))
+    QueryDef("q99_bloom_filter_join", bloomFilteredJoin, Some(bloomFilteredJoinSql)),
+    QueryDef("q119_skew_split_join", skewSplitJoin, Some(skewSplitJoinSql)))
 }
