@@ -196,6 +196,57 @@ object Relational extends QueryPack {
       |WHERE rk <= 3
       |ORDER BY c_nationkey, acctbal DESC, c_custkey""".stripMargin
 
+  /** Rule-rewritten top-k per group (q120): the USER writes the plain
+    * window-rank-filter idiom; the `RankFilterToTopK` optimizer rule
+    * (SURVEY §2.2.10's `Rule[LogicalPlan]` extension point) rewrites it
+    * into the heap-based TopKPerGroup operator — q09's plan from q05's
+    * source code. The rule and strategy are installed scoped around
+    * this query's own execution (write-inside-scope, the q99 recipe)
+    * so the harness-shared session keeps default plans elsewhere;
+    * RuleRewriteSpec asserts the rewritten plan has no Window/Sort and
+    * equals the un-rewritten idiom. The oracle is the idiom itself —
+    * the rewrite must be semantically invisible (the order is total:
+    * acctbal DESC, custkey breaks ties).
+    */
+  def ruleRewrittenTopK(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Paths
+      .get(sys.props("java.io.tmpdir"),
+        s"graft_rel_ruletopk_${SourcesOps.sanitizedAppId(spark)}").toString
+    val exp = spark.experimental
+    exp.synchronized {
+      if (!exp.extraStrategies.exists(_.isInstanceOf[graft.plans.TopKPerGroupStrategy]))
+        exp.extraStrategies = exp.extraStrategies :+ new graft.plans.TopKPerGroupStrategy
+      if (!exp.extraOptimizations.exists(_ eq graft.plans.RankFilterToTopK))
+        exp.extraOptimizations = exp.extraOptimizations :+ graft.plans.RankFilterToTopK
+    }
+    try {
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.customer(spark, dir)
+        .select("c_mktsegment", "c_custkey", "c_acctbal")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .drop("rn")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
+    } finally exp.synchronized {
+      exp.extraOptimizations =
+        exp.extraOptimizations.filterNot(_ eq graft.plans.RankFilterToTopK)
+    }
+    spark.read.parquet(out)
+      .select(col("c_mktsegment"), col("c_custkey"), round(col("c_acctbal"), 4).as("acctbal"))
+      .orderBy("c_mktsegment", "c_custkey")
+  }
+
+  private val ruleRewrittenTopKSql =
+    """SELECT c_mktsegment, c_custkey, round(c_acctbal, 4) AS acctbal
+      |FROM (
+      |  SELECT c_mktsegment, c_custkey, c_acctbal,
+      |    row_number() OVER (PARTITION BY c_mktsegment
+      |                       ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+      |  FROM customer) t
+      |WHERE rn <= 3
+      |ORDER BY c_mktsegment, c_custkey""".stripMargin
+
   /** SELECT DISTINCT — partial-dedup in the map stage, exchange on the
     * distinct keys only.
     */
@@ -311,5 +362,6 @@ object Relational extends QueryPack {
     QueryDef("q09_custom_topk", customTopKPerNation, Some(customTopKPerNationSql)),
     QueryDef("q90_sample_stratified", sampleStratified, None),
     QueryDef("q105_sample_hash_threshold", sampleHashThreshold, Some(sampleHashThresholdSql)),
-    QueryDef("q106_sample_stratified_hash", sampleStratifiedHash, Some(sampleStratifiedHashSql)))
+    QueryDef("q106_sample_stratified_hash", sampleStratifiedHash, Some(sampleStratifiedHashSql)),
+    QueryDef("q120_rule_rewritten_topk", ruleRewrittenTopK, Some(ruleRewrittenTopKSql)))
 }
