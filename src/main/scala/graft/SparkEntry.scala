@@ -15,7 +15,7 @@ object SparkEntry {
   /** All query packs, one per SURVEY.md §2.2 area. */
   private def packs: Seq[QueryPack] = Seq(
     Relational, Joins, SetOps, Aggregates, Windows, Scalars, Sessions, TimeJoins,
-    LlmPipeline, SourcesOps, Reshape, SqlGateway, Changelog, Profiling)
+    LlmPipeline, SourcesOps, Reshape, SqlGateway, Changelog, Profiling, Temporal)
 
   lazy val defs: Seq[QueryDef] = {
     val ds = packs.flatMap(_.all)

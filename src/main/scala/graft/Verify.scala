@@ -5,7 +5,13 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // Optional 3rd arg: comma-separated name prefixes — dump only the
+    // matching queries (fast local iteration on a new operator; the
+    // driver always calls with two args = full dump).
+    val (sfDir, outDir, only) = args match {
+      case Array(s, o)    => (s, o, None)
+      case Array(s, o, f) => (s, o, Some(f.split(",").toSeq))
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -18,7 +24,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    val selected = SparkEntry.queries.filter { case (name, _) =>
+      only.forall(_.exists(name.startsWith)) }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -26,6 +34,7 @@ object Verify {
       }
     }
     val json = SparkEntry.oracleSql
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .map { case (k, v) => s"${JsonEscape.quote(k)}: ${JsonEscape.quote(v)}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -15,12 +15,12 @@ class EntrySpec extends SparkSpec {
   test("registry regression guard: every pack stays registered") {
     // Round 1's worst defect was silently-unregistered packs. Exact
     // counts force any change here to be deliberate.
-    assert(SparkEntry.defs.size == 110,
-      s"query count ${SparkEntry.defs.size} != 110 — update this guard deliberately")
-    assert(SparkEntry.oracleSql.size == 107,
-      s"oracle count ${SparkEntry.oracleSql.size} != 107 — update this guard deliberately")
+    assert(SparkEntry.defs.size == 112,
+      s"query count ${SparkEntry.defs.size} != 112 — update this guard deliberately")
+    assert(SparkEntry.oracleSql.size == 109,
+      s"oracle count ${SparkEntry.oracleSql.size} != 109 — update this guard deliberately")
     // One representative per pack must be present.
-    val reps = Seq("q01_", "q10_", "q20_", "q26_", "q30_", "q40_", "q50_", "q60_", "q65_", "q70_", "q80_", "q91_")
+    val reps = Seq("q01_", "q10_", "q20_", "q26_", "q30_", "q40_", "q50_", "q60_", "q65_", "q70_", "q80_", "q91_", "q114_", "q117_", "q121_")
     val names = SparkEntry.defs.map(_.name)
     reps.foreach(p => assert(names.exists(_.startsWith(p)), s"no query with prefix $p — pack unregistered?"))
     assert(SparkEntry.headlineQueries.nonEmpty)

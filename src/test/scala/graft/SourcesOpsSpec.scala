@@ -20,7 +20,8 @@ class SourcesOpsSpec extends SparkSpec {
   test("partitioned sink lays out one directory per mktsegment and prunes reads") {
     SourcesOps.partitionedSink(spark, sfDir).collect() // triggers the write
     val out = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_srcops_psink")
+      sys.props("java.io.tmpdir"),
+      s"graft_srcops_psink_${SourcesOps.sanitizedAppId(spark)}")
     val segDirs = out.listFiles().filter(_.getName.startsWith("c_mktsegment="))
     assert(segDirs.length >= 2, s"expected partition dirs, got ${out.listFiles().map(_.getName).mkString(",")}")
     // Pruned read: the physical plan must select partitions, not filter rows.

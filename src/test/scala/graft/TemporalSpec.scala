@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.Temporal
+import graft.sources.Tables
+
+class TemporalSpec extends SparkSpec {
+
+  test("q121: offset-0 cohort counts sum to the distinct user count") {
+    // Every user is by definition active on their own cohort day, so the
+    // offset-0 column of the retention matrix must partition the users.
+    val ret = Temporal.cohortRetention(spark, sfDir).cache()
+    try {
+      val day0 = ret.filter(col("offset_d") === 0)
+        .agg(sum("n_users")).head().getLong(0)
+      val users = Tables.events(spark, sfDir)
+        .select("user_id").distinct().count()
+      assert(day0 == users, s"offset-0 total $day0 != $users distinct users")
+      // Retention never exceeds the cohort's day-0 size.
+      val bad = ret.as("r")
+        .join(ret.filter(col("offset_d") === 0)
+          .select(col("cohort_d"), col("n_users").as("c0")), Seq("cohort_d"))
+        .filter(col("n_users") > col("c0")).count()
+      assert(bad == 0, s"$bad cells larger than their cohort's day-0 size")
+    } finally ret.unpersist()
+  }
+
+  test("q122: grid is gapless per user and fill propagates the last value") {
+    val filled = Temporal.gapFillDaily(spark, sfDir).cache()
+    try {
+      // Contiguity: per user, row count == span between min and max day.
+      val spans = filled.groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          (datediff(max(col("d")), min(col("d"))) + 1).as("span"))
+      assert(spans.filter(col("n") =!= col("span")).count() == 0,
+        "calendar grid has holes")
+      // Forward fill: v_fill is only null before a user's first observed
+      // day — and day one is always observed (grid starts at min(d) of
+      // the OBSERVED series), so never null at all.
+      assert(filled.filter(col("v_fill").isNull).count() == 0)
+      // Non-gap rows carry their own observed value; gap rows carry the
+      // previous row's fill (checked via lag over the same order).
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("d")
+      val lagged = filled.withColumn("prev_fill", lag(col("v_fill"), 1).over(w))
+      assert(lagged.filter(col("is_gap") === 1 &&
+        col("v_fill") =!= col("prev_fill")).count() == 0,
+        "a gap row's fill differs from the previous day's value")
+    } finally filled.unpersist()
+  }
+}
