@@ -149,8 +149,62 @@ object Changelog extends QueryPack {
       |  FROM a FULL OUTER JOIN b ON a.k = b.k)
       |GROUP BY action ORDER BY action""".stripMargin
 
+  /** Incremental aggregate maintenance (q124): merge a pre-aggregated
+    * snapshot with a freshly-aggregated delta batch instead of
+    * re-aggregating the full log — the materialized-view maintenance
+    * pattern that turns a 100-TB nightly recompute into a delta-sized
+    * job. The log splits at the midpoint timestamp (computed as one
+    * 1-row aggregate broadcast onto the scan); "snapshot" aggregates
+    * ts < cutoff, "delta" aggregates ts ≥ cutoff, and a full-outer
+    * merge adds the partials. Value sums ride as ×10⁴ integers so the
+    * partial-then-merge addition is exact and associative — the float
+    * hazard that breaks naive incremental sums is designed out.
+    *
+    * The oracle aggregates the WHOLE log directly: the query's result
+    * must be indistinguishable from a full recompute, which is the
+    * correctness contract of incremental maintenance.
+    */
+  def incrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val log = opLog(spark, dir)
+      .withColumn("v_e4", round(col("value") * 10000).cast("long"))
+    // `div` = integral division, matching the oracle's `//` exactly —
+    // `/` on longs would round through double.
+    val cutoff = log.agg(
+      expr("min(ts_us) + (max(ts_us) - min(ts_us)) div 2").as("cut_us"))
+    val tagged = log.crossJoin(broadcast(cutoff))
+    def aggregate(side: DataFrame): DataFrame = side.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum(col("v_e4")).as("s"))
+    val snap = aggregate(tagged.filter(col("ts_us") < col("cut_us")))
+    val delta = aggregate(tagged.filter(col("ts_us") >= col("cut_us")))
+    snap.withColumnRenamed("n", "n_snap").withColumnRenamed("s", "s_snap")
+      .join(delta.withColumnRenamed("n", "n_delta").withColumnRenamed("s", "s_delta"),
+        Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        coalesce(col("n_snap"), lit(0L)).as("n_snap"),
+        coalesce(col("n_delta"), lit(0L)).as("n_delta"),
+        (coalesce(col("n_snap"), lit(0L)) + coalesce(col("n_delta"), lit(0L))).as("n_ops"),
+        (coalesce(col("s_snap"), lit(0L)) + coalesce(col("s_delta"), lit(0L))).as("v_sum_e4"))
+      .orderBy("user_id")
+  }
+
+  private val incrementalAggSql =
+    """WITH log AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+      |    CAST(round(value * 10000) AS BIGINT) AS v_e4
+      |  FROM events),
+      |cut AS (SELECT min(ts_us) + (max(ts_us) - min(ts_us)) // 2 AS cut_us FROM log)
+      |SELECT user_id,
+      |  CAST(count(*) FILTER (WHERE ts_us < cut_us) AS BIGINT) AS n_snap,
+      |  CAST(count(*) FILTER (WHERE ts_us >= cut_us) AS BIGINT) AS n_delta,
+      |  CAST(count(*) AS BIGINT) AS n_ops,
+      |  CAST(sum(v_e4) AS BIGINT) AS v_sum_e4
+      |FROM log, cut
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   override def all: Seq[QueryDef] = Seq(
     QueryDef("q114_log_compaction", logCompaction, Some(logCompactionSql)),
     QueryDef("q115_scd2_history", scd2History, Some(scd2HistorySql)),
-    QueryDef("q116_snapshot_diff", snapshotDiff, Some(snapshotDiffSql)))
+    QueryDef("q116_snapshot_diff", snapshotDiff, Some(snapshotDiffSql)),
+    QueryDef("q124_incremental_agg", incrementalAgg, Some(incrementalAggSql)))
 }

@@ -112,7 +112,85 @@ object Profiling extends QueryPack {
       |  count(DISTINCT o_orderpriority), NULL, NULL FROM orders
       |ORDER BY "column"""".stripMargin
 
+  /** Replica anti-entropy fingerprints (q123): the consistency check a
+    * replicated store runs between replicas — the one distributed-
+    * systems behavior the reference's Raft replication loop
+    * (reference src/raft/replication.go:11-103) exists to guarantee,
+    * re-expressed as a relational operator. Each replica is reduced to
+    * one order-independent fingerprint per key bucket (XOR of
+    * engine-neutral Rabin-Karp row hashes + row count), and the two
+    * fingerprint tables join on bucket to flag divergent buckets.
+    *
+    * Replica B is derived from A by deterministic rules (drop keys
+    * ≡0 mod 499, +0.01 balance for keys ≡0 mod 250) so both engines
+    * build identical inputs; in production B is the other replica's
+    * scan. XOR is commutative/associative ⇒ the fingerprint needs no
+    * sort, aggregates map-side, and ships 16 rows per replica no
+    * matter the table size — this is how you diff two 100-TB replicas
+    * with one tiny shuffle each and zero row movement between sites.
+    */
+  def replicaFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeFunctions.register(spark)
+    def fingerprint(rep: DataFrame): DataFrame = rep
+      .withColumn("row_str", concat_ws("|",
+        col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_mktsegment"),
+        round(col("c_acctbal") * 100).cast("long")))
+      .withColumn("row_h", expr("shingle_hash64(array(row_str))[0]"))
+      .groupBy((col("c_custkey") % 16).as("bucket"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(row_h)").as("fp"))
+    val a = Tables.customer(spark, dir)
+    val b = a.filter(col("c_custkey") % 499 =!= 0)
+      .withColumn("c_acctbal",
+        when(col("c_custkey") % 250 === 0, col("c_acctbal") + 0.01)
+          .otherwise(col("c_acctbal")))
+    fingerprint(a).as("a")
+      .join(fingerprint(b).withColumnRenamed("n", "n_b")
+        .withColumnRenamed("fp", "fp_b"), Seq("bucket"), "full_outer")
+      .select(col("bucket"), col("n").as("n_a"), col("n_b"),
+        col("fp").as("fp_a"), col("fp_b"),
+        (col("n") === col("n_b") && col("fp") === col("fp_b"))
+          .cast("int").as("consistent"))
+      .orderBy("bucket")
+  }
+
+  private val replicaFingerprintSql =
+    """WITH hashed_a AS (
+      |  SELECT c_custkey % 16 AS bucket,
+      |    list_reduce(
+      |      [CAST(ascii(row_str[i]) AS BIGINT) for i in range(1, strlen(row_str) + 1)],
+      |      (a, c) -> (a * 131 + c) % 1000000007) * 1000000009 +
+      |    list_reduce(
+      |      [CAST(ascii(row_str[i]) AS BIGINT) for i in range(1, strlen(row_str) + 1)],
+      |      (a, c) -> (a * 137 + c) % 1000000009) AS row_h
+      |  FROM (
+      |    SELECT c_custkey,
+      |      concat_ws('|', c_custkey, c_name, c_nationkey, c_mktsegment,
+      |        CAST(round(c_acctbal * 100) AS BIGINT)) AS row_str
+      |    FROM customer)),
+      |hashed_b AS (
+      |  SELECT c_custkey % 16 AS bucket,
+      |    list_reduce(
+      |      [CAST(ascii(row_str[i]) AS BIGINT) for i in range(1, strlen(row_str) + 1)],
+      |      (a, c) -> (a * 131 + c) % 1000000007) * 1000000009 +
+      |    list_reduce(
+      |      [CAST(ascii(row_str[i]) AS BIGINT) for i in range(1, strlen(row_str) + 1)],
+      |      (a, c) -> (a * 137 + c) % 1000000009) AS row_h
+      |  FROM (
+      |    SELECT c_custkey,
+      |      concat_ws('|', c_custkey, c_name, c_nationkey, c_mktsegment,
+      |        CAST(round((c_acctbal + CASE WHEN c_custkey % 250 = 0 THEN 0.01 ELSE 0 END) * 100) AS BIGINT)) AS row_str
+      |    FROM customer WHERE c_custkey % 499 <> 0)),
+      |fp_a AS (SELECT bucket, count(*) AS n_a, bit_xor(row_h) AS fp_a FROM hashed_a GROUP BY bucket),
+      |fp_b AS (SELECT bucket, count(*) AS n_b, bit_xor(row_h) AS fp_b FROM hashed_b GROUP BY bucket)
+      |SELECT bucket, n_a, n_b, fp_a, fp_b,
+      |  CAST(n_a = n_b AND fp_a = fp_b AS INT) AS consistent
+      |FROM fp_a FULL OUTER JOIN fp_b USING (bucket)
+      |ORDER BY bucket""".stripMargin
+
   override def all: Seq[QueryDef] = Seq(
     QueryDef("q117_key_skew_profile", keySkewProfile, Some(keySkewProfileSql)),
-    QueryDef("q118_column_profile", columnProfile, Some(columnProfileSql)))
+    QueryDef("q118_column_profile", columnProfile, Some(columnProfileSql)),
+    QueryDef("q123_replica_fingerprint", replicaFingerprint,
+      Some(replicaFingerprintSql)))
 }

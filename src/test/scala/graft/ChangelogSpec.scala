@@ -68,4 +68,21 @@ class ChangelogSpec extends SparkSpec {
     check("update", updates)
     check("keep", keeps)
   }
+
+  test("q124: snapshot+delta merge is indistinguishable from a full recompute") {
+    val merged = Changelog.incrementalAgg(spark, sfDir)
+      .select("user_id", "n_ops", "v_sum_e4")
+    val direct = Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_ops"),
+        sum(round(col("value") * 10000).cast("long")).as("v_sum_e4"))
+    assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty,
+      "incremental merge diverges from the direct aggregate")
+    // Both sides of the split contribute: a degenerate cutoff (all rows
+    // on one side) would make the merge test vacuous.
+    val sides = Changelog.incrementalAgg(spark, sfDir)
+      .agg(sum("n_snap"), sum("n_delta")).head()
+    assert(sides.getLong(0) > 0 && sides.getLong(1) > 0,
+      s"degenerate cutoff: snap=${sides.getLong(0)} delta=${sides.getLong(1)}")
+  }
 }

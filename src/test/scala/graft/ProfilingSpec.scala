@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.Profiling
+import graft.sources.Tables
+
+class ProfilingSpec extends SparkSpec {
+
+  test("q123: inconsistent buckets are exactly the buckets holding a divergent key") {
+    // Recompute the expected divergent bucket set straight from the
+    // replica-B derivation rules: a bucket diverges iff it contains a
+    // dropped key (mod 499) or a perturbed key (mod 250).
+    val cust = Tables.customer(spark, sfDir)
+    val expected = cust
+      .filter(col("c_custkey") % 499 === 0 || col("c_custkey") % 250 === 0)
+      .select((col("c_custkey") % 16).as("bucket")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val got = Profiling.replicaFingerprint(spark, sfDir)
+      .filter(col("consistent") === 0)
+      .select("bucket").collect().map(_.getLong(0)).toSet
+    assert(got == expected, s"divergent buckets $got != expected $expected")
+    assert(expected.nonEmpty, "fixture has no divergent key — test is vacuous")
+  }
+
+  test("q123: fingerprints are order-independent (XOR law)") {
+    // Same rows in a different partition layout must produce identical
+    // per-bucket fingerprints — the property that lets two replicas
+    // fingerprint independently without a common sort order.
+    val a = Profiling.replicaFingerprint(spark, sfDir)
+      .select("bucket", "fp_a").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val reshuffled = Tables.customer(spark, sfDir).repartition(7)
+    // Rebuild replica A's fingerprint from the reshuffled scan.
+    graft.functions.NativeFunctions.register(spark)
+    val b = reshuffled
+      .withColumn("row_str", concat_ws("|",
+        col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_mktsegment"), round(col("c_acctbal") * 100).cast("long")))
+      .withColumn("row_h", expr("shingle_hash64(array(row_str))[0]"))
+      .groupBy((col("c_custkey") % 16).as("bucket"))
+      .agg(expr("bit_xor(row_h)").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b, "fingerprint depends on partition layout")
+  }
+}
