@@ -384,6 +384,46 @@ object Joins extends QueryPack {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  /** Blocked edit-distance similarity join (q125): fuzzy entity
+    * matching over the part-name catalog — find distinct name pairs
+    * within Levenshtein distance 3, joining only within a blocking key
+    * (the name's noun) so the comparison count is Σ|block|², never
+    * |names|². This is the classic blocking/entity-resolution shape:
+    * at 100 TB the block key comes from a cheap canonicalizer (phonetic
+    * code, sorted token prefix, LSH band — q75's machinery) and skewed
+    * blocks get the same per-bucket cap the LSH pipeline applies; the
+    * quadratic work only ever happens inside a block.
+    *
+    * Names are aggregated to distinct first (with their part counts),
+    * so the join compares entities, not rows — dedup before the
+    * expensive comparator is the first rule of fuzzy matching at scale.
+    */
+  def editDistanceJoin(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(spark, dir)
+      .groupBy("p_name").agg(count(lit(1)).as("n_parts"))
+      .withColumn("noun", element_at(split(col("p_name"), " "), 2))
+    val a = names.select(col("noun"), col("p_name").as("name_a"), col("n_parts").as("n_a"))
+    val b = names.select(col("noun"), col("p_name").as("name_b"), col("n_parts").as("n_b"))
+    a.join(b, Seq("noun"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 3)
+      .select("name_a", "name_b", "dist", "n_a", "n_b")
+      .orderBy("name_a", "name_b")
+  }
+
+  private val editDistanceJoinSql =
+    """WITH names AS (
+      |  SELECT p_name, count(*) AS n_parts, split_part(p_name, ' ', 2) AS noun
+      |  FROM part GROUP BY p_name)
+      |SELECT a.p_name AS name_a, b.p_name AS name_b,
+      |  levenshtein(a.p_name, b.p_name) AS dist,
+      |  a.n_parts AS n_a, b.n_parts AS n_b
+      |FROM names a JOIN names b
+      |  ON a.noun = b.noun AND a.p_name < b.p_name
+      |WHERE levenshtein(a.p_name, b.p_name) <= 3
+      |ORDER BY name_a, name_b""".stripMargin
+
   override def all: Seq[QueryDef] = Seq(
     QueryDef("q10_semi_join", semiJoin, Some(semiJoinSql)),
     QueryDef("q11_anti_join", antiJoin, Some(antiJoinSql)),
@@ -396,5 +436,6 @@ object Joins extends QueryPack {
     QueryDef("q18_right_outer_segments", rightOuterSegments, Some(rightOuterSegmentsSql)),
     QueryDef("q19_salted_topk", saltedTopK, Some(saltedTopKSql)),
     QueryDef("q99_bloom_filter_join", bloomFilteredJoin, Some(bloomFilteredJoinSql)),
-    QueryDef("q119_skew_split_join", skewSplitJoin, Some(skewSplitJoinSql)))
+    QueryDef("q119_skew_split_join", skewSplitJoin, Some(skewSplitJoinSql)),
+    QueryDef("q125_editdist_join", editDistanceJoin, Some(editDistanceJoinSql)))
 }

@@ -1411,6 +1411,137 @@ object LlmPipeline extends QueryPack {
         col("maxabs").cast("double").as("maxabs"))
       .orderBy("vec_id")
 
+  /** Two-stage random-projection ANN over quantized embeddings (q126):
+    * the Johnson–Lindenstrauss recipe made integer-exact. Stage 1
+    * int8-quantizes each 64-d embedding (q104's formula), projects to
+    * 8 dims with a deterministic ±1 sign matrix, and takes the top-200
+    * candidates by cheap 8-d distance; stage 2 re-ranks ONLY those
+    * candidates by exact 64-d distance. 8× fewer multiplies and bytes
+    * per stage-1 comparison; at 100 TB stage 1 is the full scan and
+    * stage 2 touches 200 rows via broadcast — the candidate-generation
+    * + re-rank split every production vector index uses (recall is
+    * bounded by stage 1's list, pinned against exact search in
+    * LlmPipelineSpec; widen the candidate LIMIT to buy recall).
+    *
+    * Everything after q104's quantization is int64 arithmetic —
+    * projection sums, distances, and ranking are bit-identical across
+    * engines by construction (the q95 float-identity recipe taken to
+    * its limit: no floats at all). The sign matrix is a hash of (i, j)
+    * — Weyl-ish odd multipliers mod a prime — so both engines derive
+    * the identical matrix with no shipped state. Zero shuffles before
+    * the stage-1 top-k: quantize, project, and distance are per-row
+    * maps over the scan; probes and candidate lists ride broadcasts.
+    */
+  def projectedAnn(spark: SparkSession, dir: String): DataFrame = {
+    val quantized = Tables.embeddings(spark, dir)
+      .withColumn("maxabs", expr("array_max(transform(embedding, x -> abs(x)))"))
+      .withColumn("scale", lit(127.0) / col("maxabs"))
+      .withColumn("qv", expr("transform(embedding, x -> CAST(round(x * scale) AS BIGINT))"))
+      .select("vec_id", "qv")
+    val projected = quantized
+      .withColumn("proj", expr(
+        """transform(sequence(0, 7), j ->
+          |  aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, i) ->
+          |    acc + element_at(qv, i + 1) *
+          |      (CASE WHEN (i * 2654435761 + j * 40503) % 97 % 2 = 0
+          |            THEN 1 ELSE -1 END)))""".stripMargin))
+      .select("vec_id", "proj")
+    val pprobe = projected.filter(col("vec_id") === 0)
+      .select(col("proj").as("pp"))
+    // Stage 1: top-200 candidates by 8-d projected distance (cheap).
+    val candidates = projected.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(pprobe))
+      .withColumn("pdist", expr(
+        "aggregate(zip_with(proj, pp, (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, d) -> acc + d)"))
+      .orderBy(col("pdist"), col("vec_id"))
+      .limit(200)
+      .select("vec_id")
+    // Stage 2: exact 64-d re-rank of the candidate list only.
+    val probe = quantized.filter(col("vec_id") === 0).select(col("qv").as("pq"))
+    quantized.join(broadcast(candidates), "vec_id")
+      .crossJoin(broadcast(probe))
+      .withColumn("dist_sq", expr(
+        "aggregate(zip_with(qv, pq, (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, d) -> acc + d)"))
+      .select("vec_id", "dist_sq")
+      .orderBy(col("dist_sq"), col("vec_id"))
+      .limit(30)
+  }
+
+  private val projectedAnnSql =
+    """WITH quantized AS (
+      |  SELECT vec_id,
+      |    [CAST(round(x * (127.0 / maxabs)) AS BIGINT) for x in embedding] AS qv
+      |  FROM (
+      |    SELECT vec_id, embedding,
+      |      list_max([abs(x) for x in embedding]) AS maxabs
+      |    FROM embeddings)),
+      |projected AS (
+      |  SELECT vec_id,
+      |    [list_sum([qv[i + 1] * (CASE WHEN (i * 2654435761 + j * 40503) % 97 % 2 = 0
+      |                                 THEN 1 ELSE -1 END)
+      |               for i in range(0, 64)])
+      |     for j in range(0, 8)] AS proj
+      |  FROM quantized),
+      |pprobe AS (SELECT proj AS pp FROM projected WHERE vec_id = 0),
+      |candidates AS (
+      |  SELECT vec_id
+      |  FROM projected, pprobe
+      |  WHERE vec_id <> 0
+      |  ORDER BY list_sum([(proj[k] - pp[k]) * (proj[k] - pp[k]) for k in range(1, 9)]), vec_id
+      |  LIMIT 200),
+      |probe AS (SELECT qv AS pq FROM quantized WHERE vec_id = 0)
+      |SELECT q.vec_id,
+      |  CAST(list_sum([(qv[k] - pq[k]) * (qv[k] - pq[k]) for k in range(1, 65)]) AS BIGINT) AS dist_sq
+      |FROM quantized q JOIN candidates USING (vec_id), probe
+      |ORDER BY dist_sq, vec_id
+      |LIMIT 30""".stripMargin
+
+  /** Near-dup cluster representatives (q127): collapse each q101
+    * connected component to ONE kept document — the longest member,
+    * ties to the smallest doc_id — the step that turns a dedup
+    * clustering into an actual curated corpus (transitive chains keep
+    * exactly one witness, unlike greedy pairwise removal, q96's
+    * documented over-deletion caveat). One extra shuffle beyond q101:
+    * the representative choice is a row_number over the cluster
+    * partitioning, and quality (n_chars) arrives by key join — both on
+    * component-sized data, far smaller than the corpus.
+    */
+  def clusterRepresentatives(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = dedupClusters(spark, dir)
+    val quality = Tables.documents(spark, dir).select("doc_id", "n_chars")
+    val w = Window.partitionBy("cluster")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    clusters.join(quality, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("doc_id").as("rep_doc"),
+        col("n_chars").as("rep_chars"), col("cluster_size").as("n_members"))
+      .orderBy("cluster")
+  }
+
+  private val clusterRepresentativesSql =
+    """WITH RECURSIVE sh AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+      |pairs AS MATERIALIZED (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+      |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+      |edges AS MATERIALIZED (
+      |  SELECT id1, id2 FROM pairs UNION ALL SELECT id2 AS id1, id1 AS id2 FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT id1 AS id, id1 AS r FROM edges
+      |  UNION
+      |  SELECT e.id1 AS id, reach.r FROM edges e JOIN reach ON e.id2 = reach.id),
+      |labels AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+      |sizes AS (SELECT cluster, count(*) AS cluster_size FROM labels GROUP BY cluster)
+      |SELECT cluster, id AS rep_doc, n_chars AS rep_chars, cluster_size AS n_members
+      |FROM labels JOIN sizes USING (cluster) JOIN documents ON id = doc_id
+      |QUALIFY row_number() OVER (PARTITION BY cluster ORDER BY n_chars DESC, id) = 1
+      |ORDER BY cluster""".stripMargin
+
   private val int8QuantSql =
     """SELECT vec_id, n_dims,
       |  CAST(list_sum([abs(x) for x in qv]) AS BIGINT) AS q_l1,
@@ -1450,6 +1581,9 @@ object LlmPipeline extends QueryPack {
     QueryDef("q103_gram_repetition", gramRepetition, Some(gramRepetitionSql)),
     QueryDef("q104_int8_quant", int8Quant, Some(int8QuantSql)),
     QueryDef("q108_exact_dedup_hashed", exactDedupHashed, Some(exactDedupSql)),
+    QueryDef("q126_projected_ann", projectedAnn, Some(projectedAnnSql)),
+    QueryDef("q127_cluster_representatives", clusterRepresentatives,
+      Some(clusterRepresentativesSql)),
     QueryDef("q109_regex_scan", regexScan, Some(regexScanSql)),
     QueryDef("q110_bigram_quality", bigramQuality, Some(bigramQualitySql)),
     QueryDef("q111_chunk_dedup", chunkDedupStats, Some(chunkDedupStatsSql)),
