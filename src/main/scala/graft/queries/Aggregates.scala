@@ -316,6 +316,43 @@ object Aggregates extends QueryPack {
       |GROUP BY label
       |ORDER BY label""".stripMargin
 
+  /** Equi-width histogram (q131): bin o_totalprice into 10 equal-width
+    * buckets between the global min and max. The bounds are ONE 1-row
+    * aggregate broadcast onto the scan (never a driver round-trip), and
+    * the per-bin output reports only exact input elements (count +
+    * min/max price inside the bin — the q95 recipe: no re-rounded
+    * derived floats cross the engine boundary; the bin index itself is
+    * `floor` of an identical IEEE expression on both sides). Histogram
+    * construction is the standard stats-collection scan a CBO or a
+    * data-profiling pass runs at 100 TB: one shuffle of 10 partial
+    * rows per task.
+    */
+  def histogram(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val bounds = orders.agg(
+      min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+    orders.crossJoin(broadcast(bounds))
+      .withColumn("bin",
+        least(lit(9), floor((col("o_totalprice") - col("lo"))
+          / (col("hi") - col("lo")) * 10)).cast("int"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("o_totalprice")).as("bin_min"),
+        max(col("o_totalprice")).as("bin_max"))
+      .orderBy("bin")
+  }
+
+  private val histogramSql =
+    """WITH bounds AS (
+      |  SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders)
+      |SELECT CAST(least(9, floor((o_totalprice - lo) / (hi - lo) * 10)) AS INT) AS bin,
+      |  count(*) AS n_orders,
+      |  min(o_totalprice) AS bin_min,
+      |  max(o_totalprice) AS bin_max
+      |FROM orders, bounds
+      |GROUP BY bin
+      |ORDER BY bin""".stripMargin
+
   override def all: Seq[QueryDef] = Seq(
     QueryDef("q30_distinct_aggs", distinctAggs, Some(distinctAggsSql)),
     QueryDef("q31_stats_aggs", statsAggs, Some(statsAggsSql)),
@@ -328,5 +365,6 @@ object Aggregates extends QueryPack {
     QueryDef("q36_exact_percentiles", exactPercentiles, Some(exactPercentilesSql)),
     QueryDef("q37_approx_aggs", approxAggs, None),
     QueryDef("q38_weighted_avg_udaf", weightedAvgUdaf, Some(weightedAvgUdafSql)),
-    QueryDef("q39_centroid_udaf", centroidUdaf, Some(centroidUdafSql)))
+    QueryDef("q39_centroid_udaf", centroidUdaf, Some(centroidUdafSql)),
+    QueryDef("q131_histogram", histogram, Some(histogramSql)))
 }

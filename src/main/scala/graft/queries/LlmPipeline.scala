@@ -1496,6 +1496,127 @@ object LlmPipeline extends QueryPack {
       |ORDER BY dist_sq, vec_id
       |LIMIT 30""".stripMargin
 
+  /** BPE pair-frequency counting (q128): the inner statistic of
+    * byte-pair-encoding vocabulary construction — count every adjacent
+    * character pair inside every whitespace token, corpus-wide, and
+    * keep the top pairs. One BPE training round at 100 TB is exactly
+    * this job (explode pairs → map-side partial count → tiny top-k);
+    * the merge loop re-runs it on re-paired tokens. The explode blows
+    * each word into len-1 two-char rows, but partial aggregation
+    * collapses them to the pair-vocabulary size (≤ alphabet²) before
+    * the shuffle, so the exchanged bytes are tiny regardless of corpus
+    * size.
+    */
+  def bpePairCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, char_length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy("pair")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(30)
+
+  private val bpePairCountsSql =
+    """SELECT pair, count(*) AS n
+      |FROM (
+      |  SELECT unnest([w[i:i+1] for i in range(1, strlen(w))]) AS pair
+      |  FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE strlen(w) >= 2)
+      |GROUP BY pair
+      |ORDER BY n DESC, pair
+      |LIMIT 30""".stripMargin
+
+  /** Deterministic corpus rebalancing to a uniform language mix (q129):
+    * the data-mixing step of pretraining corpus assembly — downsample
+    * every language to the size of the smallest one, choosing WHICH
+    * rows survive by a multiplicative hash of the key (not RNG), so
+    * the sample is reproducible run-over-run and engine-over-engine
+    * (the q105 hash-threshold philosophy applied per stratum). The
+    * target is a 1-row aggregate broadcast onto the scan; survivor
+    * selection is one row_number window per language partition.
+    */
+  def rebalanceMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("mhash", pmod(col("doc_id") * 2654435761L, lit(4294967296L)))
+    val target = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .agg(min(col("n")).as("target"))
+    val w = Window.partitionBy("lang").orderBy(col("mhash"), col("doc_id"))
+    docs.crossJoin(broadcast(target))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("target"))
+      .select("doc_id", "lang", "mhash")
+      .orderBy("doc_id")
+  }
+
+  private val rebalanceMixSql =
+    """WITH docs AS (
+      |  SELECT doc_id, lang, (doc_id * 2654435761) % 4294967296 AS mhash
+      |  FROM documents),
+      |target AS (
+      |  SELECT min(n) AS target
+      |  FROM (SELECT count(*) AS n FROM docs GROUP BY lang))
+      |SELECT doc_id, lang, mhash
+      |FROM (
+      |  SELECT doc_id, lang, mhash,
+      |    row_number() OVER (PARTITION BY lang ORDER BY mhash, doc_id) AS rn
+      |  FROM docs), target
+      |WHERE rn <= target
+      |ORDER BY doc_id""".stripMargin
+
+  /** Near-dup graph triangle counts (q132): how many triangles each
+    * document participates in, over the Jaccard ≥ 0.5 near-dup pair
+    * graph (q101's edges). Triangle counting is the canonical
+    * beyond-pairwise graph analytic — two self-joins on ordered edges
+    * (a<b<c), so each triangle is enumerated exactly once; the join
+    * keys are node ids, which Spark shuffles hash-partitioned, and at
+    * 100 TB the standard degree-ordering refinement bounds the work by
+    * arboricity. Per-doc counts come from exploding each triangle's
+    * three corners — integer counts, exact cross-engine.
+    */
+  def triangleCounts(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeFunctions.register(spark)
+    val sh = hashShingled(spark, dir).select("doc_id", "sh")
+    trianglesPerNode(lshNearDupPairs(sh).select("id1", "id2"))
+  }
+
+  /** Per-node triangle participation over ordered edges (id1 < id2);
+    * factored out so the join logic is testable on synthetic graphs.
+    */
+  private[graft] def trianglesPerNode(pairs: DataFrame): DataFrame = {
+    val t = pairs.as("e1")
+      .join(pairs.as("e2"), col("e1.id2") === col("e2.id1"))
+      .join(pairs.as("e3"),
+        col("e1.id1") === col("e3.id1") && col("e2.id2") === col("e3.id2"))
+      .select(col("e1.id1").as("a"), col("e1.id2").as("b"), col("e2.id2").as("c"))
+    t.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_triangles"))
+      .orderBy("doc_id")
+  }
+
+  private val triangleCountsSql =
+    """WITH sh AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+      |pairs AS MATERIALIZED (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+      |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+      |tri AS (
+      |  SELECT e1.id1 AS a, e1.id2 AS b, e2.id2 AS c
+      |  FROM pairs e1
+      |  JOIN pairs e2 ON e1.id2 = e2.id1
+      |  JOIN pairs e3 ON e1.id1 = e3.id1 AND e2.id2 = e3.id2)
+      |SELECT doc_id, count(*) AS n_triangles
+      |FROM (SELECT unnest([a, b, c]) AS doc_id FROM tri)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /** Near-dup cluster representatives (q127): collapse each q101
     * connected component to ONE kept document — the longest member,
     * ties to the smallest doc_id — the step that turns a dedup
@@ -1584,6 +1705,9 @@ object LlmPipeline extends QueryPack {
     QueryDef("q126_projected_ann", projectedAnn, Some(projectedAnnSql)),
     QueryDef("q127_cluster_representatives", clusterRepresentatives,
       Some(clusterRepresentativesSql)),
+    QueryDef("q128_bpe_pair_counts", bpePairCounts, Some(bpePairCountsSql)),
+    QueryDef("q129_rebalance_mix", rebalanceMix, Some(rebalanceMixSql)),
+    QueryDef("q132_triangle_counts", triangleCounts, Some(triangleCountsSql)),
     QueryDef("q109_regex_scan", regexScan, Some(regexScanSql)),
     QueryDef("q110_bigram_quality", bigramQuality, Some(bigramQualitySql)),
     QueryDef("q111_chunk_dedup", chunkDedupStats, Some(chunkDedupStatsSql)),

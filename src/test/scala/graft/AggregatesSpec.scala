@@ -65,4 +65,20 @@ class AggregatesSpec extends SparkSpec {
       .head
     assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9)
   }
+
+  test("q131: histogram bins partition the rows and bin extremes nest in order") {
+    import graft.queries.Aggregates
+    import graft.sources.Tables
+    val h = Aggregates.histogram(spark, sfDir).collect()
+    val total = Tables.orders(spark, sfDir).count()
+    assert(h.map(_.getLong(1)).sum == total, "bin counts do not partition the table")
+    // Bins are disjoint ranges: each bin's max stays below the next bin's min.
+    val ordered = h.sortBy(_.getInt(0))
+    ordered.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(lo.getDouble(3) < hi.getDouble(2),
+          s"bin ${lo.getInt(0)} max ${lo.getDouble(3)} overlaps bin ${hi.getInt(0)} min ${hi.getDouble(2)}")
+      case _ => ()
+    }
+  }
 }

@@ -196,4 +196,67 @@ class LlmPipelineSpec extends SparkSpec {
         "some representative is not a member of its own cluster")
     } finally { clusters.unpersist(); reps.unpersist() }
   }
+
+  test("q128: reported pairs are the true global top-30 by frequency") {
+    import graft.sources.Tables
+    val full = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, char_length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n")).cache()
+    try {
+      // Conservation: total pair instances == sum over words of len-1.
+      val total = full.agg(sum("n")).head().getLong(0)
+      val expected = Tables.documents(spark, sfDir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .agg(sum(length(col("w")) - 1)).head().getLong(0)
+      assert(total == expected, s"pair instances $total != $expected")
+      // The query's 30 rows are the lexicographically-tie-broken head of
+      // the full ranking.
+      val want = full.orderBy(col("n").desc, col("pair")).limit(30)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val got = LlmPipeline.bpePairCounts(spark, sfDir)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got == want)
+    } finally full.unpersist()
+  }
+
+  test("q129: every language is downsampled to exactly the smallest language's size") {
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sfDir)
+    val target = docs.groupBy("lang").count().agg(min("count")).head().getLong(0)
+    val kept = LlmPipeline.rebalanceMix(spark, sfDir).cache()
+    try {
+      val perLang = kept.groupBy("lang").count().collect()
+      assert(perLang.nonEmpty && perLang.forall(_.getLong(1) == target),
+        s"per-lang kept sizes ${perLang.mkString(",")} != $target")
+      // Survivors are the minimal-mhash prefix of each language: no kept
+      // row may have a larger hash than an unkept row of the same lang.
+      val all = docs.withColumn("mhash",
+        pmod(col("doc_id") * 2654435761L, lit(4294967296L)))
+      val maxKept = kept.groupBy("lang").agg(max("mhash").as("kept_max"))
+      val unkeptBelow = all.join(kept.select("doc_id").withColumn("k", lit(1)),
+          Seq("doc_id"), "left_anti")
+        .join(maxKept, "lang")
+        .filter(col("mhash") < col("kept_max")).count()
+      assert(unkeptBelow == 0, s"$unkeptBelow unkept rows hash below a kept row")
+    } finally kept.unpersist()
+  }
+
+  test("q132: triangle join counts exactly the triangles of a known graph") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (4 triangles, each node in 3) plus a pendant edge
+    // (4,5): node 5 participates in none.
+    val k4 = for { a <- 1 to 4; b <- (a + 1) to 4 } yield (a.toLong, b.toLong)
+    val edges = (k4 :+ (4L, 5L)).toDF("id1", "id2")
+    val got = LlmPipeline.trianglesPerNode(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      s"unexpected triangle counts $got")
+    // A triangle-free path graph yields nothing.
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id1", "id2")
+    assert(LlmPipeline.trianglesPerNode(path).isEmpty)
+  }
 }
