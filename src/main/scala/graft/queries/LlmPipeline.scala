@@ -1579,7 +1579,11 @@ object LlmPipeline extends QueryPack {
   def triangleCounts(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.NativeFunctions.register(spark)
     val sh = hashShingled(spark, dir).select("doc_id", "sh")
-    trianglesPerNode(lshNearDupPairs(sh).select("id1", "id2"))
+    // The pair graph is referenced three times by the triangle join;
+    // localCheckpoint materializes it once (it is candidate-pair-sized,
+    // tiny next to the corpus) instead of re-planning the whole LSH
+    // pipeline per self-join arm (22 exchanges → 5 in the plan audit).
+    trianglesPerNode(lshNearDupPairs(sh).select("id1", "id2").localCheckpoint())
   }
 
   /** Per-node triangle participation over ordered edges (id1 < id2);

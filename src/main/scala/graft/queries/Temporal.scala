@@ -13,11 +13,10 @@ import graft.sources.Tables
   * a distributed SQL engine expects to run at full event-log scale.
   *
   * Scale notes:
-  *   - Cohort retention is two shuffles: one by user_id (distinct
-  *     activity days + the per-user first-seen window share the same
-  *     partitioning, so Spark plans ONE exchange for both), one by the
-  *     tiny (cohort_day, offset) grid. Never a driver loop; the
-  *     output is O(span²) regardless of input rows.
+  *   - Cohort retention is two shuffles, both small: one by user_id
+  *     carrying map-side-deduplicated day SETS (collect_set partials),
+  *     one by the tiny (cohort_day, offset) grid. Never a driver
+  *     loop; the output is O(span²) regardless of input rows.
   *   - Gap-fill generates each user's calendar grid with `sequence`
   *     (rows expand ~span/activity-ratio, bounded and data-local),
   *     left-joins the observed daily aggregates on (user, day), and
@@ -28,26 +27,29 @@ import graft.sources.Tables
   */
 object Temporal extends QueryPack {
 
-  /** Daily activity set: one row per (user, active calendar day). */
-  private def activity(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .select(col("user_id"), to_date(col("ts")).as("d"))
-      .distinct()
-
   /** Cohort retention (q121): users are cohorted by first-seen day;
     * for each (cohort day, day offset) cell, count the distinct users
-    * active exactly `offset` days after their first appearance. The
-    * per-user first-seen day rides a window over the SAME user_id
-    * partitioning the distinct already established — one exchange.
+    * active exactly `offset` days after their first appearance.
+    *
+    * TWO shuffles total, both tiny: `collect_set(day)` dedupes the
+    * per-user activity days MAP-SIDE (each task ships at most one
+    * calendar-span-bounded set per user), so one user_id exchange
+    * replaces the naive three (distinct-on-(user,day) → window →
+    * regroup); the cohort day is then `array_min` and the offsets an
+    * explode, all partition-local, before the final grid-sized
+    * aggregation. A per-user day set is bounded by the calendar span
+    * (≈3.7k for a decade), safe at any row scale.
     */
-  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
-    val act = activity(spark, dir)
-      .withColumn("cohort_d", min(col("d")).over(Window.partitionBy("user_id")))
-    act
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .groupBy("user_id")
+      .agg(collect_set(col("d")).as("days"))
+      .withColumn("cohort_d", array_min(col("days")))
+      .select(col("cohort_d"), explode(col("days")).as("d"))
       .groupBy(col("cohort_d"), datediff(col("d"), col("cohort_d")).as("offset_d"))
       .agg(count(lit(1)).as("n_users"))
       .orderBy("cohort_d", "offset_d")
-  }
 
   private val cohortRetentionSql =
     """WITH activity AS (
