@@ -188,9 +188,50 @@ object Profiling extends QueryPack {
       |FROM fp_a FULL OUTER JOIN fp_b USING (bucket)
       |ORDER BY bucket""".stripMargin
 
+  /** Contingency table with chi-square cells (q133): the lang × source
+    * cross-tabulation of the documents corpus, with each cell's
+    * expected count under independence and its chi-square contribution
+    * — the dependence diagnostic a data-mix designer (or a CBO
+    * reasoning about correlated columns) reads before assuming two
+    * dimensions are independent. All counts are exact integers from
+    * one cells-level aggregate; marginals re-aggregate the CELLS (not
+    * the corpus — the second pass touches |lang|×|source| rows), and
+    * the float math is a fixed chain of IEEE ops ((row·col)/total,
+    * (n−e)²/e) identical in both engines, rounded once at output.
+    */
+  def contingency(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(spark, dir)
+      .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+    val rowM = cells.groupBy("lang").agg(sum("n").as("row_n"))
+    val colM = cells.groupBy("source").agg(sum("n").as("col_n"))
+    val total = cells.agg(sum("n").as("total"))
+    cells.join(rowM, "lang").join(colM, "source")
+      .crossJoin(broadcast(total))
+      .withColumn("e", col("row_n") * col("col_n") / col("total"))
+      .select(col("lang"), col("source"), col("n"), col("row_n"), col("col_n"),
+        round(col("e"), 4).as("expected"),
+        round((col("n") - col("e")) * (col("n") - col("e")) / col("e"), 4)
+          .as("chi2_cell"))
+      .orderBy("lang", "source")
+  }
+
+  private val contingencySql =
+    """WITH cells AS (
+      |  SELECT lang, source, count(*) AS n FROM documents GROUP BY lang, source),
+      |rowm AS (SELECT lang, CAST(sum(n) AS BIGINT) AS row_n FROM cells GROUP BY lang),
+      |colm AS (SELECT source, CAST(sum(n) AS BIGINT) AS col_n FROM cells GROUP BY source),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM cells)
+      |SELECT lang, source, n, row_n, col_n,
+      |  round(row_n * col_n / total, 4) AS expected,
+      |  round((n - row_n * col_n / total) * (n - row_n * col_n / total)
+      |        / (row_n * col_n / total), 4) AS chi2_cell
+      |FROM cells JOIN rowm USING (lang) JOIN colm USING (source), tot
+      |ORDER BY lang, source""".stripMargin
+
   override def all: Seq[QueryDef] = Seq(
     QueryDef("q117_key_skew_profile", keySkewProfile, Some(keySkewProfileSql)),
     QueryDef("q118_column_profile", columnProfile, Some(columnProfileSql)),
     QueryDef("q123_replica_fingerprint", replicaFingerprint,
-      Some(replicaFingerprintSql)))
+      Some(replicaFingerprintSql)),
+    QueryDef("q133_contingency_chi2", contingency, Some(contingencySql)))
 }

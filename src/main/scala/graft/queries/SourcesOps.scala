@@ -330,6 +330,70 @@ object SourcesOps extends QueryPack {
       |GROUP BY c_custkey, c_nationkey
       |ORDER BY c_custkey""".stripMargin
 
+  /** Small-file fragmentation memo (q130 setup): a 64-way fragmented
+    * copy of three lineitem columns — the classic "streaming ingest
+    * left thousands of tiny files" layout a table-maintenance service
+    * fixes nightly. One-time per session+fixture, exposed as q130's
+    * `prepare` so the measured query is the compaction itself.
+    */
+  private val smallFilesMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private[graft] def ensureSmallFiles(spark: SparkSession, dir: String): String =
+    smallFilesMemo.computeIfAbsent(
+      (System.identityHashCode(spark).toString, dir), _ => {
+        val p = scratch(spark, s"small_li_${Integer.toHexString(dir.hashCode)}")
+        Tables.lineitem(spark, dir)
+          .select("l_orderkey", "l_linenumber", "l_extendedprice")
+          .repartition(64)
+          .write.mode(SaveMode.Overwrite).parquet(p)
+        p
+      })
+
+  private[graft] def prepareCompaction(spark: SparkSession, dir: String): Unit = {
+    ensureSmallFiles(spark, dir)
+    ()
+  }
+
+  /** Small-file compaction (q130): rewrite a fragmented table into
+    * size-targeted files (~8 MiB here; 128 MiB–1 GiB in production)
+    * and prove the rewrite lossless. The target file count comes from
+    * the source's total byte size — driver-side FILE METADATA, never
+    * row data — and the rewrite is one `repartition(target)` round-
+    * robin shuffle, the layout-control knob that gives uniform output
+    * files (`coalesce` would skip the shuffle but inherit input skew;
+    * at 100 TB you run this per partition and pick repartition for
+    * uniformity). The returned row is the integrity summary read BACK
+    * from the compacted files — integer-exact sums, so the oracle
+    * (the same sums straight off the original table) proves
+    * bit-lossless compaction end to end. CompactionSpec pins the
+    * file-count mechanics (64 fragments → computed target).
+    */
+  def compaction(spark: SparkSession, dir: String): DataFrame = {
+    val small = ensureSmallFiles(spark, dir)
+    val hPath = new org.apache.hadoop.fs.Path(small)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.listStatus(hPath)
+      .filter(_.getPath.getName.startsWith("part-")).map(_.getLen).sum
+    val target = math.max(1L, (bytes + (8L << 20) - 1) / (8L << 20)).toInt
+    val out = scratch(spark, s"compact_li_${Integer.toHexString(dir.hashCode)}")
+    spark.read.parquet(small)
+      .repartition(target)
+      .write.mode(SaveMode.Overwrite).parquet(out)
+    spark.read.parquet(out).agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("l_orderkey")).as("key_sum"),
+      sum(col("l_linenumber").cast("long")).as("line_sum"),
+      sum(round(col("l_extendedprice") * 100).cast("long")).as("price_e2"))
+  }
+
+  private val compactionSql =
+    """SELECT count(*) AS n_rows,
+      |  CAST(sum(l_orderkey) AS BIGINT) AS key_sum,
+      |  CAST(sum(l_linenumber) AS BIGINT) AS line_sum,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_e2
+      |FROM lineitem""".stripMargin
+
   override def all: Seq[QueryDef] = Seq(
     QueryDef("q80_csv_roundtrip", csvRoundtrip, Some(csvRoundtripSql)),
     QueryDef("q81_json_roundtrip", jsonRoundtrip, Some(jsonRoundtripSql)),
@@ -339,5 +403,7 @@ object SourcesOps extends QueryPack {
     QueryDef("q89_orc_roundtrip", orcRoundtrip, Some(orcRoundtripSql)),
     QueryDef("q98_dynamic_partition_pruning", dynamicPartitionPruning, Some(dynamicPartitionPruningSql)),
     QueryDef("q102_bucketed_join", bucketedJoin, Some(bucketedJoinSql),
-      prepare = Some(prepareBucketedJoin)))
+      prepare = Some(prepareBucketedJoin)),
+    QueryDef("q130_compaction", compaction, Some(compactionSql),
+      prepare = Some(prepareCompaction)))
 }

@@ -42,4 +42,21 @@ class ProfilingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a == b, "fingerprint depends on partition layout")
   }
+
+  test("q133: marginals are consistent and cell counts partition the corpus") {
+    import graft.queries.Profiling
+    val t = Profiling.contingency(spark, sfDir).cache()
+    try {
+      val total = Tables.documents(spark, sfDir).count()
+      assert(t.agg(sum("n")).head().getLong(0) == total)
+      // Row marginal: the sum of a lang's cells equals its row_n on
+      // every cell of that lang (and symmetrically for columns).
+      assert(t.groupBy("lang").agg(sum("n").as("s"), max("row_n").as("m"), min("row_n").as("m2"))
+        .filter(col("s") =!= col("m") || col("s") =!= col("m2")).count() == 0)
+      assert(t.groupBy("source").agg(sum("n").as("s"), max("col_n").as("m"), min("col_n").as("m2"))
+        .filter(col("s") =!= col("m") || col("s") =!= col("m2")).count() == 0)
+      // chi-square contributions are non-negative.
+      assert(t.filter(col("chi2_cell") < 0).count() == 0)
+    } finally t.unpersist()
+  }
 }
