@@ -1433,11 +1433,23 @@ object LlmPipeline extends QueryPack {
     * maps over the scan; probes and candidate lists ride broadcasts.
     */
   def projectedAnn(spark: SparkSession, dir: String): DataFrame = {
-    val quantized = Tables.embeddings(spark, dir)
+    // STAGED MATERIALIZATION, deliberately: Catalyst collapses
+    // projections by INLINING an alias into every reference — with no
+    // common-subexpression elimination inside interpreted HOF lambdas,
+    // `qv` referenced from the 8×64 projection loop would re-evaluate
+    // the whole quantization transform (and `maxabs` inside it) per
+    // loop step: O(dim³) per row, measured 258 s at sf0.1 vs <1 s
+    // staged. The localCheckpoints pin maxabs → qv → proj as
+    // materialized columns — exactly the "write the quantized table,
+    // then the projected index, once" artifact chain a production
+    // vector store persists (q102/q130 pattern, per-run form).
+    val scaled = Tables.embeddings(spark, dir)
       .withColumn("maxabs", expr("array_max(transform(embedding, x -> abs(x)))"))
-      .withColumn("scale", lit(127.0) / col("maxabs"))
-      .withColumn("qv", expr("transform(embedding, x -> CAST(round(x * scale) AS BIGINT))"))
-      .select("vec_id", "qv")
+      .localCheckpoint()
+    val quantized = scaled
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(round(x * (127.0 / maxabs)) AS BIGINT))").as("qv"))
+      .localCheckpoint()
     val projected = quantized
       .withColumn("proj", expr(
         """transform(sequence(0, 7), j ->
@@ -1446,6 +1458,7 @@ object LlmPipeline extends QueryPack {
           |      (CASE WHEN (i * 2654435761 + j * 40503) % 97 % 2 = 0
           |            THEN 1 ELSE -1 END)))""".stripMargin))
       .select("vec_id", "proj")
+      .localCheckpoint()
     val pprobe = projected.filter(col("vec_id") === 0)
       .select(col("proj").as("pp"))
     // Stage 1: top-200 candidates by 8-d projected distance (cheap).
@@ -1621,6 +1634,67 @@ object LlmPipeline extends QueryPack {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** Prefix-filtered set-similarity join (q135): the PPJoin-family
+    * alternative to LSH for exact-threshold similarity joins. For
+    * Jaccard ≥ 0.5, two shingle sets MUST share an element within
+    * each other's first ⌊|s|/2⌋+1 elements under any fixed global order
+    * (prefix-filtering principle: if the prefixes are disjoint, the
+    * overlap is too small to reach the threshold) — so candidates are
+    * an equi-join on PREFIX tokens only, ordered rarest-first (global
+    * document frequency) so the join keys are the least-shared tokens.
+    * Unlike LSH, the result is EXACT by construction, not
+    * probabilistic: the oracle is the full all-pairs join and equality
+    * is the lossless-ness theorem, checked cross-engine.
+    *
+    * Scale shape: shingle df is one aggregate; per-doc prefix selection
+    * is a doc-partitioned window; candidates shuffle by shingle with the
+    * rarest-first order keeping bucket sizes minimal (the hot-token
+    * cap from the LSH path applies unchanged if a token is ubiquitous
+    * — here prefixes avoid head tokens by construction). Verification
+    * re-joins the two full token sets by doc id and runs the native
+    * jaccard_sim kernel once per candidate.
+    */
+  def prefixFilterJoin(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeFunctions.register(spark)
+    val sets = shingled(spark, dir).select(col("doc_id"), col("sh"))
+    val exploded = sets.select(col("doc_id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("token"))
+    val df_ = exploded.groupBy("token").agg(count(lit(1)).as("df"))
+    // Prefix for Jaccard ≥ 0.5: the first ⌊n/2⌋+1 shingles in global
+    // rarest-first (df, token) order — `rn <= n/2 + 1` floors correctly
+    // because rn is integral.
+    val ranked = exploded.join(df_, "token")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("token"))))
+      .filter(col("rn") <= col("n") / 2 + 1)
+      .select("doc_id", "token")
+    val candidates = ranked.as("a")
+      .join(ranked.as("b"), col("a.token") === col("b.token")
+        && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+    val sets1 = sets.select(col("doc_id").as("id1"), col("sh").as("t1"))
+    val sets2 = sets.select(col("doc_id").as("id2"), col("sh").as("t2"))
+    candidates.join(sets1, "id1").join(sets2, "id2")
+      .withColumn("jaccard", expr("jaccard_sim(t1, t2)"))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("id1", "id2")
+  }
+
+  private val prefixFilterJoinSql =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS t
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+      |SELECT a.doc_id AS id1, b.doc_id AS id2,
+      |  round(len(list_intersect(a.t, b.t))::DOUBLE
+      |    / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))), 4) AS jaccard
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE len(list_intersect(a.t, b.t))::DOUBLE
+      |    / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))) >= 0.5
+      |ORDER BY id1, id2""".stripMargin
+
   /** Near-dup cluster representatives (q127): collapse each q101
     * connected component to ONE kept document — the longest member,
     * ties to the smallest doc_id — the step that turns a dedup
@@ -1712,6 +1786,7 @@ object LlmPipeline extends QueryPack {
     QueryDef("q128_bpe_pair_counts", bpePairCounts, Some(bpePairCountsSql)),
     QueryDef("q129_rebalance_mix", rebalanceMix, Some(rebalanceMixSql)),
     QueryDef("q132_triangle_counts", triangleCounts, Some(triangleCountsSql)),
+    QueryDef("q135_prefix_filter_join", prefixFilterJoin, Some(prefixFilterJoinSql)),
     QueryDef("q109_regex_scan", regexScan, Some(regexScanSql)),
     QueryDef("q110_bigram_quality", bigramQuality, Some(bigramQualitySql)),
     QueryDef("q111_chunk_dedup", chunkDedupStats, Some(chunkDedupStatsSql)),

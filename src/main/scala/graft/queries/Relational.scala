@@ -350,6 +350,53 @@ object Relational extends QueryPack {
       |GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
 
+  /** 2-D skyline / Pareto frontier (q134): the customers no other
+    * customer beats on BOTH account balance and order count — the
+    * multi-objective "best tradeoffs" operator (maximize both axes).
+    * Exact duplicate points collapse first (neither of two equal
+    * points dominates the other), then one descending sweep: ordered
+    * by (balance desc, orders desc), a point is dominated iff some
+    * EARLIER point's order count ≥ its own — for distinct points that
+    * earlier point is strictly better on at least one axis, which is
+    * precisely 2-D dominance. The sweep is a running-max window over
+    * the distinct POINT SET (|points| ≪ |rows|; the row data never
+    * enters the window). The global order is the textbook 2-D skyline
+    * algorithm; at 100 TB you pre-prune per partition with the same
+    * sweep (a partition-local skyline is a superset of the global one)
+    * before the final pass — same operator, applied twice.
+    */
+  def skyline(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("c_custkey") === col("o_custkey"))
+      .groupBy("c_custkey", "c_acctbal")
+      .agg(count(lit(1)).as("n_orders"))
+      .groupBy("c_acctbal", "n_orders")
+      .agg(count(lit(1)).as("n_customers"))
+    val sweep = Window.orderBy(col("c_acctbal").desc, col("n_orders").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pts.withColumn("best_prev", max(col("n_orders")).over(sweep))
+      .filter(col("best_prev").isNull || col("best_prev") < col("n_orders"))
+      .select("c_acctbal", "n_orders", "n_customers")
+      .orderBy(col("c_acctbal").desc)
+  }
+
+  private val skylineSql =
+    """WITH pts AS (
+      |  SELECT c_acctbal, n_orders, count(*) AS n_customers
+      |  FROM (
+      |    SELECT c_custkey, c_acctbal, count(*) AS n_orders
+      |    FROM customer JOIN orders ON c_custkey = o_custkey
+      |    GROUP BY c_custkey, c_acctbal)
+      |  GROUP BY c_acctbal, n_orders)
+      |SELECT c_acctbal, n_orders, n_customers
+      |FROM pts p
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM pts q
+      |  WHERE q.c_acctbal >= p.c_acctbal AND q.n_orders >= p.n_orders
+      |    AND (q.c_acctbal > p.c_acctbal OR q.n_orders > p.n_orders))
+      |ORDER BY c_acctbal DESC""".stripMargin
+
   override def all: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", pricingSummary, Some(pricingSummarySql), headline = true),
     QueryDef("q02_star_join_revenue", starJoinRevenue, Some(starJoinRevenueSql), headline = true),
@@ -363,5 +410,6 @@ object Relational extends QueryPack {
     QueryDef("q90_sample_stratified", sampleStratified, None),
     QueryDef("q105_sample_hash_threshold", sampleHashThreshold, Some(sampleHashThresholdSql)),
     QueryDef("q106_sample_stratified_hash", sampleStratifiedHash, Some(sampleStratifiedHashSql)),
-    QueryDef("q120_rule_rewritten_topk", ruleRewrittenTopK, Some(ruleRewrittenTopKSql)))
+    QueryDef("q120_rule_rewritten_topk", ruleRewrittenTopK, Some(ruleRewrittenTopKSql)),
+    QueryDef("q134_skyline", skyline, Some(skylineSql)))
 }

@@ -259,4 +259,22 @@ class LlmPipelineSpec extends SparkSpec {
     val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id1", "id2")
     assert(LlmPipeline.trianglesPerNode(path).isEmpty)
   }
+
+  test("q135: prefix candidates are a lossless superset of the qualifying pairs") {
+    import graft.sources.Tables
+    // Brute-force truth: all pairs with shingle-set Jaccard >= 0.5.
+    graft.functions.NativeFunctions.register(spark)
+    val sets = Tables.documents(spark, sfDir)
+      .withColumn("sh", expr("word_shingles(text, 3)")).select("doc_id", "sh")
+    val truth = sets.as("a").join(sets.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("j", expr("jaccard_sim(a.sh, b.sh)"))
+      .filter(col("j") >= 0.5)
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = LlmPipeline.prefixFilterJoin(spark, sfDir)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == truth,
+      s"prefix-filter join lost ${(truth -- got).size} / invented ${(got -- truth).size} pairs")
+    assert(truth.nonEmpty, "fixture has no qualifying pair — test is vacuous")
+  }
 }

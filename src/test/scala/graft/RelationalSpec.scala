@@ -32,4 +32,22 @@ class RelationalSpec extends SparkSpec {
     val b = Relational.sampleStratified(spark, sfDir).collect().map(_.toString).toSeq
     assert(a == b)
   }
+
+  test("q134: skyline equals brute-force non-dominated set and dominates everything else") {
+    import graft.queries.Relational
+    import graft.sources.Tables
+    val pts = Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("c_custkey") === col("o_custkey"))
+      .groupBy("c_custkey", "c_acctbal").agg(count(lit(1)).as("n_orders"))
+      .select("c_acctbal", "n_orders").distinct()
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+    def dominated(p: (Double, Long)) = pts.exists(q =>
+      q._1 >= p._1 && q._2 >= p._2 && (q._1 > p._1 || q._2 > p._2))
+    val truth = pts.filterNot(dominated).toSet
+    val got = Relational.skyline(spark, sfDir)
+      .select("c_acctbal", "n_orders").collect()
+      .map(r => (r.getDouble(0), r.getLong(1))).toSet
+    assert(got == truth, s"skyline $got != brute-force $truth")
+    assert(truth.nonEmpty)
+  }
 }
