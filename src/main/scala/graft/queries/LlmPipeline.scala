@@ -1656,7 +1656,12 @@ object LlmPipeline extends QueryPack {
     */
   def prefixFilterJoin(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.NativeFunctions.register(spark)
-    val sets = shingled(spark, dir).select(col("doc_id"), col("sh"))
+    // 8-byte hashed shingle keys, not strings: the df/prefix explode and
+    // the candidate equi-join are the dominant shuffles here, and the
+    // hashed form cuts their payload ~5-10x (the r4 LSH-pipeline
+    // optimization applied to this operator; Jaccard is preserved
+    // absent a collision, which the oracle would catch loudly).
+    val sets = hashShingled(spark, dir).select(col("doc_id"), col("sh"))
     val exploded = sets.select(col("doc_id"), size(col("sh")).as("n"),
       explode(col("sh")).as("token"))
     val df_ = exploded.groupBy("token").agg(count(lit(1)).as("df"))

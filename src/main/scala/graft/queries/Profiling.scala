@@ -129,21 +129,37 @@ object Profiling extends QueryPack {
     * matter the table size — this is how you diff two 100-TB replicas
     * with one tiny shuffle each and zero row movement between sites.
     */
-  def replicaFingerprint(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.NativeFunctions.register(spark)
-    def fingerprint(rep: DataFrame): DataFrame = rep
-      .withColumn("row_str", concat_ws("|",
-        col("c_custkey"), col("c_name"), col("c_nationkey"),
-        col("c_mktsegment"),
-        round(col("c_acctbal") * 100).cast("long")))
-      .withColumn("row_h", expr("shingle_hash64(array(row_str))[0]"))
-      .groupBy((col("c_custkey") % 16).as("bucket"))
-      .agg(count(lit(1)).as("n"), expr("bit_xor(row_h)").as("fp"))
+  /** One replica's rows with the engine-neutral Rabin-Karp row hash
+    * and key bucket (shared by q123's fingerprints and q138's repair
+    * drill-down).
+    */
+  private def hashedReplica(rep: DataFrame): DataFrame = rep
+    .withColumn("row_str", concat_ws("|",
+      col("c_custkey"), col("c_name"), col("c_nationkey"),
+      col("c_mktsegment"),
+      round(col("c_acctbal") * 100).cast("long")))
+    .withColumn("row_h", expr("shingle_hash64(array(row_str))[0]"))
+    .withColumn("bucket", col("c_custkey") % 16)
+    .select("c_custkey", "bucket", "row_h")
+
+  /** Replica A (the table) and B (deterministically diverged: keys
+    * ≡0 mod 499 dropped, balances of keys ≡0 mod 250 bumped 0.01).
+    */
+  private def replicas(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val a = Tables.customer(spark, dir)
     val b = a.filter(col("c_custkey") % 499 =!= 0)
       .withColumn("c_acctbal",
         when(col("c_custkey") % 250 === 0, col("c_acctbal") + 0.01)
           .otherwise(col("c_acctbal")))
+    (a, b)
+  }
+
+  def replicaFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeFunctions.register(spark)
+    def fingerprint(rep: DataFrame): DataFrame = hashedReplica(rep)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), expr("bit_xor(row_h)").as("fp"))
+    val (a, b) = replicas(spark, dir)
     fingerprint(a).as("a")
       .join(fingerprint(b).withColumnRenamed("n", "n_b")
         .withColumnRenamed("fp", "fp_b"), Seq("bucket"), "full_outer")
@@ -228,10 +244,91 @@ object Profiling extends QueryPack {
       |FROM cells JOIN rowm USING (lang) JOIN colm USING (source), tot
       |ORDER BY lang, source""".stripMargin
 
+  /** Replica repair drill-down (q138): the second half of the
+    * anti-entropy protocol q123 starts. Fingerprints identify the
+    * divergent buckets; this operator then compares ROWS — but only
+    * inside those buckets — and emits the repair work list: keys
+    * missing from the follower and keys whose row hash changed. The
+    * two-phase shape is the whole point at 100 TB: phase 1 moves 16
+    * fingerprint rows per replica, phase 2 joins only the divergent
+    * slice (here 2/16 buckets), never the full tables — the
+    * relational rendering of a Merkle-tree sync, which is what the
+    * reference's Raft log replication
+    * (reference src/raft/replication.go:11-103) would need the moment
+    * a follower falls behind snapshot transfer.
+    */
+  def replicaRepair(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeFunctions.register(spark)
+    val (a, b) = replicas(spark, dir)
+    val ha = hashedReplica(a)
+    val hb = hashedReplica(b)
+    val divergent = ha.groupBy("bucket")
+      .agg(count(lit(1)).as("n_a"), expr("bit_xor(row_h)").as("fp_a"))
+      .join(hb.groupBy("bucket")
+        .agg(count(lit(1)).as("n_b"), expr("bit_xor(row_h)").as("fp_b")),
+        Seq("bucket"), "full_outer")
+      .filter(!(col("n_a") <=> col("n_b")) || !(col("fp_a") <=> col("fp_b")))
+      .select("bucket")
+    ha.join(broadcast(divergent), "bucket")
+      .withColumnRenamed("row_h", "h_a")
+      .join(hb.select(col("c_custkey"), col("row_h").as("h_b")),
+        Seq("c_custkey"), "left_outer")
+      .withColumn("action",
+        when(col("h_b").isNull, "copy_missing")
+          .when(col("h_a") =!= col("h_b"), "overwrite_changed"))
+      .filter(col("action").isNotNull)
+      .select("c_custkey", "bucket", "action")
+      .orderBy("c_custkey")
+  }
+
+  private val replicaRepairSql =
+    """WITH hashed_a AS (
+      |  SELECT c_custkey, c_custkey % 16 AS bucket,
+      |    list_reduce(
+      |      [CAST(ascii(row_str[i]) AS BIGINT) for i in range(1, strlen(row_str) + 1)],
+      |      (a, c) -> (a * 131 + c) % 1000000007) * 1000000009 +
+      |    list_reduce(
+      |      [CAST(ascii(row_str[i]) AS BIGINT) for i in range(1, strlen(row_str) + 1)],
+      |      (a, c) -> (a * 137 + c) % 1000000009) AS row_h
+      |  FROM (
+      |    SELECT c_custkey,
+      |      concat_ws('|', c_custkey, c_name, c_nationkey, c_mktsegment,
+      |        CAST(round(c_acctbal * 100) AS BIGINT)) AS row_str
+      |    FROM customer)),
+      |hashed_b AS (
+      |  SELECT c_custkey, c_custkey % 16 AS bucket,
+      |    list_reduce(
+      |      [CAST(ascii(row_str[i]) AS BIGINT) for i in range(1, strlen(row_str) + 1)],
+      |      (a, c) -> (a * 131 + c) % 1000000007) * 1000000009 +
+      |    list_reduce(
+      |      [CAST(ascii(row_str[i]) AS BIGINT) for i in range(1, strlen(row_str) + 1)],
+      |      (a, c) -> (a * 137 + c) % 1000000009) AS row_h
+      |  FROM (
+      |    SELECT c_custkey,
+      |      concat_ws('|', c_custkey, c_name, c_nationkey, c_mktsegment,
+      |        CAST(round((c_acctbal + CASE WHEN c_custkey % 250 = 0 THEN 0.01 ELSE 0 END) * 100) AS BIGINT)) AS row_str
+      |    FROM customer WHERE c_custkey % 499 <> 0)),
+      |divergent AS (
+      |  SELECT bucket
+      |  FROM (SELECT bucket, count(*) AS n_a, bit_xor(row_h) AS fp_a
+      |        FROM hashed_a GROUP BY bucket) fa
+      |  FULL OUTER JOIN (SELECT bucket, count(*) AS n_b, bit_xor(row_h) AS fp_b
+      |                   FROM hashed_b GROUP BY bucket) fb USING (bucket)
+      |  WHERE n_a IS DISTINCT FROM n_b OR fp_a IS DISTINCT FROM fp_b)
+      |SELECT a.c_custkey, a.bucket,
+      |  CASE WHEN b.row_h IS NULL THEN 'copy_missing'
+      |       WHEN a.row_h <> b.row_h THEN 'overwrite_changed' END AS action
+      |FROM hashed_a a
+      |JOIN divergent USING (bucket)
+      |LEFT JOIN hashed_b b ON a.c_custkey = b.c_custkey
+      |WHERE b.row_h IS NULL OR a.row_h <> b.row_h
+      |ORDER BY a.c_custkey""".stripMargin
+
   override def all: Seq[QueryDef] = Seq(
     QueryDef("q117_key_skew_profile", keySkewProfile, Some(keySkewProfileSql)),
     QueryDef("q118_column_profile", columnProfile, Some(columnProfileSql)),
     QueryDef("q123_replica_fingerprint", replicaFingerprint,
       Some(replicaFingerprintSql)),
-    QueryDef("q133_contingency_chi2", contingency, Some(contingencySql)))
+    QueryDef("q133_contingency_chi2", contingency, Some(contingencySql)),
+    QueryDef("q138_replica_repair", replicaRepair, Some(replicaRepairSql)))
 }

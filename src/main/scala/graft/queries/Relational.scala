@@ -397,6 +397,48 @@ object Relational extends QueryPack {
       |    AND (q.c_acctbal > p.c_acctbal OR q.n_orders > p.n_orders))
       |ORDER BY c_acctbal DESC""".stripMargin
 
+  /** Scalable global row numbering (q137): assign a total-order rank
+    * to every row WITHOUT `row_number() OVER (ORDER BY …)`'s
+    * single-partition collapse — the technique that makes "number a
+    * 100-TB table" feasible. Range-repartition on the sort key, rank
+    * locally inside each (already sort-disjoint) partition, then add
+    * per-partition offsets computed from a #partitions-sized count
+    * table: the only global window runs over ~hundreds of partition
+    * counts, not rows. The result is invariant to where the range
+    * boundaries land because the sort key is a total order (orderkey
+    * breaks price ties), which is also why the oracle — the plain
+    * global row_number — matches exactly. Output is capped to the
+    * head for result-size hygiene; the RANKING touched every row.
+    */
+  def scalableRowNumbers(spark: SparkSession, dir: String): DataFrame = {
+    val sorted = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_totalprice")
+      .repartitionByRange(8, col("o_totalprice").desc, col("o_orderkey").asc)
+      .withColumn("pid", spark_partition_id())
+    val local = sorted.withColumn("local_rn", row_number().over(
+      Window.partitionBy("pid")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)))
+    val offsets = local.groupBy("pid").agg(count(lit(1)).as("cnt"))
+      .withColumn("offset", coalesce(
+        sum(col("cnt")).over(Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "offset")
+    local.join(broadcast(offsets), "pid")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        (col("local_rn") + col("offset")).as("global_rn"))
+      .filter(col("global_rn") <= 1000)
+      .orderBy("global_rn")
+  }
+
+  private val scalableRowNumbersSql =
+    """SELECT o_orderkey, o_totalprice, global_rn
+      |FROM (
+      |  SELECT o_orderkey, o_totalprice,
+      |    row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS global_rn
+      |  FROM orders)
+      |WHERE global_rn <= 1000
+      |ORDER BY global_rn""".stripMargin
+
   override def all: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", pricingSummary, Some(pricingSummarySql), headline = true),
     QueryDef("q02_star_join_revenue", starJoinRevenue, Some(starJoinRevenueSql), headline = true),
@@ -411,5 +453,6 @@ object Relational extends QueryPack {
     QueryDef("q105_sample_hash_threshold", sampleHashThreshold, Some(sampleHashThresholdSql)),
     QueryDef("q106_sample_stratified_hash", sampleStratifiedHash, Some(sampleStratifiedHashSql)),
     QueryDef("q120_rule_rewritten_topk", ruleRewrittenTopK, Some(ruleRewrittenTopKSql)),
-    QueryDef("q134_skyline", skyline, Some(skylineSql)))
+    QueryDef("q134_skyline", skyline, Some(skylineSql)),
+    QueryDef("q137_scalable_rownum", scalableRowNumbers, Some(scalableRowNumbersSql)))
 }

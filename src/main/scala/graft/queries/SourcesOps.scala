@@ -394,6 +394,50 @@ object SourcesOps extends QueryPack {
       |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_e2
       |FROM lineitem""".stripMargin
 
+  /** Schema-evolution read (q136): two parquet generations of one
+    * table — an old batch (key, status) and a new batch that added a
+    * column and dropped another (key, totalprice) — read as ONE
+    * relation via mergeSchema, the missing columns null-filled per
+    * file. This is how a 100-TB table absorbs schema changes without
+    * rewriting history: parquet footers declare per-file columns, the
+    * scan reconciles BY NAME, and each file still prunes to the
+    * columns it has. The aggregate proves both generations landed:
+    * per-generation row counts and null accounting for each column.
+    */
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val base = scratch(spark, s"evo_${Integer.toHexString(dir.hashCode)}")
+    val orders = Tables.orders(spark, dir)
+    orders.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"), lit("v1").as("gen"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$base/g1")
+    orders.filter(col("o_orderkey") % 2 =!= 0)
+      .select(col("o_orderkey"), col("o_totalprice"), lit("v2").as("gen"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$base/g2")
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$base/g1", s"$base/g2")
+      .groupBy("gen")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_orderkey")).as("key_sum"),
+        sum(col("o_orderstatus").isNull.cast("long")).as("null_status"),
+        sum(col("o_totalprice").isNull.cast("long")).as("null_price"))
+      .orderBy("gen")
+  }
+
+  private val schemaEvolutionSql =
+    """WITH unified AS (
+      |  SELECT o_orderkey, o_orderstatus, NULL::DOUBLE AS o_totalprice, 'v1' AS gen
+      |  FROM orders WHERE o_orderkey % 2 = 0
+      |  UNION ALL BY NAME
+      |  SELECT o_orderkey, o_totalprice, 'v2' AS gen
+      |  FROM orders WHERE o_orderkey % 2 <> 0)
+      |SELECT gen, count(*) AS n,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+      |  CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_status,
+      |  CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_price
+      |FROM unified
+      |GROUP BY gen
+      |ORDER BY gen""".stripMargin
+
   override def all: Seq[QueryDef] = Seq(
     QueryDef("q80_csv_roundtrip", csvRoundtrip, Some(csvRoundtripSql)),
     QueryDef("q81_json_roundtrip", jsonRoundtrip, Some(jsonRoundtripSql)),
@@ -405,5 +449,6 @@ object SourcesOps extends QueryPack {
     QueryDef("q102_bucketed_join", bucketedJoin, Some(bucketedJoinSql),
       prepare = Some(prepareBucketedJoin)),
     QueryDef("q130_compaction", compaction, Some(compactionSql),
-      prepare = Some(prepareCompaction)))
+      prepare = Some(prepareCompaction)),
+    QueryDef("q136_schema_evolution", schemaEvolution, Some(schemaEvolutionSql)))
 }

@@ -59,4 +59,31 @@ class ProfilingSpec extends SparkSpec {
       assert(t.filter(col("chi2_cell") < 0).count() == 0)
     } finally t.unpersist()
   }
+
+  test("q138: the repair list is exactly the diverged keys, all inside flagged buckets") {
+    import graft.queries.Profiling
+    val repair = Profiling.replicaRepair(spark, sfDir).cache()
+    try {
+      // Ground truth from the replica-B derivation rules.
+      val missing = Tables.customer(spark, sfDir)
+        .filter(col("c_custkey") % 499 === 0)
+        .select("c_custkey").collect().map(_.getLong(0)).toSet
+      val changed = Tables.customer(spark, sfDir)
+        .filter(col("c_custkey") % 250 === 0 && col("c_custkey") % 499 =!= 0)
+        .select("c_custkey").collect().map(_.getLong(0)).toSet
+      val gotMissing = repair.filter(col("action") === "copy_missing")
+        .select("c_custkey").collect().map(_.getLong(0)).toSet
+      val gotChanged = repair.filter(col("action") === "overwrite_changed")
+        .select("c_custkey").collect().map(_.getLong(0)).toSet
+      assert(gotMissing == missing, s"missing-key list $gotMissing != $missing")
+      assert(gotChanged == changed, s"changed-key list $gotChanged != $changed")
+      // Drill-down discipline: every repair row sits in a bucket the
+      // fingerprint phase flagged.
+      val flagged = Profiling.replicaFingerprint(spark, sfDir)
+        .filter(col("consistent") === 0)
+        .select("bucket").collect().map(_.getLong(0)).toSet
+      val outside = repair.filter(!col("bucket").isin(flagged.toSeq: _*)).count()
+      assert(outside == 0, s"$outside repair rows outside flagged buckets")
+    } finally repair.unpersist()
+  }
 }

@@ -50,4 +50,21 @@ class RelationalSpec extends SparkSpec {
     assert(got == truth, s"skyline $got != brute-force $truth")
     assert(truth.nonEmpty)
   }
+
+  test("q137: partition-offset numbering equals the global window row_number") {
+    import graft.queries.Relational
+    import org.apache.spark.sql.expressions.Window
+    val got = Relational.scalableRowNumbers(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val truth = Tables.orders(spark, sfDir)
+      .withColumn("global_rn", row_number().over(
+        Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+      .filter(col("global_rn") <= 1000)
+      .select("o_orderkey", "global_rn")
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong))
+    assert(got.toSeq == truth.toSeq.map(t => (t._1, t._2)),
+      "offset-based numbering diverges from the single-partition window")
+    // Ranks are dense from 1.
+    assert(got.map(_._2).toSeq == (1L to got.length).toSeq)
+  }
 }

@@ -82,4 +82,15 @@ class SourcesOpsSpec extends SparkSpec {
     val nDocs = graft.sources.Tables.documents(spark, sfDir).count()
     assert(nJson == nDocs)
   }
+
+  test("q136: merged read null-fills per generation exactly") {
+    import graft.queries.SourcesOps
+    val rows = SourcesOps.schemaEvolution(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("v1", "v2"))
+    val v1 = rows(0); val v2 = rows(1)
+    // v1 files have no price column -> all price nulls, no status nulls;
+    // v2 inverted.
+    assert(v1.getLong(4) == v1.getLong(1) && v1.getLong(3) == 0)
+    assert(v2.getLong(3) == v2.getLong(1) && v2.getLong(4) == 0)
+  }
 }
