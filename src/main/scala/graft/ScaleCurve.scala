@@ -65,6 +65,16 @@ object ScaleCurve {
       .write.mode(SaveMode.Overwrite).parquet(s"$bigDir/documents.parquet")
     val nBig = spark.read.parquet(s"$bigDir/documents.parquet").count()
     println(s"corpus: base=5000+fixture-dups, big=$nBig docs (${replicas}x + skew family) at $bigDir")
+    // Replica-only twin (no boilerplate family) for the EXACT-join probe:
+    // an exact-threshold similarity join must emit every qualifying pair,
+    // so a degenerate near-identical family forces Ω(|family|²) OUTPUT —
+    // inherent to exactness, not a plan defect (the capped LSH path is
+    // the degenerate-data answer). The linear-scaling claim for q135 is
+    // therefore measured on the linear-workload corpus.
+    val cleanDir = s"${bigDir}_clean"
+    replicaDocs
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode(SaveMode.Overwrite).parquet(s"$cleanDir/documents.parquet")
 
     // --- measurement -------------------------------------------------------
     val probes: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
@@ -88,6 +98,21 @@ object ScaleCurve {
       val tBase = time(fn, baseDir)
       val tBig = time(fn, bigDir)
       println(f"| $name | $tBase%.1f | $tBig%.1f | ${tBig / tBase}%.1f |")
+    }
+    // Exact prefix-filter join on the replica-only corpus (see cleanDir
+    // note above); pair-count linearity is require-checked below.
+    locally {
+      val fn = queries.LlmPipeline.prefixFilterJoin _
+      time(fn, "/root/testdata/sf0.01")
+      val tBase = time(fn, baseDir)
+      val tBig = time(fn, cleanDir)
+      println(f"| q135_prefix_filter_join (clean corpus) | $tBase%.1f | $tBig%.1f | ${tBig / tBase}%.1f |")
+      val basePairs135 = fn(spark, baseDir).count()
+      val bigPairs135 = fn(spark, cleanDir).count()
+      println(s"q135 pairs: base=$basePairs135 big=$bigPairs135 " +
+        s"(exactly ${replicas}x: ${bigPairs135 == replicas * basePairs135})")
+      require(bigPairs135 == replicas * basePairs135,
+        s"q135 pair count is not exactly ${replicas}x base")
     }
 
     // Sanity: replica pairs must be EXACTLY 10x the fixture's q75 pair
