@@ -330,5 +330,64 @@ object Profiling extends QueryPack {
     QueryDef("q123_replica_fingerprint", replicaFingerprint,
       Some(replicaFingerprintSql)),
     QueryDef("q133_contingency_chi2", contingency, Some(contingencySql)),
-    QueryDef("q138_replica_repair", replicaRepair, Some(replicaRepairSql)))
+    QueryDef("q138_replica_repair", replicaRepair, Some(replicaRepairSql)),
+    QueryDef("q140_dq_audit", dqAudit, Some(dqAuditSql)))
+
+  /** Data-quality audit (q140): the Deequ/dbt-test constraint suite as
+    * one relational program — key uniqueness, referential integrity
+    * both directions of the star, domain ranges, and non-null checks,
+    * each reported as (constraint, n_checked, n_violations). Every
+    * check is a scan-local aggregate or an anti-join on the FK —
+    * shapes that run at any scale (the FK anti-join is the same
+    * semi-family plan as q10/q11, broadcast when the dim side is
+    * small, shuffle otherwise). A warehouse gates its loads on exactly
+    * this query; violations here are 0 by construction of the
+    * fixtures, which the oracle proves cross-engine (a nonzero row
+    * would hash-mismatch loudly).
+    */
+  def dqAudit(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val customer = Tables.customer(spark, dir)
+    val lineitem = Tables.lineitem(spark, dir)
+    def check(name: String, checked: DataFrame => DataFrame, base: DataFrame): DataFrame = {
+      val total = base.agg(count(lit(1)).as("n_checked"))
+      val bad = checked(base).agg(count(lit(1)).as("n_violations"))
+      total.crossJoin(bad).select(lit(name).as("constraint"),
+        col("n_checked"), col("n_violations"))
+    }
+    Seq(
+      check("orderkey_unique",
+        df => df.groupBy("o_orderkey").agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1), orders),
+      check("orders_custkey_fk",
+        df => df.join(customer, col("o_custkey") === col("c_custkey"),
+          "left_anti"), orders),
+      check("lineitem_orderkey_fk",
+        df => df.join(orders, col("l_orderkey") === col("o_orderkey"),
+          "left_anti"), lineitem),
+      check("discount_in_range",
+        df => df.filter(col("l_discount") < 0 || col("l_discount") > 1), lineitem),
+      check("quantity_positive",
+        df => df.filter(col("l_quantity") <= 0), lineitem),
+      check("custname_not_null",
+        df => df.filter(col("c_name").isNull), customer))
+      .reduce(_ unionAll _)
+      .orderBy("constraint")
+  }
+
+  private val dqAuditSql =
+    """SELECT 'orderkey_unique' AS "constraint",
+      |  (SELECT count(*) FROM orders) AS n_checked,
+      |  (SELECT count(*) FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)) AS n_violations
+      |UNION ALL SELECT 'orders_custkey_fk', (SELECT count(*) FROM orders),
+      |  (SELECT count(*) FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+      |UNION ALL SELECT 'lineitem_orderkey_fk', (SELECT count(*) FROM lineitem),
+      |  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+      |UNION ALL SELECT 'discount_in_range', (SELECT count(*) FROM lineitem),
+      |  (SELECT count(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 1)
+      |UNION ALL SELECT 'quantity_positive', (SELECT count(*) FROM lineitem),
+      |  (SELECT count(*) FROM lineitem WHERE l_quantity <= 0)
+      |UNION ALL SELECT 'custname_not_null', (SELECT count(*) FROM customer),
+      |  (SELECT count(*) FROM customer WHERE c_name IS NULL)
+      |ORDER BY "constraint"""".stripMargin
 }

@@ -195,11 +195,44 @@ object Sessions extends QueryPack {
       |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
       |ORDER BY user_id""".stripMargin
 
+  /** Per-user event-type transition matrix (q139): Markov transition
+    * counts over each user's time-ordered event stream — the
+    * sequence-analytics statistic behind next-action prediction,
+    * anomaly scoring, and funnel design (q94's staged funnel is one
+    * path through this matrix). One window (lag over the user
+    * partition, the q114/q115 shared-partitioning discipline) and one
+    * tiny |types|² aggregate; ties broken by event_id so both engines
+    * see the same sequence.
+    */
+  def transitionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("prev_type", "next_type")
+  }
+
+  private val transitionMatrixSql =
+    """SELECT prev_type, next_type, count(*) AS n
+      |FROM (
+      |  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+      |    event_type AS next_type
+      |  FROM events)
+      |WHERE prev_type IS NOT NULL
+      |GROUP BY prev_type, next_type
+      |ORDER BY prev_type, next_type""".stripMargin
+
   override def all: Seq[QueryDef] = Seq(
     QueryDef("q60_tumbling_daily", tumblingDaily, Some(tumblingDailySql)),
     QueryDef("q61_sliding_windows", slidingWindows, Some(slidingWindowsSql)),
     QueryDef("q62_session_windows", sessionWindows, Some(sessionWindowsSql), headline = true),
     QueryDef("q63_dedup_keep_first", dedupKeepFirst, Some(dedupKeepFirstSql)),
     QueryDef("q64_dedup_watermark_batch", dedupWatermarkBatch, Some(dedupWatermarkBatchSql)),
-    QueryDef("q94_funnel", funnel, Some(funnelSql)))
+    QueryDef("q94_funnel", funnel, Some(funnelSql)),
+    QueryDef("q139_transition_matrix", transitionMatrix, Some(transitionMatrixSql)))
 }

@@ -86,4 +86,18 @@ class ProfilingSpec extends SparkSpec {
       assert(outside == 0, s"$outside repair rows outside flagged buckets")
     } finally repair.unpersist()
   }
+
+  test("q140: fixture passes every constraint and checked counts match table sizes") {
+    import graft.queries.Profiling
+    val audit = Profiling.dqAudit(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(audit.keySet == Set("orderkey_unique", "orders_custkey_fk",
+      "lineitem_orderkey_fk", "discount_in_range", "quantity_positive",
+      "custname_not_null"))
+    assert(audit.values.forall(_._2 == 0L), s"fixture violates constraints: $audit")
+    val nOrders = Tables.orders(spark, sfDir).count()
+    val nLine = Tables.lineitem(spark, sfDir).count()
+    assert(audit("orderkey_unique")._1 == nOrders)
+    assert(audit("lineitem_orderkey_fk")._1 == nLine)
+  }
 }

