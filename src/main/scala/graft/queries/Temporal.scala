@@ -108,7 +108,100 @@ object Temporal extends QueryPack {
       |FROM grid g LEFT JOIN daily ON g.user_id = daily.user_id AND g.d = daily.d
       |ORDER BY g.user_id, g.d""".stripMargin
 
+  /** Time-weighted average value per user (q141): each observation
+    * holds until the next one (the q115 SCD2 interval view), so the
+    * mean weighs values by how LONG they held, not how often they were
+    * sampled — the correct average for balances, prices, and gauges
+    * (TWAP). Intervals come from one lead() on the shared user window;
+    * the open tail interval is clamped to the stream's global max
+    * timestamp (a 1-row broadcast).
+    *
+    * Determinism: value·Δt products and their sums ride DECIMAL
+    * (value at 4 decimals × integer µs — exact, associative); the
+    * single final division to DOUBLE is one IEEE op. A double
+    * accumulation would be order-dependent across partitions.
+    */
+  def timeWeightedAvg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val obs = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        round(col("value"), 4).cast("decimal(18,4)").as("v"))
+    val horizon = obs.agg(max(col("ts_us")).as("t_end"))
+    obs.crossJoin(broadcast(horizon))
+      .withColumn("t_next", coalesce(lead(col("ts_us"), 1).over(w), col("t_end")))
+      .withColumn("dt", col("t_next") - col("ts_us"))
+      .filter(col("dt") > 0)
+      .groupBy("user_id")
+      .agg(
+        sum(col("v") * col("dt")).as("weighted_sum"),
+        sum(col("dt")).as("total_us"))
+      .select(col("user_id"),
+        (col("weighted_sum").cast("double") / col("total_us")).as("twap"),
+        col("total_us"))
+      .withColumn("twap", round(col("twap"), 4))
+      .orderBy("user_id")
+  }
+
+  private val timeWeightedAvgSql =
+    """WITH obs AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+      |    CAST(round(value, 4) AS DECIMAL(18,4)) AS v
+      |  FROM events),
+      |horizon AS (SELECT max(ts_us) AS t_end FROM obs),
+      |iv AS (
+      |  SELECT user_id, v,
+      |    coalesce(lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id), t_end)
+      |      - ts_us AS dt
+      |  FROM obs, horizon)
+      |SELECT user_id,
+      |  round(CAST(sum(v * dt) AS DOUBLE) / CAST(sum(dt) AS BIGINT), 4) AS twap,
+      |  CAST(sum(dt) AS BIGINT) AS total_us
+      |FROM iv WHERE dt > 0
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  /** Month-over-month revenue report (q142): the BI staple — monthly
+    * order revenue with absolute and percent deltas against the
+    * previous month. Revenue sums as DECIMAL(18,2) (exact,
+    * associative); the deltas are decimal subtraction and ONE double
+    * division each, rounded once at output. One small shuffle to
+    * months, one ordered window over the |months| series.
+    */
+  def momRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy("month_start")
+    Tables.orders(spark, dir)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month_start"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .withColumn("prev_rev", lag(col("revenue"), 1).over(w))
+      .select(
+        unix_micros(col("month_start")).as("month_us"),
+        col("revenue").cast("double").as("revenue"),
+        col("n_orders"),
+        (col("revenue") - col("prev_rev")).cast("double").as("delta"),
+        round((col("revenue") - col("prev_rev")).cast("double")
+          / col("prev_rev").cast("double") * 100, 4).as("pct_change"))
+      .orderBy("month_us")
+  }
+
+  private val momRevenueSql =
+    """WITH monthly AS (
+      |  SELECT date_trunc('month', o_orderdate) AS month_start,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue,
+      |    count(*) AS n_orders
+      |  FROM orders GROUP BY date_trunc('month', o_orderdate))
+      |SELECT epoch_us(CAST(month_start AS TIMESTAMP)) AS month_us,
+      |  CAST(revenue AS DOUBLE) AS revenue, n_orders,
+      |  CAST(revenue - lag(revenue) OVER (ORDER BY month_start) AS DOUBLE) AS delta,
+      |  round(CAST(revenue - lag(revenue) OVER (ORDER BY month_start) AS DOUBLE)
+      |    / CAST(lag(revenue) OVER (ORDER BY month_start) AS DOUBLE) * 100, 4) AS pct_change
+      |FROM monthly
+      |ORDER BY month_us""".stripMargin
+
   override def all: Seq[QueryDef] = Seq(
     QueryDef("q121_cohort_retention", cohortRetention, Some(cohortRetentionSql)),
-    QueryDef("q122_gap_fill_daily", gapFillDaily, Some(gapFillDailySql)))
+    QueryDef("q122_gap_fill_daily", gapFillDaily, Some(gapFillDailySql)),
+    QueryDef("q141_time_weighted_avg", timeWeightedAvg, Some(timeWeightedAvgSql)),
+    QueryDef("q142_mom_revenue", momRevenue, Some(momRevenueSql)))
 }

@@ -64,4 +64,29 @@ class TemporalSpec extends SparkSpec {
     // type closure instead (exact marginals need per-user tails).
     assert(m.filter(col("n") <= 0).count() == 0)
   }
+
+  test("q141: TWAP is bounded by each user's min/max observed value") {
+    import graft.queries.Temporal
+    import graft.sources.Tables
+    val twap = Temporal.timeWeightedAvg(spark, sfDir)
+    val bounds = Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(min(round(col("value"), 4)).as("vmin"), max(round(col("value"), 4)).as("vmax"))
+    val bad = twap.join(bounds, "user_id")
+      .filter(col("twap") < col("vmin") - 0.0001 || col("twap") > col("vmax") + 0.0001)
+      .count()
+    assert(bad == 0, s"$bad users with TWAP outside their value range")
+    // Total held time per user is positive.
+    assert(twap.filter(col("total_us") <= 0).count() == 0)
+  }
+
+  test("q142: monthly revenue deltas telescope back to the series") {
+    import graft.queries.Temporal
+    val m = Temporal.momRevenue(spark, sfDir).collect()
+    // Sum of deltas == last month minus first month (telescoping), within
+    // double tolerance of the decimal-exact series.
+    val deltas = m.drop(1).map(_.getDouble(3)).sum
+    assert(math.abs(deltas - (m.last.getDouble(1) - m.head.getDouble(1))) < 1e-6)
+    assert(m.head.isNullAt(3) && m.head.isNullAt(4), "first month must have null deltas")
+  }
 }
