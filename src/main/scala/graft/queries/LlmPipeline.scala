@@ -548,13 +548,45 @@ object LlmPipeline extends QueryPack {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.NativeFunctions.register(spark)
-    val sh = hashShingled(spark, dir).select("doc_id", "sh")
-    lshNearDupPairs(sh)
+  /** Session-scoped memo of the FULL-CORPUS verified pair graph, keyed
+    * (session, dir) — the `Tables.relationCache` pattern applied one
+    * level up the pipeline (VERDICT r5 item 3). Four queries consume
+    * this same graph (q75 pairs, q101 clusters, q127 representatives
+    * via q101, q132 triangles); before the memo each re-ran
+    * shingle → minhash → band → verify from scratch — roughly half of
+    * their combined bench cost was duplicated signature work. The memo
+    * stores the `localCheckpoint`ed result (eager), so the graph is
+    * COMPUTED once per (session, fixture dir) and later consumers read
+    * materialized rows — exactly the persisted pair-graph artifact a
+    * production dedup pipeline writes between stages at 100 TB (where
+    * it would be a parquet table, not executor block storage).
+    *
+    * Same lifecycle rules as the relation memo: stopped sessions are
+    * purged on every lookup; a fixture dir is assumed immutable for the
+    * session's lifetime (q96 is NOT served by this memo — its graph is
+    * over the exact-dedup survivors, a different vertex set).
+    */
+  private val pairGraphCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private[graft] def lshPairGraph(spark: SparkSession, dir: String): DataFrame = {
+    pairGraphCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val key = (spark, dir)
+    val cached = pairGraphCache.get(key)
+    if (cached != null) cached
+    else {
+      graft.functions.NativeFunctions.register(spark)
+      val built = lshNearDupPairs(hashShingled(spark, dir).select("doc_id", "sh"))
+        .localCheckpoint()
+      val prev = pairGraphCache.putIfAbsent(key, built)
+      if (prev != null) prev else built
+    }
+  }
+
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    lshPairGraph(spark, dir)
       .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("id1", "id2")
-  }
 
   private val minhashLshSql =
     """WITH sh AS (
@@ -1239,8 +1271,7 @@ object LlmPipeline extends QueryPack {
     */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.NativeFunctions.register(spark)
-    val sh = hashShingled(spark, dir).select("doc_id", "sh")
-    val pairs = lshNearDupPairs(sh).select("id1", "id2")
+    val pairs = lshPairGraph(spark, dir).select("id1", "id2")
     val edges = pairs.union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
       .persist()
     // Each round's labels are localCheckpoint'ed (not merely cached):
@@ -1590,13 +1621,11 @@ object LlmPipeline extends QueryPack {
     * three corners — integer counts, exact cross-engine.
     */
   def triangleCounts(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.NativeFunctions.register(spark)
-    val sh = hashShingled(spark, dir).select("doc_id", "sh")
     // The pair graph is referenced three times by the triangle join;
-    // localCheckpoint materializes it once (it is candidate-pair-sized,
+    // the session memo materializes it once (it is candidate-pair-sized,
     // tiny next to the corpus) instead of re-planning the whole LSH
     // pipeline per self-join arm (22 exchanges → 5 in the plan audit).
-    trianglesPerNode(lshNearDupPairs(sh).select("id1", "id2").localCheckpoint())
+    trianglesPerNode(lshPairGraph(spark, dir).select("id1", "id2"))
   }
 
   /** Per-node triangle participation over ordered edges (id1 < id2);
@@ -1648,11 +1677,50 @@ object LlmPipeline extends QueryPack {
     *
     * Scale shape: shingle df is one aggregate; per-doc prefix selection
     * is a doc-partitioned window; candidates shuffle by shingle with the
-    * rarest-first order keeping bucket sizes minimal (the hot-token
-    * cap from the LSH path applies unchanged if a token is ubiquitous
-    * — here prefixes avoid head tokens by construction). Verification
+    * rarest-first order keeping bucket sizes minimal. Verification
     * re-joins the two full token sets by doc id and runs the native
     * jaccard_sim kernel once per candidate.
+    *
+    * Round 6: full PPJoin (Xiao et al., WWW'08 — public algorithm). The
+    * prefix filter alone let every shared prefix token through to the
+    * verify join; two additional LOSSLESS filters now prune candidates
+    * inside the candidate equi-join itself, before the (much wider)
+    * verify join on the full token sets:
+    *
+    *  - LENGTH filter: J(s1,s2) ≤ min(n1,n2)/max(n1,n2), so J ≥ 1/2
+    *    forces 2·min(n1,n2) ≥ max(n1,n2). Any pair failing it cannot
+    *    qualify regardless of content.
+    *  - POSITIONAL filter: a candidate row for token w at rarest-first
+    *    ranks (rn1, rn2) is kept only if 3·(1 + min(n1−rn1, n2−rn2)) ≥
+    *    n1+n2. Rationale: if w is the FIRST common token of the pair
+    *    under the global order, all O common tokens rank ≥ rank(w) in
+    *    both docs, so O ≤ 1 + min(n1−rn1, n2−rn2); J ≥ 1/2 needs O ≥
+    *    ⌈(n1+n2)/3⌉ (from J = O/(n1+n2−O)), hence the predicate
+    *    (integer-exact as written). A row failing it cannot be the
+    *    pair's first-common-token row.
+    *
+    *    Losslessness of per-row filtering: the filter may prune rows of
+    *    LATER common tokens (for which the bound does not cover
+    *    earlier-ranked overlap), but every qualifying pair's
+    *    first-common-token row both EXISTS in the join — rn_i(w) ≤
+    *    n_i − O + 1 ≤ n_i − ⌈(n1+n2)/3⌉ + 1 ≤ ⌊n_i/2⌋ + 1 given the
+    *    length filter, so w is inside both prefixes — and PASSES (its
+    *    bound ≥ O ≥ required). One surviving row per qualifying pair
+    *    is all `distinct()` needs.
+    *
+    *  - HOT tokens: an exact join cannot drop a ubiquitous token the
+    *    way LshBucketCap drops bucket overflow — a qualifying pair may
+    *    share ONLY that token in its prefixes, so any df-cap here would
+    *    be lossy (the reason this operator has no cap and the capped
+    *    LSH path is the prescription for degenerate corpora). The
+    *    positional filter IS the hot-token guard: rarest-first order
+    *    puts a hot token at the END of every prefix that contains it
+    *    (rn ≈ n/2), where the overlap bound 1 + min(n1−rn1, n2−rn2) ≈
+    *    n/2 + 1 fails the required ⌈(n1+n2)/3⌉ ≈ 2n/3 for n ≥ 6 —
+    *    hot-token-only candidates are pruned in the join predicate
+    *    without ever reaching the verify join. ScaleCurve measures
+    *    this on the adversarial boilerplate family (candidate counts
+    *    with/without the filters, BASELINE.md).
     */
   def prefixFilterJoin(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.NativeFunctions.register(spark)
@@ -1667,15 +1735,21 @@ object LlmPipeline extends QueryPack {
     val df_ = exploded.groupBy("token").agg(count(lit(1)).as("df"))
     // Prefix for Jaccard ≥ 0.5: the first ⌊n/2⌋+1 shingles in global
     // rarest-first (df, token) order — `rn <= n/2 + 1` floors correctly
-    // because rn is integral.
+    // because rn is integral. rn and n are carried through for the
+    // positional/length filters below.
     val ranked = exploded.join(df_, "token")
       .withColumn("rn", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("df"), col("token"))))
       .filter(col("rn") <= col("n") / 2 + 1)
-      .select("doc_id", "token")
+      .select("doc_id", "token", "rn", "n")
     val candidates = ranked.as("a")
       .join(ranked.as("b"), col("a.token") === col("b.token")
-        && col("a.doc_id") < col("b.doc_id"))
+        && col("a.doc_id") < col("b.doc_id")
+        // length filter: 2·min ≥ max, spelled without min/max calls
+        && col("a.n") <= col("b.n") * 2 && col("b.n") <= col("a.n") * 2
+        // positional filter: 3·(1 + min(remaining_a, remaining_b)) ≥ n1+n2
+        && (lit(1) + least(col("a.n") - col("a.rn"), col("b.n") - col("b.rn")))
+          * 3 >= col("a.n") + col("b.n"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
     val sets1 = sets.select(col("doc_id").as("id1"), col("sh").as("t1"))
