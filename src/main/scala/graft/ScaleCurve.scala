@@ -94,6 +94,12 @@ object ScaleCurve {
 
     println(s"| query | sf0.1 (s) | ${replicas}x (s) | ratio (linear = $replicas) |")
     println("|---|---|---|---|")
+    // NOTE (r6): q75 and q101 share the session-memoized pair graph, so
+    // in this measurement order q75's row carries the one-time graph
+    // build and q101's row is the marginal cost on top of it (the CC
+    // rounds) — exactly the split a production pipeline sees when it
+    // persists the pair graph between stages. q96 builds its own
+    // (survivor-set) graph and is unaffected.
     probes.foreach { case (name, fn) =>
       val tBase = time(fn, baseDir)
       val tBig = time(fn, bigDir)
@@ -113,6 +119,37 @@ object ScaleCurve {
         s"(exactly ${replicas}x: ${bigPairs135 == replicas * basePairs135})")
       require(bigPairs135 == replicas * basePairs135,
         s"q135 pair count is not exactly ${replicas}x base")
+    }
+
+    // Adversarial-skew point for the EXACT join (r6, VERDICT item 6):
+    // run q135 on the corpus WITH the boilerplate family. Every family
+    // pair shares 58 of 62 shingles (J ≈ 0.94), so the operator's
+    // contract forces C(2000,2) = 1,999,000 OUTPUT pairs — Ω(|family|²)
+    // is inherent to exactness, not a plan defect. What IS avoidable is
+    // verification work beyond the qualifying output: the require below
+    // pins post-filter family candidates == family output (ratio 1.0),
+    // i.e. the PPJoin length+positional filters leave ZERO wasted
+    // verify-join work on the degenerate family — the quantified
+    // "inherent vs avoidable" split.
+    locally {
+      graft.functions.NativeFunctions.register(spark)
+      // Full-corpus wall-clock (same noop-write protocol as the rows
+      // above — a filtered count() would let Catalyst push the family
+      // predicate into candidate generation and time a pruned plan).
+      val tSkew = time(queries.LlmPipeline.prefixFilterJoin _, bigDir)
+      val famOut = queries.LlmPipeline.prefixFilterJoin(spark, bigDir)
+        .filter(col("id1") >= 1000000000L).count()
+      val shBig = graft.sources.Tables.documents(spark, bigDir)
+        .withColumn("sh", expr("shingle_hash64(word_shingles(text, 3))"))
+        .select("doc_id", "sh")
+      val famCand = queries.LlmPipeline.ppjoinCandidates(shBig)
+        .filter(col("id1") >= 1000000000L).count()
+      println(f"| q135_prefix_filter_join (${replicas}x + skew family) | — | $tSkew%.1f | output-bound |")
+      println(s"q135 skew family: candidates=$famCand output=$famOut " +
+        f"(candidate-to-output ratio ${famCand.toDouble / famOut}%.3f)")
+      require(famOut == 1999000L, s"family output $famOut != C(2000,2)")
+      require(famCand == famOut,
+        s"post-filter family candidates $famCand != qualifying output $famOut — avoidable verify work")
     }
 
     // Sanity: replica pairs must be EXACTLY 10x the fixture's q75 pair

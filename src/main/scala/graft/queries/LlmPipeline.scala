@@ -1722,14 +1722,13 @@ object LlmPipeline extends QueryPack {
     *    this on the adversarial boilerplate family (candidate counts
     *    with/without the filters, BASELINE.md).
     */
-  def prefixFilterJoin(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.NativeFunctions.register(spark)
-    // 8-byte hashed shingle keys, not strings: the df/prefix explode and
-    // the candidate equi-join are the dominant shuffles here, and the
-    // hashed form cuts their payload ~5-10x (the r4 LSH-pipeline
-    // optimization applied to this operator; Jaccard is preserved
-    // absent a collision, which the oracle would catch loudly).
-    val sets = hashShingled(spark, dir).select(col("doc_id"), col("sh"))
+  /** The PPJoin candidate stage of [[prefixFilterJoin]], factored out so
+    * ScaleCurve can count post-filter candidates independently of the
+    * verified output (the inherent-vs-avoidable accounting on the
+    * adversarial skew corpus). Input: a (doc_id, sh) relation of hashed
+    * shingle sets; output: distinct (id1 < id2) candidate pairs.
+    */
+  private[graft] def ppjoinCandidates(sets: DataFrame): DataFrame = {
     val exploded = sets.select(col("doc_id"), size(col("sh")).as("n"),
       explode(col("sh")).as("token"))
     val df_ = exploded.groupBy("token").agg(count(lit(1)).as("df"))
@@ -1742,7 +1741,7 @@ object LlmPipeline extends QueryPack {
         Window.partitionBy("doc_id").orderBy(col("df"), col("token"))))
       .filter(col("rn") <= col("n") / 2 + 1)
       .select("doc_id", "token", "rn", "n")
-    val candidates = ranked.as("a")
+    ranked.as("a")
       .join(ranked.as("b"), col("a.token") === col("b.token")
         && col("a.doc_id") < col("b.doc_id")
         // length filter: 2·min ≥ max, spelled without min/max calls
@@ -1752,6 +1751,17 @@ object LlmPipeline extends QueryPack {
           * 3 >= col("a.n") + col("b.n"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
+  }
+
+  def prefixFilterJoin(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeFunctions.register(spark)
+    // 8-byte hashed shingle keys, not strings: the df/prefix explode and
+    // the candidate equi-join are the dominant shuffles here, and the
+    // hashed form cuts their payload ~5-10x (the r4 LSH-pipeline
+    // optimization applied to this operator; Jaccard is preserved
+    // absent a collision, which the oracle would catch loudly).
+    val sets = hashShingled(spark, dir).select(col("doc_id"), col("sh"))
+    val candidates = ppjoinCandidates(sets)
     val sets1 = sets.select(col("doc_id").as("id1"), col("sh").as("t1"))
     val sets2 = sets.select(col("doc_id").as("id2"), col("sh").as("t2"))
     candidates.join(sets1, "id1").join(sets2, "id2")

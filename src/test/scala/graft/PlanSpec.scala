@@ -85,7 +85,16 @@ class PlanSpec extends SparkSpec {
 
   test("q75: LSH candidate generation is an equi join, never quadratic") {
     withoutAutoBroadcast {
-      val plan = simple(LlmPipeline.minhashLsh(spark, sfDir))
+      // The registered q75 now returns the session-memoized,
+      // checkpointed pair graph — a scan with no joins to audit. The
+      // shape under audit is the graph BUILD (lshNearDupPairs), the
+      // plan that executes once per (session, dir).
+      graft.functions.NativeFunctions.register(spark)
+      val sh = graft.sources.Tables.documents(spark, sfDir)
+        .withColumn("sh", org.apache.spark.sql.functions.expr(
+          "shingle_hash64(word_shingles(text, 3))"))
+        .select("doc_id", "sh")
+      val plan = simple(LlmPipeline.lshNearDupPairs(sh))
       assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r.findAllIn(plan).nonEmpty,
         "band join must be an equi join")
       assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
