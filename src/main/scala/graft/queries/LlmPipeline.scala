@@ -524,12 +524,21 @@ object LlmPipeline extends QueryPack {
     */
   private[graft] val LshBucketCap = 512
 
-  private[graft] def lshNearDupPairs(sh: DataFrame, bucketCap: Int = LshBucketCap): DataFrame = {
-    val sigs = sh.withColumn("sig", expr("minhash_sig(sh, 64)"))
-    val bands = sigs.select(
-      col("doc_id"),
-      explode(expr("transform(sequence(0, 15), b -> struct(b AS band, slice(sig, b*4+1, 4) AS bsig))")).as("e"))
+  /** The banding stage of the LSH pipeline — (doc_id, band, bsig) rows,
+    * 16 bands × 4 minhash rows per document. Factored out (r6) because
+    * it is ALSO the schema of a persisted band index: incremental dedup
+    * (q144) probes a new shard's bands against the existing corpus's
+    * stored band rows instead of re-banding the corpus.
+    */
+  private[graft] def lshBands(sh: DataFrame): DataFrame =
+    sh.withColumn("sig", expr("minhash_sig(sh, 64)"))
+      .select(
+        col("doc_id"),
+        explode(expr("transform(sequence(0, 15), b -> struct(b AS band, slice(sig, b*4+1, 4) AS bsig))")).as("e"))
       .select(col("doc_id"), col("e.band").as("band"), col("e.bsig").as("bsig"))
+
+  private[graft] def lshNearDupPairs(sh: DataFrame, bucketCap: Int = LshBucketCap): DataFrame = {
+    val bands = lshBands(sh)
     val wBucket = Window.partitionBy("band", "bsig").orderBy("doc_id")
     val cand = bands
       .withColumn("brk", row_number().over(wBucket))
@@ -1784,6 +1793,82 @@ object LlmPipeline extends QueryPack {
       |    / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))) >= 0.5
       |ORDER BY id1, id2""".stripMargin
 
+  /** Incremental near-dup dedup (q144): admit a NEWLY-INGESTED shard
+    * against an existing corpus — the pattern a production pipeline
+    * runs on every new crawl instead of re-deduplicating the world.
+    * The shard split is deterministic (doc_id % 4 == 0 is "new", the
+    * rest is the standing corpus).
+    *
+    * Shape, and why it scales where a full re-dedup would not:
+    *   - The standing corpus contributes only its BAND INDEX rows
+    *     (doc_id, band, bsig) — in production a persisted table
+    *     written at last ingest ([[lshBands]] is its schema); the
+    *     100-TB corpus is never re-shingled, re-minhashed, or
+    *     re-paired.
+    *   - New docs band once, then PROBE the index with a plain
+    *     equi-join on (band, bsig) — new-vs-old candidates cost
+    *     |new bands| ⋈ index, independent of corpus pair count. The
+    *     join is shuffle-hash/SMJ on the bucket key; degenerate index
+    *     buckets are the stored-index analogue of LshBucketCap and
+    *     would be capped AT INDEX-WRITE time the same way.
+    *   - New-vs-new pairs reuse the capped single-pass generator
+    *     ([[lshNearDupPairs]]) on the shard only.
+    *   - Verification (exact Jaccard ≥ 0.5) touches candidates only.
+    *
+    * Policy: keep-first — reject a new doc if it has ANY standing-corpus
+    * partner, or a smaller-id partner within the shard (q96's greedy
+    * policy applied at the ingest boundary). Output: rejected new docs
+    * with their old/new partner counts. Oracle: the all-pairs Jaccard
+    * join restricted to pairs involving a new doc — equality is the
+    * same LSH-recall argument as q75 (fixture true pairs J ≥ 0.97 band
+    * with probability 1 − 10⁻¹¹; a miss would fail the hash gate).
+    */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeFunctions.register(spark)
+    val sh = hashShingled(spark, dir).select("doc_id", "sh")
+    val shNew = sh.filter(col("doc_id") % 4 === 0)
+    val shOld = sh.filter(col("doc_id") % 4 =!= 0)
+    val candOldNew = lshBands(shNew)
+      .select(col("doc_id").as("new_id"), col("band"), col("bsig"))
+      .join(lshBands(shOld).select(col("doc_id").as("old_id"), col("band"), col("bsig")),
+        Seq("band", "bsig"))
+      .select("new_id", "old_id").distinct()
+    val verifiedOld = candOldNew
+      .join(shNew.select(col("doc_id").as("new_id"), col("sh").as("sh_n")), "new_id")
+      .join(shOld.select(col("doc_id").as("old_id"), col("sh").as("sh_o")), "old_id")
+      .filter(expr("jaccard_sim(sh_n, sh_o)") >= 0.5)
+    val nDupOld = verifiedOld.groupBy(col("new_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_dup_old"))
+    val nDupNew = lshNearDupPairs(shNew)
+      .groupBy(col("id2").as("doc_id"))
+      .agg(count(lit(1)).as("n_dup_new"))
+    nDupOld.join(nDupNew, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_dup_old"), lit(0L)).as("n_dup_old"),
+        coalesce(col("n_dup_new"), lit(0L)).as("n_dup_new"))
+      .orderBy("doc_id")
+  }
+
+  private val incrementalDedupSql =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+      |p AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+      |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+      |e AS (SELECT id1, id2 FROM p UNION ALL SELECT id2 AS id1, id1 AS id2 FROM p)
+      |SELECT id1 AS doc_id,
+      |  count(*) FILTER (WHERE id2 % 4 <> 0) AS n_dup_old,
+      |  count(*) FILTER (WHERE id2 % 4 = 0 AND id2 < id1) AS n_dup_new
+      |FROM e
+      |WHERE id1 % 4 = 0
+      |GROUP BY id1
+      |HAVING n_dup_old > 0 OR n_dup_new > 0
+      |ORDER BY doc_id""".stripMargin
+
   /** Near-dup cluster representatives (q127): collapse each q101
     * connected component to ONE kept document — the longest member,
     * ties to the smallest doc_id — the step that turns a dedup
@@ -1880,5 +1965,6 @@ object LlmPipeline extends QueryPack {
     QueryDef("q110_bigram_quality", bigramQuality, Some(bigramQualitySql)),
     QueryDef("q111_chunk_dedup", chunkDedupStats, Some(chunkDedupStatsSql)),
     QueryDef("q112_sequence_packing", sequencePacking, Some(sequencePackingSql)),
-    QueryDef("q113_token_chunks", tokenChunks, Some(tokenChunksSql)))
+    QueryDef("q113_token_chunks", tokenChunks, Some(tokenChunksSql)),
+    QueryDef("q144_incremental_dedup", incrementalDedup, Some(incrementalDedupSql)))
 }
