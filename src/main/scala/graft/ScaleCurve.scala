@@ -152,6 +152,22 @@ object ScaleCurve {
         s"post-filter family candidates $famCand != qualifying output $famOut — avoidable verify work")
     }
 
+    // Incremental dedup (q144, r6): the per-crawl ingest pattern —
+    // 25% of the corpus is the "new shard", the rest contributes only
+    // band-index rows. Measured on the SKEW corpus (the boilerplate
+    // family splits 1:3 across new/old, so degenerate index buckets
+    // ride along). The comparison that matters at 100 TB: admitting a
+    // shard costs a probe join, not the full corpus re-pairing (q75's
+    // row above — and at real scale the index is a stored table, so
+    // q144's banding of the old 75% here is an overestimate).
+    locally {
+      val fn = queries.LlmPipeline.incrementalDedup _
+      time(fn, "/root/testdata/sf0.01") // warm
+      val tBase = time(fn, baseDir)
+      val tBig = time(fn, bigDir)
+      println(f"| q144_incremental_dedup (${replicas}x + skew) | $tBase%.1f | $tBig%.1f | ${tBig / tBase}%.1f |")
+    }
+
     // Sanity: replica pairs must be EXACTLY 10x the fixture's q75 pair
     // count (disjoint shingle universes), and the boilerplate family —
     // whose every band bucket is degenerate — must stay within the cap's
