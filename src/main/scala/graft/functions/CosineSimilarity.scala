@@ -166,5 +166,26 @@ object NativeFunctions {
       "dot_product",
       exprs => { val e = arity("dot_product", exprs, 2); DotProduct(e.head, e(1)) },
       "scala_udf")
+    // Spark's own Bloom-filter expressions (used by the q99 runtime
+    // rewrite) are registry-internal — not resolvable from expr(). For
+    // operators that build a Bloom filter EXPLICITLY (q145: eval-set
+    // n-gram filter applied scan-side to the training stream), expose
+    // them under graft names. Both are existing Catalyst classes, so
+    // codegen/serialization behavior is exactly the built-in one.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_agg",
+      exprs => {
+        val e = arity("bloom_agg", exprs, 3)
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          e.head, e(1), e(2))
+      },
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_might_contain",
+      exprs => {
+        val e = arity("bloom_might_contain", exprs, 2)
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(e.head, e(1))
+      },
+      "scala_udf")
   }
 }

@@ -1257,6 +1257,55 @@ object LlmPipeline extends QueryPack {
       |ORDER BY doc_id""".stripMargin
 
 
+  /** Bloom-filtered decontamination (q145): the 100-TB form of q100.
+    * q100 broadcasts the eval shingle set and hash-joins every
+    * exploded training (doc, shingle) row against it — correct, but
+    * the join operator still touches EVERY training shingle
+    * occurrence. Here the eval set first folds into one Bloom filter
+    * (Spark's own BloomFilterAggregate, wired in as a scalar
+    * subquery — executed once per query), and
+    * `bloom_might_contain` drops non-matching shingles as a
+    * codegen'd scan-side predicate BEFORE the join — the q99 runtime
+    * Bloom-join pattern built explicitly, for a stream (exploded
+    * n-grams) the optimizer's rewrite cannot see. The surviving ~hits
+    * then take the exact broadcast join, so false positives are
+    * eliminated and the RESULT IS EXACT: the oracle is the same
+    * all-pairs SQL as q100, and a Bloom behavior change would fail
+    * the hash gate.
+    *
+    * At 100 TB the predicate evaluates on the exploded stream inside
+    * whole-stage codegen with no shuffle and no join-side buffering:
+    * the per-row cost of a miss is two xxhash probes of a broadcast
+    * bitmap vs a hash-relation lookup per row in q100 — and the join
+    * operator processes only the ~|eval ∩ train| hit stream. Bloom
+    * sizing: 8 bits/item at the fixture's eval-set cardinality; at
+    * scale, size from the q118 NDV profile.
+    */
+  def bloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeFunctions.register(spark)
+    val sh = hashShingled(spark, dir).select("doc_id", "sh")
+    sh.filter(pmod(col("doc_id"), lit(10)) === 7)
+      .select(explode(col("sh")).as("g")).distinct()
+      .createOrReplaceTempView("q145_eval_g")
+    sh.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .createOrReplaceTempView("q145_train_g")
+    // The Bloom side must be a SCALAR SUBQUERY (BloomFilterMightContain
+    // rejects a plain attribute) — the subquery executes once and its
+    // result is wired into the predicate, the same mechanism the q99
+    // runtime rewrite uses. No driver round-trip.
+    spark.sql(
+      """WITH hits AS (
+        |  SELECT doc_id, g FROM q145_train_g
+        |  WHERE bloom_might_contain(
+        |    (SELECT bloom_agg(g, 200000L, 1600000L) FROM q145_eval_g), g))
+        |SELECT /*+ BROADCAST(e) */ doc_id, count(*) AS n_shared
+        |FROM hits JOIN q145_eval_g e USING (g)
+        |GROUP BY doc_id
+        |HAVING count(*) >= 2
+        |ORDER BY doc_id""".stripMargin)
+  }
+
   /** Near-dup cluster assignment via connected components (q101) — the
     * iterative-algorithm capability class: real dedup pipelines cluster
     * the near-dup GRAPH and keep one representative per component
@@ -1966,5 +2015,6 @@ object LlmPipeline extends QueryPack {
     QueryDef("q111_chunk_dedup", chunkDedupStats, Some(chunkDedupStatsSql)),
     QueryDef("q112_sequence_packing", sequencePacking, Some(sequencePackingSql)),
     QueryDef("q113_token_chunks", tokenChunks, Some(tokenChunksSql)),
-    QueryDef("q144_incremental_dedup", incrementalDedup, Some(incrementalDedupSql)))
+    QueryDef("q144_incremental_dedup", incrementalDedup, Some(incrementalDedupSql)),
+    QueryDef("q145_bloom_decontaminate", bloomDecontaminate, Some(decontaminateSql)))
 }
