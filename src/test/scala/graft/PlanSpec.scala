@@ -130,6 +130,26 @@ class PlanSpec extends SparkSpec {
       s"bucketed ANN must never go quadratic:\n$plan")
   }
 
+  test("q144: incremental dedup probes the band index with equi joins, never quadratic") {
+    withoutAutoBroadcast {
+      val plan = simple(LlmPipeline.incrementalDedup(spark, sfDir))
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"incremental dedup must never go quadratic:\n$plan")
+      assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r.findAllIn(plan).nonEmpty,
+        "band-index probe must be an equi join")
+    }
+  }
+
+  test("q145: Bloom predicate sits scan-side, before the exact verify join") {
+    val plan = simple(LlmPipeline.bloomDecontaminate(spark, sfDir))
+    assert(plan.contains("might_contain"),
+      s"explicit Bloom predicate missing from the plan:\n$plan")
+    // The predicate must be a Filter feeding the join, not a join
+    // condition: a quadratic fallback would show up as BNLJ/cartesian.
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"Bloom decontamination must never go quadratic:\n$plan")
+  }
+
   test("q99: runtime Bloom filter is injected into the fact side of the join") {
     // Same shape q99 executes internally: selective dim filter, no
     // broadcast, application-side threshold scoped to fixture scale.
