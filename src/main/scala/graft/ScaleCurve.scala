@@ -152,20 +152,30 @@ object ScaleCurve {
         s"post-filter family candidates $famCand != qualifying output $famOut — avoidable verify work")
     }
 
-    // Incremental dedup (q144, r6): the per-crawl ingest pattern —
-    // 25% of the corpus is the "new shard", the rest contributes only
-    // band-index rows. Measured on the SKEW corpus (the boilerplate
-    // family splits 1:3 across new/old, so degenerate index buckets
-    // ride along). The comparison that matters at 100 TB: admitting a
-    // shard costs a probe join, not the full corpus re-pairing (q75's
-    // row above — and at real scale the index is a stored table, so
-    // q144's banding of the old 75% here is an overestimate).
+    // Incremental dedup (q144, r7): the per-crawl ingest pattern —
+    // 25% of the corpus is the "new shard", the rest is read as the
+    // STORED band index + shingle table written by the prepare step
+    // (ensureBandIndex; at 100 TB that write happened at the previous
+    // ingest). Measured on the SKEW corpus (the boilerplate family
+    // splits 1:3 across new/old, so degenerate index buckets exist and
+    // are capped at write time). Prepare is timed separately for
+    // honesty: the incremental row is the cost a crawl actually pays —
+    // shingle+band the shard, probe the index, verify candidates.
     locally {
       val fn = queries.LlmPipeline.incrementalDedup _
+      queries.LlmPipeline.prepareIncrementalDedup(spark, "/root/testdata/sf0.01")
       time(fn, "/root/testdata/sf0.01") // warm
+      def prep(dir: String): Double = {
+        val t0 = System.nanoTime()
+        queries.LlmPipeline.prepareIncrementalDedup(spark, dir)
+        (System.nanoTime() - t0) / 1e9
+      }
+      val pBase = prep(baseDir)
       val tBase = time(fn, baseDir)
+      val pBig = prep(bigDir)
       val tBig = time(fn, bigDir)
-      println(f"| q144_incremental_dedup (${replicas}x + skew) | $tBase%.1f | $tBig%.1f | ${tBig / tBase}%.1f |")
+      println(f"| q144_incremental_dedup (${replicas}x + skew, stored index) | $tBase%.1f | $tBig%.1f | ${tBig / tBase}%.1f |")
+      println(f"q144 one-time index build (prepare, excluded): sf0.1 $pBase%.1f s, ${replicas}x $pBig%.1f s")
     }
 
     // Sanity: replica pairs must be EXACTLY 10x the fixture's q75 pair

@@ -1,6 +1,8 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.Paths
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -537,12 +539,23 @@ object LlmPipeline extends QueryPack {
         explode(expr("transform(sequence(0, 15), b -> struct(b AS band, slice(sig, b*4+1, 4) AS bsig))")).as("e"))
       .select(col("doc_id"), col("e.band").as("band"), col("e.bsig").as("bsig"))
 
-  private[graft] def lshNearDupPairs(sh: DataFrame, bucketCap: Int = LshBucketCap): DataFrame = {
-    val bands = lshBands(sh)
+  /** Band rows with the degenerate-bucket cap applied: members of each
+    * (band, bsig) bucket are ranked by doc_id and only the lowest
+    * `cap` kept — bounded per-bucket state regardless of skew. The one
+    * code path for the cap: [[lshNearDupPairs]] applies it before pair
+    * generation, and [[ensureBandIndex]] applies it AT INDEX-WRITE time
+    * so a stored index can never hand a probe task an unbounded bucket.
+    */
+  private[graft] def cappedBandIndex(sh: DataFrame, cap: Int = LshBucketCap): DataFrame = {
     val wBucket = Window.partitionBy("band", "bsig").orderBy("doc_id")
-    val cand = bands
+    lshBands(sh)
       .withColumn("brk", row_number().over(wBucket))
-      .filter(col("brk") <= bucketCap)
+      .filter(col("brk") <= cap)
+      .drop("brk")
+  }
+
+  private[graft] def lshNearDupPairs(sh: DataFrame, bucketCap: Int = LshBucketCap): DataFrame = {
+    val cand = cappedBandIndex(sh, bucketCap)
       .groupBy("band", "bsig")
       .agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")) > 1)
@@ -1842,6 +1855,55 @@ object LlmPipeline extends QueryPack {
       |    / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))) >= 0.5
       |ORDER BY id1, id2""".stripMargin
 
+  /** Stored-corpus artifacts for incremental dedup (q144), keyed
+    * (session, dir) — the q102/q130 one-time-ETL memo pattern: in
+    * production these are written once at the PREVIOUS ingest and
+    * probed by every subsequent crawl, so building them inside the
+    * measured query would misrepresent the operator. Two parquet
+    * tables per fixture:
+    *
+    *   - `bands/` — the standing corpus's LSH band index
+    *     (doc_id, band, bsig), capped at [[LshBucketCap]] members per
+    *     (band, bsig) AT WRITE TIME via [[cappedBandIndex]] (lowest
+    *     doc_ids kept, deterministic). The cap is enforced where the
+    *     rows are produced, so no future reader can be handed a
+    *     degenerate bucket — see the loss argument on
+    *     [[incrementalDedup]].
+    *   - `shingles/` — the hashed shingle sets (doc_id, sh) the verify
+    *     join keys into, so the old corpus is never re-shingled.
+    *
+    * Paths carry the application id + a dir digest (collision-free
+    * across concurrent JVMs and scale factors — the q102 convention).
+    * Returns (bandsPath, shinglesPath).
+    */
+  private val bandIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (String, String)]()
+
+  private[graft] def ensureBandIndex(spark: SparkSession, dir: String): (String, String) =
+    bandIndexCache.computeIfAbsent(
+      (System.identityHashCode(spark).toString, dir), _ => {
+        graft.functions.NativeFunctions.register(spark)
+        val tag = s"${SourcesOps.sanitizedAppId(spark)}_${Integer.toHexString(dir.hashCode)}"
+        val base = Paths.get(sys.props("java.io.tmpdir"), s"graft_bandidx_$tag")
+        val bandsPath = base.resolve("bands").toString
+        val shinglesPath = base.resolve("shingles").toString
+        val shOld = hashShingled(spark, dir).select("doc_id", "sh")
+          .filter(col("doc_id") % 4 =!= 0)
+        // One pass computes shingles; the band index derives from the
+        // stored shingle table so minhash runs over a materialized scan
+        // (at 100 TB both writes are one nightly job over the ingest).
+        shOld.write.mode(SaveMode.Overwrite).parquet(shinglesPath)
+        cappedBandIndex(spark.read.parquet(shinglesPath))
+          .write.mode(SaveMode.Overwrite).parquet(bandsPath)
+        (bandsPath, shinglesPath)
+      })
+
+  /** q144 setup, bench-excluded via QueryDef.prepare. */
+  private[graft] def prepareIncrementalDedup(spark: SparkSession, dir: String): Unit = {
+    ensureBandIndex(spark, dir)
+    ()
+  }
+
   /** Incremental near-dup dedup (q144): admit a NEWLY-INGESTED shard
     * against an existing corpus — the pattern a production pipeline
     * runs on every new crawl instead of re-deduplicating the world.
@@ -1849,20 +1911,36 @@ object LlmPipeline extends QueryPack {
     * rest is the standing corpus).
     *
     * Shape, and why it scales where a full re-dedup would not:
-    *   - The standing corpus contributes only its BAND INDEX rows
-    *     (doc_id, band, bsig) — in production a persisted table
-    *     written at last ingest ([[lshBands]] is its schema); the
-    *     100-TB corpus is never re-shingled, re-minhashed, or
-    *     re-paired.
-    *   - New docs band once, then PROBE the index with a plain
+    *   - The standing corpus contributes only its STORED artifacts,
+    *     written by [[ensureBandIndex]] (the q102/q130 one-time-ETL
+    *     pattern, bench-excluded via QueryDef.prepare): a band index
+    *     (doc_id, band, bsig) capped at WRITE time, plus the hashed
+    *     shingle-set table (doc_id, sh) the verify join keys into. The
+    *     query re-shingles, re-minhashes, and re-pairs ONLY the new
+    *     shard — the 100-TB corpus is read as parquet, never recomputed.
+    *   - New docs band once, then PROBE the stored index with a plain
     *     equi-join on (band, bsig) — new-vs-old candidates cost
     *     |new bands| ⋈ index, independent of corpus pair count. The
-    *     join is shuffle-hash/SMJ on the bucket key; degenerate index
-    *     buckets are the stored-index analogue of LshBucketCap and
-    *     would be capped AT INDEX-WRITE time the same way.
+    *     join is shuffle-hash/SMJ on the bucket key; because index
+    *     buckets are capped at write time, a probe task's output per
+    *     bucket is ≤ |new members| · [[LshBucketCap]] — linear in the
+    *     shard, bounded regardless of corpus-side skew
+    *     (BandIndexSpec proves this adversarially).
     *   - New-vs-new pairs reuse the capped single-pass generator
     *     ([[lshNearDupPairs]]) on the shard only.
-    *   - Verification (exact Jaccard ≥ 0.5) touches candidates only.
+    *   - Verification (exact Jaccard ≥ 0.5) touches candidates only,
+    *     by key-joining them into the stored shingle table.
+    *
+    * Write-time cap loss argument (same contract as [[LshBucketCap]]):
+    * dropping members above the cap inside a degenerate (band, bsig)
+    * bucket can only lose new→old partners inside that bucket — i.e.
+    * boilerplate near-identical to the ≥ cap kept members, which still
+    * link every probing new doc in that bucket (and a pair colliding in
+    * ANY uncapped band bucket survives). The keep/reject DECISION is
+    * therefore preserved for every new doc; only partner COUNTS inside
+    * degenerate buckets can shrink. Fixture buckets are far below the
+    * cap, so the oracle is unchanged (the same no-op argument
+    * LshSkewSpec proves for the in-query cap).
     *
     * Policy: keep-first — reject a new doc if it has ANY standing-corpus
     * partner, or a smaller-id partner within the shard (q96's greedy
@@ -1874,12 +1952,14 @@ object LlmPipeline extends QueryPack {
     */
   def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.NativeFunctions.register(spark)
-    val sh = hashShingled(spark, dir).select("doc_id", "sh")
-    val shNew = sh.filter(col("doc_id") % 4 === 0)
-    val shOld = sh.filter(col("doc_id") % 4 =!= 0)
+    val (bandsPath, shinglesPath) = ensureBandIndex(spark, dir)
+    val shNew = hashShingled(spark, dir).select("doc_id", "sh")
+      .filter(col("doc_id") % 4 === 0)
+    val oldIndex = spark.read.parquet(bandsPath)
+    val shOld = spark.read.parquet(shinglesPath)
     val candOldNew = lshBands(shNew)
       .select(col("doc_id").as("new_id"), col("band"), col("bsig"))
-      .join(lshBands(shOld).select(col("doc_id").as("old_id"), col("band"), col("bsig")),
+      .join(oldIndex.select(col("doc_id").as("old_id"), col("band"), col("bsig")),
         Seq("band", "bsig"))
       .select("new_id", "old_id").distinct()
     val verifiedOld = candOldNew
@@ -2015,6 +2095,7 @@ object LlmPipeline extends QueryPack {
     QueryDef("q111_chunk_dedup", chunkDedupStats, Some(chunkDedupStatsSql)),
     QueryDef("q112_sequence_packing", sequencePacking, Some(sequencePackingSql)),
     QueryDef("q113_token_chunks", tokenChunks, Some(tokenChunksSql)),
-    QueryDef("q144_incremental_dedup", incrementalDedup, Some(incrementalDedupSql)),
+    QueryDef("q144_incremental_dedup", incrementalDedup, Some(incrementalDedupSql),
+      prepare = Some(prepareIncrementalDedup)),
     QueryDef("q145_bloom_decontaminate", bloomDecontaminate, Some(decontaminateSql)))
 }
