@@ -1839,6 +1839,27 @@ object LlmPipeline extends QueryPack {
     *    without ever reaching the verify join. ScaleCurve measures
     *    this on the adversarial boilerplate family (candidate counts
     *    with/without the filters, BASELINE.md).
+    *
+    * Round 7 — PPJoin+'s suffix filter: measured and REFUSED
+    * (graft.SuffixProbe, numbers in BASELINE.md). On the clean sf0.1
+    * corpus the verify stage holds large candidate slack (124,879
+    * candidates → 256 qualifying pairs) but costs only 5–12% of
+    * wall-clock — the candidate stage dominates, and the slack rows
+    * are cheap (one jaccard_sim merge each). The strongest
+    * candidate-side tightening available without shipping token
+    * arrays — PPJoin's ACCUMULATED bound, O ≤ shared-prefix-row count
+    * + min remaining after the last shared prefix token, evaluated in
+    * the same shuffle `distinct()` already pays — prunes only 4.1% of
+    * clean-corpus candidates (124,879 → 119,699; wall-clock within
+    * run-to-run noise): natural-language false candidates share a
+    * moderately-rare token EARLY in the rarest-first order, so the
+    * remaining-tokens term stays large and the bound permissive. The
+    * paper's suffix filter proper runs after the verify join has
+    * already shipped both token arrays, where the exact jaccard_sim
+    * merge is a single fused codegen pass — its ceiling is a fraction
+    * of that ≤12% share. On the adversarial family the question is
+    * closed by construction: ScaleCurve require-checks candidates ==
+    * output, so there is no wasted verify work to prune.
     */
   /** The PPJoin candidate stage of [[prefixFilterJoin]], factored out so
     * ScaleCurve can count post-filter candidates independently of the
