@@ -50,7 +50,20 @@ object Bench {
     // still lands in "queries", but the error is recorded by name so the
     // total is known-tainted (round-2 ADVICE: silent swallow).
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = ordered.map { case (name, fn) =>
+    // Dedicated attribution row (ADVICE r6): four queries consume the
+    // session-memoized LSH pair graph (q75/q101/q127/q132); without
+    // this row its one-time build cost lands on whichever family query
+    // runs first in sorted order, so a graph-build regression would
+    // surface as a q101 regression. Built and timed under its own name
+    // here; the family rows below then measure their marginal cost.
+    val graphRow = {
+      val t0 = System.nanoTime()
+      try queries.LlmPipeline.lshPairGraph(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case t: Throwable => errors.put("lsh_graph_build", t.toString.take(160)) }
+      "lsh_graph_build" -> (System.nanoTime() - t0) / 1e9
+    }
+    val timed = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try runNoop(fn, sfDir) catch {
         case t: Throwable =>
@@ -63,6 +76,7 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    val results = graphRow +: timed
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errJson = errors

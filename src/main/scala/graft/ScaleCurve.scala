@@ -201,6 +201,9 @@ object ScaleCurve {
     require(repPairs == replicas * basePairs, s"replica pair count is not exactly ${replicas}x base")
     require(boilerPairs <= bound, "bucket cap bound violated")
     pairs.unpersist()
+    // Release the per-dir memoized pair graphs this run pinned (ADVICE
+    // r6): ScaleCurve touches 4+ fixture dirs in one session.
+    queries.LlmPipeline.clearPairGraphCache(spark)
     spark.stop()
   }
 }

@@ -595,6 +595,21 @@ object LlmPipeline extends QueryPack {
   private val pairGraphCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  /** Evict this session's memoized pair graphs (ADVICE r6: within one
+    * long-lived session every distinct fixture dir otherwise pins its
+    * localCheckpoint'ed graph in executor block storage for the
+    * session's lifetime). For dev tools that iterate over many corpora
+    * (ScaleCurve touches 4+ dirs per run); the sequential bench/verify
+    * harness touches one dir and never needs it. Dropped entries'
+    * checkpoint blocks are reclaimed by Spark's ContextCleaner once the
+    * DataFrame references become unreachable (the standard persisted-RDD
+    * lifecycle) — no explicit unpersist API exists for localCheckpoint.
+    */
+  private[graft] def clearPairGraphCache(spark: SparkSession): Unit = {
+    pairGraphCache.keySet.removeIf(k => (k._1 eq spark) || k._1.sparkContext.isStopped)
+    ()
+  }
+
   private[graft] def lshPairGraph(spark: SparkSession, dir: String): DataFrame = {
     pairGraphCache.keySet.removeIf(_._1.sparkContext.isStopped)
     val key = (spark, dir)
