@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, DotProduct, HyperplaneBucket, JaccardSimilarity, MinHashSignature, NativeFunctions, RollingHashStats, ShingleHash64, SimHashSignature, WordShingles}
+import graft.functions.{CosineSimilarity, DotProduct, HyperplaneBucket, JaccardSimilarity, MinHashSignature, NativeFunctions, RollingHashStats, ShingleHash64, SimHashSignature, WordShingles, ZOrder2}
 
 /** SparkSessionExtensions installer for the engine's native expressions
   * (SURVEY.md §2.2.10): a deployment sets
@@ -61,5 +61,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_product"),
       info("dot_product", classOf[DotProduct]),
       (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("zorder2"),
+      info("zorder2", classOf[ZOrder2]),
+      (exprs: Seq[Expression]) => ZOrder2(exprs.head, exprs(1))))
   }
 }

@@ -166,6 +166,10 @@ object NativeFunctions {
       "dot_product",
       exprs => { val e = arity("dot_product", exprs, 2); DotProduct(e.head, e(1)) },
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "zorder2",
+      exprs => { val e = arity("zorder2", exprs, 2); ZOrder2(e.head, e(1)) },
+      "scala_udf")
     // Spark's own Bloom-filter expressions (used by the q99 runtime
     // rewrite) are registry-internal — not resolvable from expr(). For
     // operators that build a Bloom filter EXPLICITLY (q145: eval-set

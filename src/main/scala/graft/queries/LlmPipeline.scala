@@ -2141,6 +2141,131 @@ object LlmPipeline extends QueryPack {
       |    FROM embeddings))
       |ORDER BY vec_id""".stripMargin
 
+  /** PII scrub + audit (q147): the release-gate transform every corpus
+    * runs before publication — REPLACE each PII class with a typed
+    * placeholder and report per-row match counts, so downstream can both
+    * use the scrubbed text and audit scrub volume. q109 is the read-only
+    * audit half; this is the rewrite half.
+    *
+    * The synthetic fixtures carry no natural PII, so the query first
+    * derives a deterministic contact note from customer keys (documented
+    * synthesis — the operator under test is the scrub machinery, which
+    * is input-agnostic): `"call DDD-DDDD re Customer#..."`. Patterns
+    * stay in the RE2 ∩ Java-regex common subset (character classes,
+    * bounded repetition, literals — no lookaround), so both engines
+    * rewrite identical spans. Name scrub runs before phone scrub;
+    * the classes cannot overlap (the phone pattern requires a dash).
+    *
+    * Scale: pure scan-side codegen'd string rewrite, zero shuffle —
+    * at 100 TB this pipelines with the parquet scan exactly like q109.
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .withColumn("note", concat(
+        lit("call "),
+        lpad(pmod(col("c_custkey") * 7 + 3, lit(1000)).cast("string"), 3, "0"),
+        lit("-"),
+        lpad(pmod(col("c_custkey") * 13 + 7, lit(10000)).cast("string"), 4, "0"),
+        lit(" re "), col("c_name"), lit(" segment "), col("c_mktsegment")))
+      .select(
+        col("c_custkey"),
+        expr("regexp_count(note, '[0-9]{3}-[0-9]{4}')").as("n_phone"),
+        expr("regexp_count(note, 'Customer#[0-9]+')").as("n_name"),
+        expr("regexp_replace(regexp_replace(note, 'Customer#[0-9]+', '<NAME>'), " +
+          "'[0-9]{3}-[0-9]{4}', '<PHONE>')").as("scrubbed"))
+      .orderBy("c_custkey")
+
+  private val piiScrubSql =
+    """WITH notes AS (
+      |  SELECT c_custkey,
+      |    'call ' || lpad(CAST((c_custkey * 7 + 3) % 1000 AS VARCHAR), 3, '0')
+      |      || '-' || lpad(CAST((c_custkey * 13 + 7) % 10000 AS VARCHAR), 4, '0')
+      |      || ' re ' || c_name || ' segment ' || c_mktsegment AS note
+      |  FROM customer)
+      |SELECT c_custkey,
+      |  CAST(len(regexp_extract_all(note, '[0-9]{3}-[0-9]{4}')) AS INT) AS n_phone,
+      |  CAST(len(regexp_extract_all(note, 'Customer#[0-9]+')) AS INT) AS n_name,
+      |  regexp_replace(regexp_replace(note, 'Customer#[0-9]+', '<NAME>', 'g'),
+      |    '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
+      |FROM notes
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Deterministic train/val/test split (q148): partition the corpus
+    * into DISJOINT, EXHAUSTIVE splits by hashing the stable document
+    * key — the assignment every training pipeline must be able to
+    * reproduce months later on re-crawled data. Same Lehmer
+    * multiplicative hash as q105 (integer-exact cross-engine, so the
+    * oracle checks membership, not just proportions): 80/10/10 by
+    * `h mod 10000`. Unlike sampling (q105/q106 keep a subset), every
+    * row lands in exactly one split by construction.
+    *
+    * Output is the split manifest a pipeline persists: per (lang,
+    * split) document count, exact key checksum (any single membership
+    * flip shifts it), and the summed char budget (what the split costs
+    * in tokens). Scan-side CASE over a hash — no shuffle before the
+    * tiny aggregate; at 100 TB this is one pass, and the same
+    * expression used as a partition filter reads ONLY a split.
+    */
+  def trainSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("h", expr(
+        "pmod(pmod(doc_id, 2147483647) * 48271, 2147483647) % 10000"))
+      .withColumn("split", expr(
+        "CASE WHEN h < 8000 THEN 'train' WHEN h < 9000 THEN 'val' ELSE 'test' END"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("key_sum"),
+        sum(col("n_chars")).as("char_budget"))
+      .orderBy("lang", "split")
+
+  private val trainSplitSql =
+    """SELECT lang,
+      |  CASE WHEN h < 8000 THEN 'train' WHEN h < 9000 THEN 'val' ELSE 'test' END AS split,
+      |  count(*) AS n_docs,
+      |  CAST(sum(doc_id) AS BIGINT) AS key_sum,
+      |  CAST(sum(n_chars) AS BIGINT) AS char_budget
+      |FROM (SELECT lang, doc_id, n_chars,
+      |        ((doc_id % 2147483647) * 48271) % 2147483647 % 10000 AS h
+      |      FROM documents)
+      |GROUP BY 1, 2
+      |ORDER BY lang, split""".stripMargin
+
+  /** Inverted-index build (q149): token → document-frequency + the head
+    * of the sorted posting list — the search-index artifact (and the
+    * IDF table feeding q93) as a first-class build. One explode +
+    * distinct + groupBy(token): the shuffle carries (token, doc_id)
+    * pairs once each, aggregation is map-side combinable, and posting
+    * lists are materialized per-token (never driver-side). The output
+    * pins the first 10 postings of every token, so ordering bugs and
+    * membership bugs both fail the hash compare; full lists at 100 TB
+    * would be written sharded, head-capping keeps the gate's output
+    * bounded.
+    */
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .distinct()
+      .groupBy("token")
+      // CSV-joined postings head: the sorted posting list is the operator
+      // under test; a scalar column keeps the comparer's row sort exact
+      // (array columns are unsortable in the driver's compare — q32 note).
+      .agg(count(lit(1)).as("df"),
+        expr("array_join(transform(slice(sort_array(collect_list(doc_id)), 1, 10), " +
+          "d -> cast(d as string)), ',')").as("postings_head"))
+      .orderBy("token")
+
+  private val invertedIndexSql =
+    """SELECT token, count(*) AS df,
+      |  array_to_string(list_transform((list(doc_id ORDER BY doc_id))[1:10],
+      |    d -> CAST(d AS VARCHAR)), ',') AS postings_head
+      |FROM (SELECT DISTINCT doc_id, token FROM
+      |        (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |         FROM documents))
+      |WHERE token <> ''
+      |GROUP BY token
+      |ORDER BY token""".stripMargin
+
   override def all: Seq[QueryDef] = Seq(
     QueryDef("q70_exact_dedup", exactDedup, Some(exactDedupSql)),
     QueryDef("q71_token_topn", tokenTopN, Some(tokenTopNSql)),
@@ -2181,5 +2306,8 @@ object LlmPipeline extends QueryPack {
     QueryDef("q144_incremental_dedup", incrementalDedup, Some(incrementalDedupSql),
       prepare = Some(prepareIncrementalDedup)),
     QueryDef("q145_bloom_decontaminate", bloomDecontaminate, Some(decontaminateSql),
-      prepare = Some(prepareBloomDecontaminate)))
+      prepare = Some(prepareBloomDecontaminate)),
+    QueryDef("q147_pii_scrub", piiScrub, Some(piiScrubSql)),
+    QueryDef("q148_train_split", trainSplit, Some(trainSplitSql)),
+    QueryDef("q149_inverted_index", invertedIndex, Some(invertedIndexSql)))
 }

@@ -439,6 +439,44 @@ object Relational extends QueryPack {
       |WHERE global_rn <= 1000
       |ORDER BY global_rn""".stripMargin
 
+  /** Weighted Bernoulli sampling (q150): keep each row with probability
+    * proportional to a PER-ROW weight — the importance-sampling
+    * primitive behind quality-weighted corpus mixing (sample documents
+    * ∝ quality score) and revenue-weighted order audits (here: weight
+    * ∝ order value, capped). Extends the q105/q106 family from fixed
+    * (global / per-stratum) rates to a continuous per-row rate while
+    * keeping every property that made those oracle-checkable: the same
+    * Lehmer hash supplies the uniform draw, the acceptance test
+    * `h mod 10000 < w` is integer-exact in any engine, and membership
+    * is a pure scan-side filter — deterministic across runs, engines,
+    * and retries, with zero shuffle before the summary aggregate.
+    * Output pins count, exact key checksum, and the accepted weight
+    * mass per status, so a single membership flip fails the gate.
+    */
+  def sampleWeighted(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .withColumn("w", least(floor(col("o_totalprice")).cast("long"), lit(9999L)))
+      .withColumn("h", expr(
+        "pmod(pmod(o_orderkey, 2147483647) * 48271, 2147483647) % 10000"))
+      .filter(col("h") < col("w"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(col("o_orderkey")).as("key_sum"),
+        sum(col("w")).as("weight_mass"))
+      .orderBy("o_orderstatus")
+
+  private val sampleWeightedSql =
+    """SELECT o_orderstatus, count(*) AS n_sampled,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+      |  CAST(sum(w) AS BIGINT) AS weight_mass
+      |FROM (SELECT o_orderstatus, o_orderkey,
+      |        least(CAST(floor(o_totalprice) AS BIGINT), 9999) AS w,
+      |        ((o_orderkey % 2147483647) * 48271) % 2147483647 % 10000 AS h
+      |      FROM orders)
+      |WHERE h < w
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
   override def all: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", pricingSummary, Some(pricingSummarySql), headline = true),
     QueryDef("q02_star_join_revenue", starJoinRevenue, Some(starJoinRevenueSql), headline = true),
@@ -454,5 +492,6 @@ object Relational extends QueryPack {
     QueryDef("q106_sample_stratified_hash", sampleStratifiedHash, Some(sampleStratifiedHashSql)),
     QueryDef("q120_rule_rewritten_topk", ruleRewrittenTopK, Some(ruleRewrittenTopKSql)),
     QueryDef("q134_skyline", skyline, Some(skylineSql)),
-    QueryDef("q137_scalable_rownum", scalableRowNumbers, Some(scalableRowNumbersSql)))
+    QueryDef("q137_scalable_rownum", scalableRowNumbers, Some(scalableRowNumbersSql)),
+    QueryDef("q150_sample_weighted", sampleWeighted, Some(sampleWeightedSql)))
 }

@@ -438,6 +438,113 @@ object SourcesOps extends QueryPack {
       |GROUP BY gen
       |ORDER BY gen""".stripMargin
 
+  /** Z-order clustering layout (q146): assign every orders row a Morton
+    * z-value over (customer, order date) via the native `zorder2` kernel,
+    * split the z-sorted table into 16 equal "files" (ntile — exactly the
+    * file boundaries an `OPTIMIZE ZORDER BY` write would cut), and report
+    * each file's min/max on BOTH dimensions.
+    *
+    * This is the write-side data-skipping operator for 100 TB: a table
+    * laid out in z-order gives every file a tight min/max range on both
+    * clustering dimensions simultaneously, so predicates on EITHER
+    * column prune files from parquet footer stats alone — a linear sort
+    * only prunes on its leading column. The output IS the file-skipping
+    * index (per-file min/max), so the oracle hash-checks the exact
+    * layout an engine would persist. The ntile window is one global
+    * range-ish sort — the same shuffle the physical rewrite pays.
+    *
+    * Dimensions are first NORMALIZED to the full 16-bit domain from a
+    * column-stats prepass (`(v * 65535) div max_v` — integer-exact in
+    * any engine, products ≪ 2^63): interleaving RAW values lets the
+    * wider dimension's high bits dominate the z-value and the layout
+    * degenerates into a single-dimension sort (measured here: raw
+    * custkey spans 8 bits vs 12 for dates, and mean per-file custkey
+    * width was no better than a date sort's). Real z-order writers
+    * (Delta/Iceberg OPTIMIZE) do exactly this stats-then-normalize
+    * prepass. The stats row is a 1-row broadcast cross join; the oracle
+    * reproduces the interleave with 16 unrolled shift/mask terms.
+    *
+    * File boundaries use the q137 scalable-numbering pattern — a global
+    * NTILE window would move every row to ONE partition (the exact
+    * WindowExec degradation warning). Twist vs q137: the split key is
+    * the top 3 bits of z (radix ranges), NOT repartitionByRange +
+    * spark_partition_id — range boundary SAMPLING is per-exchange, and
+    * this plan evaluates the partitioned stream twice (ranks + offsets),
+    * so two independently sampled exchanges can disagree about which
+    * rows a pid holds and silently corrupt the global ranks (observed
+    * before this fix). The radix key is a pure deterministic function
+    * of the row, order-preserving (z's high bits), so both branches
+    * agree by construction; the only full-data exchange is the window's
+    * hash partition on that key, and it stays parallel.
+    */
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeFunctions.register(spark)
+    val withDay = Tables.orders(spark, dir)
+      .withColumn("dd", expr(
+        "cast(datediff(to_date(o_orderdate), date'1992-01-01') as bigint)"))
+    val stats = withDay.agg(
+      max(col("o_custkey")).as("max_ck"), max(col("dd")).as("max_dd"))
+    val z = withDay.crossJoin(broadcast(stats))
+      .withColumn("xd", expr("(o_custkey * 65535) div max_ck"))
+      .withColumn("yd", expr("(dd * 65535) div max_dd"))
+      .withColumn("z", expr("zorder2(xd, yd)"))
+      .withColumn("pid", expr("cast(z >> 29 as int)"))
+    val local = z.withColumn("local_rn", row_number().over(
+      Window.partitionBy("pid").orderBy(col("z").asc, col("o_orderkey").asc)))
+    val offsets = local.groupBy("pid").agg(count(lit(1)).as("cnt"))
+      .withColumn("offset", coalesce(
+        sum(col("cnt")).over(Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("total", sum(col("cnt")).over(
+        Window.orderBy("pid").rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select("pid", "offset", "total")
+    local.join(broadcast(offsets), "pid")
+      .withColumn("rn", col("local_rn") + col("offset"))
+      // NTILE(16) arithmetically: first (total mod 16) buckets hold
+      // ceil(total/16) rows, the rest floor(total/16). Fixtures always
+      // have >= 16 rows (the floor-size division is never by zero).
+      .withColumn("q", expr("total div 16"))
+      .withColumn("r", expr("total % 16"))
+      .withColumn("file_id", expr(
+        "cast(CASE WHEN rn <= (q + 1) * r THEN (rn - 1) div (q + 1) " +
+          "ELSE r + (rn - (q + 1) * r - 1) div q END + 1 as int)"))
+      .groupBy("file_id")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("o_custkey")).as("custkey_lo"), max(col("o_custkey")).as("custkey_hi"),
+        min(to_date(col("o_orderdate"))).as("date_lo"),
+        max(to_date(col("o_orderdate"))).as("date_hi"))
+      .orderBy("file_id")
+  }
+
+  /** The oracle's unrolled Morton interleave: bits are disjoint, so
+    * summing the 32 shifted terms equals OR-ing them.
+    */
+  private val zorderLayoutSql = {
+    val terms = (0 until 16).flatMap { i =>
+      Seq(s"(((xd >> $i) & 1) * ${1L << (2 * i)})",
+        s"(((yd >> $i) & 1) * ${1L << (2 * i + 1)})")
+    }.mkString(" + ")
+    s"""WITH stats AS (
+       |  SELECT max(o_custkey) AS max_ck,
+       |    max(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))) AS max_dd
+       |  FROM orders
+       |), dims AS (
+       |  SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS odate,
+       |    (o_custkey * 65535) // max_ck AS xd,
+       |    (datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) * 65535) // max_dd AS yd
+       |  FROM orders, stats
+       |), z AS (
+       |  SELECT o_orderkey, o_custkey, odate, $terms AS zv FROM dims
+       |), tiled AS (
+       |  SELECT o_custkey, odate, NTILE(16) OVER (ORDER BY zv, o_orderkey) AS file_id FROM z
+       |)
+       |SELECT file_id, count(*) AS n_rows,
+       |  min(o_custkey) AS custkey_lo, max(o_custkey) AS custkey_hi,
+       |  min(odate) AS date_lo, max(odate) AS date_hi
+       |FROM tiled GROUP BY file_id ORDER BY file_id""".stripMargin
+  }
+
   override def all: Seq[QueryDef] = Seq(
     QueryDef("q80_csv_roundtrip", csvRoundtrip, Some(csvRoundtripSql)),
     QueryDef("q81_json_roundtrip", jsonRoundtrip, Some(jsonRoundtripSql)),
@@ -450,5 +557,6 @@ object SourcesOps extends QueryPack {
       prepare = Some(prepareBucketedJoin)),
     QueryDef("q130_compaction", compaction, Some(compactionSql),
       prepare = Some(prepareCompaction)),
-    QueryDef("q136_schema_evolution", schemaEvolution, Some(schemaEvolutionSql)))
+    QueryDef("q136_schema_evolution", schemaEvolution, Some(schemaEvolutionSql)),
+    QueryDef("q146_zorder_layout", zorderLayout, Some(zorderLayoutSql)))
 }

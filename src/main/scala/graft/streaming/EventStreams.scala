@@ -54,4 +54,55 @@ object EventStreams {
     events
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-stream interval join: each click pairs with the view it
+    * followed (same user, click within 1 hour after the view) — the
+    * attribution join, with BOTH sides unbounded. Watermarks on both
+    * inputs plus the event-time range condition are what bound the join
+    * state: Spark retains a side's rows only until the other side's
+    * watermark passes the interval, so state is O(window), not O(stream).
+    * At 100 TB/day this is the only join shape that works stream-to-
+    * stream — an unconstrained equi-join would buffer both streams
+    * forever (and Spark rejects it in append mode without the bounds).
+    */
+  def viewClickJoin(views: DataFrame, clicks: DataFrame): DataFrame = {
+    val v = views.select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+      col("event_id").as("view_id")).withWatermark("view_ts", "2 hours")
+    val c = clicks.select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+      col("event_id").as("click_id")).withWatermark("click_ts", "2 hours")
+    v.join(c, expr(
+      """v_user = c_user AND
+        |click_ts > view_ts AND click_ts <= view_ts + interval 1 hour""".stripMargin))
+      .select(col("v_user").as("user_id"), col("view_id"), col("click_id"),
+        col("view_ts"), col("click_ts"))
+  }
+
+  /** Left-outer variant: views with NO click inside the hour still emit
+    * (null click columns) — but only once the click-side watermark has
+    * passed the interval end, which is when "no match" becomes final.
+    * The semantics every funnel/abandonment report needs; same bounded
+    * state as the inner form.
+    */
+  def viewClickJoinOuter(views: DataFrame, clicks: DataFrame): DataFrame = {
+    val v = views.select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+      col("event_id").as("view_id")).withWatermark("view_ts", "2 hours")
+    val c = clicks.select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+      col("event_id").as("click_id")).withWatermark("click_ts", "2 hours")
+    v.join(c, expr(
+      """v_user = c_user AND
+        |click_ts > view_ts AND click_ts <= view_ts + interval 1 hour""".stripMargin),
+      "left_outer")
+      .select(col("v_user").as("user_id"), col("view_id"), col("click_id"),
+        col("view_ts"), col("click_ts"))
+  }
+
+  /** Stream-static enrichment join: the unbounded event stream joins a
+    * bounded dimension table (user → cohort). The static side is planned
+    * per micro-batch as an ordinary broadcast hash join — no streaming
+    * state at all, the 100-TB-stream-side default for dimension
+    * enrichment.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("user_id"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("cohort"))
 }
