@@ -2266,6 +2266,214 @@ object LlmPipeline extends QueryPack {
       |GROUP BY token
       |ORDER BY token""".stripMargin
 
+  /** Integer-exact PageRank core over a SYMMETRIZED edge set
+    * (`id1 → id2`, both directions present). Ranks live in integer
+    * micro-units (start 1,000,000 per vertex) and every step is
+    * integer arithmetic with explicit floor division:
+    *
+    *   r'(v) = 150000 + (85 * Σ_{u→v} (r(u) div deg(u))) div 100
+    *
+    * i.e. damping 0.85 and teleport 0.15 applied as `(85·x) div 100`
+    * — deterministic, associative (integer sums), and reproduced
+    * verbatim by any engine's `//`, unlike double PageRank whose
+    * result depends on summation order. Exactly the q105/q148 trick
+    * (integer-exact cross-engine math) applied to the iterative class.
+    *
+    * Scale shape: each iteration is one hash-shuffle join
+    * (edges ⋈ ranks on the 8-byte vertex id) + one partial-agg sum —
+    * the standard distributed PageRank loop (GraphX's PageRank is this
+    * plan); the driver holds CONTROL only (fixed iteration count, no
+    * row data). Per-round `localCheckpoint` truncates the doubling
+    * lineage, as in q101's CC loop. Overflow headroom: a vertex's
+    * received sum is bounded by total mass ≈ |V|·10⁶, so the `85·Σ`
+    * intermediate stays under 2⁶³ up to ~10¹¹ vertices; beyond that,
+    * lift the sum to decimal(38,0) as q101's convergence scalar does.
+    */
+  private[graft] def integerPageRank(edges: DataFrame, iters: Int): DataFrame = {
+    val deg = edges.groupBy("id1").agg(count(lit(1)).as("deg"))
+    val degEdges = edges.join(deg, "id1").persist()
+    try {
+      var ranks = deg.select(col("id1").as("id"), lit(1000000L).as("r"))
+        .localCheckpoint()
+      for (_ <- 1 to iters) {
+        // Inner join is total: the graph is symmetric, so every vertex
+        // has deg >= 1 and receives at least one contribution.
+        ranks = degEdges.join(ranks, degEdges("id1") === ranks("id"))
+          .select(col("id2").as("id"), expr("r div deg").as("c"))
+          .groupBy("id").agg(sum("c").as("s"))
+          .select(col("id"), (lit(150000L) + expr("(85 * s) div 100")).as("r"))
+          .localCheckpoint()
+      }
+      deg.join(ranks, deg("id1") === ranks("id"))
+        .select(col("id1").as("doc_id"), col("deg"), col("r").as("pr_score"))
+        .orderBy("doc_id")
+    } finally {
+      degEdges.unpersist()
+      ()
+    }
+  }
+
+  /** PageRank centrality on the near-dup graph (q151): rank every
+    * document that participates in a Jaccard ≥ 0.5 near-dup pair by its
+    * centrality in that graph — 5 fixed iterations of integer-exact
+    * PageRank (micro-unit ranks, floor division; see
+    * [[integerPageRank]]). Centrality is the canonical-pick refinement
+    * beyond q127's min-id representatives (keep the most-connected
+    * variant of a duplicated source, not an arbitrary one) and the
+    * crawl-prioritization signal when the same loop runs over a domain
+    * link graph. Completes the iterative-analytic pair with q101:
+    * CC is a min-lattice fixpoint, PageRank a weighted-sum fixpoint.
+    *
+    * The pair graph comes from the session memo (one LSH build per
+    * (session, dir) — the persisted-artifact pattern), so this query
+    * prices the ITERATION, not a rebuild.
+    */
+  def pagerankCentrality(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeFunctions.register(spark)
+    val pairs = lshPairGraph(spark, dir).select("id1", "id2")
+    val edges = pairs.union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+    integerPageRank(edges, iters = 5)
+  }
+
+  // Oracle: the q101 edge derivation (exact all-pairs Jaccard — equal
+  // to the LSH pair set, as q101 proves every round), then the 5
+  // iterations UNROLLED as chained CTEs (no aggregation-in-recursion
+  // portability risk); `//` mirrors Spark's `div` exactly on the
+  // all-positive ranks.
+  private val pagerankSql = {
+    val iter = (k: Int) =>
+      s"""pr$k AS (
+         |  SELECT e.id2 AS id,
+         |    CAST(150000 + (85 * sum(p.r // d.deg)) // 100 AS BIGINT) AS r
+         |  FROM edges e JOIN pr${k - 1} p ON e.id1 = p.id
+         |    JOIN deg d ON d.id = e.id1
+         |  GROUP BY e.id2)"""
+    s"""WITH sh AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS s
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+       |pairs AS MATERIALIZED (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+       |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+       |edges AS MATERIALIZED (
+       |  SELECT id1, id2 FROM pairs UNION ALL SELECT id2 AS id1, id1 AS id2 FROM pairs),
+       |deg AS MATERIALIZED (SELECT id1 AS id, count(*) AS deg FROM edges GROUP BY id1),
+       |pr0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM deg),
+       |${(1 to 5).map(iter).mkString(",\n")}
+       |SELECT d.id AS doc_id, d.deg, p.r AS pr_score
+       |FROM deg d JOIN pr5 p ON d.id = p.id
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Per-source document cap (q152): every web-scale corpus recipe caps
+    * how many documents any one domain may contribute (a single
+    * mirror-heavy domain otherwise dominates the training mix). Keep at
+    * most 10 documents per `source`, priority = the engine-neutral
+    * Lehmer hash of doc_id (ties by doc_id) — a REPRODUCIBLE uniform
+    * draw, so re-running the cap months later on a re-crawl keeps the
+    * same survivors (the q105/q148 determinism argument applied to
+    * quota enforcement, where RNG `sample` would be unauditable).
+    *
+    * Runs on the engine's own TopKPerGroup operator (§2.2.10 custom
+    * plan): one hash exchange on `source`, bounded k-heaps instead of a
+    * per-partition full sort — at 100 TB the skew-safety story is
+    * q19's (heavy domains stream through a k-bounded heap, never an
+    * O(n log n) sort or a materialized rank column).
+    */
+  def sourceCap(spark: SparkSession, dir: String): DataFrame = {
+    val prioritized = Tables.documents(spark, dir)
+      .withColumn("priority", expr(
+        "pmod(pmod(doc_id, 2147483647) * 48271, 2147483647)"))
+    graft.plans.TopKPerGroup.topKPerGroup(
+        prioritized, Seq("source"), Seq(("priority", false), ("doc_id", false)), 10)
+      .select(col("source"), col("doc_id"), col("priority"))
+      .orderBy("source", "doc_id")
+  }
+
+  private val sourceCapSql =
+    """SELECT source, doc_id, priority
+      |FROM (
+      |  SELECT source, doc_id, priority,
+      |    row_number() OVER (PARTITION BY source ORDER BY priority, doc_id) AS rn
+      |  FROM (SELECT source, doc_id,
+      |          ((doc_id % 2147483647) * 48271) % 2147483647 AS priority
+      |        FROM documents))
+      |WHERE rn <= 10
+      |ORDER BY source, doc_id""".stripMargin
+
+  /** Contrastive negative sampling (q153): for each document, pick up
+    * to 4 deterministic pseudo-random "negative" partner documents —
+    * the pair-generation step behind contrastive embedding training and
+    * hard-negative mining. Candidates come from the Lehmer hash of
+    * (doc_id, slot) mapped into the id space, then three corrections
+    * make them SOUND negatives:
+    *
+    *   1. existence: join to the document table on the candidate id
+    *      (survives id gaps — the map is into the id RANGE, not the set);
+    *   2. no self-pairs;
+    *   3. no near-duplicates: anti-join against the symmetrized
+    *      Jaccard ≥ 0.5 pair graph — a near-dup is a FALSE negative
+    *      that actively damages a contrastive objective.
+    *
+    * Deterministic like q105/q148: the same corpus always yields the
+    * same negative set (re-runs, retries, engines). Scale: candidates
+    * are 4 rows per doc (projection, zero shuffle), the existence join
+    * shuffles on the 8-byte id, and the near-dup exclusion broadcasts
+    * (the pair graph is candidate-pair-sized, tiny next to the corpus).
+    */
+  def negativeSampling(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeFunctions.register(spark)
+    val docs = Tables.documents(spark, dir)
+    // Corpus size as a 1-row broadcast (q146's stats pattern) — no
+    // driver-side action; the count is a column in the plan.
+    val nRow = docs.agg(count(lit(1)).as("n"))
+    val candidates = docs
+      .select(col("doc_id"), explode(array((0 until 4).map(lit): _*)).as("slot"))
+      .crossJoin(broadcast(nRow))
+      .withColumn("neg_id", expr(
+        "pmod(pmod(doc_id * 31 + slot + 1, 2147483647) * 48271, 2147483647) % n"))
+      .filter(col("neg_id") =!= col("doc_id"))
+    // Every frame below derives from the same documents relation —
+    // alias-qualify the join keys or DetectAmbiguousSelfJoin rejects
+    // the plan.
+    val existing = candidates.alias("cand")
+      .join(docs.select(col("doc_id").as("neg_id")).alias("ex"), Seq("neg_id"))
+    val pairs = lshPairGraph(spark, dir).select("id1", "id2")
+    val dupEdges = pairs.union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+    existing.alias("s").join(broadcast(dupEdges.alias("e")),
+        col("s.doc_id") === col("e.id1") && col("s.neg_id") === col("e.id2"),
+        "left_anti")
+      .select("doc_id", "neg_id").distinct()
+      .orderBy("doc_id", "neg_id")
+  }
+
+  private val negativeSamplingSql =
+    """WITH sh AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+      |pairs AS MATERIALIZED (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+      |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+      |edges AS (
+      |  SELECT id1, id2 FROM pairs UNION ALL SELECT id2 AS id1, id1 AS id2 FROM pairs),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |cand AS (
+      |  SELECT d.doc_id,
+      |    ((d.doc_id * 31 + slot.i + 1) % 2147483647) * 48271 % 2147483647 % n.n AS neg_id
+      |  FROM documents d, (SELECT unnest([0, 1, 2, 3]) AS i) slot, n)
+      |SELECT DISTINCT c.doc_id AS doc_id, c.neg_id AS neg_id
+      |FROM cand c
+      |JOIN documents x ON x.doc_id = c.neg_id
+      |WHERE c.neg_id <> c.doc_id
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM edges e WHERE e.id1 = c.doc_id AND e.id2 = c.neg_id)
+      |ORDER BY 1, 2""".stripMargin
+
   override def all: Seq[QueryDef] = Seq(
     QueryDef("q70_exact_dedup", exactDedup, Some(exactDedupSql)),
     QueryDef("q71_token_topn", tokenTopN, Some(tokenTopNSql)),
@@ -2309,5 +2517,8 @@ object LlmPipeline extends QueryPack {
       prepare = Some(prepareBloomDecontaminate)),
     QueryDef("q147_pii_scrub", piiScrub, Some(piiScrubSql)),
     QueryDef("q148_train_split", trainSplit, Some(trainSplitSql)),
-    QueryDef("q149_inverted_index", invertedIndex, Some(invertedIndexSql)))
+    QueryDef("q149_inverted_index", invertedIndex, Some(invertedIndexSql)),
+    QueryDef("q151_pagerank", pagerankCentrality, Some(pagerankSql)),
+    QueryDef("q152_source_cap", sourceCap, Some(sourceCapSql)),
+    QueryDef("q153_negative_sampling", negativeSampling, Some(negativeSamplingSql)))
 }

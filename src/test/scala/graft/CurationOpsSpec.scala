@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.LlmPipeline
+
+/** Laws for the r7 curation operators (q151–q153) beyond the DuckDB
+  * hash gate: PageRank against an independent in-test reference on a
+  * hand graph, the source cap's plan shape and quota, and the negative
+  * sampler's soundness properties.
+  */
+class CurationOpsSpec extends SparkSpec {
+
+  test("q151 core: integer PageRank matches a naive reference on a hand graph") {
+    import spark.implicits._
+    // Star (1 hub, leaves 2–4) plus pair {5,6}. NOT a regular graph:
+    // regular graphs (triangles, pairs) sit exactly at the uniform
+    // fixpoint (every vertex receives the full unit mass), so they
+    // cannot distinguish a correct implementation from a no-op.
+    val undirected = Seq((1L, 2L), (1L, 3L), (1L, 4L), (5L, 6L))
+    val edges = undirected.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("id1", "id2")
+    val got = LlmPipeline.integerPageRank(edges, iters = 5)
+      .select("doc_id", "deg", "pr_score")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+
+    // Independent reference: same recurrence in plain Scala maps.
+    val adj = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toList }
+    val deg = adj.map { case (k, vs) => k -> vs.size.toLong }
+    var r = adj.keys.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 5) {
+      val recv = adj.toList
+        .flatMap { case (u, vs) => vs.map(v => v -> (r(u) / deg(u))) }
+        .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).sum }
+      r = recv.map { case (v, s) => v -> (150000L + (85L * s) / 100L) }
+    }
+    val want = r.keys.toList.sorted.map(v => (v, deg(v), r(v)))
+    assert(got == want)
+    // Symmetry law: vertices with identical neighborhoods score equally.
+    val byId = got.map(t => t._1 -> t._3).toMap
+    assert(byId(2L) == byId(3L) && byId(3L) == byId(4L), "star leaves must tie")
+    assert(byId(5L) == byId(6L), "pair endpoints must tie")
+    // Centrality law: the hub outranks its leaves and the isolated pair.
+    assert(byId(1L) > byId(2L) && byId(1L) > byId(5L))
+  }
+
+  test("q152: runs on TopKPerGroupExec and never exceeds the per-source quota") {
+    val df = LlmPipeline.sourceCap(spark, sfDir)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("TopKPerGroup"),
+      s"q152 must plan through the custom TopKPerGroup operator, got:\n$physical")
+    val counts = df.groupBy("source").count().collect()
+    assert(counts.nonEmpty)
+    assert(counts.forall(_.getLong(1) <= 10), "a source exceeded the cap")
+  }
+
+  test("q153: negatives exist, are not self-pairs, and are never near-dups") {
+    val negs = LlmPipeline.negativeSampling(spark, sfDir).persist()
+    try {
+      assert(negs.count() > 0)
+      assert(negs.filter(col("doc_id") === col("neg_id")).count() == 0, "self pair")
+      // negs, the id list, and the pair graph all descend from the same
+      // documents relation — alias-qualify every join key.
+      val ids = graft.sources.Tables.documents(spark, sfDir).select("doc_id")
+      assert(negs.alias("n").join(ids.alias("i"),
+          col("n.neg_id") === col("i.doc_id"), "left_anti").count() == 0,
+        "sampled a non-existent doc id")
+      val pairs = LlmPipeline.lshPairGraph(spark, sfDir).select("id1", "id2")
+      val sym = pairs.union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+      assert(negs.alias("n").join(sym.alias("e"),
+          col("n.doc_id") === col("e.id1") && col("n.neg_id") === col("e.id2")).count() == 0,
+        "a near-dup pair leaked into the negative set")
+      // Determinism: a second evaluation yields the identical set.
+      val again = LlmPipeline.negativeSampling(spark, sfDir)
+      assert(negs.except(again).count() == 0 && again.except(negs).count() == 0)
+    } finally {
+      negs.unpersist()
+      ()
+    }
+  }
+}
