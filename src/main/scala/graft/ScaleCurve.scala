@@ -80,7 +80,12 @@ object ScaleCurve {
     val probes: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
       "q75_minhash_lsh" -> queries.LlmPipeline.minhashLsh _,
       "q96_curation_pipeline" -> queries.LlmPipeline.curationPipeline _,
-      "q101_dedup_clusters" -> queries.LlmPipeline.dedupClusters _)
+      "q101_dedup_clusters" -> queries.LlmPipeline.dedupClusters _,
+      // r7: PageRank shares the memoized pair graph with q75/q101 above,
+      // so its row prices the ITERATIONS (5 joins + partial aggs on the
+      // big graph), not a rebuild — the marginal cost a pipeline pays to
+      // add centrality on an already-persisted graph.
+      "q151_pagerank" -> queries.LlmPipeline.pagerankCentrality _)
 
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         dir: String): Double = {
