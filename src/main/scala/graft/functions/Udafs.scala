@@ -60,4 +60,120 @@ object Udafs {
     override def outputEncoder: Encoder[Seq[Double]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
   }
+
+  /** Mergeable buffer for [[SpaceSaving]]: parallel arrays of the
+    * tracked keys, their count ESTIMATES, and their error bounds.
+    * Arrays (not a map) keep the buffer product-encodable for the
+    * partial→final shuffle; within a partition Spark's object
+    * aggregation iterator keeps it deserialized, so updates mutate the
+    * arrays in place.
+    */
+  final case class SsBuf(keys: Array[String], counts: Array[Long], errs: Array[Long])
+
+  /** SpaceSaving heavy-hitters sketch (Metwally et al. 2005) as a
+    * typed Aggregator, with the MERGE rule from Agarwal et al.,
+    * "Mergeable Summaries" (PODS 2012) — the one-pass approximate
+    * top-k that replaces a full groupBy when only items with
+    * frequency > N/k matter (top tokens/domains/keys over 100 TB
+    * without shuffling every distinct key; the shuffle carries one
+    * k-slot buffer per task, like any partial aggregate).
+    *
+    * Maintained guarantees (the q154 contract gate asserts all three
+    * against exact counts):
+    *   1. est(x) >= true(x) for every tracked x (estimates are upper
+    *      bounds);
+    *   2. est(x) - err(x) <= true(x) (the error bound is honest);
+    *   3. every x with true(x) > N/k is tracked (heavy hitters are
+    *      never evicted past their guarantee).
+    *
+    * Reduce: hit → count+1; miss with a free slot → insert (1, 0);
+    * miss when full → replace the min-count slot, inheriting its count
+    * as the error bound. Merge: for a key absent from a FULL side,
+    * that side's true count is at most its min count — add min to the
+    * estimate AND to the error (net zero on the lower bound); for a
+    * key absent from a non-full side the true count there is exactly
+    * 0. Then keep the top k by estimate. The tracked SET is
+    * partition-order-dependent (ties are broken by arrival), which is
+    * why q154 gates the three CONTRACTS (deterministic theorems), not
+    * the sketch contents — the q143 sketch-gate design.
+    *
+    * The O(k) linear probe per row is the fixture-honest form; a
+    * production buffer pairs the arrays with a transient hash index
+    * (same encoding, O(1) probe). k is fixed per instance so `zero`
+    * is well-defined.
+    */
+  final class SpaceSaving(k: Int)
+      extends Aggregator[String, SsBuf, Seq[SpaceSaving.Entry]] {
+    require(k > 0, "k must be positive")
+
+    override def zero: SsBuf =
+      SsBuf(Array.empty[String], Array.empty[Long], Array.empty[Long])
+
+    override def reduce(b: SsBuf, key: String): SsBuf = {
+      val i = b.keys.indexOf(key)
+      if (i >= 0) { b.counts(i) += 1L; b }
+      else if (b.keys.length < k)
+        SsBuf(b.keys :+ key, b.counts :+ 1L, b.errs :+ 0L)
+      else {
+        var m = 0
+        var j = 1
+        while (j < b.counts.length) { if (b.counts(j) < b.counts(m)) m = j; j += 1 }
+        val min = b.counts(m)
+        b.keys(m) = key
+        b.counts(m) = min + 1L
+        b.errs(m) = min
+        b
+      }
+    }
+
+    override def merge(a: SsBuf, b: SsBuf): SsBuf = {
+      if (b.keys.isEmpty) return a
+      if (a.keys.isEmpty) return b
+      // Bound on the true count of a key UNSEEN by a side: its min
+      // count if that side is full, else 0 (a non-full sketch has seen
+      // every key it ever will — nothing was evicted).
+      val defA = if (a.keys.length >= k) a.counts.min else 0L
+      val defB = if (b.keys.length >= k) b.counts.min else 0L
+      val bIdx = b.keys.zipWithIndex.toMap
+      val merged = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+      var i = 0
+      while (i < a.keys.length) {
+        val key = a.keys(i)
+        bIdx.get(key) match {
+          case Some(j) =>
+            merged += ((key, a.counts(i) + b.counts(j), a.errs(i) + b.errs(j)))
+          case None =>
+            merged += ((key, a.counts(i) + defB, a.errs(i) + defB))
+        }
+        i += 1
+      }
+      val aKeys = a.keys.toSet
+      var j = 0
+      while (j < b.keys.length) {
+        if (!aKeys.contains(b.keys(j)))
+          merged += ((b.keys(j), b.counts(j) + defA, b.errs(j) + defA))
+        j += 1
+      }
+      // Keep top k by estimate; ties by key for a deterministic CUT
+      // (the retained set can still differ by arrival order upstream).
+      val top = merged.sortBy { case (key, est, _) => (-est, key) }.take(k)
+      SsBuf(top.map(_._1).toArray, top.map(_._2).toArray, top.map(_._3).toArray)
+    }
+
+    override def finish(r: SsBuf): Seq[SpaceSaving.Entry] =
+      r.keys.indices
+        .map(i => SpaceSaving.Entry(r.keys(i), r.counts(i), r.errs(i)))
+        .sortBy(e => (-e.est, e.token))
+
+    override def bufferEncoder: Encoder[SsBuf] = Encoders.product[SsBuf]
+    override def outputEncoder: Encoder[Seq[SpaceSaving.Entry]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[SpaceSaving.Entry]]()
+  }
+
+  object SpaceSaving {
+    /** One tracked item: estimate is an upper bound on the true count,
+      * `est - err` a lower bound.
+      */
+    final case class Entry(token: String, est: Long, err: Long)
+  }
 }

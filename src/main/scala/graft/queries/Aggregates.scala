@@ -424,6 +424,74 @@ object Aggregates extends QueryPack {
       |GROUP BY bin
       |ORDER BY bin""".stripMargin
 
+  /** SpaceSaving heavy-hitters contract gate (q154): run the custom
+    * mergeable SpaceSaving sketch (k = 64 slots) over the corpus token
+    * stream and assert its three theorems against the exact counts —
+    * the q143 design for sketches whose CONTENTS are not
+    * cross-engine-reproducible (the tracked set depends on arrival
+    * order) but whose CONTRACTS are theorems:
+    *
+    *   - every token with exact count > N/64 is tracked;
+    *   - every estimate upper-bounds its exact count;
+    *   - every `est - err` lower-bounds it.
+    *
+    * The exact side (token counts, N, heavy-hitter census) is
+    * deterministic and recomputed by DuckDB; the booleans must come
+    * out true. At 100 TB the sketch side is the point: one pass, one
+    * 64-slot buffer per task partial-merged like any aggregate — no
+    * per-token shuffle. (Here the exact side runs TOO, to power the
+    * gate — the sketch alone is the production plan.)
+    */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val tokens = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val ss = udaf(new Udafs.SpaceSaving(64))
+    val sketch = tokens.agg(ss(col("token")).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.token").as("token"), col("e.est").as("est"), col("e.err").as("err"))
+    val exact = tokens.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val tot = tokens.agg(count(lit(1)).as("n_tokens"))
+    val heavy = exact.crossJoin(broadcast(tot))
+      .filter(col("cnt") * 64 > col("n_tokens"))
+      .select("token", "cnt")
+    val nHeavy = heavy.agg(count(lit(1)).as("n_heavy"))
+    // The sketch is <= 64 rows: both contract joins broadcast it (plan
+    // would otherwise sort-merge — Spark can't size an exploded
+    // single-row aggregate). The bounds join is INNER, not left: a
+    // tracked token was by construction observed, so it always has an
+    // exact count, and streaming the big `exact` side against the
+    // broadcast sketch is the scan-shaped plan.
+    val nMissing = heavy.alias("h")
+      .join(broadcast(sketch.alias("s")), Seq("token"), "left_anti")
+      .agg(count(lit(1)).as("n_missing"))
+    val bounds = exact.alias("x").join(broadcast(sketch.alias("s2")), Seq("token"))
+      .agg(
+        sum(when(col("est") < col("cnt"), 1L).otherwise(0L)).as("n_est_low"),
+        sum(when(col("est") - col("err") > col("cnt"), 1L).otherwise(0L)).as("n_lb_high"))
+    tot.crossJoin(broadcast(nHeavy)).crossJoin(broadcast(nMissing))
+      .crossJoin(broadcast(bounds))
+      .select(
+        col("n_tokens"), col("n_heavy"),
+        (col("n_missing") === 0L).as("all_heavy_tracked"),
+        (col("n_est_low") === 0L).as("upper_bounds_hold"),
+        (col("n_lb_high") === 0L).as("lower_bounds_hold"))
+  }
+
+  private val heavyHittersSql =
+    """WITH t AS (
+      |  SELECT token FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |  WHERE token <> ''),
+      |exact AS (SELECT token, count(*) AS cnt FROM t GROUP BY token),
+      |tot AS (SELECT count(*) AS n_tokens FROM t)
+      |SELECT tot.n_tokens,
+      |  (SELECT count(*) FROM exact, tot WHERE cnt * 64 > n_tokens) AS n_heavy,
+      |  TRUE AS all_heavy_tracked,
+      |  TRUE AS upper_bounds_hold,
+      |  TRUE AS lower_bounds_hold
+      |FROM tot""".stripMargin
+
   override def all: Seq[QueryDef] = Seq(
     QueryDef("q30_distinct_aggs", distinctAggs, Some(distinctAggsSql)),
     QueryDef("q31_stats_aggs", statsAggs, Some(statsAggsSql)),
@@ -438,5 +506,6 @@ object Aggregates extends QueryPack {
     QueryDef("q143_approx_bounds", approxBounds, Some(approxBoundsSql)),
     QueryDef("q38_weighted_avg_udaf", weightedAvgUdaf, Some(weightedAvgUdafSql)),
     QueryDef("q39_centroid_udaf", centroidUdaf, Some(centroidUdafSql)),
-    QueryDef("q131_histogram", histogram, Some(histogramSql)))
+    QueryDef("q131_histogram", histogram, Some(histogramSql)),
+    QueryDef("q154_heavy_hitters", heavyHitters, Some(heavyHittersSql)))
 }

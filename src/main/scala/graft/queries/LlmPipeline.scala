@@ -2474,6 +2474,65 @@ object LlmPipeline extends QueryPack {
       |    SELECT 1 FROM edges e WHERE e.id1 = c.doc_id AND e.id2 = c.neg_id)
       |ORDER BY 1, 2""".stripMargin
 
+  /** Vocabulary encoding (q155): build a frequency-ranked token
+    * vocabulary over the corpus (id = rank by count desc, token asc —
+    * the classic tokenizer-vocab assignment, deterministic
+    * cross-engine) and encode each document's first 12 tokens as the
+    * CSV of their ids — the text→ids step every training pipeline runs
+    * after q149's index build and q128's BPE pair counting.
+    *
+    * Scale: the vocab is built by one token aggregate (map-side
+    * combinable) and then BROADCAST into the encode join, so encoding
+    * is scan-side — each 100-TB scan task maps tokens to ids against
+    * an executor-local vocab, no per-token shuffle. The global
+    * rank-assignment window runs over the AGGREGATED vocab (|V| rows,
+    * ~1M for a real tokenizer), not the corpus — the one place a
+    * single-partition window is the honest plan. Positions ride the
+    * explode and re-assemble with array_sort(struct(pos, id)), so the
+    * id sequence is order-exact.
+    */
+  def vocabEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val vocab = docs
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .select(col("token"), row_number().over(
+        Window.orderBy(col("cnt").desc, col("token").asc)).cast("long").as("id"))
+    val positioned = docs.select(col("doc_id"),
+      posexplode(slice(split(col("text"), " "), 1, 12)).as(Seq("pos", "token")))
+    // Inner join doubles as the empty-token filter: '' never enters the
+    // vocabulary, so it cannot be encoded (mirrored by the oracle).
+    positioned.join(broadcast(vocab), "token")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_enc"),
+        expr("array_join(transform(array_sort(collect_list(struct(pos, id))), " +
+          "x -> cast(x.id as string)), ',')").as("ids_csv"))
+      .orderBy("doc_id")
+  }
+
+  private val vocabEncodeSql =
+    """WITH t AS (
+      |  SELECT token FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |  WHERE token <> ''),
+      |exact AS (SELECT token, count(*) AS cnt FROM t GROUP BY token),
+      |vocab AS (SELECT token,
+      |    CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS id
+      |  FROM exact),
+      |d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |px AS (SELECT doc_id,
+      |    unnest([{'pos': i, 'token': tk[i]}
+      |            for i in range(1, least(len(tk), 12) + 1)],
+      |      recursive := true)
+      |  FROM d),
+      |j AS (SELECT p.doc_id, p.pos, v.id FROM px p JOIN vocab v USING (token))
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_enc,
+      |  array_to_string(list_transform(list(id ORDER BY pos),
+      |    x -> CAST(x AS VARCHAR)), ',') AS ids_csv
+      |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   override def all: Seq[QueryDef] = Seq(
     QueryDef("q70_exact_dedup", exactDedup, Some(exactDedupSql)),
     QueryDef("q71_token_topn", tokenTopN, Some(tokenTopNSql)),
@@ -2520,5 +2579,6 @@ object LlmPipeline extends QueryPack {
     QueryDef("q149_inverted_index", invertedIndex, Some(invertedIndexSql)),
     QueryDef("q151_pagerank", pagerankCentrality, Some(pagerankSql)),
     QueryDef("q152_source_cap", sourceCap, Some(sourceCapSql)),
-    QueryDef("q153_negative_sampling", negativeSampling, Some(negativeSamplingSql)))
+    QueryDef("q153_negative_sampling", negativeSampling, Some(negativeSamplingSql)),
+    QueryDef("q155_vocab_encode", vocabEncode, Some(vocabEncodeSql)))
 }
