@@ -68,7 +68,24 @@ object Udafs {
     * aggregation iterator keeps it deserialized, so updates mutate the
     * arrays in place.
     */
-  final case class SsBuf(keys: Array[String], counts: Array[Long], errs: Array[Long])
+  final case class SsBuf(keys: Array[String], counts: Array[Long], errs: Array[Long]) {
+    /** Transient O(1) probe index (key → slot). Only the constructor
+      * arrays survive the encoder, so this is null after a
+      * partial→final round-trip and is rebuilt lazily on first probe;
+      * the reduce-path mutators keep it in sync thereafter, so the
+      * per-row cost is one hash probe, not a k-wide `indexOf` scan.
+      */
+    @transient private[functions] var idx: java.util.HashMap[String, Integer] = _
+
+    private[functions] def index: java.util.HashMap[String, Integer] = {
+      if (idx == null) {
+        idx = new java.util.HashMap[String, Integer](keys.length * 2 + 8)
+        var i = 0
+        while (i < keys.length) { idx.put(keys(i), i); i += 1 }
+      }
+      idx
+    }
+  }
 
   /** SpaceSaving heavy-hitters sketch (Metwally et al. 2005) as a
     * typed Aggregator, with the MERGE rule from Agarwal et al.,
@@ -97,10 +114,13 @@ object Udafs {
     * why q154 gates the three CONTRACTS (deterministic theorems), not
     * the sketch contents — the q143 sketch-gate design.
     *
-    * The O(k) linear probe per row is the fixture-honest form; a
-    * production buffer pairs the arrays with a transient hash index
-    * (same encoding, O(1) probe). k is fixed per instance so `zero`
-    * is well-defined.
+    * Per-row probes are O(1): the encoded parallel arrays carry a
+    * TRANSIENT hash index (key → slot) that the encoder ignores —
+    * rebuilt lazily after each partial→final round-trip, kept in sync
+    * by the reduce-path mutators. The remaining O(k) work is the min
+    * scan, paid only on EVICTION (a miss against a full sketch) — on
+    * the skewed streams the sketch exists for, hits dominate. k is
+    * fixed per instance so `zero` is well-defined.
     */
   final class SpaceSaving(k: Int)
       extends Aggregator[String, SsBuf, Seq[SpaceSaving.Entry]] {
@@ -110,15 +130,25 @@ object Udafs {
       SsBuf(Array.empty[String], Array.empty[Long], Array.empty[Long])
 
     override def reduce(b: SsBuf, key: String): SsBuf = {
-      val i = b.keys.indexOf(key)
-      if (i >= 0) { b.counts(i) += 1L; b }
-      else if (b.keys.length < k)
-        SsBuf(b.keys :+ key, b.counts :+ 1L, b.errs :+ 0L)
-      else {
+      val ix = b.index
+      val slot = ix.get(key)
+      if (slot != null) { b.counts(slot) += 1L; b }
+      else if (b.keys.length < k) {
+        // Growth phase: the O(k) append-copy happens at most k times
+        // per task, and the index is carried forward (one put), never
+        // rebuilt.
+        val nb = SsBuf(b.keys :+ key, b.counts :+ 1L, b.errs :+ 0L)
+        ix.put(key, b.keys.length)
+        nb.idx = ix
+        b.idx = null // nb owns the index now; b is dead after return
+        nb
+      } else {
         var m = 0
         var j = 1
         while (j < b.counts.length) { if (b.counts(j) < b.counts(m)) m = j; j += 1 }
         val min = b.counts(m)
+        ix.remove(b.keys(m))
+        ix.put(key, m)
         b.keys(m) = key
         b.counts(m) = min + 1L
         b.errs(m) = min

@@ -2407,21 +2407,29 @@ object LlmPipeline extends QueryPack {
     * to 4 deterministic pseudo-random "negative" partner documents —
     * the pair-generation step behind contrastive embedding training and
     * hard-negative mining. Candidates come from the Lehmer hash of
-    * (doc_id, slot) mapped into the id space, then three corrections
-    * make them SOUND negatives:
+    * (doc_id, slot) mapped into a DENSE index [0, n) over the actual
+    * id set, then two corrections make them SOUND negatives:
     *
-    *   1. existence: join to the document table on the candidate id
-    *      (survives id gaps — the map is into the id RANGE, not the set);
-    *   2. no self-pairs;
-    *   3. no near-duplicates: anti-join against the symmetrized
+    *   1. no self-pairs;
+    *   2. no near-duplicates: anti-join against the symmetrized
     *      Jaccard ≥ 0.5 pair graph — a near-dup is a FALSE negative
     *      that actively damages a contrastive objective.
     *
+    * The dense index is the q137 scalable-rank shape (range
+    * repartition on doc_id, rank locally, add partition offsets from a
+    * #partitions-sized broadcast) — so sampling is over the id SET,
+    * not the id RANGE: a sparse or offset doc_id space still yields
+    * the full 4 candidates per doc, where a `% n`-into-the-range map
+    * would silently starve most documents of negatives.
+    *
     * Deterministic like q105/q148: the same corpus always yields the
     * same negative set (re-runs, retries, engines). Scale: candidates
-    * are 4 rows per doc (projection, zero shuffle), the existence join
-    * shuffles on the 8-byte id, and the near-dup exclusion broadcasts
-    * (the pair graph is candidate-pair-sized, tiny next to the corpus).
+    * are 4 rows per doc (projection, zero shuffle), the index resolve
+    * shuffles on the 8-byte idx, and the near-dup exclusion is a PLAIN
+    * shuffle left_anti on (doc_id, neg_id) — the pair graph's size is
+    * duplication-driven (a 30–50 %-dup crawl at 100 TB is billions of
+    * edges), far past any broadcast limit, so it must never be
+    * broadcast unconditionally.
     */
   def negativeSampling(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.NativeFunctions.register(spark)
@@ -2429,20 +2437,36 @@ object LlmPipeline extends QueryPack {
     // Corpus size as a 1-row broadcast (q146's stats pattern) — no
     // driver-side action; the count is a column in the plan.
     val nRow = docs.agg(count(lit(1)).as("n"))
+    // Dense idx over the ACTUAL ids: q137's scalable numbering — the
+    // only window inputs are per-partition rows (disjoint ranges) and
+    // a #partitions-sized count table, never a global collapse.
+    val sorted = docs.select("doc_id")
+      .repartitionByRange(8, col("doc_id").asc)
+      .withColumn("pid", spark_partition_id())
+    val local = sorted.withColumn("local_rn", row_number().over(
+      Window.partitionBy("pid").orderBy(col("doc_id").asc)))
+    val offsets = local.groupBy("pid").agg(count(lit(1)).as("cnt"))
+      .withColumn("offset", coalesce(
+        sum(col("cnt")).over(Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "offset")
+    val indexed = local.join(broadcast(offsets), "pid")
+      .select(col("doc_id").as("neg_id"),
+        (col("local_rn") + col("offset") - 1).as("idx"))
     val candidates = docs
       .select(col("doc_id"), explode(array((0 until 4).map(lit): _*)).as("slot"))
       .crossJoin(broadcast(nRow))
-      .withColumn("neg_id", expr(
+      .withColumn("idx", expr(
         "pmod(pmod(doc_id * 31 + slot + 1, 2147483647) * 48271, 2147483647) % n"))
-      .filter(col("neg_id") =!= col("doc_id"))
     // Every frame below derives from the same documents relation —
     // alias-qualify the join keys or DetectAmbiguousSelfJoin rejects
     // the plan.
-    val existing = candidates.alias("cand")
-      .join(docs.select(col("doc_id").as("neg_id")).alias("ex"), Seq("neg_id"))
+    val resolved = candidates.alias("cand")
+      .join(indexed.alias("ix"), Seq("idx"))
+      .filter(col("neg_id") =!= col("cand.doc_id"))
     val pairs = lshPairGraph(spark, dir).select("id1", "id2")
     val dupEdges = pairs.union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
-    existing.alias("s").join(broadcast(dupEdges.alias("e")),
+    resolved.alias("s").join(dupEdges.alias("e"),
         col("s.doc_id") === col("e.id1") && col("s.neg_id") === col("e.id2"),
         "left_anti")
       .select("doc_id", "neg_id").distinct()
@@ -2462,16 +2486,18 @@ object LlmPipeline extends QueryPack {
       |edges AS (
       |  SELECT id1, id2 FROM pairs UNION ALL SELECT id2 AS id1, id1 AS id2 FROM pairs),
       |n AS (SELECT count(*) AS n FROM documents),
+      |ix AS (SELECT doc_id AS neg_id,
+      |    row_number() OVER (ORDER BY doc_id) - 1 AS idx FROM documents),
       |cand AS (
       |  SELECT d.doc_id,
-      |    ((d.doc_id * 31 + slot.i + 1) % 2147483647) * 48271 % 2147483647 % n.n AS neg_id
+      |    ((d.doc_id * 31 + slot.i + 1) % 2147483647) * 48271 % 2147483647 % n.n AS idx
       |  FROM documents d, (SELECT unnest([0, 1, 2, 3]) AS i) slot, n)
-      |SELECT DISTINCT c.doc_id AS doc_id, c.neg_id AS neg_id
+      |SELECT DISTINCT c.doc_id AS doc_id, x.neg_id AS neg_id
       |FROM cand c
-      |JOIN documents x ON x.doc_id = c.neg_id
-      |WHERE c.neg_id <> c.doc_id
+      |JOIN ix x USING (idx)
+      |WHERE x.neg_id <> c.doc_id
       |  AND NOT EXISTS (
-      |    SELECT 1 FROM edges e WHERE e.id1 = c.doc_id AND e.id2 = c.neg_id)
+      |    SELECT 1 FROM edges e WHERE e.id1 = c.doc_id AND e.id2 = x.neg_id)
       |ORDER BY 1, 2""".stripMargin
 
   /** Vocabulary encoding (q155): build a frequency-ranked token
@@ -2482,27 +2508,48 @@ object LlmPipeline extends QueryPack {
     * after q149's index build and q128's BPE pair counting.
     *
     * Scale: the vocab is built by one token aggregate (map-side
-    * combinable) and then BROADCAST into the encode join, so encoding
-    * is scan-side — each 100-TB scan task maps tokens to ids against
-    * an executor-local vocab, no per-token shuffle. The global
-    * rank-assignment window runs over the AGGREGATED vocab (|V| rows,
-    * ~1M for a real tokenizer), not the corpus — the one place a
-    * single-partition window is the honest plan. Positions ride the
-    * explode and re-assemble with array_sort(struct(pos, id)), so the
-    * id sequence is order-exact.
+    * combinable) and CAPPED to the top-`VocabCap` tokens by
+    * (count desc, token asc) — a real tokenizer vocabulary is a fixed
+    * budget, never "all distinct strings in the corpus" (over 100 TB
+    * of web text the distinct-token count is billions: typos, URLs,
+    * numbers — unboundable). The cap is `orderBy(...).limit(K)`, which
+    * Spark plans as TakeOrderedAndProject — per-partition k-heaps plus
+    * one k-sized driver merge, NEVER a single-partition global sort.
+    * Only the surviving ≤K rows see the rank-assignment window, so the
+    * window input is bounded by construction (K rows, not |V|), and
+    * the broadcast into the encode join is bounded the same way —
+    * encoding stays scan-side: each 100-TB scan task maps tokens to
+    * ids against an executor-local K-entry vocab, no per-token
+    * shuffle. The (count desc, token asc) key is a total order, so the
+    * top-K CUT is deterministic cross-engine, not just the ranks.
+    * Out-of-vocab tokens drop at the encode join (inner), exactly the
+    * tokenizer contract the cap creates. Positions ride the explode
+    * and re-assemble with array_sort(struct(pos, id)), so the id
+    * sequence is order-exact.
+    *
+    * The cap is 16 here so the cut (and the OOV-drop it implies) is
+    * actually EXERCISED against the 31-distinct-token synthetic corpus
+    * — a production run sets it to the tokenizer budget (32k–1M); the
+    * plan shape (k-heaps → K-row window → broadcast) is identical at
+    * any K.
     */
+  val VocabCap = 16
+
   def vocabEncode(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val vocab = docs
       .select(explode(split(col("text"), " ")).as("token"))
       .filter(col("token") =!= "")
       .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(VocabCap)
       .select(col("token"), row_number().over(
         Window.orderBy(col("cnt").desc, col("token").asc)).cast("long").as("id"))
     val positioned = docs.select(col("doc_id"),
       posexplode(slice(split(col("text"), " "), 1, 12)).as(Seq("pos", "token")))
-    // Inner join doubles as the empty-token filter: '' never enters the
-    // vocabulary, so it cannot be encoded (mirrored by the oracle).
+    // Inner join doubles as the empty-token AND out-of-vocab filter:
+    // neither '' nor a beyond-cap token enters the vocabulary, so
+    // neither can be encoded (mirrored by the oracle).
     positioned.join(broadcast(vocab), "token")
       .groupBy("doc_id")
       .agg(
@@ -2518,9 +2565,11 @@ object LlmPipeline extends QueryPack {
       |    SELECT unnest(string_split(text, ' ')) AS token FROM documents)
       |  WHERE token <> ''),
       |exact AS (SELECT token, count(*) AS cnt FROM t GROUP BY token),
+      |capped AS (SELECT token, cnt FROM exact
+      |  ORDER BY cnt DESC, token LIMIT 16),
       |vocab AS (SELECT token,
       |    CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS id
-      |  FROM exact),
+      |  FROM capped),
       |d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
       |px AS (SELECT doc_id,
       |    unnest([{'pos': i, 'token': tk[i]}

@@ -100,9 +100,12 @@ object EventStreams {
     * bounded dimension table (user → cohort). The static side is planned
     * per micro-batch as an ordinary broadcast hash join — no streaming
     * state at all, the 100-TB-stream-side default for dimension
-    * enrichment.
+    * enrichment. LEFT OUTER on the stream side: an event whose user is
+    * missing from the dimension must survive with a null cohort —
+    * silently dropping facts because a dim row lagged is the classic
+    * enrichment-pipeline data-loss bug.
     */
   def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
-    events.join(broadcast(dim), Seq("user_id"))
+    events.join(broadcast(dim), Seq("user_id"), "left_outer")
       .select(col("event_id"), col("user_id"), col("event_type"), col("cohort"))
 }

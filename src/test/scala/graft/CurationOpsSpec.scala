@@ -79,4 +79,39 @@ class CurationOpsSpec extends SparkSpec {
       ()
     }
   }
+
+  test("q153 plan: the near-dup exclusion is a shuffle anti-join, never a forced broadcast") {
+    // The pair graph's size is duplication-driven — billions of edges on
+    // a 30-50%-dup 100-TB crawl — so the exclusion must not carry an
+    // unconditional broadcast HINT. Disabling the size-based threshold
+    // isolates exactly that: any broadcast that still appears on a
+    // LeftAnti join can only come from a hint in the query.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val plan = LlmPipeline.negativeSampling(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      val antiLines = plan.linesIterator.filter(_.contains("LeftAnti")).toList
+      assert(antiLines.nonEmpty, s"expected a LeftAnti join in:\n$plan")
+      assert(antiLines.forall(l => !l.contains("Broadcast")),
+        s"pair-graph anti-join must shuffle, not broadcast:\n${antiLines.mkString("\n")}")
+    } finally spark.conf.set(key, saved)
+  }
+
+  test("q153: dense-index sampling yields full candidate coverage on the real id set") {
+    // Candidates are drawn over a dense rank of the ACTUAL ids, so every
+    // document resolves all 4 raw candidates (before self/near-dup
+    // drops) — the `% n`-into-the-id-RANGE form silently starves docs
+    // whenever ids are sparse. 4 slots minus at most 1 self-hit minus
+    // near-dup drops still leaves ≥1 for the fixture corpus; the cap of
+    // 4 is structural.
+    val negs = LlmPipeline.negativeSampling(spark, sfDir)
+    val perDoc = negs.groupBy("doc_id").count()
+    assert(perDoc.filter(col("count") > 4).count() == 0, "more than 4 negatives for a doc")
+    val docs = graft.sources.Tables.documents(spark, sfDir).select("doc_id")
+    val starved = docs.alias("d").join(negs.alias("n"),
+      col("d.doc_id") === col("n.doc_id"), "left_anti").count()
+    assert(starved == 0, s"$starved documents received zero negatives")
+  }
 }

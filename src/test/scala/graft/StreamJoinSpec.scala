@@ -75,20 +75,26 @@ class StreamJoinSpec extends SparkSpec {
     assert(streamed == batched, s"stream $streamed vs batch $batched")
   }
 
-  test("stream-static enrichment join: streaming equals batch, no streaming state") {
+  test("stream-static enrichment join: streaming equals batch, unknown user survives with null cohort") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
     val dim = Seq((1L, "A"), (2L, "B"), (3L, "A")).toDF("user_id", "cohort")
+    // User 7 has NO dim row: left_outer must keep the event (null
+    // cohort), never drop the fact because the dimension lagged.
+    val unknown = Ev(21, t("2024-01-01 11:00:00"), 7, "view", 0.0)
     val in = MemoryStream[Ev]
     val q = EventStreams.enrichWithDim(in.toDF(), dim).writeStream
       .format("memory").queryName("ss_enrich").outputMode("append").start()
     try {
       in.addData(views); q.processAllAvailable()
-      in.addData(clicks); q.processAllAvailable()
+      in.addData(clicks :+ unknown); q.processAllAvailable()
       val streamed = canon(spark.table("ss_enrich"))
-      val batched = canon(EventStreams.enrichWithDim((views ++ clicks).toDF(), dim))
+      val batched = canon(EventStreams.enrichWithDim(
+        (views ++ clicks :+ unknown).toDF(), dim))
       assert(streamed == batched, s"stream $streamed vs batch $batched")
-      assert(streamed.size == 5, s"user 1-3 views + user 1-2 clicks enrich: $streamed")
+      assert(streamed.size == 6, s"users 1-3 views + 1-2 clicks + unknown user 7: $streamed")
+      assert(streamed.exists(r => r.contains("21") && r.contains("null")),
+        s"user 7's event survives with null cohort: $streamed")
     } finally q.stop()
   }
 }
