@@ -110,6 +110,13 @@ object ScaleCurve {
       val tBig = time(fn, bigDir)
       println(f"| $name | $tBase%.1f | $tBig%.1f | ${tBig / tBase}%.1f |")
     }
+    // The LSH probes are done with the shared graphs — free all three
+    // dirs' cached pair graphs NOW (deterministic unpersist), so the
+    // memory-heavy exact-join phase below runs with zero pinned blocks.
+    // The sanity block at the end rebuilds baseDir's graph once; that
+    // section is untimed, so determinism of the measured rows is
+    // unaffected.
+    queries.LlmPipeline.clearPairGraphCache(spark)
     // Exact prefix-filter join on the replica-only corpus (see cleanDir
     // note above); pair-count linearity is require-checked below.
     locally {

@@ -581,11 +581,17 @@ object LlmPipeline extends QueryPack {
     * via q101, q132 triangles); before the memo each re-ran
     * shingle → minhash → band → verify from scratch — roughly half of
     * their combined bench cost was duplicated signature work. The memo
-    * stores the `localCheckpoint`ed result (eager), so the graph is
-    * COMPUTED once per (session, fixture dir) and later consumers read
-    * materialized rows — exactly the persisted pair-graph artifact a
-    * production dedup pipeline writes between stages at 100 TB (where
-    * it would be a parquet table, not executor block storage).
+    * stores the result `persist`ed MEMORY_AND_DISK and eagerly
+    * materialized (one count()), so the graph is COMPUTED once per
+    * (session, fixture dir) and later consumers read cached rows —
+    * exactly the persisted pair-graph artifact a production dedup
+    * pipeline writes between stages at 100 TB (where it would be a
+    * parquet table, not executor block storage). persist (CacheManager)
+    * rather than localCheckpoint because eviction must be
+    * DETERMINISTIC: unpersist() frees the blocks at the eviction call,
+    * where a dropped checkpoint reference waits on GC + ContextCleaner
+    * (the r6/r7 advisory — a multi-corpus session pinned one
+    * checkpoint per dir for its whole lifetime).
     *
     * Same lifecycle rules as the relation memo: stopped sessions are
     * purged on every lookup; a fixture dir is assumed immutable for the
@@ -597,17 +603,24 @@ object LlmPipeline extends QueryPack {
 
   /** Evict this session's memoized pair graphs (ADVICE r6: within one
     * long-lived session every distinct fixture dir otherwise pins its
-    * localCheckpoint'ed graph in executor block storage for the
-    * session's lifetime). For dev tools that iterate over many corpora
+    * cached graph in executor block storage for the session's
+    * lifetime). For dev tools that iterate over many corpora
     * (ScaleCurve touches 4+ dirs per run); the sequential bench/verify
-    * harness touches one dir and never needs it. Dropped entries'
-    * checkpoint blocks are reclaimed by Spark's ContextCleaner once the
-    * DataFrame references become unreachable (the standard persisted-RDD
-    * lifecycle) — no explicit unpersist API exists for localCheckpoint.
+    * harness touches one dir and never needs it. Eviction UNPERSISTS:
+    * the cached blocks are freed at this call, not when GC happens to
+    * collect the reference — a ScaleCurve run must end with zero
+    * pinned graphs.
     */
   private[graft] def clearPairGraphCache(spark: SparkSession): Unit = {
-    pairGraphCache.keySet.removeIf(k => (k._1 eq spark) || k._1.sparkContext.isStopped)
-    ()
+    val it = pairGraphCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val sess = e.getKey._1
+      if (sess eq spark) {
+        if (!sess.sparkContext.isStopped) e.getValue.unpersist(false)
+        it.remove()
+      } else if (sess.sparkContext.isStopped) it.remove()
+    }
   }
 
   private[graft] def lshPairGraph(spark: SparkSession, dir: String): DataFrame = {
@@ -618,9 +631,13 @@ object LlmPipeline extends QueryPack {
     else {
       graft.functions.NativeFunctions.register(spark)
       val built = lshNearDupPairs(hashShingled(spark, dir).select("doc_id", "sh"))
-        .localCheckpoint()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val prev = pairGraphCache.putIfAbsent(key, built)
-      if (prev != null) prev else built
+      if (prev != null) { built.unpersist(false); prev }
+      else {
+        built.count() // eager: compute once, consumers read cached rows
+        built
+      }
     }
   }
 

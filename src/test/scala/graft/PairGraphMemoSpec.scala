@@ -17,7 +17,7 @@ class PairGraphMemoSpec extends SparkSpec {
     val first = LlmPipeline.lshPairGraph(spark, sfDir)
     val second = LlmPipeline.lshPairGraph(spark, sfDir)
     assert(first eq second,
-      "pair-graph memo must return the same localCheckpoint'ed instance per (session, dir)")
+      "pair-graph memo must return the same persisted instance per (session, dir)")
   }
 
   test("memoized graph equals a direct lshNearDupPairs build") {
@@ -33,5 +33,18 @@ class PairGraphMemoSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq
     assert(memo == direct && memo.nonEmpty,
       s"memoized pair graph diverged from direct build (memo=${memo.size}, direct=${direct.size})")
+  }
+
+  test("eviction unpersists the cached graph at the call, not at GC time") {
+    val g = LlmPipeline.lshPairGraph(spark, sfDir)
+    assert(g.storageLevel.useMemory || g.storageLevel.useDisk,
+      "memoized graph must be persisted while the memo holds it")
+    LlmPipeline.clearPairGraphCache(spark)
+    assert(g.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "clearPairGraphCache must free the blocks deterministically (unpersist)")
+    // A later lookup rebuilds rather than resurrecting the evicted entry.
+    val g2 = LlmPipeline.lshPairGraph(spark, sfDir)
+    assert(!(g2 eq g), "post-eviction lookup must build a fresh graph")
+    LlmPipeline.clearPairGraphCache(spark)
   }
 }
