@@ -4,11 +4,14 @@ import org.apache.spark.sql.types._
 
 /** Explicit StructType schemas for the fixture corpus (FIXTURES.md).
   *
-  * Schemas are fixed and explicit — never inferred — because the `events`
-  * table stores `ts` as parquet INT64 TIMESTAMP(NANOS), which Spark 4.x
-  * cannot read without an explicit schema (SURVEY.md §7.4). Explicit schemas
-  * also guarantee stable column pruning at the scan (only `ReadSchema`
-  * columns are fetched), which is the behavior we need at 100 TB.
+  * Schemas are fixed and explicit — never inferred — so column pruning at
+  * the scan is stable (only `ReadSchema` columns are fetched), which is the
+  * behavior we need at 100 TB. The one exception is the `events.ts`
+  * physical encoding, which has shipped as both INT64 TIMESTAMP(NANOS)
+  * (unreadable by Spark 4.x without a LongType shim, SURVEY.md §7.4) and
+  * INT64 TIMESTAMP(MICROS) across fixture generations — Tables.events
+  * probes the parquet footer once per (session, dir) and picks [[events]]
+  * or [[eventsRaw]] accordingly.
   *
   * The reference system (harshitster/Distributed-Database-for-SQL) has no
   * type system at all — its sole record type is an opaque command string
@@ -68,13 +71,29 @@ object Schemas {
     StructField("r_regionkey", IntegerType),
     StructField("r_name", StringType)))
 
-  /** Raw on-disk schema for `events`: `ts` is INT64 TIMESTAMP(NANOS) —
-    * typed LongType here so the vectorized parquet reader accepts it;
-    * Tables.events converts to a µs TimestampType column (SURVEY.md §7.4).
+  /** Raw read schema for a nanosecond-generation `events` fixture: `ts`
+    * stored as INT64 TIMESTAMP(NANOS), typed LongType here so the
+    * vectorized parquet reader accepts it; Tables.events converts to a µs
+    * TimestampType column (SURVEY.md §7.4). Kept alongside [[events]]
+    * because a 100-TB table accretes files from every generation of its
+    * writer — Tables.events picks the right one per fixture from the
+    * parquet footer.
     */
   val eventsRaw: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Native read schema for a microsecond-generation `events` fixture:
+    * `ts` stored as INT64 TIMESTAMP(MICROS), which Spark reads directly
+    * as TimestampType (session TZ UTC) — no shim arithmetic needed.
+    */
+  val events: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),

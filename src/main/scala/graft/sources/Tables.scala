@@ -10,9 +10,10 @@ import org.apache.spark.sql.functions._
   *   - Scans stay fully declarative (`spark.read.schema(...).parquet`) so
   *     Catalyst's `PushDownPredicates` / `ColumnPruning` and the vectorized
   *     reader apply; nothing here materializes or collects.
-  *   - `events.ts` arrives as INT64 nanoseconds; the shim is a codegen'd
-  *     projection (`timestamp_micros(ts div 1000)`) that costs one integer
-  *     op per row and keeps the column vectorizable (SURVEY.md §7.4).
+  *   - `events.ts` has shipped as both INT64 TIMESTAMP(NANOS) and
+  *     TIMESTAMP(MICROS) across fixture generations; [[Tables.events]]
+  *     probes the footer and reads natively (µs) or through a codegen'd
+  *     `timestamp_micros(ts div 1000)` shim (ns) — see its doc.
   */
 object Tables {
 
@@ -98,16 +99,42 @@ object Tables {
   def region(spark: SparkSession, dir: String): DataFrame =
     read(spark, dir, "region", Schemas.region)
 
-  /** `events` with the nanosecond-timestamp shim applied: `ts` becomes a
-    * proper µs-precision TimestampType column (UTC), truncated exactly the
-    * way DuckDB's `CAST(ts AS TIMESTAMP)` truncates, so oracle comparisons
-    * hold. `ts div 1000` is integer division — no double round-trip, no
-    * precision loss on ~1.7e18 ns epochs.
+  /** `events` with `ts` as a µs-precision TimestampType column (UTC),
+    * whatever the fixture's physical encoding.
+    *
+    * The fixture generator has shipped `ts` as both INT64
+    * TIMESTAMP(NANOS) (early generations) and INT64 TIMESTAMP(MICROS)
+    * (current). A reader that assumes one physical unit is not a reader:
+    * at 100 TB a table accretes files from every generation of its
+    * writer, and a silent 1000× unit error relocates every event to
+    * 1970 (the round-8 regression — 15 oracle rows). So probe the
+    * parquet footer once per (session, dir):
+    *
+    *   - footer says TIMESTAMP(MICROS) (inferred TimestampType /
+    *     TimestampNTZType) → read natively with the explicit
+    *     [[Schemas.events]] schema. Zero per-row arithmetic.
+    *   - footer says plain INT64, or schema inference rejects the file
+    *     (Spark 4.x throws on TIMESTAMP(NANOS)) → LongType read +
+    *     `timestamp_micros(ts div 1000)` shim: integer division, one
+    *     codegen'd op per row, no double round-trip on ~1.7e18 ns
+    *     epochs, truncation identical to DuckDB's cast.
+    *
+    * The probe is a driver-side footer read (no data scan) and is
+    * memoized with the relation, so it costs one file-footer fetch per
+    * session — nothing at query time.
     */
   def events(spark: SparkSession, dir: String): DataFrame =
     memo(spark, dir, "events_shimmed") {
-      read(spark, dir, "events", Schemas.eventsRaw)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+      val tsIsNativeTimestamp =
+        scala.util.Try(spark.read.parquet(path(dir, "events")).schema("ts").dataType)
+          .toOption
+          .exists(dt => dt == TimestampType || dt == TimestampNTZType)
+      if (tsIsNativeTimestamp)
+        read(spark, dir, "events", Schemas.events)
+      else
+        read(spark, dir, "events", Schemas.eventsRaw)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     }
 
   def documents(spark: SparkSession, dir: String): DataFrame =
