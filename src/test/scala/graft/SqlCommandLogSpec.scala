@@ -30,6 +30,33 @@ class SqlCommandLogSpec extends SparkSpec {
     }
   }
 
+  test("q156 DML log: CTAS + INSERT rebuild the full table; the v2 rewrite applies the delete") {
+    try {
+      val result = SqlGateway.dmlApply(spark, sfDir).collect().map(_.toString).toSeq
+      assert(result.nonEmpty)
+      // After replay: mat holds ALL orders (CTAS batch + INSERT batch)…
+      val nOrders = graft.sources.Tables.orders(spark, sfDir).count()
+      assert(spark.table("dml_orders_mat").count() == nOrders,
+        "CTAS + INSERT INTO must reconstruct exactly the source rows")
+      // …and the delete-shaped generation rewrite removed exactly the
+      // predicate's rows, keeping everything else.
+      val v2 = spark.table("dml_orders_v2")
+      assert(v2.filter("price > 400000").count() == 0,
+        "v2 generation must not contain deleted rows")
+      val survivors = spark.table("dml_orders_mat").filter("NOT (price > 400000)").count()
+      assert(v2.count() == survivors,
+        "v2 generation must keep every non-matching row")
+      // Replay is idempotent from a clean store (re-applying the log
+      // yields the same final answer — the reference re-applies its log
+      // on recovery).
+      val again = SqlGateway.dmlApply(spark, sfDir).collect().map(_.toString).toSeq
+      assert(again == result)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS dml_orders_mat")
+      spark.sql("DROP TABLE IF EXISTS dml_orders_v2")
+    }
+  }
+
   test("a query command through the gateway equals the DataFrame surface") {
     val viaSql = SqlGateway.sqlCommand(spark, sfDir)
       .collect().map(_.toString).toSeq
