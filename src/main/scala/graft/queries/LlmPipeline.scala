@@ -2279,34 +2279,52 @@ object LlmPipeline extends QueryPack {
       |GROUP BY 1, 2
       |ORDER BY lang, split""".stripMargin
 
+  /** Head length of the posting list q149 materializes per token. Why
+    * this bound survives 100 TB: a stop-word-frequency token's posting
+    * list is corpus-sized, so any plan that collects the FULL list into
+    * one aggregation buffer before truncating holds unbounded per-group
+    * state — the same degenerate-bucket failure [[LshBucketCap]] guards
+    * against, relocated to the index build. The cap is therefore
+    * enforced BEFORE the collect (a streaming `row_number` over the
+    * token-sorted shuffle, O(1) state per row), so no aggregation
+    * buffer ever holds more than this many postings regardless of token
+    * skew; full lists at that scale are written sharded by a separate
+    * sink, not returned as one row.
+    */
+  private[graft] val PostingsHeadCap = 10
+
   /** Inverted-index build (q149): token → document-frequency + the head
     * of the sorted posting list — the search-index artifact (and the
     * IDF table feeding q93) as a first-class build. One explode +
-    * distinct + groupBy(token): the shuffle carries (token, doc_id)
-    * pairs once each, aggregation is map-side combinable, and posting
-    * lists are materialized per-token (never driver-side). The output
-    * pins the first 10 postings of every token, so ordering bugs and
-    * membership bugs both fail the hash compare; full lists at 100 TB
-    * would be written sharded, head-capping keeps the gate's output
-    * bounded.
+    * distinct, then a `row_number` window over (token, doc_id) marks
+    * the ≤[[PostingsHeadCap]] head rows, and the final groupBy(token)
+    * reuses the window's partitioning (no extra shuffle): `df` counts
+    * every posting while `collect_list` sees only head rows (nulls are
+    * skipped), so per-group state is bounded by construction — skewed
+    * tokens cannot blow an aggregation buffer. The output pins the head
+    * postings of every token, so ordering bugs and membership bugs both
+    * fail the hash compare.
     */
-  def invertedIndex(spark: SparkSession, dir: String): DataFrame =
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    val wToken = Window.partitionBy("token").orderBy("doc_id")
     Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .filter(col("token") =!= "")
       .distinct()
+      .withColumn("rk", row_number().over(wToken))
       .groupBy("token")
       // CSV-joined postings head: the sorted posting list is the operator
       // under test; a scalar column keeps the comparer's row sort exact
       // (array columns are unsortable in the driver's compare — q32 note).
       .agg(count(lit(1)).as("df"),
-        expr("array_join(transform(slice(sort_array(collect_list(doc_id)), 1, 10), " +
+        expr(s"array_join(transform(sort_array(collect_list(CASE WHEN rk <= $PostingsHeadCap THEN doc_id END)), " +
           "d -> cast(d as string)), ',')").as("postings_head"))
       .orderBy("token")
+  }
 
   private val invertedIndexSql =
-    """SELECT token, count(*) AS df,
-      |  array_to_string(list_transform((list(doc_id ORDER BY doc_id))[1:10],
+    s"""SELECT token, count(*) AS df,
+      |  array_to_string(list_transform((list(doc_id ORDER BY doc_id))[1:$PostingsHeadCap],
       |    d -> CAST(d AS VARCHAR)), ',') AS postings_head
       |FROM (SELECT DISTINCT doc_id, token FROM
       |        (SELECT doc_id, unnest(string_split(text, ' ')) AS token

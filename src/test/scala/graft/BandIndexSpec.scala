@@ -29,6 +29,21 @@ class BandIndexSpec extends SparkSpec {
       .withColumn("sh", expr("shingle_hash64(array('a b c', 'b c d', 'c d e'))"))
   }
 
+  test("the PERSISTED production index respects LshBucketCap (the constant, not a literal)") {
+    // The adversarial tests below drive the mechanism with a tiny cap;
+    // this one pins the production wiring: the index ensureBandIndex
+    // actually writes to disk is bounded by the named constant, so a
+    // future edit that hardcodes a different literal in the write path
+    // fails here.
+    val (bandsPath, _) = queries.LlmPipeline.ensureBandIndex(spark, sfDir)
+    val widest = spark.read.parquet(bandsPath)
+      .groupBy("band", "bsig").count()
+      .agg(max("count")).head.getLong(0)
+    assert(widest <= queries.LlmPipeline.LshBucketCap,
+      s"stored band index has a bucket of $widest members — exceeds " +
+        s"LshBucketCap=${queries.LlmPipeline.LshBucketCap}")
+  }
+
   test("index buckets are capped at write time to the lowest doc_ids") {
     val oldIds = (0L until 800L).filter(_ % 4 != 0) // 600 standing-corpus docs
     val cap = 8

@@ -114,4 +114,26 @@ class CurationOpsSpec extends SparkSpec {
       col("d.doc_id") === col("n.doc_id"), "left_anti").count()
     assert(starved == 0, s"$starved documents received zero negatives")
   }
+
+  test("q149: posting heads are bounded by PostingsHeadCap while df counts every posting") {
+    // The cap is the named constant (PostingsHeadCap), enforced BEFORE
+    // the collect — a window rank marks head rows so no aggregation
+    // buffer ever holds more than cap postings however skewed the
+    // token. Two laws: (1) no head exceeds the constant, (2) the cap is
+    // a head, not a filter — tokens with df > cap keep their full
+    // document frequency and exactly cap postings, and the head is the
+    // ascending prefix of the posting list.
+    val idx = LlmPipeline.invertedIndex(spark, sfDir)
+      .withColumn("head_len", size(split(col("postings_head"), ",")))
+    assert(idx.filter(col("head_len") > LlmPipeline.PostingsHeadCap).count() == 0,
+      s"a postings_head exceeds PostingsHeadCap=${LlmPipeline.PostingsHeadCap}")
+    val skewed = idx.filter(col("df") > LlmPipeline.PostingsHeadCap)
+    assert(skewed.count() > 0, "fixture has no token wider than the cap — test is vacuous")
+    assert(skewed.filter(col("head_len") =!= LlmPipeline.PostingsHeadCap).count() == 0,
+      "a token with df > cap must keep exactly cap head postings")
+    val unsorted = idx.withColumn("ids", transform(split(col("postings_head"), ","), _.cast("long")))
+      .filter(expr("exists(zip_with(ids, slice(ids, 2, size(ids)), (a, b) -> a >= b), x -> x)"))
+      .count()
+    assert(unsorted == 0, "postings_head must be the ascending doc_id prefix")
+  }
 }
