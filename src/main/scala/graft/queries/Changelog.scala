@@ -202,9 +202,81 @@ object Changelog extends QueryPack {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  /** Incremental SCD2 merge (q157): apply a CDC delta batch to a stored
+    * SCD2 snapshot WITHOUT rebuilding history — the MERGE-shaped upsert
+    * a warehouse runs per ingest cycle, where q115 is the initial full
+    * build. The log splits at the midpoint timestamp (the q124 cutoff
+    * trick): ops before the cutoff play the stored snapshot, ops after
+    * play the newly-arrived batch. The merge:
+    *
+    *   1. versions the batch per key (row_number + lead — one shuffle
+    *      over the DELTA only),
+    *   2. closes each touched key's open interval at the key's first
+    *      batch timestamp (equi-join of the snapshot against the
+    *      delta's per-key min — delta-sized build side, AQE picks
+    *      broadcast when it fits),
+    *   3. continues version numbers from the open row's version (no
+    *      full-table max: in SCD2 the open row IS the per-key max, so
+    *      the continuation rides a join against open rows only),
+    *   4. unions untouched snapshot rows through BYTE-IDENTICAL.
+    *
+    * Correctness contract (same philosophy as q124): the merge result
+    * must be indistinguishable from a full q115 rebuild over the whole
+    * log — so the DuckDB oracle IS the full-rebuild SQL. Why this is
+    * the 100-TB shape: a rebuild shuffles the entire history every
+    * cycle; the merge shuffles the delta, joins snapshot rows against a
+    * delta-keyed side, and passes untouched-key rows through unchanged
+    * (in a production snapshot format, only partitions holding touched
+    * keys are rewritten).
+    */
+  def scd2Merge(spark: SparkSession, dir: String): DataFrame = {
+    val log = opLog(spark, dir).filter(col("event_type") =!= "error")
+    val cutoff = log.agg(
+      expr("min(ts_us) + (max(ts_us) - min(ts_us)) div 2").as("cut_us"))
+    val tagged = log.crossJoin(broadcast(cutoff))
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    def scd2Of(side: DataFrame): DataFrame = side
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_to_us", coalesce(lead(col("ts_us"), 1).over(w), lit(-1L)))
+      .select(col("user_id"), col("version"), col("event_id"),
+        col("ts_us").as("valid_from_us"), col("valid_to_us"),
+        col("event_type").as("state_type"), round(col("value"), 4).as("state_value"))
+
+    val snapshot = scd2Of(tagged.filter(col("ts_us") < col("cut_us")))
+    val batch = scd2Of(tagged.filter(col("ts_us") >= col("cut_us")))
+
+    // Per touched key: when its first batch version starts, so the open
+    // snapshot interval can be closed. Delta-sized.
+    val batchStart = batch.filter(col("version") === 1)
+      .select(col("user_id"), col("valid_from_us").as("batch_first_us"))
+    // The open row carries the per-key max version by construction —
+    // no aggregate over the full snapshot needed.
+    val openVersion = snapshot.filter(col("valid_to_us") === -1L)
+      .select(col("user_id"), col("version").as("open_v"))
+
+    val closed = snapshot.join(batchStart, Seq("user_id"), "left")
+      .withColumn("valid_to_us",
+        when(col("valid_to_us") === -1L && col("batch_first_us").isNotNull,
+          col("batch_first_us"))
+          .otherwise(col("valid_to_us")))
+      .drop("batch_first_us")
+    val appended = batch.join(openVersion, Seq("user_id"), "left")
+      .withColumn("version", col("version") + coalesce(col("open_v"), lit(0)))
+      .drop("open_v")
+      .select(closed.columns.map(col).toIndexedSeq: _*)
+
+    closed.unionByName(appended).orderBy("user_id", "version")
+  }
+
+  /** Oracle: the FULL rebuild (q115's SQL) — incremental maintenance is
+    * correct iff it equals recomputation from scratch.
+    */
+  private val scd2MergeSql = scd2HistorySql
+
   override def all: Seq[QueryDef] = Seq(
     QueryDef("q114_log_compaction", logCompaction, Some(logCompactionSql)),
     QueryDef("q115_scd2_history", scd2History, Some(scd2HistorySql)),
     QueryDef("q116_snapshot_diff", snapshotDiff, Some(snapshotDiffSql)),
-    QueryDef("q124_incremental_agg", incrementalAgg, Some(incrementalAggSql)))
+    QueryDef("q124_incremental_agg", incrementalAgg, Some(incrementalAggSql)),
+    QueryDef("q157_scd2_merge", scd2Merge, Some(scd2MergeSql)))
 }

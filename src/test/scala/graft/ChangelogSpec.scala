@@ -85,4 +85,21 @@ class ChangelogSpec extends SparkSpec {
     assert(sides.getLong(0) > 0 && sides.getLong(1) > 0,
       s"degenerate cutoff: snap=${sides.getLong(0)} delta=${sides.getLong(1)}")
   }
+
+  test("q157: incremental SCD2 merge equals the full q115 rebuild row-for-row") {
+    val merged = Changelog.scd2Merge(spark, sfDir)
+    val rebuild = Changelog.scd2History(spark, sfDir)
+    assert(merged.exceptAll(rebuild).isEmpty && rebuild.exceptAll(merged).isEmpty,
+      "merge(snapshot, batch) diverged from rebuild(whole log)")
+    // Non-vacuity: the batch must actually touch existing keys (close
+    // open intervals + continue versions) AND the snapshot must hold
+    // keys the batch never touches (pass-through path).
+    val perKey = merged.groupBy("user_id")
+      .agg(max(col("version")).as("max_v"),
+        sum(when(col("valid_to_us") === -1L, 1).otherwise(0)).as("n_open"))
+    assert(perKey.filter(col("n_open") =!= 1).count() == 0,
+      "every key must end with exactly one open interval")
+    assert(perKey.filter(col("max_v") > 1).count() > 0,
+      "no key has more than one version — the continuation path is untested")
+  }
 }
