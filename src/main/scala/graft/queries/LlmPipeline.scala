@@ -619,6 +619,17 @@ object LlmPipeline extends QueryPack {
         .forEach(f => java.nio.file.Files.deleteIfExists(f))
     }
 
+  /** JVM-exit backstop for memo backing dirs: deterministic eviction is
+    * clearPairGraphCache's job, but a process that never evicts (the
+    * one-dir bench/verify harness) would otherwise leave one temp dir
+    * per (session, dir) on disk FOREVER — across rounds that is an
+    * unbounded /tmp leak. One hook, registered once, deletes whatever
+    * is still cached at exit.
+    */
+  private lazy val pairGraphShutdownHook: Unit =
+    java.lang.Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      pairGraphCache.values().forEach(v => deleteRecursively(v._2))))
+
   /** Backing store of a memoized pair graph, if one is held — spec hook
     * for pinning deterministic eviction (files gone at the clear call).
     */
@@ -659,6 +670,7 @@ object LlmPipeline extends QueryPack {
     val cached = pairGraphCache.get(key)
     if (cached != null) cached._1
     else {
+      pairGraphShutdownHook
       graft.functions.NativeFunctions.register(spark)
       val built = lshNearDupPairs(hashShingled(spark, dir).select("doc_id", "sh"))
       val tmp = java.nio.file.Files.createTempDirectory("graft-pairgraph-")
