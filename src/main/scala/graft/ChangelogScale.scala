@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool (round 9): empirical scale evidence for the changelog
+  * maintenance family (q114 compaction, q115 SCD2 build, q124
+  * incremental agg, q157 SCD2 merge) — the companion to ScaleCurve's
+  * LSH curve. These operators' 100-TB claims are LINEARITY claims
+  * (each is one key-partitioned shuffle + in-partition sorts; no stage
+  * accumulates unbounded per-key state), so the expected ratio at N×
+  * data is ≈ N, and the red flag is super-linear growth (a window or
+  * join whose cost bends upward with log size).
+  *
+  * Corpus construction (deterministic, no RNG): N replicas of the
+  * sf0.1 events log with per-replica user_id/event_id offsets —
+  * disjoint key universes, so workload grows exactly N× and per-key
+  * history depth (the window length) stays FIXED: the measurement
+  * isolates volume scaling from history-depth scaling. The replica
+  * offsets keep (ts, event_id) ordering within every key identical to
+  * the fixture's, so all four operators compute replica-identical
+  * results — require-checked via row counts (q115 rows must be exactly
+  * N× the base build).
+  *
+  * Usage: `sbt "runMain graft.ChangelogScale [replicas]"` (default
+  * 100). SPARK_GRAFT_CPUS as in Bench/ScaleCurve. Prints a markdown
+  * table for BASELINE.md.
+  */
+object ChangelogScale {
+  def main(args: Array[String]): Unit = {
+    val replicas = if (args.nonEmpty) args(0).toInt else 100
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val baseDir = "/root/testdata/sf0.1"
+    val bigDir = s"/tmp/graft_chlog${replicas}x_${queries.SourcesOps.sanitizedAppId(spark)}"
+
+    // --- corpus: N disjoint replicas of the event log ---------------------
+    val base = graft.sources.Tables.events(spark, baseDir)
+    base.crossJoin(spark.range(replicas).select(col("id").as("rep")))
+      .select(
+        (col("event_id") + col("rep") * 1000000000000L).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("rep") * 1000000000L).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode(SaveMode.Overwrite).parquet(s"$bigDir/events.parquet")
+    val nBig = spark.read.parquet(s"$bigDir/events.parquet").count()
+    println(s"corpus: base=${base.count()} events, big=$nBig (${replicas}x, disjoint users) at $bigDir")
+
+    val probes: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
+      "q114_log_compaction" -> queries.Changelog.logCompaction _,
+      "q115_scd2_history" -> queries.Changelog.scd2History _,
+      "q124_incremental_agg" -> queries.Changelog.incrementalAgg _,
+      "q157_scd2_merge" -> queries.Changelog.scd2Merge _)
+
+    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        dir: String): Double = {
+      val t0 = System.nanoTime()
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // Warm-up (JIT + codegen) at the smallest sf.
+    probes.foreach { case (_, fn) => time(fn, "/root/testdata/sf0.001") }
+
+    println(s"| query | sf0.1 (s) | ${replicas}x (s) | ratio (linear = $replicas) |")
+    println("|---|---|---|---|")
+    probes.foreach { case (name, fn) =>
+      val tBase = time(fn, baseDir)
+      val tBig = time(fn, bigDir)
+      println(f"| $name | $tBase%.1f | $tBig%.1f | ${tBig / tBase}%.1f |")
+    }
+
+    // Replica-identity requires: disjoint keys ⇒ exact N× row counts,
+    // and the merge must still equal the rebuild at N× (the q157
+    // contract does not degrade with volume).
+    val baseRows = queries.Changelog.scd2History(spark, baseDir).count()
+    val bigRows = queries.Changelog.scd2History(spark, bigDir).count()
+    println(s"q115 rows: base=$baseRows big=$bigRows (exactly ${replicas}x: ${bigRows == replicas * baseRows})")
+    require(bigRows == replicas * baseRows, s"SCD2 row count is not exactly ${replicas}x base")
+    val mergeDiff = queries.Changelog.scd2Merge(spark, bigDir)
+      .exceptAll(queries.Changelog.scd2History(spark, bigDir)).count()
+    println(s"q157 merge == rebuild at ${replicas}x: ${mergeDiff == 0}")
+    require(mergeDiff == 0, s"merge diverged from rebuild at ${replicas}x ($mergeDiff rows)")
+    spark.stop()
+  }
+}
