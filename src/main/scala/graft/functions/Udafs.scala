@@ -206,4 +206,63 @@ object Udafs {
       */
     final case class Entry(token: String, est: Long, err: Long)
   }
+
+  /** The k smallest distinct-ish longs per group, as a sorted array —
+    * the bounded "posting-list head" aggregation (q149). Why an
+    * Aggregator and not a window: `row_number().over(partitionBy(key))`
+    * routes EVERY row of a hot key through one task (a corpus-scale
+    * stop-word token at 100 TB = one sequential task), while this
+    * buffer is a classic mergeable partial: each map task keeps ≤ k
+    * values per key, the shuffle carries ≤ k per (key, partition), and
+    * the reducer merges sorted runs — bounded state AND bounded
+    * per-task work under any skew. Input values need not be distinct
+    * (the caller dedups) or ordered.
+    *
+    * Buffer is a sorted Array[Long] of ≤ k elements; reduce does a
+    * binary-search insert only when the value beats the current k-th
+    * (O(log k) probe, O(k) memmove on accept — k is small by design).
+    */
+  final class MinKLongs(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+    require(k > 0)
+    override def zero: Array[Long] = Array.emptyLongArray
+    override def reduce(b: Array[Long], v: Long): Array[Long] = {
+      val pos = java.util.Arrays.binarySearch(b, v)
+      if (pos >= 0) b // already present — heads are over distinct ids
+      else {
+        val ins = -pos - 1
+        if (b.length < k) {
+          val out = new Array[Long](b.length + 1)
+          System.arraycopy(b, 0, out, 0, ins)
+          out(ins) = v
+          System.arraycopy(b, ins, out, ins + 1, b.length - ins)
+          out
+        } else if (ins < k) {
+          val out = b.clone()
+          System.arraycopy(b, ins, out, ins + 1, k - ins - 1)
+          out(ins) = v
+          out
+        } else b
+      }
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      // Merge two sorted runs, dropping duplicates, keeping the first k.
+      val out = new Array[Long](math.min(k, a.length + b.length))
+      var i = 0; var j = 0; var n = 0
+      while (n < out.length && (i < a.length || j < b.length)) {
+        val take =
+          if (i >= a.length) { val v = b(j); j += 1; v }
+          else if (j >= b.length) { val v = a(i); i += 1; v }
+          else if (a(i) < b(j)) { val v = a(i); i += 1; v }
+          else if (b(j) < a(i)) { val v = b(j); j += 1; v }
+          else { val v = a(i); i += 1; j += 1; v }
+        if (n == 0 || out(n - 1) != take) { out(n) = take; n += 1 }
+      }
+      if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+    }
+    override def finish(r: Array[Long]): Array[Long] = r
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
 }

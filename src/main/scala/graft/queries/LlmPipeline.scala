@@ -2308,29 +2308,32 @@ object LlmPipeline extends QueryPack {
   /** Inverted-index build (q149): token → document-frequency + the head
     * of the sorted posting list — the search-index artifact (and the
     * IDF table feeding q93) as a first-class build. One explode +
-    * distinct, then a `row_number` window over (token, doc_id) marks
-    * the ≤[[PostingsHeadCap]] head rows, and the final groupBy(token)
-    * reuses the window's partitioning (no extra shuffle): `df` counts
-    * every posting while `collect_list` sees only head rows (nulls are
-    * skipped), so per-group state is bounded by construction — skewed
-    * tokens cannot blow an aggregation buffer. The output pins the head
-    * postings of every token, so ordering bugs and membership bugs both
-    * fail the hash compare.
+    * distinct, then ONE hash aggregate per token where the head is a
+    * [[graft.functions.Udafs.MinKLongs]] bounded min-k Aggregator:
+    * every map task keeps ≤ [[PostingsHeadCap]] ids per token, the
+    * shuffle carries ≤ cap per (token, partition), and the reducer
+    * merges sorted runs — bounded state AND bounded per-task work under
+    * any token skew. (A `row_number` window would bound memory but
+    * route every row of a hot token through one sequential task — the
+    * corpus-wide stop word becomes the straggler; see the MinKLongs
+    * doc.) `df` rides the same aggregate as a plain combinable count.
+    * The output pins the head postings of every token, so ordering
+    * bugs and membership bugs both fail the hash compare.
     */
   def invertedIndex(spark: SparkSession, dir: String): DataFrame = {
-    val wToken = Window.partitionBy("token").orderBy("doc_id")
+    val minK = udaf(new graft.functions.Udafs.MinKLongs(PostingsHeadCap))
     Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .filter(col("token") =!= "")
       .distinct()
-      .withColumn("rk", row_number().over(wToken))
       .groupBy("token")
+      .agg(count(lit(1)).as("df"), minK(col("doc_id")).as("head_ids"))
       // CSV-joined postings head: the sorted posting list is the operator
       // under test; a scalar column keeps the comparer's row sort exact
       // (array columns are unsortable in the driver's compare — q32 note).
-      .agg(count(lit(1)).as("df"),
-        expr(s"array_join(transform(sort_array(collect_list(CASE WHEN rk <= $PostingsHeadCap THEN doc_id END)), " +
-          "d -> cast(d as string)), ',')").as("postings_head"))
+      .select(col("token"), col("df"),
+        expr("array_join(transform(head_ids, d -> cast(d as string)), ',')")
+          .as("postings_head"))
       .orderBy("token")
   }
 

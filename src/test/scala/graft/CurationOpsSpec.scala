@@ -115,6 +115,24 @@ class CurationOpsSpec extends SparkSpec {
     assert(starved == 0, s"$starved documents received zero negatives")
   }
 
+  test("MinKLongs law: distributed min-k equals sorted-distinct-take-k on a skewed key") {
+    import spark.implicits._
+    // One hot key with ids scattered across many partitions in
+    // descending order (worst case for a head aggregator), plus a cold
+    // key — the Spark result must equal the driver-side reference for
+    // any partitioning, proving the partial buffers merge correctly.
+    val k = 7
+    val hot = (0L until 5000L).reverse.map(i => ("hot", i * 3 % 4999)) // dups included
+    val cold = Seq(("cold", 42L), ("cold", 7L))
+    val df = (hot ++ cold).toDF("key", "id").repartition(16)
+    val minK = udaf(new graft.functions.Udafs.MinKLongs(k))
+    val got = df.groupBy("key").agg(minK(col("id")).as("head"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toList).toMap
+    val want = (hot ++ cold).groupBy(_._1)
+      .map { case (key, vs) => key -> vs.map(_._2).distinct.sorted.take(k).toList }
+    assert(got == want, s"got $got want $want")
+  }
+
   test("q149: posting heads are bounded by PostingsHeadCap while df counts every posting") {
     // The cap is the named constant (PostingsHeadCap), enforced BEFORE
     // the collect — a window rank marks head rows so no aggregation
