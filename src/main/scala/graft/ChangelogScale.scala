@@ -42,6 +42,9 @@ object ChangelogScale {
     val bigDir = s"/tmp/graft_chlog${replicas}x_${queries.SourcesOps.sanitizedAppId(spark)}"
 
     // --- corpus: N disjoint replicas of the event log ---------------------
+    // The N-replica corpus is multi-GB: delete it even on a failed
+    // require rather than leak one /tmp directory per run (ADVICE r9).
+    try {
     val base = graft.sources.Tables.events(spark, baseDir)
     base.crossJoin(spark.range(replicas).select(col("id").as("rep")))
       .select(
@@ -89,6 +92,9 @@ object ChangelogScale {
       .exceptAll(queries.Changelog.scd2History(spark, bigDir)).count()
     println(s"q157 merge == rebuild at ${replicas}x: ${mergeDiff == 0}")
     require(mergeDiff == 0, s"merge diverged from rebuild at ${replicas}x ($mergeDiff rows)")
+    } finally {
+      queries.LlmPipeline.deleteRecursively(java.nio.file.Paths.get(bigDir))
+    }
     spark.stop()
   }
 }

@@ -613,10 +613,13 @@ object LlmPipeline extends QueryPack {
     new java.util.concurrent.ConcurrentHashMap[
       (SparkSession, String), (DataFrame, java.nio.file.Path)]()
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit =
+  private[graft] def deleteRecursively(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
-      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      // Files.walk holds directory handles until the stream is closed.
+      scala.util.Using.resource(java.nio.file.Files.walk(p)) { s =>
+        s.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      }
     }
 
   /** JVM-exit backstop for memo backing dirs: deterministic eviction is
@@ -2297,11 +2300,13 @@ object LlmPipeline extends QueryPack {
     * one aggregation buffer before truncating holds unbounded per-group
     * state — the same degenerate-bucket failure [[LshBucketCap]] guards
     * against, relocated to the index build. The cap is therefore
-    * enforced BEFORE the collect (a streaming `row_number` over the
-    * token-sorted shuffle, O(1) state per row), so no aggregation
-    * buffer ever holds more than this many postings regardless of token
-    * skew; full lists at that scale are written sharded by a separate
-    * sink, not returned as one row.
+    * enforced INSIDE the aggregation (the
+    * [[graft.functions.Udafs.MinKLongs]] bounded min-k Aggregator: ≤ cap
+    * ids per buffer at every map task, ≤ cap per (token, partition) on
+    * the shuffle, sorted-run merge at the reducer), so no buffer ever
+    * holds more than this many postings regardless of token skew; full
+    * lists at that scale are written sharded by a separate sink, not
+    * returned as one row.
     */
   private[graft] val PostingsHeadCap = 10
 

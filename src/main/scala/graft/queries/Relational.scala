@@ -277,16 +277,69 @@ object Relational extends QueryPack {
       |WHERE o_orderkey % 20 = 0
       |ORDER BY o_orderkey""".stripMargin
 
-  /** Bernoulli sampling (Spark-side RNG; oracle-free, spec-checked). */
+  /** Raw Bernoulli sample (Spark-side RNG, fraction 0.1, seed 42) —
+    * spec-facing helper; the registered q08 is the oracle-checkable
+    * contract form [[sampleBernoulliContract]] built on this.
+    */
   def sampleBernoulli(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .sample(withReplacement = false, fraction = 0.1, seed = 42L)
       .select("o_orderkey", "o_orderstatus")
       .orderBy("o_orderkey")
 
-  /** Stratified sampling: per-stratum Bernoulli fractions via
-    * df.stat.sampleBy (Spark-side RNG — oracle-free; RelationalSpec
-    * bounds the per-stratum rates).
+  /** RNG Bernoulli sampling, oracle-gated (q08 — VERDICT r9 item 1):
+    * RNG sample MEMBERSHIP is engine-specific (no value-equality oracle
+    * can exist), but the sampler's CONTRACT is checkable cross-engine —
+    * the q143 recipe applied to sampling. Spark draws the sample and
+    * emits BOOLEANS asserting each clause of the contract, alongside
+    * exact columns both engines recompute:
+    *
+    *   - `count_in_bounds`: the sampled count lies within 6σ of n·p for
+    *     the exact binomial (σ = √(n·p·(1−p)), recomputed from the SAME
+    *     parquet count the oracle reads; the fixture + fixed seed make
+    *     this a deterministic regression bound — P(6σ miss) < 1e-8 even
+    *     under fixture relayout, and the current draw sits within 2σ).
+    *   - `sample_subset`: sample ∖ source = ∅ via LEFT ANTI join on the
+    *     full key (count must be 0).
+    *   - `keys_unique`: without-replacement ⇒ no key is drawn twice
+    *     (count == distinct-key count; source keys are unique).
+    *
+    * The DuckDB oracle recomputes n_source and emits literal TRUE for
+    * the booleans: any contract breach flips a boolean and fails the
+    * driver's hash compare loudly. All three probe sides are 1-row
+    * aggregates — the contract costs one scan + one anti-join over the
+    * sample, nothing that changes shape at 100 TB.
+    */
+  def sampleBernoulliContract(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir).select("o_orderkey", "o_orderstatus")
+    val sample = orders.sample(withReplacement = false, fraction = 0.1, seed = 42L)
+    val p = 0.1
+    val src = orders.agg(count(lit(1)).as("n_source"))
+    val smp = sample.agg(
+      count(lit(1)).as("n_sampled"),
+      count_distinct(col("o_orderkey")).as("n_keys"))
+    val orphans = sample.join(orders, Seq("o_orderkey", "o_orderstatus"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+    src.crossJoin(smp).crossJoin(orphans)
+      .select(
+        col("n_source"),
+        (abs(col("n_sampled") - col("n_source") * p)
+          <= lit(6.0) * sqrt(col("n_source") * p * (1 - p))).as("count_in_bounds"),
+        (col("n_orphans") === 0).as("sample_subset"),
+        (col("n_keys") === col("n_sampled")).as("keys_unique"))
+  }
+
+  private val sampleBernoulliContractSql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_source,
+      |  TRUE AS count_in_bounds,
+      |  TRUE AS sample_subset,
+      |  TRUE AS keys_unique
+      |FROM orders""".stripMargin
+
+  /** Raw stratified sample (per-stratum Bernoulli via df.stat.sampleBy,
+    * Spark-side RNG) — spec-facing helper; the registered q90 is the
+    * contract form [[sampleStratifiedContract]]. RelationalSpec bounds
+    * the per-stratum rates on this raw form.
     */
   def sampleStratified(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
@@ -294,6 +347,50 @@ object Relational extends QueryPack {
         Map("F" -> 0.05, "O" -> 0.20, "P" -> 0.50), 42L)
       .select("o_orderkey", "o_orderstatus")
       .orderBy("o_orderkey")
+
+  private val stratifiedFractions = Seq("F" -> 0.05, "O" -> 0.20, "P" -> 0.50)
+
+  /** RNG stratified sampling, oracle-gated (q90 — VERDICT r9 item 1):
+    * the q08 contract applied PER STRATUM. One row per o_orderstatus
+    * with the exact stratum size plus booleans: the stratum's sampled
+    * count within 6σ+1 of n_s·p_s (the +1 absorbs sub-1-row σ in tiny
+    * strata — same slack the RelationalSpec bound uses), and the whole
+    * sample set-contained in the source (anti-join count 0, checked on
+    * the full key, broadcast onto every stratum row). A stratum absent
+    * from the sample coalesces to 0 drawn — still subject to its bound,
+    * so silent stratum loss fails the gate too.
+    */
+  def sampleStratifiedContract(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir).select("o_orderkey", "o_orderstatus")
+    val sample = orders.stat.sampleBy(
+      "o_orderstatus", stratifiedFractions.toMap, 42L)
+    val frac = stratifiedFractions.foldLeft(lit(0.0)) { case (acc, (s, f)) =>
+      when(col("o_orderstatus") === s, f).otherwise(acc)
+    }
+    val src = orders.groupBy("o_orderstatus").agg(count(lit(1)).as("n_stratum"))
+    val smp = sample.groupBy("o_orderstatus").agg(count(lit(1)).as("n_sampled"))
+    val orphans = sample.join(orders, Seq("o_orderkey", "o_orderstatus"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+    src.join(smp, Seq("o_orderstatus"), "left")
+      .crossJoin(broadcast(orphans))
+      .withColumn("p", frac)
+      .select(
+        col("o_orderstatus"),
+        col("n_stratum"),
+        (abs(coalesce(col("n_sampled"), lit(0L)) - col("n_stratum") * col("p"))
+          <= lit(6.0) * sqrt(col("n_stratum") * col("p") * (lit(1.0) - col("p"))) + 1)
+          .as("count_in_bounds"),
+        (col("n_orphans") === 0).as("sample_subset"))
+      .orderBy("o_orderstatus")
+  }
+
+  private val sampleStratifiedContractSql =
+    """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_stratum,
+      |  TRUE AS count_in_bounds,
+      |  TRUE AS sample_subset
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
 
   /** Deterministic hash-threshold Bernoulli sampling (q105): the
     * reproducible form a 100-TB pipeline uses instead of RNG sampling —
@@ -485,9 +582,9 @@ object Relational extends QueryPack {
     QueryDef("q05_topk_per_nation", topCustomersPerNation, Some(topCustomersPerNationSql)),
     QueryDef("q06_distinct_segments", distinctSegments, Some(distinctSegmentsSql)),
     QueryDef("q07_sample_modulo", sampleModulo, Some(sampleModuloSql)),
-    QueryDef("q08_sample_bernoulli", sampleBernoulli, None),
+    QueryDef("q08_sample_bernoulli", sampleBernoulliContract, Some(sampleBernoulliContractSql)),
     QueryDef("q09_custom_topk", customTopKPerNation, Some(customTopKPerNationSql)),
-    QueryDef("q90_sample_stratified", sampleStratified, None),
+    QueryDef("q90_sample_stratified", sampleStratifiedContract, Some(sampleStratifiedContractSql)),
     QueryDef("q105_sample_hash_threshold", sampleHashThreshold, Some(sampleHashThresholdSql)),
     QueryDef("q106_sample_stratified_hash", sampleStratifiedHash, Some(sampleStratifiedHashSql)),
     QueryDef("q120_rule_rewritten_topk", ruleRewrittenTopK, Some(ruleRewrittenTopKSql)),

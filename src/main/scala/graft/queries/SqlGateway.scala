@@ -170,9 +170,11 @@ object SqlGateway extends QueryPack {
       if (!spark.catalog.tableExists(t)) {
         val loc = java.nio.file.Paths.get(wh, t)
         if (java.nio.file.Files.exists(loc)) {
-          java.nio.file.Files.walk(loc)
-            .sorted(java.util.Comparator.reverseOrder())
-            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+          // Close the walk stream — it holds directory handles open.
+          scala.util.Using.resource(java.nio.file.Files.walk(loc)) { s =>
+            s.sorted(java.util.Comparator.reverseOrder())
+              .forEach(f => java.nio.file.Files.deleteIfExists(f))
+          }
         }
       }
     }

@@ -134,9 +134,9 @@ class CurationOpsSpec extends SparkSpec {
   }
 
   test("q149: posting heads are bounded by PostingsHeadCap while df counts every posting") {
-    // The cap is the named constant (PostingsHeadCap), enforced BEFORE
-    // the collect — a window rank marks head rows so no aggregation
-    // buffer ever holds more than cap postings however skewed the
+    // The cap is the named constant (PostingsHeadCap), enforced inside
+    // the aggregate — the MinKLongs bounded min-k Aggregator keeps ≤ cap
+    // ids per buffer, so no aggregation state exceeds cap however skewed the
     // token. Two laws: (1) no head exceeds the constant, (2) the cap is
     // a head, not a filter — tokens with df > cap keep their full
     // document frequency and exactly cap postings, and the head is the

@@ -17,8 +17,8 @@ class EntrySpec extends SparkSpec {
     // counts force any change here to be deliberate.
     assert(SparkEntry.defs.size == 147,
       s"query count ${SparkEntry.defs.size} != 147 — update this guard deliberately")
-    assert(SparkEntry.oracleSql.size == 144,
-      s"oracle count ${SparkEntry.oracleSql.size} != 144 — update this guard deliberately")
+    assert(SparkEntry.oracleSql.size == 146,
+      s"oracle count ${SparkEntry.oracleSql.size} != 146 — update this guard deliberately")
     // One representative per pack must be present.
     val reps = Seq("q01_", "q10_", "q20_", "q26_", "q30_", "q40_", "q50_", "q60_", "q65_", "q70_", "q80_", "q91_", "q114_", "q117_", "q121_")
     val names = SparkEntry.defs.map(_.name)
