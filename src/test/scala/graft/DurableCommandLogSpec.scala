@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.queries.{LlmPipeline, SqlGateway}
+import graft.sources.Tables
+
+/** Durable command-log recovery (q159 — VERDICT r9 item 3): the
+  * reference's `commitIndex` semantics (replication.go:88-103) say a
+  * node that crashed mid-apply recovers by re-applying its PERSISTED
+  * log, and the recovered state must equal a clean single replay.
+  * Modeled here as: the warehouse dir + the parquet command log are
+  * the durable store; a `spark.newSession()` is the restarted node
+  * (all session-scoped state — temp views, in-flight commands — gone;
+  * the durable store intact).
+  */
+class DurableCommandLogSpec extends SparkSpec {
+
+  private def finalState(s: org.apache.spark.sql.SparkSession): Seq[String] =
+    s.sql(SqlGateway.durableFinalQuery).collect().map(_.toString).toSeq
+
+  test("q159: replay after partial apply equals replay-once (commitIndex idempotence)") {
+    val tmp = Files.createTempDirectory("graft-cmdlog-spec-")
+    try {
+      val logPath = tmp.resolve("cmdlog.parquet").toString
+      SqlGateway.writeCommandLog(spark, logPath)
+      // The log round-trips durably: ordered read-back gives exactly
+      // the authored command sequence.
+      val readBack = spark.read.parquet(logPath)
+        .orderBy("seq").select("command").collect().map(_.getString(0)).toSeq
+      assert(readBack == SqlGateway.durableLog, "persisted log lost ordering or content")
+
+      // Session A ("pre-crash node"): applies a strict prefix — the
+      // crash lands after commitIndex=4 of 6, mid derivation chain.
+      Tables.registerAll(spark, sfDir)
+      SqlGateway.resetManagedLocations(spark, SqlGateway.durableLogTables)
+      SqlGateway.durableLogTables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      SqlGateway.applyLog(spark, SqlGateway.durableLog.take(4))
+      // The crash point is real: the final generation does not exist yet.
+      assert(!spark.catalog.tableExists("dlog_seg_v2"),
+        "partial apply unexpectedly produced the final generation")
+      assert(spark.catalog.tableExists("dlog_seg"))
+
+      // Session B ("restarted node"): recovery is a pure function of
+      // the durable log — replay everything over the partially-applied
+      // store. Idempotent DROP+CTAS pairs make re-applying entries 1-4
+      // converge instead of corrupting.
+      val s2 = spark.newSession()
+      SqlGateway.replayFrom(s2, sfDir, logPath)
+      val recovered = finalState(s2)
+
+      // Reference: replay-once over a CLEAN store in a third session.
+      val s3 = spark.newSession()
+      Tables.registerAll(s3, sfDir)
+      SqlGateway.durableLogTables.foreach(t => s3.sql(s"DROP TABLE IF EXISTS $t"))
+      SqlGateway.replayFrom(s3, sfDir, logPath)
+      val replayOnce = finalState(s3)
+
+      assert(recovered == replayOnce,
+        "recovery over partially-applied state diverged from a clean replay")
+      assert(recovered.nonEmpty)
+    } finally LlmPipeline.deleteRecursively(tmp)
+  }
+
+  test("q159: a second full replay is a fixpoint (re-apply below commitIndex is safe)") {
+    val tmp = Files.createTempDirectory("graft-cmdlog-spec2-")
+    try {
+      val logPath = tmp.resolve("cmdlog.parquet").toString
+      SqlGateway.writeCommandLog(spark, logPath)
+      val s = spark.newSession()
+      SqlGateway.replayFrom(s, sfDir, logPath)
+      val once = finalState(s)
+      SqlGateway.replayFrom(s, sfDir, logPath)
+      assert(finalState(s) == once, "replaying the full log twice changed state")
+    } finally LlmPipeline.deleteRecursively(tmp)
+  }
+}
