@@ -3,14 +3,19 @@ package graft
 import org.apache.spark.sql.{SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Dev tool (round 9): empirical scale evidence for the changelog
-  * maintenance family (q114 compaction, q115 SCD2 build, q124
-  * incremental agg, q157 SCD2 merge) — the companion to ScaleCurve's
-  * LSH curve. These operators' 100-TB claims are LINEARITY claims
-  * (each is one key-partitioned shuffle + in-partition sorts; no stage
-  * accumulates unbounded per-key state), so the expected ratio at N×
-  * data is ≈ N, and the red flag is super-linear growth (a window or
-  * join whose cost bends upward with log size).
+/** Dev tool (round 9; window family added round 10): empirical scale
+  * evidence for the two per-user-window families over the event log —
+  * the changelog maintenance family (q114 compaction, q115 SCD2 build,
+  * q124 incremental agg, q157 SCD2 merge) and the analytic window
+  * family sharing the same (user_id → ts, event_id) partitioning
+  * discipline (q40 lag/lead, q41 running sum, q42 trailing range
+  * frame, q62 session windows, q94 funnel, q139 transition matrix) —
+  * the companion to ScaleCurve's LSH curve. These operators' 100-TB
+  * claims are LINEARITY claims (each is one key-partitioned shuffle +
+  * in-partition sorts; no stage accumulates unbounded per-key state),
+  * so the expected ratio at N× data is ≈ N, and the red flag is
+  * super-linear growth (a window or join whose cost bends upward with
+  * log size).
   *
   * Corpus construction (deterministic, no RNG): N replicas of the
   * sf0.1 events log with per-replica user_id/event_id offsets —
@@ -61,7 +66,15 @@ object ChangelogScale {
       "q114_log_compaction" -> queries.Changelog.logCompaction _,
       "q115_scd2_history" -> queries.Changelog.scd2History _,
       "q124_incremental_agg" -> queries.Changelog.incrementalAgg _,
-      "q157_scd2_merge" -> queries.Changelog.scd2Merge _)
+      "q157_scd2_merge" -> queries.Changelog.scd2Merge _,
+      // Analytic window family (VERDICT r9 item 6): same per-user
+      // partitioning, disjoint-user replicas ⇒ exact-N× invariants.
+      "q40_lag_lead" -> queries.Windows.lagLead _,
+      "q41_running_sum" -> queries.Windows.runningSum _,
+      "q42_trailing_7d" -> queries.Windows.trailing7d _,
+      "q62_session_windows" -> queries.Sessions.sessionWindows _,
+      "q94_funnel" -> queries.Sessions.funnel _,
+      "q139_transition_matrix" -> queries.Sessions.transitionMatrix _)
 
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         dir: String): Double = {
@@ -92,6 +105,30 @@ object ChangelogScale {
       .exceptAll(queries.Changelog.scd2History(spark, bigDir)).count()
     println(s"q157 merge == rebuild at ${replicas}x: ${mergeDiff == 0}")
     require(mergeDiff == 0, s"merge diverged from rebuild at ${replicas}x ($mergeDiff rows)")
+
+    // Window-family invariants: disjoint-user replicas make every
+    // per-user window replica-local, so outputs must scale EXACTLY N× —
+    // per-event outputs (q41) and session counts (q62) by row count,
+    // and the q139 transition matrix cell-by-cell (same key set, every
+    // count exactly N× the base count). Any off-by-anything here means
+    // a window leaked across the replica boundary.
+    val wBase = queries.Windows.runningSum(spark, baseDir).count()
+    val wBig = queries.Windows.runningSum(spark, bigDir).count()
+    require(wBig == replicas * wBase, s"q41 rows: big=$wBig != $replicas x $wBase")
+    val sBase = queries.Sessions.sessionWindows(spark, baseDir).count()
+    val sBig = queries.Sessions.sessionWindows(spark, bigDir).count()
+    require(sBig == replicas * sBase, s"q62 sessions: big=$sBig != $replicas x $sBase")
+    val mBase = queries.Sessions.transitionMatrix(spark, baseDir)
+      .withColumnRenamed("n", "n_base")
+    val mBig = queries.Sessions.transitionMatrix(spark, bigDir)
+      .withColumnRenamed("n", "n_big")
+    val badCells = mBase.join(mBig, Seq("prev_type", "next_type"), "full")
+      .filter(col("n_big").isNull || col("n_base").isNull ||
+        col("n_big") =!= col("n_base") * replicas)
+      .count()
+    require(badCells == 0, s"q139 matrix: $badCells cells not exactly ${replicas}x base")
+    println(s"window-family invariants: q41 rows ${replicas}x, q62 sessions ${replicas}x, " +
+      s"q139 matrix cell-exact ${replicas}x — all hold")
     } finally {
       queries.LlmPipeline.deleteRecursively(java.nio.file.Paths.get(bigDir))
     }

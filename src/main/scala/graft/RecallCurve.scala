@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dev tool (VERDICT r9 item 4): target-driven recall evidence for the
+  * ANN family. q87/q95/q97/q126 establish the *mechanisms* (bucketed
+  * equi-joins, never all-pairs); this measures the *recall dial* so the
+  * shipped operating points (q160's (bits, L), q161's nprobe) are chosen
+  * from a committed curve instead of folklore:
+  *
+  *   - multi-table hyperplane LSH: sweep table count L (and bits/table)
+  *     on the wide mod-61 plane family; recall = verified pairs vs the
+  *     exact all-pairs sim ≥ 0.4 answer (verify threshold identical, so
+  *     LSH output ⊆ exact and recall is a plain count ratio); cost =
+  *     distinct candidate pairs generated before the verify.
+  *   - multi-probe IVF: sweep nprobe; recall@3 vs the exact top-3 per
+  *     probe (same sim formula and (sim desc, c_id) tie-break); cost =
+  *     (probe, member) candidates scanned.
+  *
+  * Usage: `sbt "runMain graft.RecallCurve [sfDir]"` — defaults to
+  * /root/testdata/sf0.1 (2,000 vectors; the exact ground truth is an
+  * honest 2M-pair brute force, fine at fixture scale, and exactly the
+  * thing the swept operator exists to avoid at 100 TB). Prints markdown
+  * tables for BASELINE.md.
+  */
+object RecallCurve {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.NativeFunctions.register(spark)
+
+    // --- exact ground truths ----------------------------------------------
+    // Sign-LSH collision probability rises with similarity (p1 = 1-θ/π)
+    // and the fixture's exact pairs concentrate just above the 0.4
+    // floor (median 0.419 — nearly orthogonal, the hard case), so the
+    // >= 0.45 column shows how recall climbs for the stronger pairs.
+    val exactPairs = queries.LlmPipeline.embeddingNearDup(spark, dir)
+      .select(col("id1"), col("id2"), col("sim_r")).cache()
+    val nExact = exactPairs.count()
+
+    val e = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("d"))
+      .withColumn("nrm", expr("sqrt(dot_product(d, d))"))
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("p_id"), col("d").as("pd"), col("nrm").as("pnrm"))
+    val wTop = Window.partitionBy("p_id").orderBy(col("sim").desc, col("c_id").asc)
+    val exactTop3 = e.select(col("vec_id").as("c_id"), col("d").as("cd"), col("nrm").as("cnrm"))
+      .crossJoin(broadcast(probes))
+      .filter(col("c_id") =!= col("p_id"))
+      .withColumn("sim", expr("dot_product(pd, cd)") / (col("pnrm") * col("cnrm")))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= 3)
+      .select("p_id", "c_id").cache()
+    val nTop = exactTop3.count()
+
+    println(s"ground truth at $dir: $nExact exact near-dup pairs (sim >= 0.4), " +
+      s"$nTop exact top-3 rows over 10 probes")
+
+    // --- multi-table LSH sweep --------------------------------------------
+    // Lattice families: bits*L <= modulus keeps planes distinct but
+    // STILL correlated (they share the 2-parameter lattice) — the
+    // lattice rows exist to show the plateau that motivated the
+    // scrambled family (modulus 0). The (4, 3, 13) row is shipped q97.
+    // All-pairs at this n is n(n-1)/2 — read candidates against it.
+    println("\n| family | bits | L | candidates | recall >=0.4 | recall >=0.45 |")
+    println("|---|---|---|---|---|---|")
+    val exactMid = exactPairs.filter(col("sim_r") >= 0.45)
+    val nMid = exactMid.count()
+    val grid = Seq((4, 3, 13)) ++ Seq(1, 4, 8, 12).map(l => (4, l, 61)) ++
+      Seq(4, 8).map(l => (3, l, 61)) ++
+      Seq(1, 4, 8, 10, 12, 14).map(l => (4, l, 0)) ++ Seq(6, 8).map(l => (3, l, 0))
+    for ((bits, l, m) <- grid) {
+      val fam = if (m == 0) "scrambled" else s"mod-$m"
+      val cands = queries.LlmPipeline.multiTableCandidates(spark, dir, bits, l, m).count()
+      val hit = queries.LlmPipeline.multiTableNearDupCfg(spark, dir, bits, l, m)
+        .select("id1", "id2").join(exactPairs, Seq("id1", "id2"), "left_semi").cache()
+      val hits = hit.count()
+      val hitMid = hit.join(exactMid, Seq("id1", "id2"), "left_semi").count()
+      hit.unpersist()
+      println(f"| $fam | $bits | $l | $cands | $hits/$nExact = ${hits.toDouble / nExact}%.3f " +
+        f"| $hitMid/$nMid = ${hitMid.toDouble / nMid}%.3f |")
+    }
+
+    // The shipped q160 contract, measured exactly as AnnRecallSpec
+    // requires it.
+    val q160Hits = queries.LlmPipeline.recallTargetNearDup(spark, dir)
+      .select("id1", "id2").join(exactPairs, Seq("id1", "id2"), "left_semi").count()
+    println(f"\nq160 contract: $q160Hits/$nExact = ${q160Hits.toDouble / nExact}%.3f " +
+      "recall vs the exact sim >= 0.4 answer (target >= 0.8)")
+
+    // --- IVF nprobe sweep --------------------------------------------------
+    println("\n| nprobe | scanned candidates | hit rows | recall@3 |")
+    println("|---|---|---|---|")
+    for (np <- Seq(1, 2, 3, 4, 6, 8)) {
+      val approx = queries.LlmPipeline.ivfAnnCfg(spark, dir, np)
+        .select("p_id", "c_id").cache()
+      val hits = approx.join(exactTop3, Seq("p_id", "c_id"), "left_semi").count()
+      // Cost: (probe, member) pairs compared — nprobe/8 of the corpus
+      // per probe in expectation.
+      val scanned = queries.LlmPipeline.ivfScannedCandidates(spark, dir, np)
+      println(f"| $np | $scanned | $hits/$nTop | ${hits.toDouble / nTop}%.3f |")
+      approx.unpersist()
+    }
+
+    val q160Fam =
+      if (queries.LlmPipeline.AnnPlaneFamily == 0) "scrambled"
+      else s"mod-${queries.LlmPipeline.AnnPlaneFamily}"
+    println("\nshipped operating points: " +
+      s"q160 = (bits=${queries.LlmPipeline.AnnRecallBits}, " +
+      s"L=${queries.LlmPipeline.AnnRecallTables}, $q160Fam); " +
+      s"q161 = nprobe=${queries.LlmPipeline.IvfRecallNprobe}")
+    spark.stop()
+  }
+}

@@ -153,13 +153,15 @@ object NativeFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hyperplane_bucket",
       exprs => {
-        if (exprs.length != 2 && exprs.length != 3) {
+        if (exprs.length < 2 || exprs.length > 4) {
           throw new IllegalArgumentException(
-            s"hyperplane_bucket expects 2 or 3 arguments, got ${exprs.length}")
+            s"hyperplane_bucket expects 2 to 4 arguments, got ${exprs.length}")
         }
         val table =
-          if (exprs.length == 3) intLiteralArg("hyperplane_bucket", exprs, 2) else -1
-        HyperplaneBucket(exprs.head, intLiteralArg("hyperplane_bucket", exprs, 1), table)
+          if (exprs.length >= 3) intLiteralArg("hyperplane_bucket", exprs, 2) else -1
+        val modulus =
+          if (exprs.length == 4) intLiteralArg("hyperplane_bucket", exprs, 3) else 13
+        HyperplaneBucket(exprs.head, intLiteralArg("hyperplane_bucket", exprs, 1), table, modulus)
       },
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

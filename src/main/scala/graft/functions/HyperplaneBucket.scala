@@ -19,13 +19,28 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   *
   * Multi-table variant (q97 recall recovery): a third argument selects
   * an independent hash TABLE — plane j of table t is global plane
-  * J = j + numPlanes·t drawn from the mod-13 family
-  * sign_iJ = +1 if ((i·31 + J·17) mod 13) < 7 else -1. Because 17 is
-  * invertible mod 13, tables 0..2 with 4 planes each use 12 DISTINCT
-  * hyperplanes — no plane is shared between tables, which the legacy
-  * mod-7 family cannot provide (it only has 7 distinct planes). The
-  * 2-arg form keeps the original mod-7 planes so q87/q92 oracles are
-  * unchanged.
+  * J = j + numPlanes·t drawn from the mod-m family
+  * sign_iJ = +1 if ((i·31 + J·17) mod m) < (m+1)/2 else -1, where the
+  * optional fourth argument picks the family width m (default 13).
+  * Because 17 is invertible mod any prime m, a family provides m
+  * DISTINCT hyperplanes: tables 0..2 with 4 planes each fit in mod-13
+  * (12 ≤ 13 planes, none shared). The 2-arg form keeps the original
+  * mod-7 planes so q87/q92 oracles are unchanged.
+  *
+  * Scrambled family (fourth argument = 0; q160, chosen by the
+  * RecallCurve sweep): DISTINCT lattice planes are necessary but not
+  * sufficient for multi-table amplification — all mod-m planes live on
+  * a 2-parameter integer lattice, so tables are pairwise CORRELATED
+  * and measured recall plateaus far below the independent-table
+  * 1−(1−p^b)^L prediction (0.66 at L = 12 on the sf0.1 embeddings,
+  * BASELINE.md). The scrambled family decorrelates by drawing each
+  * sign from an avalanching integer mix (same ops both engines,
+  * integer-exact):
+  *   h  = (i·2654435761 + J·2654435769 + 2246822507) mod 2³²
+  *   h  = ((h xor h>>16) · 73244475) mod 2³²
+  *   sign_iJ = +1 if (h xor h>>16) is odd else −1
+  * Measured effect at (bits = 4, L = 12): recall 0.66 → 0.89 with ~40%
+  * FEWER candidates (lattice buckets were also skewed).
   *
   * The HOF formulation (nested aggregate/zip_with over sequence(0,63) per
   * plane) is CodegenFallback: ~4 planes × 64 dims = 256 interpreted
@@ -39,15 +54,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * Null/absent elements are not expected (embeddings are non-null by
   * schema); a null vector yields a null bucket.
   */
-case class HyperplaneBucket(child: Expression, numPlanes: Int, table: Int = -1)
+case class HyperplaneBucket(child: Expression, numPlanes: Int, table: Int = -1,
+    modulus: Int = 13)
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(DoubleType, _) if numPlanes > 0 && numPlanes <= 30 =>
+    case ArrayType(DoubleType, _)
+        if numPlanes > 0 && numPlanes <= 30 && (modulus >= 3 || modulus == 0) =>
       TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"hyperplane_bucket expects array<double> and a plane count in [1, 30], " +
-        s"got ${other.simpleString} / $numPlanes")
+      s"hyperplane_bucket expects array<double>, a plane count in [1, 30] and " +
+        s"a family modulus >= 3 (or 0 = scrambled), got ${other.simpleString} / $numPlanes / $modulus")
   }
 
   override def dataType: DataType = IntegerType
@@ -68,11 +85,22 @@ case class HyperplaneBucket(child: Expression, numPlanes: Int, table: Int = -1)
           s += (if ((i * 31 + j * 17) % 7 < 4) v else -v)
           i += 1
         }
-      } else {
+      } else if (modulus == 0) {
         val jj = j + numPlanes * table
         while (i < n) {
           val v = arr.getDouble(i)
-          s += (if ((i * 31 + jj * 17) % 13 < 7) v else -v)
+          var h = (i.toLong * 2654435761L + jj.toLong * 2654435769L + 2246822507L) & 0xFFFFFFFFL
+          h = ((h ^ (h >>> 16)) * 73244475L) & 0xFFFFFFFFL
+          h = h ^ (h >>> 16)
+          s += (if ((h & 1L) == 1L) v else -v)
+          i += 1
+        }
+      } else {
+        val jj = j + numPlanes * table
+        val half = (modulus + 1) / 2
+        while (i < n) {
+          val v = arr.getDouble(i)
+          s += (if ((i * 31 + jj * 17) % modulus < half) v else -v)
           i += 1
         }
       }
@@ -90,9 +118,22 @@ case class HyperplaneBucket(child: Expression, numPlanes: Int, table: Int = -1)
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
       val v = ctx.freshName("v")
-      val sign =
-        if (table < 0) s"((($i * 31 + $j * 17) % 7) < 4)"
-        else s"((($i * 31 + ($j + ${numPlanes * table}) * 17) % 13) < 7)"
+      val h = ctx.freshName("h")
+      val body =
+        if (table >= 0 && modulus == 0)
+          // Scrambled family: avalanching integer mix per (i, J) — see
+          // the class doc for why the lattice families can't be
+          // amplified past their table correlation.
+          s"""long $h = (($i * 2654435761L) + (($j + ${numPlanes * table}L) * 2654435769L) + 2246822507L) & 0xFFFFFFFFL;
+             |    $h = (($h ^ ($h >>> 16)) * 73244475L) & 0xFFFFFFFFL;
+             |    $h = $h ^ ($h >>> 16);
+             |    $s += (($h & 1L) == 1L) ? $v : -$v;""".stripMargin
+        else {
+          val sign =
+            if (table < 0) s"((($i * 31 + $j * 17) % 7) < 4)"
+            else s"((($i * 31 + ($j + ${numPlanes * table}) * 17) % $modulus) < ${(modulus + 1) / 2})"
+          s"$s += $sign ? $v : -$v;"
+        }
       s"""
          |int $n = $a.numElements();
          |int $bucket = 0;
@@ -100,7 +141,7 @@ case class HyperplaneBucket(child: Expression, numPlanes: Int, table: Int = -1)
          |  double $s = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
          |    double $v = $a.getDouble($i);
-         |    $s += $sign ? $v : -$v;
+         |    $body
          |  }
          |  if ($s >= 0.0) $bucket |= 1 << $j;
          |}

@@ -1005,30 +1005,54 @@ object LlmPipeline extends QueryPack {
     * fixture is strictly above single-table q92's (LshSkewSpec
     * quantifies both against exact q77).
     */
-  def multiTableNearDup(spark: SparkSession, dir: String): DataFrame = {
+  def multiTableNearDup(spark: SparkSession, dir: String): DataFrame =
+    multiTableNearDupCfg(spark, dir, bits = 4, nTables = 3, modulus = 13)
+
+  /** Config-driven core of q97/q160: L independent tables of `bits`
+    * sign-planes each from the mod-`modulus` family (planes distinct as
+    * long as bits·L ≤ modulus — [[graft.functions.HyperplaneBucket]]).
+    * (bits, L) is THE recall/cost dial: recall ≈ 1−(1−p₁^bits)^L for
+    * per-plane collision p₁ = 1−θ/π, candidate cost grows with
+    * L·Σ|bucket|². RecallCurve sweeps this grid at sf0.1 against the
+    * exact all-pairs answer and BASELINE.md records the curve; q160 pins
+    * the chosen recall ≥ 0.8 operating point, AnnRecallSpec requires it.
+    */
+  def multiTableNearDupCfg(spark: SparkSession, dir: String,
+      bits: Int, nTables: Int, modulus: Int, threshold: Double = 0.4): DataFrame = {
     graft.functions.NativeFunctions.register(spark)
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("d"))
       .withColumn("nrm", expr("sqrt(dot_product(d, d))"))
-    val keyed = e.select(col("vec_id"), explode(expr(
-      "array(struct(0 AS tbl, hyperplane_bucket(d, 4, 0) AS bucket), " +
-        "struct(1 AS tbl, hyperplane_bucket(d, 4, 1) AS bucket), " +
-        "struct(2 AS tbl, hyperplane_bucket(d, 4, 2) AS bucket))")).as("tb"))
+    multiTableCandidates(spark, dir, bits, nTables, modulus)
+      .join(e.select(col("vec_id").as("id1"), col("d").as("d1"), col("nrm").as("nrm1")), "id1")
+      .join(e.select(col("vec_id").as("id2"), col("d").as("d2"), col("nrm").as("nrm2")), "id2")
+      .withColumn("sim", expr("dot_product(d1, d2)") / (col("nrm1") * col("nrm2")))
+      .filter(col("sim") >= threshold)
+      .select(col("id1"), col("id2"), col("n_tabs"),
+        (round(col("sim"), 4) + lit(0)).as("sim_r"))
+      .orderBy("id1", "id2")
+  }
+
+  /** Candidate stage of [[multiTableNearDupCfg]] — distinct colliding
+    * pairs with the number of agreeing tables, BEFORE the exact verify.
+    * Split out so RecallCurve can measure the cost axis (candidates
+    * generated) next to the recall axis for each (bits, L) sweep point.
+    */
+  private[graft] def multiTableCandidates(spark: SparkSession, dir: String,
+      bits: Int, nTables: Int, modulus: Int): DataFrame = {
+    graft.functions.NativeFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("d"))
+    val structs = (0 until nTables).map(t =>
+      s"struct($t AS tbl, hyperplane_bucket(d, $bits, $t, $modulus) AS bucket)").mkString(", ")
+    val keyed = e.select(col("vec_id"), explode(expr(s"array($structs)")).as("tb"))
       .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-    val cand = keyed.alias("a").join(keyed.alias("b"),
+    keyed.alias("a").join(keyed.alias("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
       .groupBy("id1", "id2")
       .agg(count(lit(1)).as("n_tabs"))
-    cand
-      .join(e.select(col("vec_id").as("id1"), col("d").as("d1"), col("nrm").as("nrm1")), "id1")
-      .join(e.select(col("vec_id").as("id2"), col("d").as("d2"), col("nrm").as("nrm2")), "id2")
-      .withColumn("sim", expr("dot_product(d1, d2)") / (col("nrm1") * col("nrm2")))
-      .filter(col("sim") >= 0.4)
-      .select(col("id1"), col("id2"), col("n_tabs"),
-        (round(col("sim"), 4) + lit(0)).as("sim_r"))
-      .orderBy("id1", "id2")
   }
 
   private val multiTableNearDupSql =
@@ -1052,6 +1076,98 @@ object LlmPipeline extends QueryPack {
       |SELECT id1, id2, n_tabs, round(sim, 4) + 0 AS sim_r
       |FROM cand WHERE sim >= 0.4
       |ORDER BY id1, id2""".stripMargin
+
+  /** Sign bit of the scrambled plane family for 0-based dim i and
+    * global plane J — the Scala twin of the
+    * [[graft.functions.HyperplaneBucket]] modulus-0 mix. The oracle SQL
+    * embeds the bits as a literal table (computed HERE, so a drift in
+    * either engine's mix breaks the hash compare instead of hiding).
+    */
+  private def scrambledSignBit(i: Int, jj: Int): Int = {
+    var h = (i.toLong * 2654435761L + jj.toLong * 2654435769L + 2246822507L) & 0xFFFFFFFFL
+    h = ((h ^ (h >>> 16)) * 73244475L) & 0xFFFFFFFFL
+    h = h ^ (h >>> 16)
+    (h & 1L).toInt
+  }
+
+  /** DuckDB oracle for [[multiTableNearDupCfg]] at any (bits, L,
+    * modulus): the bucket comprehension and the OR/count clauses are
+    * generated for the given config so Spark and the oracle always
+    * describe the same hyperplane family — lattice families inline the
+    * mod-m sign test; the scrambled family (modulus 0) ships its
+    * 64·bits·L sign bits as a literal list in a CTE. (bits·L
+    * distinct-plane caveat as in [[graft.functions.HyperplaneBucket]].)
+    */
+  private[graft] def multiTableNearDupCfgSql(bits: Int, nTables: Int, modulus: Int,
+      threshold: Double = 0.4): String = {
+    val eqs = (1 to nTables).map(t => s"a.bks[$t] = b.bks[$t]")
+    val (sbCte, fromN, signCase) =
+      if (modulus == 0) {
+        val lit = (0 until bits * nTables).flatMap(jj =>
+          (0 until 64).map(i => scrambledSignBit(i, jj))).mkString("[", ", ", "]")
+        (s"sb AS (SELECT $lit AS sbits),\n",
+          "e, sb",
+          s"CASE WHEN sbits[(j + $bits * t) * 64 + i] = 1 THEN d[i] ELSE -d[i] END")
+      } else {
+        val half = (modulus + 1) / 2
+        ("", "e",
+          s"CASE WHEN ((i - 1) * 31 + (j + $bits * t) * 17) % $modulus < $half THEN d[i] ELSE -d[i] END")
+      }
+    s"""WITH ${sbCte}e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, d, sqrt(list_sum(list_transform(d, x -> x * x))) AS nrm,
+       |    [CAST(list_sum([CASE WHEN list_sum([
+       |        $signCase
+       |        for i in range(1, 65)]) >= 0
+       |      THEN (1 << j) ELSE 0 END for j in range(0, $bits)]) AS INTEGER) for t in range(0, $nTables)] AS bks
+       |  FROM $fromN),
+       |cand AS (
+       |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+       |    CAST(${eqs.map(e => s"($e)::INTEGER").mkString(" + ")} AS BIGINT) AS n_tabs,
+       |    list_sum([a.d[i] * b.d[i] for i in range(1, 65)]) / (a.nrm * b.nrm) AS sim
+       |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+       |    AND (${eqs.mkString(" OR ")}))
+       |SELECT id1, id2, n_tabs, round(sim, 4) + 0 AS sim_r
+       |FROM cand WHERE sim >= $threshold
+       |ORDER BY id1, id2""".stripMargin
+  }
+
+  /** q160 operating point — chosen from the committed RecallCurve sweep
+    * at sf0.1 (BASELINE.md). Two measured facts drove it. (1) The
+    * fixture's exact pairs are intrinsically hard for sign-LSH: the
+    * sim ≥ 0.4 answer concentrates just above the floor (median 0.419,
+    * p90 0.458 — θ ≈ 65°, nearly orthogonal), where per-plane collision
+    * is only p₁ ≈ 0.64. (2) On the lattice mod-61 family, adding tables
+    * plateaus at recall 0.66 by L = 12 — far below the independent
+    * 1−(1−p₁⁴)^L prediction — because all lattice planes are pairwise
+    * correlated; the scrambled family (modulus 0) restores the
+    * amplification AND cuts candidates ~40% (lattice buckets were
+    * skewed too). At (bits = 4, L = 12, scrambled) measured recall is
+    * 0.892 ≥ 0.8. AnnRecallSpec require-checks the target on the
+    * fixtures, so a fixture or family change that silently drops recall
+    * fails the build rather than the user.
+    */
+  private[graft] val AnnRecallBits = 4
+  private[graft] val AnnRecallTables = 12
+  private[graft] val AnnPlaneFamily = 0 // scrambled — HyperplaneBucket doc
+
+  /** Recall-target multi-table near-dup (q160): the q97 operator run at
+    * the recall ≥ 0.8 operating point the RecallCurve sweep selected —
+    * [[AnnRecallTables]] tables of [[AnnRecallBits]] planes on the
+    * scrambled (decorrelated) plane family. Same plan shape as q97 —
+    * explode to (tbl, bucket) keys, one equi-join, exact verify — so
+    * cost scales with L·Σ|bucket|², never n²; at fixture n the
+    * candidate FRACTION reads high only because 2^bits ≪ n (16 buckets
+    * over 2,000 vectors) — at production n, bits grows with log n and
+    * the per-bucket bound does the work.
+    */
+  def recallTargetNearDup(spark: SparkSession, dir: String): DataFrame =
+    multiTableNearDupCfg(spark, dir, AnnRecallBits, AnnRecallTables, AnnPlaneFamily)
+
+  private[graft] val recallTargetNearDupSql =
+    multiTableNearDupCfgSql(AnnRecallBits, AnnRecallTables, AnnPlaneFamily)
 
   /** Document fingerprinting via rolling hash (mandated text-analysis
     * row): Rabin-Karp polynomial hashes over every 16-char window
@@ -1113,7 +1229,37 @@ object LlmPipeline extends QueryPack {
     * min(struct) — no window over the full vector stream; candidate
     * generation is the cell-key equi-join.
     */
-  def ivfAnn(spark: SparkSession, dir: String): DataFrame = {
+  def ivfAnn(spark: SparkSession, dir: String): DataFrame =
+    ivfAnnCfg(spark, dir, nprobe = 2)
+
+  /** Config-driven core of q95/q161: nprobe is THE recall/cost dial —
+    * each probe scans its nprobe nearest of the k=8 cells, so scanned
+    * candidates grow ≈ nprobe/k of the corpus while recall@3 climbs
+    * toward 1. RecallCurve sweeps nprobe at sf0.1 against the exact
+    * top-3 (BASELINE.md records the curve); q161 pins the chosen
+    * recall ≥ 0.8 point and AnnRecallSpec requires it.
+    */
+  def ivfAnnCfg(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
+    val w = Window.partitionBy("p_id").orderBy(col("sim").desc, col("c_id").asc)
+    ivfCandidates(spark, dir, nprobe)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("p_id"), col("rk"), col("c_id"), col("cell"),
+        (round(col("sim"), 4) + lit(0)).as("sim_r"))
+      .orderBy("p_id", "rk")
+  }
+
+  /** Scanned-candidate count of [[ivfAnnCfg]] at a given nprobe — the
+    * cost axis RecallCurve reports next to recall@3.
+    */
+  private[graft] def ivfScannedCandidates(spark: SparkSession, dir: String, nprobe: Int): Long =
+    ivfCandidates(spark, dir, nprobe).count()
+
+  /** Candidate stage of [[ivfAnnCfg]]: every (probe, member) pair in the
+    * probe's nprobe nearest cells, with the exact sim attached — BEFORE
+    * the top-3 ranking cut.
+    */
+  private def ivfCandidates(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
     graft.functions.NativeFunctions.register(spark)
     val e = normed(spark, dir).select(col("vec_id"), col("d"), col("nrm"))
     val cents = e.filter(col("vec_id") < 8)
@@ -1128,27 +1274,28 @@ object LlmPipeline extends QueryPack {
       .agg(min(struct(col("l2sq"), col("cell"))).as("a"))
       .select(col("vec_id").as("c_id"), col("a.cell").as("cell"))
       .join(e.select(col("vec_id").as("c_id"), col("d").as("cd2"), col("nrm").as("cnrm2")), "c_id")
-    // Probes: nprobe=2 nearest cells each (8 structs collected per probe
+    // Probes: nprobe nearest cells each (8 structs collected per probe
     // — k is small by construction, this never grows with n).
     val probes = dist.filter(col("vec_id") < 10)
       .groupBy("vec_id")
-      .agg(slice(sort_array(collect_list(struct(col("l2sq"), col("cell")))), 1, 2).as("cs"))
+      .agg(slice(sort_array(collect_list(struct(col("l2sq"), col("cell")))), 1, nprobe).as("cs"))
       .select(col("vec_id").as("p_id"), explode(col("cs")).as("c"))
       .select(col("p_id"), col("c.cell").as("cell"))
       .join(e.select(col("vec_id").as("p_id"), col("d").as("pd"), col("nrm").as("pnrm")), "p_id")
-    val w = Window.partitionBy("p_id").orderBy(col("sim").desc, col("c_id").asc)
     members.join(broadcast(probes), "cell")
       .filter(col("c_id") =!= col("p_id"))
       .withColumn("sim", expr("dot_product(pd, cd2)") / (col("pnrm") * col("cnrm2")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 3)
-      .select(col("p_id"), col("rk"), col("c_id"), col("cell"),
-        (round(col("sim"), 4) + lit(0)).as("sim_r"))
-      .orderBy("p_id", "rk")
   }
 
-  private val ivfAnnSql =
-    """WITH n AS (
+  private val ivfAnnSql = ivfAnnCfgSql(2)
+
+  /** DuckDB oracle for [[ivfAnnCfg]] at any nprobe (q95 is nprobe=2,
+    * q161 the recall-target point): identical formulas in identical
+    * operation order, with only the `crk <= nprobe` probe-cell cut
+    * parameterized.
+    */
+  private[graft] def ivfAnnCfgSql(nprobe: Int): String =
+    s"""WITH n AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d
       |  FROM embeddings),
       |n2 AS (
@@ -1170,7 +1317,7 @@ object LlmPipeline extends QueryPack {
       |probes AS (
       |  SELECT r.vec_id AS p_id, r.cell, v.d AS pd, v.nrm AS pnrm
       |  FROM ranked_cells r JOIN n2 v ON r.vec_id = v.vec_id
-      |  WHERE crk <= 2 AND r.vec_id < 10),
+      |  WHERE crk <= $nprobe AND r.vec_id < 10),
       |pairs AS (
       |  SELECT p.p_id, m.c_id, m.cell,
       |    list_sum([p.pd[i] * m.cd2[i] for i in range(1, 65)]) / (p.pnrm * m.cnrm2) AS sim
@@ -1183,6 +1330,21 @@ object LlmPipeline extends QueryPack {
       |SELECT p_id, rk, c_id, cell, round(sim, 4) + 0 AS sim_r
       |FROM ranked WHERE rk <= 3
       |ORDER BY p_id, rk""".stripMargin
+
+  /** q161 operating point — chosen from the committed RecallCurve nprobe
+    * sweep at sf0.1 (BASELINE.md): the smallest nprobe whose measured
+    * recall@3 vs the exact top-3 clears 0.8.
+    */
+  private[graft] val IvfRecallNprobe = 4
+
+  /** Recall-target IVF ANN (q161): q95's operator at the nprobe the
+    * RecallCurve sweep selected for recall@3 ≥ 0.8; AnnRecallSpec
+    * require-checks the target on the fixtures.
+    */
+  def ivfRecallAnn(spark: SparkSession, dir: String): DataFrame =
+    ivfAnnCfg(spark, dir, IvfRecallNprobe)
+
+  private[graft] val ivfRecallAnnSql = ivfAnnCfgSql(IvfRecallNprobe)
 
   /** TF-IDF term scoring (text-analysis family): per-(doc, token) term
     * frequency × ln(N / document-frequency). Classic retrieval/quality
@@ -2716,5 +2878,7 @@ object LlmPipeline extends QueryPack {
     QueryDef("q151_pagerank", pagerankCentrality, Some(pagerankSql)),
     QueryDef("q152_source_cap", sourceCap, Some(sourceCapSql)),
     QueryDef("q153_negative_sampling", negativeSampling, Some(negativeSamplingSql)),
-    QueryDef("q155_vocab_encode", vocabEncode, Some(vocabEncodeSql)))
+    QueryDef("q155_vocab_encode", vocabEncode, Some(vocabEncodeSql)),
+    QueryDef("q160_recall_target_neardup", recallTargetNearDup, Some(recallTargetNearDupSql)),
+    QueryDef("q161_ivf_recall_ann", ivfRecallAnn, Some(ivfRecallAnnSql)))
 }
