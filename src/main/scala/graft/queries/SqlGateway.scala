@@ -204,6 +204,71 @@ object SqlGateway extends QueryPack {
       |GROUP BY o_orderstatus
       |ORDER BY status""".stripMargin
 
+  /** UPDATE-shaped command through the log (q162) — completes the DML
+    * command family the log carries: CTAS (q156), INSERT (q156),
+    * DELETE-as-rewrite (q156), MERGE (q158), and now UPDATE. On
+    * immutable columnar storage an UPDATE compiles to the same
+    * generation rewrite as a DELETE, with the SET clause becoming a
+    * CASE projection — write every row, transformed where the predicate
+    * holds, then swap the pointer (what snapshot-based table formats do
+    * with copy-on-write UPDATE at 100 TB). The log:
+    *
+    *   1. CTAS `upd_cust_mat` — materialize the customer generation,
+    *   2. UPDATE-shaped — `CREATE TABLE upd_cust_v2 AS SELECT …,
+    *      CASE WHEN acctbal < 0 THEN 0.00 ELSE acctbal END` with an
+    *      `updated` audit flag: "UPDATE customers SET acctbal = 0
+    *      WHERE acctbal < 0" as its rewrite compilation.
+    *
+    * Order-dependent (2 reads 1's table); DROP+CTAS idempotent, so
+    * replay-after-partial-apply converges (q159 property). Balances in
+    * DECIMAL(12,2) end-to-end; the oracle runs the identical derivation
+    * as a WITH-chain.
+    */
+  private val updateLog = Seq(
+    "DROP TABLE IF EXISTS upd_cust_mat",
+    "DROP TABLE IF EXISTS upd_cust_v2",
+    """CREATE TABLE upd_cust_mat USING PARQUET AS
+      |SELECT c_custkey, c_nationkey, c_mktsegment,
+      |  CAST(c_acctbal AS DECIMAL(12,2)) AS acctbal
+      |FROM customer""".stripMargin,
+    """CREATE TABLE upd_cust_v2 USING PARQUET AS
+      |SELECT c_custkey, c_nationkey, c_mktsegment,
+      |  CASE WHEN acctbal < 0 THEN CAST(0.00 AS DECIMAL(12,2)) ELSE acctbal END AS acctbal,
+      |  CASE WHEN acctbal < 0 THEN 1 ELSE 0 END AS updated
+      |FROM upd_cust_mat""".stripMargin)
+
+  private val updateFinalQuery =
+    """SELECT c_mktsegment AS segment, count(*) AS n_cust,
+      |  CAST(sum(updated) AS BIGINT) AS n_updated,
+      |  round(CAST(sum(acctbal) AS DOUBLE), 4) AS total_bal
+      |FROM upd_cust_v2
+      |GROUP BY c_mktsegment
+      |ORDER BY segment""".stripMargin
+
+  def updateApply(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    resetManagedLocations(spark, Seq("upd_cust_mat", "upd_cust_v2"))
+    applyLog(spark, updateLog)
+    spark.sql(updateFinalQuery)
+  }
+
+  private val updateApplySql =
+    """WITH upd_cust_mat AS (
+      |  SELECT c_custkey, c_nationkey, c_mktsegment,
+      |    CAST(c_acctbal AS DECIMAL(12,2)) AS acctbal
+      |  FROM customer),
+      |upd_cust_v2 AS (
+      |  SELECT c_custkey, c_nationkey, c_mktsegment,
+      |    CASE WHEN acctbal < 0 THEN CAST(0.00 AS DECIMAL(12,2)) ELSE acctbal END AS acctbal,
+      |    CASE WHEN acctbal < 0 THEN 1 ELSE 0 END AS updated
+      |  FROM upd_cust_mat)
+      |SELECT c_mktsegment AS segment, count(*) AS n_cust,
+      |  CAST(sum(updated) AS BIGINT) AS n_updated,
+      |  round(CAST(sum(acctbal) AS DOUBLE), 4) AS total_bal
+      |FROM upd_cust_v2
+      |GROUP BY c_mktsegment
+      |ORDER BY segment""".stripMargin
+
   /** MERGE-shaped SCD2 upsert routed through the SQL command log (q158
     * — VERDICT r9 item 2): q157 proved the incremental SCD2 merge as a
     * DataFrame program; this is the SAME merge carried as SQL command
@@ -404,5 +469,6 @@ object SqlGateway extends QueryPack {
     QueryDef("q107_command_log_replay", commandLogReplay, Some(commandLogReplaySql)),
     QueryDef("q156_dml_apply", dmlApply, Some(dmlApplySql)),
     QueryDef("q158_scd2_merge_log", scd2MergeViaLog, Some(Changelog.fullRebuildSql)),
-    QueryDef("q159_durable_log_replay", durableLogReplay, Some(durableLogReplaySql)))
+    QueryDef("q159_durable_log_replay", durableLogReplay, Some(durableLogReplaySql)),
+    QueryDef("q162_update_apply", updateApply, Some(updateApplySql)))
 }

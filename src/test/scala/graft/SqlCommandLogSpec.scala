@@ -57,6 +57,34 @@ class SqlCommandLogSpec extends SparkSpec {
     }
   }
 
+  test("q162 UPDATE log: the rewrite updates exactly the predicate's rows and keeps the rest byte-identical") {
+    try {
+      val result = SqlGateway.updateApply(spark, sfDir).collect().map(_.toString).toSeq
+      assert(result.nonEmpty)
+      val mat = spark.table("upd_cust_mat")
+      val v2 = spark.table("upd_cust_v2")
+      // Row count preserved — UPDATE rewrites, never drops.
+      assert(v2.count() == mat.count(), "UPDATE generation must keep every row")
+      // Exactly the predicate's rows carry the audit flag and the new
+      // value; no negative balance survives.
+      assert(v2.filter("updated = 1").count() == mat.filter("acctbal < 0").count(),
+        "updated-flag count must equal the predicate count")
+      assert(v2.filter("acctbal < 0").count() == 0, "no negative balance may survive the UPDATE")
+      assert(v2.filter("updated = 1 AND acctbal <> 0").count() == 0,
+        "every updated row must carry the SET value")
+      // Untouched rows pass through unchanged (anti-join on full row).
+      val untouchedChanged = mat.filter("acctbal >= 0")
+        .exceptAll(v2.filter("updated = 0").drop("updated")).count()
+      assert(untouchedChanged == 0, "non-matching rows must be byte-identical across generations")
+      // Clean-store replay converges to the same answer.
+      val again = SqlGateway.updateApply(spark, sfDir).collect().map(_.toString).toSeq
+      assert(again == result)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS upd_cust_mat")
+      spark.sql("DROP TABLE IF EXISTS upd_cust_v2")
+    }
+  }
+
   test("a query command through the gateway equals the DataFrame surface") {
     val viaSql = SqlGateway.sqlCommand(spark, sfDir)
       .collect().map(_.toString).toSeq
