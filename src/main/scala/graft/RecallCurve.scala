@@ -97,6 +97,14 @@ object RecallCurve {
     println(f"\nq160 contract: $q160Hits/$nExact = ${q160Hits.toDouble / nExact}%.3f " +
       "recall vs the exact sim >= 0.4 answer (target >= 0.8)")
 
+    // Multi-probe alternative (q163): Hamming-1 probing over a 3x
+    // smaller stored index — same contract.
+    val q163Hits = queries.LlmPipeline.multiProbeNearDup(spark, dir)
+      .select("id1", "id2").join(exactPairs, Seq("id1", "id2"), "left_semi").count()
+    println(f"q163 contract: $q163Hits/$nExact = ${q163Hits.toDouble / nExact}%.3f " +
+      s"recall (bits=${queries.LlmPipeline.MpBits}, L=${queries.LlmPipeline.MpTables}, " +
+      "probe Hamming<=1; target >= 0.8)")
+
     // --- IVF nprobe sweep --------------------------------------------------
     println("\n| nprobe | scanned candidates | hit rows | recall@3 |")
     println("|---|---|---|---|")

@@ -1169,6 +1169,97 @@ object LlmPipeline extends QueryPack {
   private[graft] val recallTargetNearDupSql =
     multiTableNearDupCfgSql(AnnRecallBits, AnnRecallTables, AnnPlaneFamily)
 
+  /** q163 operating point — the multi-probe alternative to q160's
+    * many-tables shape, from the same committed RecallCurve evidence:
+    * (bits = 5, L = 4, probe Hamming ≤ 1) measures recall 0.886/0.915
+    * (sf0.1/sf0.01) at q160-equal candidate cost with a 3× SMALLER
+    * stored index (4·n index rows vs 12·n).
+    */
+  private[graft] val MpBits = 5
+  private[graft] val MpTables = 4
+
+  /** Multi-probe LSH near-dup (q163): instead of buying recall with
+    * more tables (q160: L = 12), buy it by PROBING each table's
+    * neighboring buckets — a pair is a candidate if its buckets in some
+    * table differ in ≤ 1 of the [[MpBits]] sign bits (Lv et al.'s
+    * multi-probe idea applied to the symmetric pair join). Per-plane
+    * near-misses are the dominant loss mode for nearly-orthogonal pairs
+    * (one flipped sign bit kills an exact-bucket collision), so
+    * Hamming-1 probing recovers most of what extra tables would, while
+    * the STORED index — the artifact that lives on disk and is
+    * re-probed by every incremental shard at 100 TB (the q144 pattern)
+    * — stays L = [[MpTables]] tables instead of 12.
+    *
+    * Plan shape: the probe side explodes each vector to
+    * (1 + bits)·L keys (exact bucket + each single-bit flip per
+    * table); the index side keeps exact buckets only; candidate
+    * generation is still ONE (tbl, bucket) equi-join — never
+    * all-pairs — and per (pair, table) EXACTLY one probe key matches
+    * (flip f hits iff the buckets differ in exactly bit f), so the
+    * count aggregate is again the number of agreeing tables.
+    */
+  def multiProbeNearDup(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("d"))
+      .withColumn("nrm", expr("sqrt(dot_product(d, d))"))
+    val bucketCols = (0 until MpTables).map(t =>
+      s"struct($t AS tbl, hyperplane_bucket(d, $MpBits, $t, 0) AS bucket)").mkString(", ")
+    val indexKeys = e.select(col("vec_id"), explode(expr(s"array($bucketCols)")).as("tb"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val flips = (0 until MpBits).map(1 << _)
+    val probeKeys = indexKeys.select(col("vec_id"), col("tbl"),
+      explode(array((lit(0) +: flips.map(lit(_))): _*)).as("flip"),
+      col("bucket"))
+      .select(col("vec_id"), col("tbl"),
+        expr("int(bucket ^ flip)").as("bucket"))
+    val cand = probeKeys.alias("a").join(indexKeys.alias("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
+      .groupBy("id1", "id2")
+      .agg(count(lit(1)).as("n_tabs"))
+    cand
+      .join(e.select(col("vec_id").as("id1"), col("d").as("d1"), col("nrm").as("nrm1")), "id1")
+      .join(e.select(col("vec_id").as("id2"), col("d").as("d2"), col("nrm").as("nrm2")), "id2")
+      .withColumn("sim", expr("dot_product(d1, d2)") / (col("nrm1") * col("nrm2")))
+      .filter(col("sim") >= 0.4)
+      .select(col("id1"), col("id2"), col("n_tabs"),
+        (round(col("sim"), 4) + lit(0)).as("sim_r"))
+      .orderBy("id1", "id2")
+  }
+
+  /** Oracle for q163: same scrambled sign table as the Spark side,
+    * candidate predicate `bit_count(xor(bks)) <= 1` per table (the
+    * probe expansion and the Hamming test are the same set).
+    */
+  private[graft] val multiProbeNearDupSql = {
+    val lit = (0 until MpBits * MpTables).flatMap(jj =>
+      (0 until 64).map(i => scrambledSignBit(i, jj))).mkString("[", ", ", "]")
+    val hams = (1 to MpTables).map(t =>
+      s"bit_count(CAST(xor(a.bks[$t], b.bks[$t]) AS BIGINT)) <= 1")
+    s"""WITH sb AS (SELECT $lit AS sbits),
+       |e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, d, sqrt(list_sum(list_transform(d, x -> x * x))) AS nrm,
+       |    [CAST(list_sum([CASE WHEN list_sum([
+       |        CASE WHEN sbits[(j + $MpBits * t) * 64 + i] = 1 THEN d[i] ELSE -d[i] END
+       |        for i in range(1, 65)]) >= 0
+       |      THEN (1 << j) ELSE 0 END for j in range(0, $MpBits)]) AS INTEGER) for t in range(0, $MpTables)] AS bks
+       |  FROM e, sb),
+       |cand AS (
+       |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+       |    CAST(${hams.map(h => s"($h)::INTEGER").mkString(" + ")} AS BIGINT) AS n_tabs,
+       |    list_sum([a.d[i] * b.d[i] for i in range(1, 65)]) / (a.nrm * b.nrm) AS sim
+       |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+       |    AND (${hams.mkString(" OR ")}))
+       |SELECT id1, id2, n_tabs, round(sim, 4) + 0 AS sim_r
+       |FROM cand WHERE sim >= 0.4
+       |ORDER BY id1, id2""".stripMargin
+  }
+
   /** Document fingerprinting via rolling hash (mandated text-analysis
     * row): Rabin-Karp polynomial hashes over every 16-char window
     * (base 131 mod 1e9+7 — integer-exact in both engines), sampled
@@ -2880,5 +2971,6 @@ object LlmPipeline extends QueryPack {
     QueryDef("q153_negative_sampling", negativeSampling, Some(negativeSamplingSql)),
     QueryDef("q155_vocab_encode", vocabEncode, Some(vocabEncodeSql)),
     QueryDef("q160_recall_target_neardup", recallTargetNearDup, Some(recallTargetNearDupSql)),
-    QueryDef("q161_ivf_recall_ann", ivfRecallAnn, Some(ivfRecallAnnSql)))
+    QueryDef("q161_ivf_recall_ann", ivfRecallAnn, Some(ivfRecallAnnSql)),
+    QueryDef("q163_multiprobe_neardup", multiProbeNearDup, Some(multiProbeNearDupSql)))
 }

@@ -48,6 +48,21 @@ class AnnRecallSpec extends SparkSpec {
         s"${lattice.size}/${exact.size} at the same (bits, L)")
   }
 
+  test("q163 multi-probe near-dup clears recall >= 0.8 vs exact q77 with a 3x smaller index than q160") {
+    // Hamming-1 probing buys with probe fan-out what q160 buys with
+    // tables: measured 0.915 here / 0.886 at sf0.1, stored index
+    // MpTables=4 tables vs q160's 12.
+    val exact = pairSet(queries.LlmPipeline.embeddingNearDup(spark, dir))
+    val got = pairSet(queries.LlmPipeline.multiProbeNearDup(spark, dir))
+    assert(got.subsetOf(exact),
+      s"q163 verifies at the exact threshold; extras=${(got -- exact).take(5)}")
+    val recall = got.size.toDouble / exact.size
+    assert(recall >= 0.8,
+      s"q163 recall ${got.size}/${exact.size} = $recall fell below the 0.8 target")
+    assert(queries.LlmPipeline.MpTables < queries.LlmPipeline.AnnRecallTables,
+      "the q163 index must be strictly smaller than q160's — that's its reason to exist")
+  }
+
   test("q161 IVF at the shipped nprobe clears recall@3 >= 0.8 vs the exact top-3") {
     graft.functions.NativeFunctions.register(spark)
     val e = graft.sources.Tables.embeddings(spark, dir)
