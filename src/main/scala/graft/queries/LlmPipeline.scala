@@ -1802,6 +1802,100 @@ object LlmPipeline extends QueryPack {
       |FROM labels JOIN sizes USING (cluster)
       |ORDER BY doc_id""".stripMargin
 
+  /** Takedown propagation (q165): bounded-hop closure of an external
+    * removal list through the near-dup graph. When a takedown /
+    * right-to-be-forgotten notice names specific documents, removing
+    * only the named ids leaves their near-duplicates — the same content
+    * with perturbed shingles — in the corpus, so production pipelines
+    * remove the noticed docs AND everything within K near-dup hops.
+    * The notice list is external input; the fixture stand-in is the
+    * deterministic `doc_id % 17 == 3` (NOT derived from content, which
+    * is exactly why propagation is non-vacuous here: q100-style
+    * contamination seeds are already closed under near-duplication —
+    * a near-dup of a doc overlapping the eval set overlaps it too —
+    * whereas a notice names one copy and the graph finds the others).
+    * Output: (doc_id, hop) removal list, hop = graph distance from the
+    * notice set, hop ≤ 2.
+    *
+    * K is FIXED (TakedownHops = 2), so unlike q101's fixpoint loop
+    * there is no driver-side convergence scalar at all — the plan is a
+    * static chain of K shuffle-join + min-aggregate rounds over the
+    * memoized pair-graph leaf (the q101/q151 discipline: consumers
+    * iterate over a parquet scan, not the LSH lineage). Two hops is the
+    * operating point because near-dup components are shallow (documented
+    * at q101) — and the hop column itself audits that choice: rows
+    * entering at hop K tell the operator the closure may be truncated
+    * (CurationOpsSpec proves hop-2 entry on a synthetic chain).
+    *
+    * Scale notes: each round shuffles on doc id, edges are near-dup
+    * pairs (dimension-sized relative to the corpus, never all pairs),
+    * and the min-hop aggregate is partial-agg'd map-side. At 100 TB the
+    * notice list is KBs — the first-round join broadcasts it; later
+    * frontiers stay key-partitioned with the edge table.
+    */
+  private[graft] val TakedownHops = 2
+
+  /** K-hop min-distance propagation over a symmetric `(id1, id2)` edge
+    * list from `(id, hop)` seeds — factored out so the hop-2 entry path
+    * (which the fixture graph cannot exercise: its components have
+    * diameter ≤ 2, putting every node within 1 hop of any internal
+    * seed) is provable on a synthetic chain in CurationOpsSpec.
+    */
+  private[graft] def propagateHops(
+      edges: DataFrame, seeds: DataFrame, hops: Int): DataFrame = {
+    var reached = seeds
+    for (k <- 1 to hops) {
+      val frontier = reached.filter(col("hop") === k - 1)
+      val nxt = edges.join(frontier, edges("id1") === frontier("id"))
+        .select(col("id2").as("id"), lit(k).as("hop"))
+      reached = reached.union(nxt).groupBy("id").agg(min("hop").as("hop"))
+    }
+    reached
+  }
+
+  def takedownSpread(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeFunctions.register(spark)
+    val pairs = lshPairGraph(spark, dir).select("id1", "id2")
+    val edges = pairs.union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+    val seeds = Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(17)) === 3)
+      .select(col("doc_id").as("id"), lit(0).as("hop"))
+    propagateHops(edges, seeds, TakedownHops)
+      .select(col("id").as("doc_id"), col("hop"))
+      .orderBy("doc_id")
+  }
+
+  // Fixed K ⇒ the oracle unrolls the hops as a plain WITH-chain (no
+  // recursion); pairs/sh MATERIALIZED for the same reason as q101's.
+  private val takedownSpreadSql =
+    """WITH sh AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+      |pairs AS MATERIALIZED (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+      |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+      |edges AS (
+      |  SELECT id1, id2 FROM pairs UNION ALL SELECT id2 AS id1, id1 AS id2 FROM pairs),
+      |h0 AS (SELECT doc_id AS id, 0 AS hop FROM documents WHERE doc_id % 17 = 3),
+      |r1 AS (
+      |  SELECT id, min(hop) AS hop FROM (
+      |    SELECT * FROM h0
+      |    UNION ALL
+      |    SELECT e.id2 AS id, 1 AS hop FROM edges e JOIN h0 ON e.id1 = h0.id)
+      |  GROUP BY id),
+      |r2 AS (
+      |  SELECT id, min(hop) AS hop FROM (
+      |    SELECT * FROM r1
+      |    UNION ALL
+      |    SELECT e.id2 AS id, 2 AS hop FROM edges e
+      |    JOIN r1 ON e.id1 = r1.id AND r1.hop = 1)
+      |  GROUP BY id)
+      |SELECT id AS doc_id, hop FROM r2
+      |ORDER BY doc_id""".stripMargin
+
   /** Multimodal binary-column pipeline: synthesized media payloads →
     * partition-batched decode-stub features → per-kind aggregate
     * (graft.multimodal.Multimodal). The oracle reproduces the stub's
@@ -2972,5 +3066,6 @@ object LlmPipeline extends QueryPack {
     QueryDef("q155_vocab_encode", vocabEncode, Some(vocabEncodeSql)),
     QueryDef("q160_recall_target_neardup", recallTargetNearDup, Some(recallTargetNearDupSql)),
     QueryDef("q161_ivf_recall_ann", ivfRecallAnn, Some(ivfRecallAnnSql)),
-    QueryDef("q163_multiprobe_neardup", multiProbeNearDup, Some(multiProbeNearDupSql)))
+    QueryDef("q163_multiprobe_neardup", multiProbeNearDup, Some(multiProbeNearDupSql)),
+    QueryDef("q165_takedown_spread", takedownSpread, Some(takedownSpreadSql)))
 }

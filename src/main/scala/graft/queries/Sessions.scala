@@ -227,6 +227,66 @@ object Sessions extends QueryPack {
       |GROUP BY prev_type, next_type
       |ORDER BY prev_type, next_type""".stripMargin
 
+  /** Event-sequence pattern matching (q166) — the MATCH_RECOGNIZE
+    * capability class: collapse each user's time-ordered event stream to
+    * a symbol string (view→v, click→c, purchase→p, signup→s, error→e)
+    * and count motif occurrences in it. Two motif forms:
+    *
+    *   - `n_vcp`: the literal view→click→purchase motif, counted via the
+    *     replace-length identity `(len(s) - len(replace(s, m, ''))) / 3`
+    *     — pure string arithmetic, so the count is engine-exact (no
+    *     regex-dialect semantics in the hash-gated columns),
+    *   - `n_pattern`: the variable-length `vc+p` motif (one view, one or
+    *     more clicks, then a purchase) via regexp_count — leftmost
+    *     non-overlapping matching, which Java's find() loop and DuckDB's
+    *     RE2 agree on for this alternation-free pattern.
+    *
+    * The sequence is built by ONE aggregation per user: collect_list of
+    * (ts_us, event_id, sym) structs, array_sort (lexicographic on the
+    * struct = time order with event_id tie-break — the q139 sequence
+    * discipline), then transform+array_join. No window over the full
+    * stream, one shuffle on user_id.
+    *
+    * Scale notes: per-user state is the user's event count — the same
+    * bound every session/funnel operator here already carries; a 100-TB
+    * deployment bounds it by sessionizing first (q62) and matching within
+    * sessions, which this operator composes with unchanged. The
+    * alternative — a lag-window chain — cannot express variable-length
+    * motifs (`c+`) without one window pass per repetition bound.
+    */
+  def sequenceMotifs(spark: SparkSession, dir: String): DataFrame = {
+    val sym = when(col("event_type") === "view", "v")
+      .when(col("event_type") === "click", "c")
+      .when(col("event_type") === "purchase", "p")
+      .when(col("event_type") === "signup", "s")
+      .otherwise("e")
+    Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), sym.as("sym"))
+      .groupBy("user_id")
+      .agg(collect_list(struct(col("ts_us"), col("event_id"), col("sym"))).as("evs"))
+      .withColumn("seq", expr("array_join(transform(array_sort(evs), x -> x.sym), '')"))
+      .select(col("user_id"),
+        length(col("seq")).as("seq_len"),
+        ((length(col("seq")) - length(regexp_replace(col("seq"), "vcp", ""))) / 3)
+          .cast("int").as("n_vcp"),
+        regexp_count(col("seq"), lit("vc+p")).cast("int").as("n_pattern"))
+      .orderBy("user_id")
+  }
+
+  private val sequenceMotifsSql =
+    """WITH seqs AS (
+      |  SELECT user_id,
+      |    string_agg(CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+      |               WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+      |               ELSE 'e' END, '' ORDER BY ts, event_id) AS seq
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id, CAST(length(seq) AS INTEGER) AS seq_len,
+      |  CAST((length(seq) - length(replace(seq, 'vcp', ''))) / 3 AS INTEGER) AS n_vcp,
+      |  CAST(len(regexp_extract_all(seq, 'vc+p')) AS INTEGER) AS n_pattern
+      |FROM seqs
+      |ORDER BY user_id""".stripMargin
+
   override def all: Seq[QueryDef] = Seq(
     QueryDef("q60_tumbling_daily", tumblingDaily, Some(tumblingDailySql)),
     QueryDef("q61_sliding_windows", slidingWindows, Some(slidingWindowsSql)),
@@ -234,5 +294,6 @@ object Sessions extends QueryPack {
     QueryDef("q63_dedup_keep_first", dedupKeepFirst, Some(dedupKeepFirstSql)),
     QueryDef("q64_dedup_watermark_batch", dedupWatermarkBatch, Some(dedupWatermarkBatchSql)),
     QueryDef("q94_funnel", funnel, Some(funnelSql)),
-    QueryDef("q139_transition_matrix", transitionMatrix, Some(transitionMatrixSql)))
+    QueryDef("q139_transition_matrix", transitionMatrix, Some(transitionMatrixSql)),
+    QueryDef("q166_sequence_motifs", sequenceMotifs, Some(sequenceMotifsSql)))
 }

@@ -464,11 +464,108 @@ object SqlGateway extends QueryPack {
       |GROUP BY segment
       |ORDER BY segment""".stripMargin
 
+  /** Generation time travel (q164): the read-side payoff of the
+    * generation-rewrite convention every DML command here compiles to
+    * (q156 DELETE, q162 UPDATE, q158 MERGE). Because a rewrite writes
+    * the NEXT generation and swaps a pointer — it never mutates bytes —
+    * every superseded generation remains a fully queryable immutable
+    * table, which is exactly how snapshot-based table formats serve
+    * `AS OF` reads at 100 TB. The log builds a three-generation history
+    * of `part`:
+    *
+    *   g1  CTAS          — the initial generation,
+    *   g2  DELETE-shaped — drop one key stripe (p_partkey % 10 = 7;
+    *       key-derived so the predicate is scale-invariant across
+    *       fixture generations, unlike a price constant — sf0.001's
+    *       price range is a strict subset of sf0.01's),
+    *   g3  ALTER-shaped  — ADD COLUMN band + backfill as a projection
+    *       rewrite (completing the command family with schema change:
+    *       on immutable storage an ALTER..ADD with a backfill expression
+    *       is the same generation write as DML),
+    *
+    * plus `ttv_generations`, the pointer table mapping generation → data
+    * table ([[timeTravelRead]] resolves through it — the one collect is
+    * control-plane metadata, rows = generations, never data-sized). The
+    * query reads ALL generations through the pointer table and emits one
+    * summary row per generation — n_premium is NULL before g3 because
+    * the column does not exist yet in those generations' schemas, so the
+    * result hash-pins both the data history and the schema history.
+    */
+  private val ttvTables =
+    Seq("ttv_part_g1", "ttv_part_g2", "ttv_part_g3", "ttv_generations")
+
+  private val ttvLog = Seq(
+    "DROP TABLE IF EXISTS ttv_part_g1",
+    "DROP TABLE IF EXISTS ttv_part_g2",
+    "DROP TABLE IF EXISTS ttv_part_g3",
+    "DROP TABLE IF EXISTS ttv_generations",
+    """CREATE TABLE ttv_part_g1 USING PARQUET AS
+      |SELECT p_partkey, CAST(p_retailprice AS DECIMAL(12,2)) AS price
+      |FROM part""".stripMargin,
+    """CREATE TABLE ttv_part_g2 USING PARQUET AS
+      |SELECT * FROM ttv_part_g1 WHERE NOT (p_partkey % 10 = 7)""".stripMargin,
+    """CREATE TABLE ttv_part_g3 USING PARQUET AS
+      |SELECT *, CASE WHEN p_partkey % 4 = 0 THEN 'premium' ELSE 'standard' END AS band
+      |FROM ttv_part_g2""".stripMargin,
+    """CREATE TABLE ttv_generations USING PARQUET AS
+      |SELECT * FROM VALUES (1, 'ttv_part_g1'), (2, 'ttv_part_g2'), (3, 'ttv_part_g3')
+      |AS t(gen, tbl)""".stripMargin)
+
+  /** Read the table as of generation `gen`, resolved through the
+    * pointer table (no generation-table name leaves the metadata
+    * layer).
+    */
+  private[graft] def timeTravelRead(spark: SparkSession, gen: Int): DataFrame = {
+    val tbl = spark.table("ttv_generations")
+      .filter(org.apache.spark.sql.functions.col("gen") === gen)
+      .head().getString(1)
+    spark.table(tbl)
+  }
+
+  def generationTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Tables.registerAll(spark, dir)
+    resetManagedLocations(spark, ttvTables)
+    applyLog(spark, ttvLog)
+    val perGen = (1 to 3).map { g =>
+      val df = timeTravelRead(spark, g)
+      val nPremium =
+        if (df.columns.contains("band"))
+          sum(when(col("band") === "premium", 1L).otherwise(0L)).cast("long")
+        else lit(null).cast("long")
+      df.agg(count(lit(1)).as("n_rows"),
+          round(sum(col("price")).cast("double"), 4).as("total_price"),
+          nPremium.as("n_premium"))
+        .withColumn("gen", lit(g))
+    }
+    perGen.reduce(_ unionByName _)
+      .select("gen", "n_rows", "total_price", "n_premium")
+      .orderBy("gen")
+  }
+
+  private val generationTimeTravelSql =
+    """WITH g1 AS (
+      |  SELECT p_partkey, CAST(p_retailprice AS DECIMAL(12,2)) AS price FROM part),
+      |g2 AS (SELECT * FROM g1 WHERE NOT (p_partkey % 10 = 7)),
+      |g3 AS (SELECT *, CASE WHEN p_partkey % 4 = 0 THEN 'premium' ELSE 'standard' END AS band
+      |       FROM g2)
+      |SELECT 1 AS gen, count(*) AS n_rows,
+      |  round(CAST(sum(price) AS DOUBLE), 4) AS total_price,
+      |  CAST(NULL AS BIGINT) AS n_premium FROM g1
+      |UNION ALL
+      |SELECT 2, count(*), round(CAST(sum(price) AS DOUBLE), 4), CAST(NULL AS BIGINT) FROM g2
+      |UNION ALL
+      |SELECT 3, count(*), round(CAST(sum(price) AS DOUBLE), 4),
+      |  CAST(sum(CASE WHEN band = 'premium' THEN 1 ELSE 0 END) AS BIGINT) FROM g3
+      |ORDER BY gen""".stripMargin
+
   override def all: Seq[QueryDef] = Seq(
     QueryDef("q91_sql_command", sqlCommand, Some(revenueByNationCmd)),
     QueryDef("q107_command_log_replay", commandLogReplay, Some(commandLogReplaySql)),
     QueryDef("q156_dml_apply", dmlApply, Some(dmlApplySql)),
     QueryDef("q158_scd2_merge_log", scd2MergeViaLog, Some(Changelog.fullRebuildSql)),
     QueryDef("q159_durable_log_replay", durableLogReplay, Some(durableLogReplaySql)),
-    QueryDef("q162_update_apply", updateApply, Some(updateApplySql)))
+    QueryDef("q162_update_apply", updateApply, Some(updateApplySql)),
+    QueryDef("q164_generation_time_travel", generationTimeTravel,
+      Some(generationTimeTravelSql)))
 }

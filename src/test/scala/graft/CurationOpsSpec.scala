@@ -154,4 +154,41 @@ class CurationOpsSpec extends SparkSpec {
       .count()
     assert(unsorted == 0, "postings_head must be the ascending doc_id prefix")
   }
+
+  test("q165 core: propagation enters at hop 2 on a chain, takes the min over a diamond, and stops at K") {
+    import spark.implicits._
+    // Chain 1-2-3-4 seeded at 1 (node 4 is 3 hops out — past K=2) plus
+    // diamond 10-{11,12}-13 seeded at 10 (13 is reachable two ways at
+    // hop 2 — min-hop must emit it once). The fixture graph cannot
+    // exercise hop-2 entry (components are shallow), so the law lives
+    // here.
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (11L, 13L), (12L, 13L))
+    val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("id1", "id2")
+    val seeds = Seq((1L, 0), (10L, 0)).toDF("id", "hop")
+    val got = LlmPipeline.propagateHops(edges, seeds, hops = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2,
+      10L -> 0, 11L -> 1, 12L -> 1, 13L -> 2))
+  }
+
+  test("q165: fixture closure has exact seeds and every hop-1 row is a pair-graph neighbor of a seed") {
+    val got = LlmPipeline.takedownSpread(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val seeds = got.filter(_._2 == 0).map(_._1).toSet
+    val expectedSeeds = graft.sources.Tables.documents(spark, sfDir)
+      .filter("doc_id % 17 = 3").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(seeds == expectedSeeds, "hop-0 set must be exactly the notice list")
+    val pairs = LlmPipeline.minhashLsh(spark, sfDir)
+      .select("id1", "id2").collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+    val hop1 = got.filter(_._2 == 1).map(_._1)
+    assert(hop1.nonEmpty,
+      "fixture propagation must be non-vacuous (notice list is graph-independent)")
+    hop1.foreach { id =>
+      assert(pairs.exists { case (a, b) => a == id && seeds.contains(b) },
+        s"hop-1 doc $id must be a near-dup neighbor of a seed")
+    }
+  }
 }

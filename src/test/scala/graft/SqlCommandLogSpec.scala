@@ -85,6 +85,35 @@ class SqlCommandLogSpec extends SparkSpec {
     }
   }
 
+  test("q164: every generation stays queryable after the pointer swap, with its own schema") {
+    try {
+      val res = SqlGateway.generationTimeTravel(spark, sfDir).collect()
+      assert(res.length == 3)
+      val iRows = res(0).fieldIndex("n_rows")
+      val iPrem = res(0).fieldIndex("n_premium")
+      val n = res.map(_.getLong(iRows))
+      assert(n(0) > n(1), "the DELETE-shaped g2 rewrite must drop rows")
+      assert(n(1) == n(2), "the ALTER-shaped g3 rewrite must preserve row count")
+      assert(res(0).isNullAt(iPrem) && res(1).isNullAt(iPrem),
+        "n_premium must be NULL before the column exists")
+      assert(!res(2).isNullAt(iPrem) && res(2).getLong(iPrem) > 0)
+      // Schema history through the pointer table: band exists only at g3.
+      assert(!SqlGateway.timeTravelRead(spark, 1).columns.contains("band"))
+      assert(!SqlGateway.timeTravelRead(spark, 2).columns.contains("band"))
+      assert(SqlGateway.timeTravelRead(spark, 3).columns.contains("band"))
+      // The superseded g1 generation still answers the ORIGINAL query:
+      // its row count equals the raw source (rewrites never mutate it).
+      val src = graft.sources.Tables.part(spark, sfDir).count()
+      assert(SqlGateway.timeTravelRead(spark, 1).count() == src)
+      // Replaying the whole log converges (DROP IF EXISTS + CTAS pairs).
+      val again = SqlGateway.generationTimeTravel(spark, sfDir).collect()
+      assert(again.map(_.toString).toSeq == res.map(_.toString).toSeq)
+    } finally {
+      Seq("ttv_part_g1", "ttv_part_g2", "ttv_part_g3", "ttv_generations")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("a query command through the gateway equals the DataFrame surface") {
     val viaSql = SqlGateway.sqlCommand(spark, sfDir)
       .collect().map(_.toString).toSeq

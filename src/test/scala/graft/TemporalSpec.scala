@@ -80,6 +80,38 @@ class TemporalSpec extends SparkSpec {
     assert(twap.filter(col("total_us") <= 0).count() == 0)
   }
 
+  test("q166: motif counts match a pure-Scala rebuild of every user's sequence") {
+    import graft.queries.Sessions
+    val got = Sessions.sequenceMotifs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toList
+    // Independent reference: collect the raw events, rebuild each
+    // sequence in plain Scala with java.util.regex, compare exactly.
+    val symOf = Map("view" -> "v", "click" -> "c", "purchase" -> "p",
+      "signup" -> "s").withDefaultValue("e")
+    val evs = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val expected = evs.groupBy(_._1).toList.map { case (u, rows) =>
+      val seq = rows.sortBy(r => (r._2, r._3)).map(r => symOf(r._4)).mkString
+      def countLit(s: String, m: String): Int = {
+        var i = 0; var n = 0; var idx = s.indexOf(m)
+        while (idx >= 0) { n += 1; i = idx + m.length; idx = s.indexOf(m, i) }
+        n
+      }
+      val matcher = java.util.regex.Pattern.compile("vc+p").matcher(seq)
+      var np = 0
+      while (matcher.find()) np += 1
+      (u, seq.length, countLit(seq, "vcp"), np)
+    }.sortBy(_._1)
+    assert(got == expected)
+    // The variable-length motif must be doing work beyond the literal:
+    // at least one user has a vc...cp run the literal scan cannot see.
+    assert(got.map(_._4).sum > got.map(_._3).sum,
+      "fixture must exercise the c+ repetition path")
+  }
+
   test("q142: monthly revenue deltas telescope back to the series") {
     import graft.queries.Temporal
     val m = Temporal.momRevenue(spark, sfDir).collect()
