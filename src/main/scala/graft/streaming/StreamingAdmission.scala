@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.queries.LlmPipeline
+
+/** Streaming shard admission: q144's incremental near-dup check run
+  * continuously against a LIVE crawl stream instead of a nightly shard.
+  * Each micro-batch of newly crawled docs is shingled, minhash-banded,
+  * and probed against the standing corpus's STORED artifacts — the same
+  * write-time-capped band index + hashed shingle table q144 reads
+  * ([[graft.queries.LlmPipeline.ensureBandIndex]]) — and the batch's
+  * rejected docs (any verified corpus partner at Jaccard ≥ 0.5) land in
+  * an append-only decision log.
+  *
+  * Shape rationale (foreachBatch, not a stateful operator): the
+  * admission decision for a doc depends only on (doc, static index) —
+  * there is no cross-batch stream state to carry, so the right streaming
+  * primitive is per-batch enrichment against static tables, which keeps
+  * the whole verify pipeline in ordinary batch plans (broadcast/SMJ,
+  * codegen'd jaccard_sim) and inherits exactly q144's per-task bounds:
+  * probe output per bucket ≤ |batch members| · LshBucketCap because the
+  * stored buckets are capped at write time. New-vs-new pairs WITHIN the
+  * live stream are deliberately out of scope here — production runs the
+  * batch q144 shard pass on ingest boundaries for that; admitting
+  * against the corpus is the latency-sensitive decision.
+  *
+  * At 100 TB: the band index is bucket-keyed parquet; each micro-batch
+  * probe is an equi-join touching only matching buckets, so per-batch
+  * cost scales with batch size, never corpus size. The decision log is
+  * an append-only parquet sink — the same idempotent-commit story as
+  * DurableIngest.
+  *
+  * StreamingAdmissionSpec proves batch parity: the union of per-batch
+  * decisions over an arbitrarily chunked, out-of-order feed of the q144
+  * "new shard" equals the batch q144 answer's corpus-partner column.
+  */
+object StreamingAdmission {
+
+  /** One micro-batch's admission decisions: docs from `batch`
+    * (doc_id, text) with ≥ 1 verified standing-corpus near-dup partner,
+    * as (doc_id, n_dup_old). Pure batch function — the streaming entry
+    * below applies it per micro-batch via foreachBatch.
+    */
+  private[graft] def admitBatch(
+      spark: SparkSession, bandsPath: String, shinglesPath: String,
+      batch: DataFrame): DataFrame = {
+    graft.functions.NativeFunctions.register(spark)
+    val shNew = batch
+      .withColumn("sh", expr("shingle_hash64(word_shingles(text, 3))"))
+      .select("doc_id", "sh")
+    val oldIndex = spark.read.parquet(bandsPath)
+    val shOld = spark.read.parquet(shinglesPath)
+    val cand = LlmPipeline.lshBands(shNew)
+      .select(col("doc_id").as("new_id"), col("band"), col("bsig"))
+      .join(oldIndex.select(col("doc_id").as("old_id"), col("band"), col("bsig")),
+        Seq("band", "bsig"))
+      .select("new_id", "old_id").distinct()
+    cand
+      .join(shNew.select(col("doc_id").as("new_id"), col("sh").as("sh_n")), "new_id")
+      .join(shOld.select(col("doc_id").as("old_id"), col("sh").as("sh_o")), "old_id")
+      .filter(expr("jaccard_sim(sh_n, sh_o)") >= 0.5)
+      .groupBy(col("new_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_dup_old"))
+  }
+
+  /** Start the admission stream: `input` is a streaming DataFrame of
+    * (doc_id, text); rejected docs append to `decisionLogPath`.
+    */
+  def start(
+      spark: SparkSession, bandsPath: String, shinglesPath: String,
+      input: DataFrame, decisionLogPath: String,
+      checkpointDir: String): StreamingQuery =
+    input.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        admitBatch(spark, bandsPath, shinglesPath, batch)
+          .write.mode(SaveMode.Append).parquet(decisionLogPath)
+      }
+      .start()
+}

@@ -1,0 +1,53 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.queries.LlmPipeline
+import graft.streaming.StreamingAdmission
+
+/** Streaming shard admission (live q144): per-micro-batch probe of the
+  * stored band index must reproduce the batch decision exactly — for
+  * every chunking and arrival order of the crawl stream, because each
+  * decision depends only on (doc, static index). That independence is
+  * the design point; this spec is its proof obligation.
+  */
+class StreamingAdmissionSpec extends SparkSpec {
+
+  test("streamed admission over a scrambled chunked crawl equals batch q144's corpus-partner column") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val (bandsPath, shinglesPath) = LlmPipeline.ensureBandIndex(spark, sfDir)
+
+    // The q144 "new shard", delivered out of id order (deterministic
+    // scramble) across three micro-batches.
+    val newDocs = graft.sources.Tables.documents(spark, sfDir)
+      .filter("doc_id % 4 = 0").select("doc_id", "text")
+      .as[(Long, String)].collect()
+      .sortBy { case (id, _) => (id % 5, id) }
+    val chunks = newDocs.grouped(math.max(newDocs.length / 3, 1)).toSeq
+
+    val tmp = Files.createTempDirectory("graft_admit")
+    val sink = tmp.resolve("decisions").toString
+    val ckpt = tmp.resolve("ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingAdmission.start(spark, bandsPath, shinglesPath,
+      input.toDS().toDF("doc_id", "text"), sink, ckpt)
+    try {
+      chunks.foreach { c => input.addData(c.toSeq); q.processAllAvailable() }
+      val streamed = spark.read.parquet(sink)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val batch = LlmPipeline.incrementalDedup(spark, sfDir)
+        .filter(col("n_dup_old") > 0).select("doc_id", "n_dup_old")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(batch.nonEmpty, "fixture must produce corpus-partner rejections")
+      assert(streamed == batch,
+        s"streamed decisions diverged: stream=${streamed.take(5)}… batch=${batch.take(5)}…")
+    } finally {
+      q.stop()
+      LlmPipeline.deleteRecursively(tmp)
+    }
+  }
+}
