@@ -287,6 +287,78 @@ object Sessions extends QueryPack {
       |FROM seqs
       |ORDER BY user_id""".stripMargin
 
+  /** Sessionized motif matching (q167): q166's pattern matcher composed
+    * with q62's sessionization — motifs counted WITHIN 4-hour activity
+    * sessions, so a view→click→purchase that straddles a session gap is
+    * (correctly) not a conversion. This is exactly the composition
+    * q166's scale note prescribes for 100 TB: per-group state drops
+    * from a user's whole history to one session, and splitting can only
+    * remove motifs (greedy non-overlapping counting is maximal for a
+    * single pattern, so segment counts never exceed the unsplit count —
+    * TemporalSpec asserts the per-user inequality against q166).
+    *
+    * Session ids come from the lag-gap + running-sum idiom (the same
+    * derivation q62's oracle uses, here on both engines): one shuffle
+    * on user_id, two window passes over the same sort, then the motif
+    * aggregation per (user, session).
+    */
+  def sessionMotifs(spark: SparkSession, dir: String): DataFrame = {
+    val sym = when(col("event_type") === "view", "v")
+      .when(col("event_type") === "click", "c")
+      .when(col("event_type") === "purchase", "p")
+      .when(col("event_type") === "signup", "s")
+      .otherwise("e")
+    val wOrd = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val gapUs = 4L * 3600L * 1000000L
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), sym.as("sym"))
+    val sess = e
+      .withColumn("new_s",
+        when(lag(col("ts_us"), 1).over(wOrd).isNull
+          .or(col("ts_us") - lag(col("ts_us"), 1).over(wOrd) >= gapUs), 1)
+          .otherwise(0))
+      .withColumn("sid", sum(col("new_s"))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sess.groupBy("user_id", "sid")
+      .agg(min(col("ts_us")).as("s_start_us"),
+        collect_list(struct(col("ts_us"), col("event_id"), col("sym"))).as("evs"))
+      .withColumn("seq", expr("array_join(transform(array_sort(evs), x -> x.sym), '')"))
+      .select(col("user_id"), col("sid").cast("long").as("sid"), col("s_start_us"),
+        length(col("seq")).as("seq_len"),
+        ((length(col("seq")) - length(regexp_replace(col("seq"), "vcp", ""))) / 3)
+          .cast("int").as("n_vcp"),
+        regexp_count(col("seq"), lit("vc+p")).cast("int").as("n_pattern"))
+      .orderBy("user_id", "sid")
+  }
+
+  private val sessionMotifsSql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id,
+      |    CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+      |         WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+      |         ELSE 'e' END AS sym
+      |  FROM events),
+      |flagged AS (
+      |  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+      |         OR ts_us - lag(ts_us) OVER w >= 14400000000 THEN 1 ELSE 0 END AS new_s
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |sess AS (
+      |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flagged),
+      |seqs AS (
+      |  SELECT user_id, CAST(sid AS BIGINT) AS sid, min(ts_us) AS s_start_us,
+      |    string_agg(sym, '' ORDER BY ts_us, event_id) AS seq
+      |  FROM sess GROUP BY user_id, sid)
+      |SELECT user_id, sid, s_start_us,
+      |  CAST(length(seq) AS INTEGER) AS seq_len,
+      |  CAST((length(seq) - length(replace(seq, 'vcp', ''))) / 3 AS INTEGER) AS n_vcp,
+      |  CAST(len(regexp_extract_all(seq, 'vc+p')) AS INTEGER) AS n_pattern
+      |FROM seqs
+      |ORDER BY user_id, sid""".stripMargin
+
   override def all: Seq[QueryDef] = Seq(
     QueryDef("q60_tumbling_daily", tumblingDaily, Some(tumblingDailySql)),
     QueryDef("q61_sliding_windows", slidingWindows, Some(slidingWindowsSql)),
@@ -295,5 +367,6 @@ object Sessions extends QueryPack {
     QueryDef("q64_dedup_watermark_batch", dedupWatermarkBatch, Some(dedupWatermarkBatchSql)),
     QueryDef("q94_funnel", funnel, Some(funnelSql)),
     QueryDef("q139_transition_matrix", transitionMatrix, Some(transitionMatrixSql)),
-    QueryDef("q166_sequence_motifs", sequenceMotifs, Some(sequenceMotifsSql)))
+    QueryDef("q166_sequence_motifs", sequenceMotifs, Some(sequenceMotifsSql)),
+    QueryDef("q167_session_motifs", sessionMotifs, Some(sessionMotifsSql)))
 }

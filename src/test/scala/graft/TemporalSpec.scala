@@ -112,6 +112,28 @@ class TemporalSpec extends SparkSpec {
       "fixture must exercise the c+ repetition path")
   }
 
+  test("q167: session split only removes motifs, and session ids agree with q62") {
+    import graft.queries.Sessions
+    val perSession = Sessions.sessionMotifs(spark, sfDir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum("n_vcp").as("s_vcp"), sum("n_pattern").as("s_pat"))
+    val perUser = Sessions.sequenceMotifs(spark, sfDir)
+      .select(col("user_id"), col("n_vcp"), col("n_pattern"))
+    // Greedy non-overlapping counting is maximal for a single pattern,
+    // so counting within segments can never exceed the unsplit count.
+    val violations = perSession.join(perUser, "user_id")
+      .filter(col("s_vcp") > col("n_vcp") || col("s_pat") > col("n_pattern"))
+      .count()
+    assert(violations == 0, s"$violations users gained motifs by splitting")
+    // Same gap rule as q62 ⇒ identical session partitioning per user.
+    val q62Sessions = Sessions.sessionWindows(spark, sfDir)
+      .groupBy("user_id").agg(count(lit(1)).as("n62"))
+    val mismatched = perSession.join(q62Sessions, "user_id")
+      .filter(col("n_sessions") =!= col("n62")).count()
+    assert(mismatched == 0, s"$mismatched users with session-count mismatch vs q62")
+  }
+
   test("q142: monthly revenue deltas telescope back to the series") {
     import graft.queries.Temporal
     val m = Temporal.momRevenue(spark, sfDir).collect()
