@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions._
   * q124 incremental agg, q157 SCD2 merge) and the analytic window
   * family sharing the same (user_id → ts, event_id) partitioning
   * discipline (q40 lag/lead, q41 running sum, q42 trailing range
-  * frame, q62 session windows, q94 funnel, q139 transition matrix) —
+  * frame, q62 session windows, q94 funnel, q139 transition matrix,
+  * q166 sequence motifs) —
   * the companion to ScaleCurve's LSH curve. These operators' 100-TB
   * claims are LINEARITY claims (each is one key-partitioned shuffle +
   * in-partition sorts; no stage accumulates unbounded per-key state),
@@ -74,7 +75,8 @@ object ChangelogScale {
       "q42_trailing_7d" -> queries.Windows.trailing7d _,
       "q62_session_windows" -> queries.Sessions.sessionWindows _,
       "q94_funnel" -> queries.Sessions.funnel _,
-      "q139_transition_matrix" -> queries.Sessions.transitionMatrix _)
+      "q139_transition_matrix" -> queries.Sessions.transitionMatrix _,
+      "q166_sequence_motifs" -> queries.Sessions.sequenceMotifs _)
 
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         dir: String): Double = {
@@ -127,8 +129,21 @@ object ChangelogScale {
         col("n_big") =!= col("n_base") * replicas)
       .count()
     require(badCells == 0, s"q139 matrix: $badCells cells not exactly ${replicas}x base")
+    // q166: disjoint-user replicas keep every symbol sequence identical
+    // to its base user's, so user count AND motif totals must be
+    // exactly Nx (a boundary leak would splice sequences and change
+    // motif counts, not just row counts).
+    val qmBase = queries.Sessions.sequenceMotifs(spark, baseDir)
+      .agg(count(lit(1)).as("n"), sum("n_vcp").as("v"), sum("n_pattern").as("p")).head()
+    val qmBig = queries.Sessions.sequenceMotifs(spark, bigDir)
+      .agg(count(lit(1)).as("n"), sum("n_vcp").as("v"), sum("n_pattern").as("p")).head()
+    require(qmBig.getLong(0) == replicas * qmBase.getLong(0),
+      s"q166 users: big=${qmBig.getLong(0)} != $replicas x ${qmBase.getLong(0)}")
+    require(qmBig.getLong(1) == replicas * qmBase.getLong(1) &&
+      qmBig.getLong(2) == replicas * qmBase.getLong(2),
+      s"q166 motif totals not exactly ${replicas}x base")
     println(s"window-family invariants: q41 rows ${replicas}x, q62 sessions ${replicas}x, " +
-      s"q139 matrix cell-exact ${replicas}x — all hold")
+      s"q139 matrix cell-exact ${replicas}x, q166 users+motifs ${replicas}x — all hold")
     } finally {
       queries.LlmPipeline.deleteRecursively(java.nio.file.Paths.get(bigDir))
     }

@@ -2700,6 +2700,86 @@ object LlmPipeline extends QueryPack {
       |GROUP BY token
       |ORDER BY token""".stripMargin
 
+  /** Stored q149-shaped index over the standing corpus (doc_id % 4 != 0,
+    * the q144 shard split), memoized per (session, dir) — the q144
+    * band-index discipline: a real parquet artifact written once by a
+    * bench-excluded prepare step (in production, the nightly index
+    * build), heads kept as array<bigint> so the merge can re-aggregate
+    * without re-parsing.
+    */
+  private val indexArtifactCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private[graft] def ensureIndexArtifact(spark: SparkSession, dir: String): String =
+    indexArtifactCache.computeIfAbsent(
+      (System.identityHashCode(spark).toString, dir), _ => {
+        val tag = s"${SourcesOps.sanitizedAppId(spark)}_${Integer.toHexString(dir.hashCode)}"
+        val path = Paths.get(sys.props("java.io.tmpdir"), s"graft_invidx_$tag").toString
+        val minK = udaf(new graft.functions.Udafs.MinKLongs(PostingsHeadCap))
+        Tables.documents(spark, dir)
+          .filter(col("doc_id") % 4 =!= 0)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+          .filter(col("token") =!= "")
+          .distinct()
+          .groupBy("token")
+          .agg(count(lit(1)).as("df"), minK(col("doc_id")).as("head_ids"))
+          .write.mode(SaveMode.Overwrite).parquet(path)
+        path
+      })
+
+  /** q168 setup, bench-excluded via QueryDef.prepare. */
+  private[graft] def prepareIndexMerge(spark: SparkSession, dir: String): Unit = {
+    ensureIndexArtifact(spark, dir)
+    ()
+  }
+
+  /** Incremental inverted-index maintenance (q168): fold a newly
+    * ingested shard (doc_id % 4 == 0) into the STORED q149 index
+    * without touching the standing corpus's documents — the per-crawl
+    * maintenance form of q149, exactly as q144 is the per-crawl form of
+    * q75. Only the shard is tokenized; the corpus contributes its
+    * parquet index artifact ([[ensureIndexArtifact]]).
+    *
+    * The merge is exact by construction, not approximately refreshed:
+    *   - df adds (old and new doc sets are disjoint, and per-doc tokens
+    *     are distinct on each side),
+    *   - the bounded postings head merges losslessly: each side's head
+    *     holds its side's [[PostingsHeadCap]] SMALLEST doc ids, so the
+    *     first cap entries of the sorted concatenation are the overall
+    *     cap smallest — the merged head equals the full rebuild's head.
+    *   The oracle IS q149's full-rebuild SQL, so "merge == rebuild" is
+    *   hash-verified cross-engine (the q124/q157 maintenance contract
+    *   applied to the index artifact).
+    *
+    * Scale shape: one full-outer shuffle join on token between a
+    * dimension-sized delta aggregate and the stored index leaf, plus
+    * array ops inside codegen. Cost tracks the SHARD, never the corpus;
+    * the per-token state stays ≤ cap on both sides by construction.
+    */
+  def incrementalIndexMerge(spark: SparkSession, dir: String): DataFrame = {
+    val stored = spark.read.parquet(ensureIndexArtifact(spark, dir))
+    val minK = udaf(new graft.functions.Udafs.MinKLongs(PostingsHeadCap))
+    val delta = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 4 === 0)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .distinct()
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"), minK(col("doc_id")).as("head_ids"))
+    val empty = expr("cast(array() as array<bigint>)")
+    stored.select(col("token"), col("df").as("df_old"), col("head_ids").as("h_old"))
+      .join(delta.select(col("token"), col("df").as("df_new"), col("head_ids").as("h_new")),
+        Seq("token"), "full_outer")
+      .select(col("token"),
+        (coalesce(col("df_old"), lit(0L)) + coalesce(col("df_new"), lit(0L))).as("df"),
+        slice(array_sort(concat(coalesce(col("h_old"), empty), coalesce(col("h_new"), empty))),
+          1, PostingsHeadCap).as("head_ids"))
+      .select(col("token"), col("df"),
+        expr("array_join(transform(head_ids, d -> cast(d as string)), ',')")
+          .as("postings_head"))
+      .orderBy("token")
+  }
+
   /** Integer-exact PageRank core over a SYMMETRIZED edge set
     * (`id1 → id2`, both directions present). Ranks live in integer
     * micro-units (start 1,000,000 per vertex) and every step is
@@ -3067,5 +3147,7 @@ object LlmPipeline extends QueryPack {
     QueryDef("q160_recall_target_neardup", recallTargetNearDup, Some(recallTargetNearDupSql)),
     QueryDef("q161_ivf_recall_ann", ivfRecallAnn, Some(ivfRecallAnnSql)),
     QueryDef("q163_multiprobe_neardup", multiProbeNearDup, Some(multiProbeNearDupSql)),
-    QueryDef("q165_takedown_spread", takedownSpread, Some(takedownSpreadSql)))
+    QueryDef("q165_takedown_spread", takedownSpread, Some(takedownSpreadSql)),
+    QueryDef("q168_index_merge", incrementalIndexMerge, Some(invertedIndexSql),
+      prepare = Some(prepareIndexMerge _)))
 }

@@ -155,6 +155,29 @@ class CurationOpsSpec extends SparkSpec {
     assert(unsorted == 0, "postings_head must be the ascending doc_id prefix")
   }
 
+  test("q168: merged index equals the full rebuild, reads documents once, and keeps bounded sorted heads") {
+    val merged = LlmPipeline.incrementalIndexMerge(spark, sfDir)
+    val rebuilt = LlmPipeline.invertedIndex(spark, sfDir)
+    // merge == rebuild, in-engine (the oracle proves it cross-engine).
+    assert(merged.exceptAll(rebuilt).count() == 0 &&
+      rebuilt.exceptAll(merged).count() == 0,
+      "incremental merge must be indistinguishable from a full rebuild")
+    // The standing corpus arrives as the stored artifact leaf — the
+    // plan must scan `documents` exactly once (the delta shard side).
+    val plan = merged.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_invidx"), "stored index artifact not in the plan")
+    assert("documents\\.parquet".r.findAllIn(plan).size == 1,
+      "corpus side must come from the artifact, not a documents re-scan")
+    // Head stays bounded and ascending after the merge.
+    val heads = merged.select(expr("split(postings_head, ',')").as("h"))
+    assert(heads.filter(expr(s"size(h) > ${LlmPipeline.PostingsHeadCap}")).count() == 0)
+    val unsorted = heads
+      .select(expr("transform(h, x -> cast(x as bigint))").as("ids"))
+      .filter(expr("exists(zip_with(ids, slice(ids, 2, size(ids)), (a, b) -> a >= b), x -> x)"))
+      .count()
+    assert(unsorted == 0, "merged postings_head must stay ascending")
+  }
+
   test("q165 core: propagation enters at hop 2 on a chain, takes the min over a diamond, and stops at K") {
     import spark.implicits._
     // Chain 1-2-3-4 seeded at 1 (node 4 is 3 hops out — past K=2) plus
