@@ -736,6 +736,44 @@ object LlmPipeline extends QueryPack {
       |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.3
       |ORDER BY id1, id2""".stripMargin
 
+  /** Asymmetric containment similarity (q169): c(A→B) = |A∩B| / |A|
+    * over 3-gram shingle sets — the QUOTATION/boilerplate detector.
+    * Jaccard (q75/q76) is symmetric and misses exactly the case that
+    * matters for quote detection: a short document wholly embedded in a
+    * long one has tiny Jaccard but containment ≈ 1. Same probe-set
+    * shape as q76 (doc_id < 25 probes, broadcast against the corpus) —
+    * the brute-force baseline the banded paths are checked against;
+    * the 100-TB path is the q135 prefix-filter join with containment's
+    * tighter prefix bound (⌊|A|·(1−t)⌋+1 — only the PROBE side needs a
+    * prefix, which is what makes asymmetric joins cheaper than their
+    * symmetric counterparts at scale). Division is int/int in IEEE
+    * double on both engines, so the ≥ t gate cuts identically.
+    */
+  def containmentProbe(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir).select("doc_id", "sh")
+    val probes = sh.filter(col("doc_id") < 25)
+      .select(col("doc_id").as("id1"), col("sh").as("sh1"))
+    val cands = sh.select(col("doc_id").as("id2"), col("sh").as("sh2"))
+    cands.join(broadcast(probes), col("id1") =!= col("id2"))
+      .withColumn("containment",
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double")
+          / size(col("sh1")))
+      .filter(col("containment") >= 0.5)
+      .select(col("id1"), col("id2"), round(col("containment"), 4).as("containment"))
+      .orderBy("id1", "id2")
+  }
+
+  private val containmentProbeSql =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+      |SELECT a.doc_id AS id1, b.doc_id AS id2,
+      |  round(len(list_intersect(a.s, b.s))::DOUBLE / len(a.s), 4) AS containment
+      |FROM sh a JOIN sh b ON a.doc_id < 25 AND b.doc_id <> a.doc_id
+      |WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(a.s) >= 0.5
+      |ORDER BY id1, id2""".stripMargin
+
   /** Embedding near-dup pairs: all pairs with cosine ≥ 0.4, computed
     * with the native codegen'd cosine_sim expression — the HOF chain is
     * interpreted per element and was measured 43× slower on the same
@@ -3149,5 +3187,6 @@ object LlmPipeline extends QueryPack {
     QueryDef("q163_multiprobe_neardup", multiProbeNearDup, Some(multiProbeNearDupSql)),
     QueryDef("q165_takedown_spread", takedownSpread, Some(takedownSpreadSql)),
     QueryDef("q168_index_merge", incrementalIndexMerge, Some(invertedIndexSql),
-      prepare = Some(prepareIndexMerge _)))
+      prepare = Some(prepareIndexMerge _)),
+    QueryDef("q169_containment_probe", containmentProbe, Some(containmentProbeSql)))
 }

@@ -277,4 +277,33 @@ class LlmPipelineSpec extends SparkSpec {
       s"prefix-filter join lost ${(truth -- got).size} / invented ${(got -- truth).size} pairs")
     assert(truth.nonEmpty, "fixture has no qualifying pair — test is vacuous")
   }
+
+  test("q169: containment matches a set rebuild, dominates Jaccard, and is genuinely asymmetric") {
+    import org.apache.spark.sql.functions._
+    val rows = LlmPipeline.containmentProbe(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty, "fixture must produce containment pairs")
+    // Independent set rebuild in plain Scala (3-gram shingles).
+    def shingles(t: String): Set[String] = {
+      val toks = t.split(" ")
+      (0 to toks.length - 3).map(i => toks.slice(i, i + 3).mkString(" ")).toSet
+    }
+    val texts = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> shingles(r.getString(1))).toMap
+    rows.foreach { case (id1, id2, c) =>
+      val (a, b) = (texts(id1), texts(id2))
+      val inter = (a & b).size.toDouble
+      assert(math.abs(c - BigDecimal(inter / a.size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
+        s"containment($id1->$id2) != |A∩B|/|A|")
+      val jac = inter / (a ++ b).size
+      // c is the 4-decimal-rounded output; allow the half-ulp of rounding.
+      assert(c >= jac - 5e-5, "containment must dominate Jaccard on the same pair")
+      // Asymmetry: the reverse direction differs whenever |A| != |B|.
+      if (a.size != b.size)
+        assert(math.abs(inter / a.size - inter / b.size) > 0,
+          "directions must differ for different-size sets")
+    }
+  }
 }
