@@ -748,9 +748,15 @@ object LlmPipeline extends QueryPack {
     * prefix, which is what makes asymmetric joins cheaper than their
     * symmetric counterparts at scale). Division is int/int in IEEE
     * double on both engines, so the ≥ t gate cuts identically.
+    *
+    * Sets are 8-byte hashed shingles (the q108 discipline): intersect
+    * sizes — hence containment — are hash-collision-invariant on this
+    * corpus (the q75 hashed-vs-string equality law), and array_intersect
+    * over longs measured ~2.4× faster than over shingle strings
+    * (2.99 s → 1.22 s best-of-repeats at sf0.1, BASELINE.md r10).
     */
   def containmentProbe(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(spark, dir).select("doc_id", "sh")
+    val sh = hashShingled(spark, dir).select("doc_id", "sh")
     val probes = sh.filter(col("doc_id") < 25)
       .select(col("doc_id").as("id1"), col("sh").as("sh1"))
     val cands = sh.select(col("doc_id").as("id2"), col("sh").as("sh2"))
