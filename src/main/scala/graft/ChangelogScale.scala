@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   * family sharing the same (user_id → ts, event_id) partitioning
   * discipline (q40 lag/lead, q41 running sum, q42 trailing range
   * frame, q62 session windows, q94 funnel, q139 transition matrix,
-  * q166 sequence motifs) —
+  * q166 sequence motifs, q167 sessionized motifs) —
   * the companion to ScaleCurve's LSH curve. These operators' 100-TB
   * claims are LINEARITY claims (each is one key-partitioned shuffle +
   * in-partition sorts; no stage accumulates unbounded per-key state),
@@ -76,7 +76,8 @@ object ChangelogScale {
       "q62_session_windows" -> queries.Sessions.sessionWindows _,
       "q94_funnel" -> queries.Sessions.funnel _,
       "q139_transition_matrix" -> queries.Sessions.transitionMatrix _,
-      "q166_sequence_motifs" -> queries.Sessions.sequenceMotifs _)
+      "q166_sequence_motifs" -> queries.Sessions.sequenceMotifs _,
+      "q167_session_motifs" -> queries.Sessions.sessionMotifs _)
 
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         dir: String): Double = {
@@ -142,8 +143,18 @@ object ChangelogScale {
     require(qmBig.getLong(1) == replicas * qmBase.getLong(1) &&
       qmBig.getLong(2) == replicas * qmBase.getLong(2),
       s"q166 motif totals not exactly ${replicas}x base")
+    // q167: sessions are replica-local too, so session count and
+    // within-session motif totals must also be exactly Nx.
+    val smBase = queries.Sessions.sessionMotifs(spark, baseDir)
+      .agg(count(lit(1)).as("n"), sum("n_vcp").as("v")).head()
+    val smBig = queries.Sessions.sessionMotifs(spark, bigDir)
+      .agg(count(lit(1)).as("n"), sum("n_vcp").as("v")).head()
+    require(smBig.getLong(0) == replicas * smBase.getLong(0) &&
+      smBig.getLong(1) == replicas * smBase.getLong(1),
+      s"q167 session/motif totals not exactly ${replicas}x base")
     println(s"window-family invariants: q41 rows ${replicas}x, q62 sessions ${replicas}x, " +
-      s"q139 matrix cell-exact ${replicas}x, q166 users+motifs ${replicas}x — all hold")
+      s"q139 matrix cell-exact ${replicas}x, q166 users+motifs ${replicas}x, " +
+      s"q167 sessions+motifs ${replicas}x — all hold")
     } finally {
       queries.LlmPipeline.deleteRecursively(java.nio.file.Paths.get(bigDir))
     }
