@@ -2,7 +2,7 @@ package graft.queries
 
 import java.nio.file.Paths
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -2925,6 +2925,96 @@ object LlmPipeline extends QueryPack {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Personalized-PageRank core: q151's integer-exact recurrence with
+    * the teleport term RESTRICTED to a seed set —
+    *
+    *   r'(v) = [isSeed(v)]·150000 + (85 · Σ_{u→v} (r(u) div deg(u))) div 100
+    *
+    * so stationary mass concentrates near the seeds instead of spreading
+    * uniformly. Same determinism discipline as [[integerPageRank]]
+    * (integer micro-units, explicit floor division, per-round
+    * localCheckpoint); `isSeed` is a Column predicate so the seed set
+    * stays an expression (no join against a seed table in the loop).
+    */
+  private[graft] def personalizedPageRank(
+      edges: DataFrame, isSeed: Column => Column, iters: Int): DataFrame = {
+    val deg = edges.groupBy("id1").agg(count(lit(1)).as("deg"))
+    val degEdges = edges.join(deg, "id1").persist()
+    try {
+      var ranks = deg.select(col("id1").as("id"), lit(1000000L).as("r"))
+        .localCheckpoint()
+      for (_ <- 1 to iters) {
+        // Total join: symmetric graph ⇒ every vertex has deg ≥ 1 and
+        // receives at least one contribution (the q151 argument).
+        ranks = degEdges.join(ranks, degEdges("id1") === ranks("id"))
+          .select(col("id2").as("id"), expr("r div deg").as("c"))
+          .groupBy("id").agg(sum("c").as("s"))
+          .select(col("id"),
+            (when(isSeed(col("id")), lit(150000L)).otherwise(lit(0L))
+              + expr("(85 * s) div 100")).as("r"))
+          .localCheckpoint()
+      }
+      deg.join(ranks, deg("id1") === ranks("id"))
+        .select(col("id1").as("doc_id"), col("deg"),
+          when(isSeed(col("id1")), 1).otherwise(0).as("is_seed"),
+          col("r").as("ppr_score"))
+        .orderBy("doc_id")
+    } finally {
+      degEdges.unpersist()
+      ()
+    }
+  }
+
+  /** Personalized PageRank from a curated exemplar set (q170): rank
+    * near-dup-graph documents by PROXIMITY TO KNOWN-GOOD EXEMPLARS —
+    * the relevance-propagation half of the curation story, where q151
+    * answers "central to the whole graph" and this answers "close to
+    * what we already trust" (crawl-frontier prioritization, seed-based
+    * corpus expansion). The exemplar list is external input; the
+    * fixture stand-in is `doc_id % 13 == 5` (graph-independent, the
+    * q165 seeding argument). Teleport-starved components decay
+    * geometrically in integer arithmetic — exactly the behavior that
+    * makes the score a proximity measure — while every step stays
+    * engine-reproducible; the oracle unrolls the 5 iterations as
+    * chained CTEs with the same `//` floor division.
+    */
+  def seededPagerank(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeFunctions.register(spark)
+    val pairs = lshPairGraph(spark, dir).select("id1", "id2")
+    val edges = pairs.union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+    personalizedPageRank(edges, id => pmod(id, lit(13)) === 5, iters = 5)
+  }
+
+  private val seededPagerankSql = {
+    val iter = (k: Int) =>
+      s"""ppr$k AS (
+         |  SELECT e.id2 AS id,
+         |    CAST(CASE WHEN e.id2 % 13 = 5 THEN 150000 ELSE 0 END
+         |      + (85 * sum(p.r // d.deg)) // 100 AS BIGINT) AS r
+         |  FROM edges e JOIN ppr${k - 1} p ON e.id1 = p.id
+         |    JOIN deg d ON d.id = e.id1
+         |  GROUP BY e.id2)"""
+    s"""WITH sh AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS s
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+       |pairs AS MATERIALIZED (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+       |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+       |edges AS MATERIALIZED (
+       |  SELECT id1, id2 FROM pairs UNION ALL SELECT id2 AS id1, id1 AS id2 FROM pairs),
+       |deg AS MATERIALIZED (SELECT id1 AS id, count(*) AS deg FROM edges GROUP BY id1),
+       |ppr0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM deg),
+       |${(1 to 5).map(iter).mkString(",\n")}
+       |SELECT d.id AS doc_id, d.deg,
+       |  CAST(CASE WHEN d.id % 13 = 5 THEN 1 ELSE 0 END AS INTEGER) AS is_seed,
+       |  p.r AS ppr_score
+       |FROM deg d JOIN ppr5 p ON d.id = p.id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Per-source document cap (q152): every web-scale corpus recipe caps
     * how many documents any one domain may contribute (a single
     * mirror-heavy domain otherwise dominates the training mix). Keep at
@@ -3194,5 +3284,6 @@ object LlmPipeline extends QueryPack {
     QueryDef("q165_takedown_spread", takedownSpread, Some(takedownSpreadSql)),
     QueryDef("q168_index_merge", incrementalIndexMerge, Some(invertedIndexSql),
       prepare = Some(prepareIndexMerge _)),
-    QueryDef("q169_containment_probe", containmentProbe, Some(containmentProbeSql)))
+    QueryDef("q169_containment_probe", containmentProbe, Some(containmentProbeSql)),
+    QueryDef("q170_seeded_pagerank", seededPagerank, Some(seededPagerankSql)))
 }

@@ -155,6 +155,47 @@ class CurationOpsSpec extends SparkSpec {
     assert(unsorted == 0, "postings_head must be the ascending doc_id prefix")
   }
 
+  test("q170 core: seeded PageRank matches a naive reference and concentrates mass at the seeds") {
+    import spark.implicits._
+    // Same non-regular hand graph as q151 (star 1-{2,3,4} + pair {5,6}),
+    // seed = {5}: only the pair component receives teleport, so it must
+    // end ABOVE the larger teleport-starved star — the opposite of
+    // q151's centrality ordering, which is exactly the personalization.
+    val undirected = Seq((1L, 2L), (1L, 3L), (1L, 4L), (5L, 6L))
+    val edges = undirected.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("id1", "id2")
+    // 20 iterations: enough for the starved star's 0.85^k decay to
+    // undercut the seeded pair's ~1e6 fixpoint (at the query's 5 the
+    // star still carries its initial mass); parity is iteration-exact
+    // either way.
+    val got = LlmPipeline
+      .personalizedPageRank(edges, id => id === 5L, iters = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .toList
+
+    val adj = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toList }
+    val deg = adj.map { case (k, vs) => k -> vs.size.toLong }
+    var r = adj.keys.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 20) {
+      val recv = adj.toList
+        .flatMap { case (u, vs) => vs.map(v => v -> (r(u) / deg(u))) }
+        .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).sum }
+      r = recv.map { case (v, s) =>
+        v -> ((if (v == 5L) 150000L else 0L) + (85L * s) / 100L) }
+    }
+    val want = r.keys.toList.sorted
+      .map(v => (v, deg(v), if (v == 5L) 1 else 0, r(v)))
+    assert(got == want)
+    val byId = got.map(t => t._1 -> t._4).toMap
+    // Personalization law: the seeded component outranks the starved
+    // star entirely — hub included — inverting q151's ordering.
+    assert(byId(5L) > byId(1L) && byId(6L) > byId(1L),
+      "teleport-starved star must decay below the seeded pair")
+    // Decay law: starved vertices fall below their uniform start.
+    assert(byId(1L) < 1000000L && byId(2L) < 1000000L)
+  }
+
   test("q168: merged index equals the full rebuild, reads documents once, and keeps bounded sorted heads") {
     val merged = LlmPipeline.incrementalIndexMerge(spark, sfDir)
     val rebuilt = LlmPipeline.invertedIndex(spark, sfDir)
