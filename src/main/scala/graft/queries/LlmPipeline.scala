@@ -2415,26 +2415,53 @@ object LlmPipeline extends QueryPack {
     * Returns (bandsPath, shinglesPath).
     */
   private val bandIndexCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), (String, String)]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.nio.file.Path]()
 
-  private[graft] def ensureBandIndex(spark: SparkSession, dir: String): (String, String) =
-    bandIndexCache.computeIfAbsent(
-      (System.identityHashCode(spark).toString, dir), _ => {
-        graft.functions.NativeFunctions.register(spark)
-        val tag = s"${SourcesOps.sanitizedAppId(spark)}_${Integer.toHexString(dir.hashCode)}"
-        val base = Paths.get(sys.props("java.io.tmpdir"), s"graft_bandidx_$tag")
-        val bandsPath = base.resolve("bands").toString
-        val shinglesPath = base.resolve("shingles").toString
-        val shOld = hashShingled(spark, dir).select("doc_id", "sh")
-          .filter(col("doc_id") % 4 =!= 0)
-        // One pass computes shingles; the band index derives from the
-        // stored shingle table so minhash runs over a materialized scan
-        // (at 100 TB both writes are one nightly job over the ingest).
-        shOld.write.mode(SaveMode.Overwrite).parquet(shinglesPath)
-        cappedBandIndex(spark.read.parquet(shinglesPath))
-          .write.mode(SaveMode.Overwrite).parquet(bandsPath)
-        (bandsPath, shinglesPath)
-      })
+  /** Lifecycle discipline shared by every tmpdir-backed artifact memo
+    * (ADVICE r10 — [[pairGraphCache]] had it, the band/index caches did
+    * not): entries whose owning SparkContext has stopped are deleted on
+    * the next ensure call, and a JVM-exit hook deletes whatever is
+    * still cached, so a session that runs q144/q168 no longer leaks one
+    * artifact directory per (session, dir) on disk forever.
+    */
+  private def evictStoppedArtifacts(
+      cache: java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.nio.file.Path]): Unit = {
+    val it = cache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1.sparkContext.isStopped) {
+        deleteRecursively(e.getValue); it.remove()
+      }
+    }
+  }
+
+  private lazy val artifactShutdownHook: Unit =
+    java.lang.Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      bandIndexCache.values().forEach(deleteRecursively(_))
+      indexArtifactCache.values().forEach(deleteRecursively(_))
+    }))
+
+  private[graft] def ensureBandIndex(spark: SparkSession, dir: String): (String, String) = {
+    evictStoppedArtifacts(bandIndexCache)
+    val base = bandIndexCache.computeIfAbsent((spark, dir), _ => {
+      artifactShutdownHook
+      graft.functions.NativeFunctions.register(spark)
+      val tag = s"${SourcesOps.sanitizedAppId(spark)}_${Integer.toHexString(dir.hashCode)}"
+      val b = Paths.get(sys.props("java.io.tmpdir"), s"graft_bandidx_$tag")
+      val bandsPath = b.resolve("bands").toString
+      val shinglesPath = b.resolve("shingles").toString
+      val shOld = hashShingled(spark, dir).select("doc_id", "sh")
+        .filter(col("doc_id") % 4 =!= 0)
+      // One pass computes shingles; the band index derives from the
+      // stored shingle table so minhash runs over a materialized scan
+      // (at 100 TB both writes are one nightly job over the ingest).
+      shOld.write.mode(SaveMode.Overwrite).parquet(shinglesPath)
+      cappedBandIndex(spark.read.parquet(shinglesPath))
+        .write.mode(SaveMode.Overwrite).parquet(bandsPath)
+      b
+    })
+    (base.resolve("bands").toString, base.resolve("shingles").toString)
+  }
 
   /** q144 setup, bench-excluded via QueryDef.prepare. */
   private[graft] def prepareIncrementalDedup(spark: SparkSession, dir: String): Unit = {
@@ -2752,24 +2779,26 @@ object LlmPipeline extends QueryPack {
     * without re-parsing.
     */
   private val indexArtifactCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.nio.file.Path]()
 
-  private[graft] def ensureIndexArtifact(spark: SparkSession, dir: String): String =
-    indexArtifactCache.computeIfAbsent(
-      (System.identityHashCode(spark).toString, dir), _ => {
-        val tag = s"${SourcesOps.sanitizedAppId(spark)}_${Integer.toHexString(dir.hashCode)}"
-        val path = Paths.get(sys.props("java.io.tmpdir"), s"graft_invidx_$tag").toString
-        val minK = udaf(new graft.functions.Udafs.MinKLongs(PostingsHeadCap))
-        Tables.documents(spark, dir)
-          .filter(col("doc_id") % 4 =!= 0)
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-          .filter(col("token") =!= "")
-          .distinct()
-          .groupBy("token")
-          .agg(count(lit(1)).as("df"), minK(col("doc_id")).as("head_ids"))
-          .write.mode(SaveMode.Overwrite).parquet(path)
-        path
-      })
+  private[graft] def ensureIndexArtifact(spark: SparkSession, dir: String): String = {
+    evictStoppedArtifacts(indexArtifactCache)
+    indexArtifactCache.computeIfAbsent((spark, dir), _ => {
+      artifactShutdownHook
+      val tag = s"${SourcesOps.sanitizedAppId(spark)}_${Integer.toHexString(dir.hashCode)}"
+      val path = Paths.get(sys.props("java.io.tmpdir"), s"graft_invidx_$tag")
+      val minK = udaf(new graft.functions.Udafs.MinKLongs(PostingsHeadCap))
+      Tables.documents(spark, dir)
+        .filter(col("doc_id") % 4 =!= 0)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+        .distinct()
+        .groupBy("token")
+        .agg(count(lit(1)).as("df"), minK(col("doc_id")).as("head_ids"))
+        .write.mode(SaveMode.Overwrite).parquet(path.toString)
+      path
+    }).toString
+  }
 
   /** q168 setup, bench-excluded via QueryDef.prepare. */
   private[graft] def prepareIndexMerge(spark: SparkSession, dir: String): Unit = {

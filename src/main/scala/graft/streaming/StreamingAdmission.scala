@@ -29,9 +29,14 @@ import graft.queries.LlmPipeline
   *
   * At 100 TB: the band index is bucket-keyed parquet; each micro-batch
   * probe is an equi-join touching only matching buckets, so per-batch
-  * cost scales with batch size, never corpus size. The decision log is
-  * an append-only parquet sink — the same idempotent-commit story as
-  * DurableIngest.
+  * cost scales with batch size, never corpus size. foreachBatch is
+  * at-least-once — a batch re-executed after a failure/restart runs its
+  * sink action again, unlike the native file sink's _spark_metadata
+  * commit log — so the decision log is keyed BY BATCH ID: each batch
+  * overwrites its own `batch_id=<id>` directory ([[commitBatch]]), and
+  * a replay rewrites identical decisions in place instead of appending
+  * duplicates (ADVICE r10; the replay is exercised in
+  * StreamingAdmissionSpec).
   *
   * StreamingAdmissionSpec proves batch parity: the union of per-batch
   * decisions over an arbitrarily chunked, out-of-order feed of the q144
@@ -66,8 +71,22 @@ object StreamingAdmission {
       .agg(count(lit(1)).as("n_dup_old"))
   }
 
+  /** Idempotent per-batch commit: decisions land in the batch's own
+    * `batch_id=<id>` directory with Overwrite, so a foreachBatch replay
+    * of the same batch (at-least-once delivery) rewrites the identical
+    * directory instead of appending a duplicate copy. Readers scan the
+    * log root; the batch_id partition column is bookkeeping, not data.
+    */
+  private[graft] def commitBatch(
+      spark: SparkSession, bandsPath: String, shinglesPath: String,
+      batch: DataFrame, decisionLogPath: String, batchId: Long): Unit =
+    admitBatch(spark, bandsPath, shinglesPath, batch)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$decisionLogPath/batch_id=$batchId")
+
   /** Start the admission stream: `input` is a streaming DataFrame of
-    * (doc_id, text); rejected docs append to `decisionLogPath`.
+    * (doc_id, text); rejected docs land under `decisionLogPath`, one
+    * idempotent batch_id directory per micro-batch.
     */
   def start(
       spark: SparkSession, bandsPath: String, shinglesPath: String,
@@ -75,9 +94,8 @@ object StreamingAdmission {
       checkpointDir: String): StreamingQuery =
     input.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        admitBatch(spark, bandsPath, shinglesPath, batch)
-          .write.mode(SaveMode.Append).parquet(decisionLogPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        commitBatch(spark, bandsPath, shinglesPath, batch, decisionLogPath, batchId)
       }
       .start()
 }

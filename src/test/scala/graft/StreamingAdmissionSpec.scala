@@ -45,6 +45,16 @@ class StreamingAdmissionSpec extends SparkSpec {
       assert(batch.nonEmpty, "fixture must produce corpus-partner rejections")
       assert(streamed == batch,
         s"streamed decisions diverged: stream=${streamed.take(5)}… batch=${batch.take(5)}…")
+      // foreachBatch is at-least-once: replay batch 0 against the same
+      // log (the post-failure re-execution path) and require the log is
+      // byte-identical — the batch_id-keyed Overwrite commit makes the
+      // replay rewrite its own directory, not append a duplicate copy.
+      StreamingAdmission.commitBatch(spark, bandsPath, shinglesPath,
+        chunks.head.toSeq.toDF("doc_id", "text"), sink, batchId = 0L)
+      val replayed = spark.read.parquet(sink)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(replayed == batch,
+        s"batch replay duplicated decisions: ${replayed.size} rows vs ${batch.size}")
     } finally {
       q.stop()
       LlmPipeline.deleteRecursively(tmp)
