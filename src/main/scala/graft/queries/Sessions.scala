@@ -302,7 +302,12 @@ object Sessions extends QueryPack {
     * on user_id, two window passes over the same sort, then the motif
     * aggregation per (user, session).
     */
-  def sessionMotifs(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared derivation for q167/q173: per-(user, 4-hour session) symbol
+    * sequences — the lag-gap + running-sum session ids (the q62-oracle
+    * idiom, on both engines) followed by one collect_list aggregation
+    * per (user, session). Columns: user_id, sid, s_start_us, seq.
+    */
+  private def sessionSeqs(spark: SparkSession, dir: String): DataFrame = {
     val sym = when(col("event_type") === "view", "v")
       .when(col("event_type") === "click", "c")
       .when(col("event_type") === "purchase", "p")
@@ -313,24 +318,26 @@ object Sessions extends QueryPack {
     val e = Tables.events(spark, dir)
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
         col("event_id"), sym.as("sym"))
-    val sess = e
-      .withColumn("new_s",
+    e.withColumn("new_s",
         when(lag(col("ts_us"), 1).over(wOrd).isNull
           .or(col("ts_us") - lag(col("ts_us"), 1).over(wOrd) >= gapUs), 1)
           .otherwise(0))
       .withColumn("sid", sum(col("new_s"))
         .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    sess.groupBy("user_id", "sid")
+      .groupBy("user_id", "sid")
       .agg(min(col("ts_us")).as("s_start_us"),
         collect_list(struct(col("ts_us"), col("event_id"), col("sym"))).as("evs"))
       .withColumn("seq", expr("array_join(transform(array_sort(evs), x -> x.sym), '')"))
+  }
+
+  def sessionMotifs(spark: SparkSession, dir: String): DataFrame =
+    sessionSeqs(spark, dir)
       .select(col("user_id"), col("sid").cast("long").as("sid"), col("s_start_us"),
         length(col("seq")).as("seq_len"),
         ((length(col("seq")) - length(regexp_replace(col("seq"), "vcp", ""))) / 3)
           .cast("int").as("n_vcp"),
         regexp_count(col("seq"), lit("vc+p")).cast("int").as("n_pattern"))
       .orderBy("user_id", "sid")
-  }
 
   private val sessionMotifsSql =
     """WITH e AS (
@@ -359,6 +366,73 @@ object Sessions extends QueryPack {
       |FROM seqs
       |ORDER BY user_id, sid""".stripMargin
 
+  /** Sessionized funnel classes (q173 — VERDICT r10 item 4): extends
+    * the q166/q167 motif surface from literal + `c+` repetition to the
+    * two remaining MATCH_RECOGNIZE-class pattern forms, composed with
+    * q167's sessionization (per-group state = one session):
+    *
+    *   - EXCLUSION — `v[^p]*p` (`n_conv`): a view converting to a
+    *     purchase with NO intervening purchase; the span-with-excluded-
+    *     symbol form (MATCH_RECOGNIZE's `A {- B -}* C`). The negated
+    *     class cannot cross a `p`, so greedy matching gives both
+    *     engines the identical extent (v … first subsequent p), and
+    *     leftmost non-overlapping counting is unambiguous.
+    *   - ALTERNATION — `v(c|s)+p` (`n_assist`): assisted conversions
+    *     (≥ 1 engagement event, click OR signup, between view and
+    *     purchase). The q166 RE2∩Java discipline extends to this
+    *     alternation because the branches are DISJOINT single symbols
+    *     (`(c|s)` ≡ `[cs]`): no input has two parses, so Perl-style
+    *     (Java) and RE2 matching cannot diverge.
+    *   - EXCLUSION + ANCHOR — `v[^p]*$` (`n_abandoned`, 0/1 per
+    *     session): the abandoned-funnel motif — a view after the
+    *     session's last purchase that never converts. `$` is the
+    *     end-of-input anchor in both engines (sequences contain no
+    *     newlines), and the anchor makes the count a boolean.
+    *
+    * Lookarounds — the one MATCH_RECOGNIZE-adjacent feature RE2 lacks —
+    * stay out of the surface by design; anchors + negated classes
+    * express the abandoned-funnel semantics without them.
+    * TemporalSpec rebuilds every session's three counts with Java
+    * regex over pure-Scala-built sequences (full parity) and pins
+    * fixture non-degeneracy (every class fires somewhere).
+    */
+  def sessionFunnelClasses(spark: SparkSession, dir: String): DataFrame =
+    sessionSeqs(spark, dir)
+      .select(col("user_id"), col("sid").cast("long").as("sid"), col("s_start_us"),
+        length(col("seq")).as("seq_len"),
+        regexp_count(col("seq"), lit("v[^p]*p")).cast("int").as("n_conv"),
+        regexp_count(col("seq"), lit("v(c|s)+p")).cast("int").as("n_assist"),
+        regexp_count(col("seq"), lit("v[^p]*$")).cast("int").as("n_abandoned"))
+      .orderBy("user_id", "sid")
+
+  private val sessionFunnelClassesSql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id,
+      |    CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+      |         WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+      |         ELSE 'e' END AS sym
+      |  FROM events),
+      |flagged AS (
+      |  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+      |         OR ts_us - lag(ts_us) OVER w >= 14400000000 THEN 1 ELSE 0 END AS new_s
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |sess AS (
+      |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flagged),
+      |seqs AS (
+      |  SELECT user_id, CAST(sid AS BIGINT) AS sid, min(ts_us) AS s_start_us,
+      |    string_agg(sym, '' ORDER BY ts_us, event_id) AS seq
+      |  FROM sess GROUP BY user_id, sid)
+      |SELECT user_id, sid, s_start_us,
+      |  CAST(length(seq) AS INTEGER) AS seq_len,
+      |  CAST(len(regexp_extract_all(seq, 'v[^p]*p')) AS INTEGER) AS n_conv,
+      |  CAST(len(regexp_extract_all(seq, 'v(c|s)+p')) AS INTEGER) AS n_assist,
+      |  CAST(len(regexp_extract_all(seq, 'v[^p]*$')) AS INTEGER) AS n_abandoned
+      |FROM seqs
+      |ORDER BY user_id, sid""".stripMargin
+
   override def all: Seq[QueryDef] = Seq(
     QueryDef("q60_tumbling_daily", tumblingDaily, Some(tumblingDailySql)),
     QueryDef("q61_sliding_windows", slidingWindows, Some(slidingWindowsSql)),
@@ -368,5 +442,7 @@ object Sessions extends QueryPack {
     QueryDef("q94_funnel", funnel, Some(funnelSql)),
     QueryDef("q139_transition_matrix", transitionMatrix, Some(transitionMatrixSql)),
     QueryDef("q166_sequence_motifs", sequenceMotifs, Some(sequenceMotifsSql)),
-    QueryDef("q167_session_motifs", sessionMotifs, Some(sessionMotifsSql)))
+    QueryDef("q167_session_motifs", sessionMotifs, Some(sessionMotifsSql)),
+    QueryDef("q173_session_funnel_classes", sessionFunnelClasses,
+      Some(sessionFunnelClassesSql)))
 }

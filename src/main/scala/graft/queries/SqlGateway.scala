@@ -559,6 +559,283 @@ object SqlGateway extends QueryPack {
       |  CAST(sum(CASE WHEN band = 'premium' THEN 1 ELSE 0 END) AS BIGINT) FROM g3
       |ORDER BY gen""".stripMargin
 
+  /** Generation retention / VACUUM through the command log (q171 —
+    * VERDICT r10 item 1): every DML command here compiles to a
+    * generation rewrite that retains superseded generations forever
+    * (q164 makes that history queryable but nothing expires it — the
+    * unbounded-history hole the reference shares: its in-memory
+    * `log []LogEntry`, src/raft/node.go:28, likewise grows without
+    * bound, the Raft log-compaction/snapshot concern). VACUUM is the
+    * `expire_snapshots` surface every snapshot table format ships,
+    * compiled to the SAME command convention everything else uses:
+    *
+    *   - the pointer table is rewritten as its own next generation
+    *     (`vac_generations_v2`): every generation KEEPS its metadata row
+    *     (a tombstone records gen + table name + status), generations
+    *     below the retention point flip to status 'expired',
+    *   - the expired generations' STORAGE is dropped (`DROP TABLE` on a
+    *     managed table deletes its warehouse directory),
+    *   - the current generation and every generation at or above the
+    *     retention point are untouched.
+    *
+    * Retention point here = generation 2: g1 expires; g2 (superseded
+    * but retained — time travel must still work on it) and g3 (current)
+    * survive. [[vacuumAwareRead]] resolves through the rewritten
+    * pointer table and FAILS CLOSED on an expired generation with an
+    * error naming the earliest retained one (SqlCommandLogSpec pins the
+    * message and that retained generations still answer q164-shaped
+    * summaries).
+    *
+    * The result hash-pins the post-VACUUM state cross-engine: one row
+    * per generation with its status, an `accessible` boolean computed
+    * by actually attempting the time-travel read (expired ⇒ false), a
+    * `storage_ok` boolean (expired ⇒ catalog table really gone,
+    * retained ⇒ still present), and the q164 summary columns for
+    * retained generations (NULL for the expired one). The DuckDB oracle
+    * recomputes the retained summaries from the same derivation chain
+    * and emits the contract booleans as literals — a VACUUM that
+    * expired the wrong set, left storage behind, or broke a retained
+    * generation flips a hashed cell.
+    *
+    * All commands are DROP IF EXISTS + CTAS (or plain DROP IF EXISTS),
+    * so replay-after-partial-apply converges (the q159 property; the
+    * spec replays the full log over vacuumed state).
+    */
+  private val vacTables = Seq("vac_part_g1", "vac_part_g2", "vac_part_g3",
+    "vac_generations", "vac_generations_v2")
+
+  private[graft] val vacHistoryLog = Seq(
+    "DROP TABLE IF EXISTS vac_part_g1",
+    "DROP TABLE IF EXISTS vac_part_g2",
+    "DROP TABLE IF EXISTS vac_part_g3",
+    "DROP TABLE IF EXISTS vac_generations",
+    """CREATE TABLE vac_part_g1 USING PARQUET AS
+      |SELECT p_partkey, CAST(p_retailprice AS DECIMAL(12,2)) AS price
+      |FROM part""".stripMargin,
+    """CREATE TABLE vac_part_g2 USING PARQUET AS
+      |SELECT * FROM vac_part_g1 WHERE NOT (p_partkey % 10 = 7)""".stripMargin,
+    """CREATE TABLE vac_part_g3 USING PARQUET AS
+      |SELECT *, CASE WHEN p_partkey % 4 = 0 THEN 'premium' ELSE 'standard' END AS band
+      |FROM vac_part_g2""".stripMargin,
+    """CREATE TABLE vac_generations USING PARQUET AS
+      |SELECT * FROM VALUES (1, 'vac_part_g1'), (2, 'vac_part_g2'), (3, 'vac_part_g3')
+      |AS t(gen, tbl)""".stripMargin)
+
+  /** Retention point of the VACUUM command below: generations with
+    * gen < this expire; the rest are retained.
+    */
+  private[graft] val VacRetainFrom = 2
+
+  private[graft] val vacuumLog = Seq(
+    "DROP TABLE IF EXISTS vac_generations_v2",
+    s"""CREATE TABLE vac_generations_v2 USING PARQUET AS
+      |SELECT gen, tbl,
+      |  CASE WHEN gen < $VacRetainFrom THEN 'expired' ELSE 'retained' END AS status
+      |FROM vac_generations""".stripMargin,
+    "DROP TABLE IF EXISTS vac_part_g1")
+
+  /** Time-travel read that respects VACUUM: resolve `gen` through the
+    * post-VACUUM pointer table; an expired generation fails CLOSED with
+    * an error naming the earliest retained generation (the metadata row
+    * survives as a tombstone, so the error can say what happened to the
+    * data instead of a bare table-not-found).
+    */
+  private[graft] def vacuumAwareRead(spark: SparkSession, gen: Int): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val ptr = spark.table("vac_generations_v2")
+    val row = ptr.filter(col("gen") === gen).head()
+    if (row.getString(2) == "expired") {
+      val earliest = ptr.filter(col("status") === "retained")
+        .agg(org.apache.spark.sql.functions.min("gen")).head().getInt(0)
+      throw new IllegalStateException(
+        s"generation $gen was expired by VACUUM (retention point $VacRetainFrom); " +
+          s"earliest retained generation is $earliest")
+    }
+    spark.table(row.getString(1))
+  }
+
+  def generationVacuum(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Tables.registerAll(spark, dir)
+    resetManagedLocations(spark, vacTables)
+    applyLog(spark, vacHistoryLog ++ vacuumLog)
+    // Pointer-table read is control-plane: rows = generations.
+    val ptr = spark.table("vac_generations_v2").orderBy("gen").collect()
+    val perGen = ptr.toSeq.map { r =>
+      val (g, tbl, status) = (r.getInt(0), r.getString(1), r.getString(2))
+      val accessible =
+        try { vacuumAwareRead(spark, g); true }
+        catch { case e: IllegalStateException if e.getMessage.contains("expired") => false }
+      if (status == "expired") {
+        // Contract: the expired generation's storage must actually be
+        // gone from the catalog, not just flagged in metadata.
+        spark.range(1).select(lit(g).as("gen"), lit(status).as("status"),
+          lit(accessible).as("accessible"),
+          lit(!spark.catalog.tableExists(tbl)).as("storage_ok"),
+          lit(null).cast("long").as("n_rows"),
+          lit(null).cast("double").as("total_price"),
+          lit(null).cast("long").as("n_premium"))
+      } else {
+        val df = vacuumAwareRead(spark, g)
+        val nPremium =
+          if (df.columns.contains("band"))
+            sum(when(col("band") === "premium", 1L).otherwise(0L)).cast("long")
+          else lit(null).cast("long")
+        df.agg(count(lit(1)).as("n_rows"),
+            round(sum(col("price")).cast("double"), 4).as("total_price"),
+            nPremium.as("n_premium"))
+          .select(lit(g).as("gen"), lit(status).as("status"),
+            lit(accessible).as("accessible"),
+            lit(spark.catalog.tableExists(tbl)).as("storage_ok"),
+            col("n_rows"), col("total_price"), col("n_premium"))
+      }
+    }
+    perGen.reduce(_ unionByName _).orderBy("gen")
+  }
+
+  private val generationVacuumSql =
+    """WITH g1 AS (
+      |  SELECT p_partkey, CAST(p_retailprice AS DECIMAL(12,2)) AS price FROM part),
+      |g2 AS (SELECT * FROM g1 WHERE NOT (p_partkey % 10 = 7)),
+      |g3 AS (SELECT *, CASE WHEN p_partkey % 4 = 0 THEN 'premium' ELSE 'standard' END AS band
+      |       FROM g2)
+      |SELECT 1 AS gen, 'expired' AS status, FALSE AS accessible, TRUE AS storage_ok,
+      |  CAST(NULL AS BIGINT) AS n_rows, CAST(NULL AS DOUBLE) AS total_price,
+      |  CAST(NULL AS BIGINT) AS n_premium
+      |UNION ALL
+      |SELECT 2, 'retained', TRUE, TRUE, count(*),
+      |  round(CAST(sum(price) AS DOUBLE), 4), CAST(NULL AS BIGINT) FROM g2
+      |UNION ALL
+      |SELECT 3, 'retained', TRUE, TRUE, count(*),
+      |  round(CAST(sum(price) AS DOUBLE), 4),
+      |  CAST(sum(CASE WHEN band = 'premium' THEN 1 ELSE 0 END) AS BIGINT) FROM g3
+      |ORDER BY gen""".stripMargin
+
+  // --- optimistic concurrency on the generation-pointer swap (q172) ---
+
+  /** The commit log for optimistically-concurrent generation swaps: a
+    * directory of `commit-<gen>` files, one per committed generation,
+    * each naming the catalog table that IS that generation. Committing
+    * generation N+1 = atomically creating the file `commit-<N+1>`
+    * (CREATE_NEW — O_CREAT|O_EXCL); two writers who both based their
+    * rewrite on generation N race on that single create, exactly one
+    * wins, and the loser gets a `FileAlreadyExistsException` — the
+    * lost-race signal it rebases on. This is the storage-level
+    * compare-and-swap snapshot table formats run on HDFS/object stores
+    * (atomic put-if-absent of the next log entry), and it is the
+    * capability the reference's Raft exists to provide — a total order
+    * over concurrent proposers (src/raft/replication.go:88-103 commits
+    * in log order) — which its missing client-submit path never
+    * delivers. Data files (the candidate generation tables) are written
+    * under WRITER-UNIQUE names before the CAS, so the contended object
+    * is only the one commit file, never the data write.
+    */
+  private[graft] def occCurrentGen(logDir: java.nio.file.Path): Long = {
+    val names = scala.util.Using.resource(java.nio.file.Files.list(logDir)) { s =>
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.map(_.getFileName.toString).toList
+    }
+    names.collect { case n if n.startsWith("commit-") => n.stripPrefix("commit-").toLong }
+      .foldLeft(0L)(math.max)
+  }
+
+  /** Resolve the table name committed as generation `gen`. */
+  private[graft] def occTableAt(logDir: java.nio.file.Path, gen: Long): String =
+    new String(java.nio.file.Files.readAllBytes(
+      logDir.resolve(f"commit-$gen%06d")), java.nio.charset.StandardCharsets.UTF_8)
+
+  /** Attempt the pointer swap: commit `tableName` as generation
+    * `expectedGen + 1`. Returns false iff another writer committed that
+    * generation first (the lost race — caller re-reads the new current
+    * generation, rebases its rewrite, and retries or aborts).
+    */
+  private[graft] def occTryCommit(
+      logDir: java.nio.file.Path, expectedGen: Long, tableName: String): Boolean =
+    try {
+      java.nio.file.Files.write(
+        logDir.resolve(f"commit-${expectedGen + 1}%06d"),
+        tableName.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+      true
+    } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+
+  /** Optimistic concurrency on the generation-pointer swap (q172 —
+    * VERDICT r10 item 2): two writers race command batches against the
+    * same table. Writer A deletes the `p_partkey % 10 = 3` stripe,
+    * writer B the `% 10 = 7` stripe; BOTH base their rewrite on
+    * generation 0 (the conflict), A's CAS on generation 1 lands first,
+    * and B's CAS on the same generation then FAILS — B detects the lost
+    * race, drops its orphaned candidate table, rebases on A's committed
+    * generation, rewrites, and commits generation 2. The interleaving
+    * is scripted (deterministic — an oracle needs a reproducible
+    * outcome; OccSpec runs the same protocol with two REAL racing
+    * threads and non-commuting rewrites to prove the serializable-
+    * outcome property), but the lost race is structurally real: B's
+    * first CAS fails on the same atomic create a concurrent writer
+    * would lose.
+    *
+    * These two rewrites commute, so the serial order the race resolves
+    * to does not change the final state — which is what makes the
+    * result oracle-expressible: the DuckDB side recomputes base minus
+    * both stripes and emits the protocol facts (final generation 2, one
+    * lost race, one orphaned table cleaned) as literals; the Spark side
+    * COMPUTES them from the commit log. A protocol bug — double-commit,
+    * missed conflict, lost rewrite — flips a hashed cell.
+    */
+  def occCommitRace(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Tables.registerAll(spark, dir)
+    val occTables = Seq("occ_base", "occ_w_a_1", "occ_w_b_1", "occ_w_b_2")
+    resetManagedLocations(spark, occTables)
+    applyLog(spark, occTables.map(t => s"DROP TABLE IF EXISTS $t") :+
+      """CREATE TABLE occ_base USING PARQUET AS
+        |SELECT p_partkey, CAST(p_retailprice AS DECIMAL(12,2)) AS price
+        |FROM part""".stripMargin)
+    val logDir = java.nio.file.Files.createTempDirectory("graft-occ-")
+    try {
+      require(occTryCommit(logDir, -1L, "occ_base"), "bootstrap commit must win an empty log")
+      // Both writers read the SAME base generation before either commits.
+      val genA = occCurrentGen(logDir)
+      val genB = occCurrentGen(logDir)
+      spark.sql(s"""CREATE TABLE occ_w_a_1 USING PARQUET AS
+        |SELECT * FROM ${occTableAt(logDir, genA)} WHERE NOT (p_partkey % 10 = 3)""".stripMargin)
+      spark.sql(s"""CREATE TABLE occ_w_b_1 USING PARQUET AS
+        |SELECT * FROM ${occTableAt(logDir, genB)} WHERE NOT (p_partkey % 10 = 7)""".stripMargin)
+      val aWon = occTryCommit(logDir, genA, "occ_w_a_1")
+      val bFirst = occTryCommit(logDir, genB, "occ_w_b_1")
+      var lostRaces = 0
+      if (!bFirst) {
+        // B lost: drop the orphaned candidate, rebase on the committed
+        // generation, rewrite, retry.
+        lostRaces += 1
+        spark.sql("DROP TABLE occ_w_b_1")
+        val genB2 = occCurrentGen(logDir)
+        spark.sql(s"""CREATE TABLE occ_w_b_2 USING PARQUET AS
+          |SELECT * FROM ${occTableAt(logDir, genB2)} WHERE NOT (p_partkey % 10 = 7)""".stripMargin)
+        require(occTryCommit(logDir, genB2, "occ_w_b_2"), "rebased retry must succeed unopposed")
+      }
+      val finalGen = occCurrentGen(logDir)
+      val orphanCleaned = !spark.catalog.tableExists("occ_w_b_1")
+      spark.table(occTableAt(logDir, finalGen))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("price")).cast("double"), 4).as("total_price"))
+        .select(lit(aWon).as("a_won"), lit(finalGen).as("final_gen"),
+          lit(lostRaces.toLong).as("lost_races"), lit(orphanCleaned).as("orphan_cleaned"),
+          col("n_rows"), col("total_price"))
+    } finally LlmPipeline.deleteRecursively(logDir)
+  }
+
+  private val occCommitRaceSql =
+    """WITH base AS (
+      |  SELECT p_partkey, CAST(p_retailprice AS DECIMAL(12,2)) AS price FROM part),
+      |fin AS (
+      |  SELECT * FROM base
+      |  WHERE NOT (p_partkey % 10 = 3) AND NOT (p_partkey % 10 = 7))
+      |SELECT TRUE AS a_won, CAST(2 AS BIGINT) AS final_gen,
+      |  CAST(1 AS BIGINT) AS lost_races, TRUE AS orphan_cleaned,
+      |  count(*) AS n_rows, round(CAST(sum(price) AS DOUBLE), 4) AS total_price
+      |FROM fin""".stripMargin
+
   override def all: Seq[QueryDef] = Seq(
     QueryDef("q91_sql_command", sqlCommand, Some(revenueByNationCmd)),
     QueryDef("q107_command_log_replay", commandLogReplay, Some(commandLogReplaySql)),
@@ -567,5 +844,7 @@ object SqlGateway extends QueryPack {
     QueryDef("q159_durable_log_replay", durableLogReplay, Some(durableLogReplaySql)),
     QueryDef("q162_update_apply", updateApply, Some(updateApplySql)),
     QueryDef("q164_generation_time_travel", generationTimeTravel,
-      Some(generationTimeTravelSql)))
+      Some(generationTimeTravelSql)),
+    QueryDef("q171_generation_vacuum", generationVacuum, Some(generationVacuumSql)),
+    QueryDef("q172_occ_commit_race", occCommitRace, Some(occCommitRaceSql)))
 }

@@ -98,4 +98,36 @@ object StreamingAdmission {
         commitBatch(spark, bandsPath, shinglesPath, batch, decisionLogPath, batchId)
       }
       .start()
+
+  /** Embedding-side admission (VERDICT r10 item 6): the same live-
+    * ingest pattern run against the STORED q163 multi-probe ANN index
+    * (the 3×-smaller artifact incremental shards re-probe at 100 TB —
+    * [[graft.queries.LlmPipeline.ensureMpAnnIndex]]). Each micro-batch
+    * of (vec_id, embedding) rows is Hamming-1 probed against the
+    * exact-bucket index and verified at cosine ≥ 0.4 against the stored
+    * corpus vectors; decisions depend only on (vector, static index),
+    * so batch parity holds under every chunking and arrival order
+    * (StreamingAdmissionSpec, vs the batch q174 answer). Commits reuse
+    * the batch_id-keyed idempotent sink.
+    */
+  private[graft] def commitAnnBatch(
+      spark: SparkSession, keysPath: String, vecsPath: String,
+      batch: DataFrame, decisionLogPath: String, batchId: Long): Unit =
+    LlmPipeline.annProbeDecisions(spark, keysPath, vecsPath, batch)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$decisionLogPath/batch_id=$batchId")
+
+  /** Start the embedding-admission stream: `input` is a streaming
+    * DataFrame of (vec_id, embedding).
+    */
+  def startAnn(
+      spark: SparkSession, keysPath: String, vecsPath: String,
+      input: DataFrame, decisionLogPath: String,
+      checkpointDir: String): StreamingQuery =
+    input.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        commitAnnBatch(spark, keysPath, vecsPath, batch, decisionLogPath, batchId)
+      }
+      .start()
 }

@@ -1,0 +1,123 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.CyclicBarrier
+
+import graft.queries.{LlmPipeline, SqlGateway}
+
+/** Optimistic concurrency on the generation-pointer swap (q172 —
+  * VERDICT r10 item 2): two REAL sessions' worth of work race
+  * `applyLog`-style command batches against the same table, and the
+  * compare-and-swap on the commit log must make the outcome
+  * SERIALIZABLE — the final state equals one of the two serial orders,
+  * never a merge, and the loser observably detects its lost race.
+  *
+  * The rewrites here are chosen NON-commuting (A: price + 10 on every
+  * row; B: price * 2 on every row) so the two serial orders produce
+  * DIFFERENT final states: (p+10)*2 vs p*2+10 differ on every row.
+  * A merge (both rewrites applied to the same base and somehow
+  * combined) matches neither and fails the equality check.
+  */
+class OccSpec extends SparkSpec {
+
+  test("two racing writers serialize through the pointer CAS: one lost race, final state equals exactly one serial order") {
+    val logDir = Files.createTempDirectory("graft-occ-spec-")
+    val tables = Seq("occs_base", "occs_a_1", "occs_a_2", "occs_b_1", "occs_b_2")
+    try {
+      graft.sources.Tables.registerAll(spark, sfDir)
+      tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      SqlGateway.resetManagedLocations(spark, tables)
+      spark.sql(
+        """CREATE TABLE occs_base USING PARQUET AS
+          |SELECT p_partkey, CAST(p_retailprice AS DECIMAL(12,2)) AS price
+          |FROM part""".stripMargin)
+      assert(SqlGateway.occTryCommit(logDir, -1L, "occs_base"))
+
+      // Non-commuting rewrites: order changes every row's price.
+      val rewriteA = (from: String) =>
+        s"SELECT p_partkey, CAST(price + 10 AS DECIMAL(12,2)) AS price FROM $from"
+      val rewriteB = (from: String) =>
+        s"SELECT p_partkey, CAST(price * 2 AS DECIMAL(12,2)) AS price FROM $from"
+
+      // Both writers build their candidate generation against the log
+      // state they read, then meet at the barrier so both attempt the
+      // SAME CAS — exactly one must win it.
+      val barrier = new CyclicBarrier(2)
+      def writer(name: String, rewrite: String => String): (Long, Int) = {
+        var lost = 0
+        var attempt = 0
+        var committedGen = -1L
+        while (committedGen < 0 && attempt < 5) {
+          attempt += 1
+          val cur = SqlGateway.occCurrentGen(logDir)
+          val base = SqlGateway.occTableAt(logDir, cur)
+          val mine = s"occs_${name}_$attempt"
+          spark.sql(s"CREATE TABLE $mine USING PARQUET AS ${rewrite(base)}")
+          if (attempt == 1) barrier.await()
+          if (SqlGateway.occTryCommit(logDir, cur, mine)) committedGen = cur + 1
+          else { lost += 1; spark.sql(s"DROP TABLE $mine") }
+        }
+        assert(committedGen > 0, s"writer $name never committed")
+        (committedGen, lost)
+      }
+
+      var resA: (Long, Int) = null
+      var resB: (Long, Int) = null
+      var errA: Throwable = null
+      var errB: Throwable = null
+      val tA = new Thread(() =>
+        try resA = writer("a", rewriteA) catch { case t: Throwable => errA = t })
+      val tB = new Thread(() =>
+        try resB = writer("b", rewriteB) catch { case t: Throwable => errB = t })
+      tA.start(); tB.start(); tA.join(120000); tB.join(120000)
+      assert(errA == null, s"writer A failed: $errA")
+      assert(errB == null, s"writer B failed: $errB")
+
+      // Protocol facts: generations 1 and 2 both committed, by
+      // different writers, and exactly one writer lost exactly one race
+      // (both based attempt 1 on generation 0; the barrier guarantees
+      // the conflict).
+      assert(Set(resA._1, resB._1) == Set(1L, 2L),
+        s"writers must land on generations 1 and 2, got $resA / $resB")
+      assert(resA._2 + resB._2 == 1,
+        s"exactly one lost race expected, got A=${resA._2} B=${resB._2}")
+
+      // Serializability: the final committed state equals exactly ONE
+      // of the two serial orders — and the orders genuinely differ, so
+      // a merged/lost-update outcome matches neither.
+      def rows(sql: String): Set[String] =
+        spark.sql(sql).collect().map(_.toString).toSet
+      val finalRows = rows(
+        s"SELECT * FROM ${SqlGateway.occTableAt(logDir, 2L)}")
+      val serialAB = rows(s"WITH s1 AS (${rewriteA("occs_base")}) ${rewriteB("s1")}")
+      val serialBA = rows(s"WITH s1 AS (${rewriteB("occs_base")}) ${rewriteA("s1")}")
+      assert(serialAB != serialBA,
+        "the chosen rewrites must not commute, or the check is vacuous")
+      val winnerFirst = if (resA._1 == 1L) serialAB else serialBA
+      val loserFirst = if (resA._1 == 1L) serialBA else serialAB
+      assert(finalRows == winnerFirst,
+        "final state must equal the serial order the CAS selected")
+      assert(finalRows != loserFirst, "final state matched the wrong serial order")
+
+      // The loser's orphaned attempt-1 table was dropped on rebase.
+      val loser = if (resA._2 == 1) "a" else "b"
+      assert(!spark.catalog.tableExists(s"occs_${loser}_1"),
+        "lost-race candidate table must be cleaned up")
+    } finally {
+      tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      LlmPipeline.deleteRecursively(logDir)
+    }
+  }
+
+  test("the commit CAS is first-writer-wins at the file level") {
+    val logDir = Files.createTempDirectory("graft-occ-cas-")
+    try {
+      assert(SqlGateway.occTryCommit(logDir, -1L, "t0"))
+      assert(SqlGateway.occTryCommit(logDir, 0L, "t1"))
+      // Same expected generation again: the slot is taken.
+      assert(!SqlGateway.occTryCommit(logDir, 0L, "t1b"))
+      assert(SqlGateway.occCurrentGen(logDir) == 1L)
+      assert(SqlGateway.occTableAt(logDir, 1L) == "t1")
+    } finally LlmPipeline.deleteRecursively(logDir)
+  }
+}

@@ -114,6 +114,43 @@ class SqlCommandLogSpec extends SparkSpec {
     }
   }
 
+  test("q171 VACUUM: expired generations fail closed with a clear error; retained ones still answer; replay converges") {
+    try {
+      val res = SqlGateway.generationVacuum(spark, sfDir).collect()
+      assert(res.length == 3)
+      // The retention law: exactly the generations below the retention
+      // point expire, and their storage is really gone.
+      assert(res.map(r => (r.getInt(0), r.getString(1))).toSeq ==
+        Seq((1, "expired"), (2, "retained"), (3, "retained")))
+      assert(res.forall(_.getBoolean(3)), "storage_ok must hold for every generation")
+      assert(!spark.catalog.tableExists("vac_part_g1"),
+        "the expired generation's table must be dropped")
+      // Fail-closed time travel: reading the expired generation throws
+      // an error that says WHAT happened and names the earliest
+      // retained generation — not a bare table-not-found.
+      val err = intercept[IllegalStateException](SqlGateway.vacuumAwareRead(spark, 1))
+      assert(err.getMessage.contains("expired by VACUUM") &&
+        err.getMessage.contains("earliest retained generation is 2"), err.getMessage)
+      // Retained generations — including the SUPERSEDED g2 — still
+      // answer q164's original queries against the raw source.
+      val srcRows = graft.sources.Tables.part(spark, sfDir)
+        .filter("NOT (p_partkey % 10 = 7)").count()
+      assert(SqlGateway.vacuumAwareRead(spark, 2).count() == srcRows)
+      assert(SqlGateway.vacuumAwareRead(spark, 3).count() == srcRows)
+      assert(SqlGateway.vacuumAwareRead(spark, 3).columns.contains("band"))
+      // The current generation is untouched by VACUUM: its summary row
+      // matches the q164 family's g3 shape (premium count present).
+      assert(res(2).getLong(6) > 0, "current generation must keep its premium count")
+      // Replaying the whole history+VACUUM log over the vacuumed state
+      // converges (every command is DROP IF EXISTS + CTAS).
+      val again = SqlGateway.generationVacuum(spark, sfDir).collect()
+      assert(again.map(_.toString).toSeq == res.map(_.toString).toSeq)
+    } finally {
+      Seq("vac_part_g1", "vac_part_g2", "vac_part_g3", "vac_generations",
+        "vac_generations_v2").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("a query command through the gateway equals the DataFrame surface") {
     val viaSql = SqlGateway.sqlCommand(spark, sfDir)
       .collect().map(_.toString).toSeq

@@ -60,4 +60,47 @@ class StreamingAdmissionSpec extends SparkSpec {
       LlmPipeline.deleteRecursively(tmp)
     }
   }
+
+  test("streamed embedding admission over a scrambled chunked feed equals the batch q174 answer") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val (keysPath, vecsPath) = LlmPipeline.ensureMpAnnIndex(spark, sfDir)
+
+    // The q174 "new shard" of vectors, delivered out of id order across
+    // three micro-batches (deterministic scramble).
+    val newVecs = graft.sources.Tables.embeddings(spark, sfDir)
+      .filter("vec_id % 4 = 0").select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect()
+      .sortBy { case (id, _) => (id % 7, id) }
+    val chunks = newVecs.grouped(math.max(newVecs.length / 3, 1)).toSeq
+
+    val tmp = Files.createTempDirectory("graft_admit_ann")
+    val sink = tmp.resolve("decisions").toString
+    val ckpt = tmp.resolve("ckpt").toString
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingAdmission.startAnn(spark, keysPath, vecsPath,
+      input.toDS().toDF("vec_id", "embedding"), sink, ckpt)
+    try {
+      chunks.foreach { c => input.addData(c.toSeq); q.processAllAvailable() }
+      val streamed = spark.read.parquet(sink)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val batch = LlmPipeline.annAdmission(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(batch.nonEmpty, "fixture must produce embedding near-dup admissions")
+      assert(streamed == batch,
+        s"streamed ANN decisions diverged: stream=${streamed.take(5)}… batch=${batch.take(5)}…")
+      // Batch replay (at-least-once foreachBatch) must leave the log
+      // unchanged — same idempotent batch_id-keyed commit as the
+      // document path.
+      StreamingAdmission.commitAnnBatch(spark, keysPath, vecsPath,
+        chunks.head.toSeq.toDF("vec_id", "embedding"), sink, batchId = 0L)
+      val replayed = spark.read.parquet(sink)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(replayed == batch,
+        s"ANN batch replay duplicated decisions: ${replayed.size} rows vs ${batch.size}")
+    } finally {
+      q.stop()
+      LlmPipeline.deleteRecursively(tmp)
+    }
+  }
 }

@@ -134,6 +134,53 @@ class TemporalSpec extends SparkSpec {
     assert(mismatched == 0, s"$mismatched users with session-count mismatch vs q62")
   }
 
+  test("q173: funnel-class counts match a pure-Scala rebuild of every session sequence") {
+    import graft.queries.Sessions
+    val got = Sessions.sessionFunnelClasses(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6))).toList
+    // Independent reference: sessionize in plain Scala (same 4-hour gap
+    // rule), then count all three pattern classes with java.util.regex.
+    val symOf = Map("view" -> "v", "click" -> "c", "purchase" -> "p",
+      "signup" -> "s").withDefaultValue("e")
+    val gapUs = 4L * 3600L * 1000000L
+    val evs = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    def reCount(s: String, p: String): Int = {
+      val m = java.util.regex.Pattern.compile(p).matcher(s)
+      var n = 0
+      while (m.find()) n += 1
+      n
+    }
+    val expected = evs.groupBy(_._1).toList.flatMap { case (u, rows) =>
+      val ordered = rows.sortBy(r => (r._2, r._3))
+      val sids = ordered.scanLeft((0L, 0L)) { case ((sid, prevTs), r) =>
+        (if (sid == 0 || r._2 - prevTs >= gapUs) sid + 1 else sid, r._2)
+      }.drop(1).map(_._1)
+      ordered.zip(sids).groupBy(_._2).toList.map { case (sid, srows) =>
+        val seq = srows.map(x => symOf(x._1._4)).mkString
+        (u, sid, srows.map(_._1._2).min, seq.length,
+          reCount(seq, "v[^p]*p"), reCount(seq, "v(c|s)+p"), reCount(seq, "v[^p]*$"))
+      }
+    }.sortBy(t => (t._1, t._2))
+    assert(got == expected)
+    // Fixture non-degeneracy: every pattern class must fire somewhere,
+    // and the anchored abandoned flag stays boolean.
+    assert(got.map(_._5).sum > 0, "exclusion class v[^p]*p never fired")
+    assert(got.map(_._6).sum > 0, "alternation class v(c|s)+p never fired")
+    assert(got.map(_._7).sum > 0, "abandoned class v[^p]*$ never fired")
+    assert(got.forall(t => t._7 == 0 || t._7 == 1), "n_abandoned must be 0/1")
+    // The exclusion span counts at least as many conversions as the
+    // assisted form: every v(c|s)+p match contains a v[^p]*p-countable
+    // purchase, and exclusion also admits direct v→p conversions.
+    val perSession = got.map(t => (t._5, t._6))
+    assert(perSession.forall { case (conv, assist) => assist <= conv },
+      "assisted conversions exceeded exclusion-span conversions in some session")
+  }
+
   test("q142: monthly revenue deltas telescope back to the series") {
     import graft.queries.Temporal
     val m = Temporal.momRevenue(spark, sfDir).collect()
