@@ -119,13 +119,38 @@ object RecallCurve {
       approx.unpersist()
     }
 
+    // --- JL-projection ANN sweep (q126 — VERDICT r10 item 5) -------------
+    // Ground truth: the exact quantized-space top-30 (the operator's own
+    // contract — stage 2 re-ranks in exactly this space, so recall is
+    // bounded by stage 1's candidate list alone). Sweep the two dials:
+    // projection dims (stage-1 multiplies per row = dims, vs 64 exact)
+    // and candidate budget (stage-2 re-rank rows).
+    val exactTop30 = queries.LlmPipeline.quantizedExactTop30(spark, dir)
+      .select("vec_id").cache()
+    val nExact30 = exactTop30.count()
+    println(s"\nJL ground truth: exact quantized top-$nExact30 for probe 0")
+    println("\n| proj dims | cand budget | hits | recall@30 |")
+    println("|---|---|---|---|")
+    for (dims <- Seq(4, 8, 16, 24, 32, 48); budget <- Seq(100, 200, 400, 800)) {
+      val hits = queries.LlmPipeline.projectedAnnCfg(spark, dir, dims, budget)
+        .select("vec_id").join(exactTop30, Seq("vec_id"), "left_semi").count()
+      println(f"| $dims | $budget | $hits/$nExact30 | ${hits.toDouble / nExact30}%.3f |")
+    }
+    val q126Hits = queries.LlmPipeline.projectedAnn(spark, dir)
+      .select("vec_id").join(exactTop30, Seq("vec_id"), "left_semi").count()
+    println(f"\nq126 contract: $q126Hits/$nExact30 = ${q126Hits.toDouble / nExact30}%.3f " +
+      s"recall@30 (dims=${queries.LlmPipeline.JlProjDims}, " +
+      s"budget=${queries.LlmPipeline.JlCandBudget}; target >= 0.8)")
+
     val q160Fam =
       if (queries.LlmPipeline.AnnPlaneFamily == 0) "scrambled"
       else s"mod-${queries.LlmPipeline.AnnPlaneFamily}"
     println("\nshipped operating points: " +
       s"q160 = (bits=${queries.LlmPipeline.AnnRecallBits}, " +
       s"L=${queries.LlmPipeline.AnnRecallTables}, $q160Fam); " +
-      s"q161 = nprobe=${queries.LlmPipeline.IvfRecallNprobe}")
+      s"q161 = nprobe=${queries.LlmPipeline.IvfRecallNprobe}; " +
+      s"q126 = (dims=${queries.LlmPipeline.JlProjDims}, " +
+      s"budget=${queries.LlmPipeline.JlCandBudget})")
     spark.stop()
   }
 }

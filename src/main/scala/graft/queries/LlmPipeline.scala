@@ -2193,42 +2193,106 @@ object LlmPipeline extends QueryPack {
     * the stage-1 top-k: quantize, project, and distance are per-row
     * maps over the scan; probes and candidate lists ride broadcasts.
     */
-  def projectedAnn(spark: SparkSession, dir: String): DataFrame = {
-    // STAGED MATERIALIZATION, deliberately: Catalyst collapses
-    // projections by INLINING an alias into every reference — with no
-    // common-subexpression elimination inside interpreted HOF lambdas,
-    // `qv` referenced from the 8×64 projection loop would re-evaluate
-    // the whole quantization transform (and `maxabs` inside it) per
-    // loop step: O(dim³) per row, measured 258 s at sf0.1 vs <1 s
-    // staged. The localCheckpoints pin maxabs → qv → proj as
-    // materialized columns — exactly the "write the quantized table,
-    // then the projected index, once" artifact chain a production
-    // vector store persists (q102/q130 pattern, per-run form).
+  /** The q126 operating point, chosen from the committed RecallCurve
+    * sweep (r11 — VERDICT r10 item 5; numbers in BASELINE.md).
+    * Sweeping the ORIGINAL Weyl-ish sign formula
+    * `(i*2654435761 + j*40503) % 97 % 2` measured recall FLAT in
+    * projection dims (0.633 at budget 800 for dims 4 through 48) —
+    * the same 2-parameter-lattice correlation q160's sweep exposed in
+    * the mod-61 hyperplane families: rows j are shifts of one
+    * sequence mod 97, so extra dims add almost no independent
+    * information. The shipped matrix is therefore the hash-SCRAMBLED
+    * ±1 family ([[scrambledSignBit]], disjoint stream from the
+    * hyperplane planes), whose sweep restores the dims dial (recall
+    * at budget 400: 0.267 → 0.833 as dims go 4 → 32, where the
+    * lattice family sat flat at ~0.4). Shipped point (dims=32,
+    * budget=400): recall@30 0.833 at sf0.1 with stage-1 at half the
+    * exact multiplies and a fixed 400-row re-rank — and dims, not
+    * budget, is the dial that survives 100 TB (the budget is an
+    * absolute row count; the corpus is not). AnnRecallSpec requires
+    * recall@30 ≥ 0.8 so a fixture or formula change that silently
+    * degrades the candidate stage fails the build.
+    */
+  private[graft] val JlProjDims = 32
+  private[graft] val JlCandBudget = 400
+
+  /** ±1 sign matrix for the JL projection: the scrambled integer mix,
+    * on a j-stream disjoint from the hyperplane families' (offset 512
+    * — plane jj's stay below bits·L ≤ 64).
+    */
+  private def jlSignBit(i: Int, j: Int): Int = scrambledSignBit(i, 512 + j)
+
+  private def jlSignLits(projDims: Int): IndexedSeq[Int] =
+    (0 until projDims).flatMap(j => (0 until 64).map(i => jlSignBit(i, j))).toIndexedSeq
+
+  /** Staged quantization shared by the JL stages and the exact ground
+    * truth: int8-quantize each 64-d embedding (q104's formula) into
+    * integer space. STAGED MATERIALIZATION, deliberately: Catalyst
+    * collapses projections by INLINING an alias into every reference —
+    * with no common-subexpression elimination inside interpreted HOF
+    * lambdas, `qv` referenced from the projDims×64 projection loop
+    * would re-evaluate the whole quantization transform (and `maxabs`
+    * inside it) per loop step: O(dim³) per row, measured 258 s at
+    * sf0.1 vs <1 s staged. The localCheckpoints pin maxabs → qv as
+    * materialized columns — the "write the quantized table once"
+    * artifact chain a production vector store persists (q102/q130
+    * pattern, per-run form).
+    */
+  private def quantizedVecs(spark: SparkSession, dir: String): DataFrame = {
     val scaled = Tables.embeddings(spark, dir)
       .withColumn("maxabs", expr("array_max(transform(embedding, x -> abs(x)))"))
       .localCheckpoint()
-    val quantized = scaled
+    scaled
       .select(col("vec_id"), expr(
         "transform(embedding, x -> CAST(round(x * (127.0 / maxabs)) AS BIGINT))").as("qv"))
       .localCheckpoint()
+  }
+
+  /** Exact top-30 in the quantized space — the ground truth the JL
+    * candidate stage is swept against (RecallCurve) and the recall
+    * denominator AnnRecallSpec holds q126 to.
+    */
+  private[graft] def quantizedExactTop30(spark: SparkSession, dir: String): DataFrame = {
+    val quantized = quantizedVecs(spark, dir)
+    val probe = quantized.filter(col("vec_id") === 0).select(col("qv").as("pq"))
+    quantized.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .withColumn("dist_sq", expr(
+        "aggregate(zip_with(qv, pq, (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, d) -> acc + d)"))
+      .select("vec_id", "dist_sq")
+      .orderBy(col("dist_sq"), col("vec_id"))
+      .limit(30)
+  }
+
+  /** [[projectedAnn]] at any (projection dims, candidate budget) — the
+    * sweep surface. The ±1 sign-matrix formula takes j over the
+    * configured dim range; everything else is the shipped pipeline.
+    */
+  private[graft] def projectedAnnCfg(
+      spark: SparkSession, dir: String, projDims: Int, candBudget: Int): DataFrame = {
+    val quantized = quantizedVecs(spark, dir)
+    // The sign matrix rides as a constant-folded array literal (the
+    // multiProbeNearDupSql convention — both engines read the SAME
+    // literal table, so no formula-dialect drift is possible).
+    val lits = jlSignLits(projDims).mkString("array(", ", ", ")")
     val projected = quantized
       .withColumn("proj", expr(
-        """transform(sequence(0, 7), j ->
+        s"""transform(sequence(0, ${projDims - 1}), j ->
           |  aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, i) ->
           |    acc + element_at(qv, i + 1) *
-          |      (CASE WHEN (i * 2654435761 + j * 40503) % 97 % 2 = 0
+          |      (CASE WHEN element_at($lits, j * 64 + i + 1) = 1
           |            THEN 1 ELSE -1 END)))""".stripMargin))
       .select("vec_id", "proj")
       .localCheckpoint()
     val pprobe = projected.filter(col("vec_id") === 0)
       .select(col("proj").as("pp"))
-    // Stage 1: top-200 candidates by 8-d projected distance (cheap).
+    // Stage 1: top-candBudget candidates by projDims-d distance (cheap).
     val candidates = projected.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(pprobe))
       .withColumn("pdist", expr(
         "aggregate(zip_with(proj, pp, (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, d) -> acc + d)"))
       .orderBy(col("pdist"), col("vec_id"))
-      .limit(200)
+      .limit(candBudget)
       .select("vec_id")
     // Stage 2: exact 64-d re-rank of the candidate list only.
     val probe = quantized.filter(col("vec_id") === 0).select(col("qv").as("pq"))
@@ -2241,8 +2305,12 @@ object LlmPipeline extends QueryPack {
       .limit(30)
   }
 
+  def projectedAnn(spark: SparkSession, dir: String): DataFrame =
+    projectedAnnCfg(spark, dir, JlProjDims, JlCandBudget)
+
   private val projectedAnnSql =
-    """WITH quantized AS (
+    s"""WITH sb AS (SELECT ${jlSignLits(JlProjDims).mkString("[", ", ", "]")} AS sbits),
+      |quantized AS (
       |  SELECT vec_id,
       |    [CAST(round(x * (127.0 / maxabs)) AS BIGINT) for x in embedding] AS qv
       |  FROM (
@@ -2251,18 +2319,18 @@ object LlmPipeline extends QueryPack {
       |    FROM embeddings)),
       |projected AS (
       |  SELECT vec_id,
-      |    [list_sum([qv[i + 1] * (CASE WHEN (i * 2654435761 + j * 40503) % 97 % 2 = 0
+      |    [list_sum([qv[i + 1] * (CASE WHEN sbits[j * 64 + i + 1] = 1
       |                                 THEN 1 ELSE -1 END)
       |               for i in range(0, 64)])
-      |     for j in range(0, 8)] AS proj
-      |  FROM quantized),
+      |     for j in range(0, $JlProjDims)] AS proj
+      |  FROM quantized, sb),
       |pprobe AS (SELECT proj AS pp FROM projected WHERE vec_id = 0),
       |candidates AS (
       |  SELECT vec_id
       |  FROM projected, pprobe
       |  WHERE vec_id <> 0
-      |  ORDER BY list_sum([(proj[k] - pp[k]) * (proj[k] - pp[k]) for k in range(1, 9)]), vec_id
-      |  LIMIT 200),
+      |  ORDER BY list_sum([(proj[k] - pp[k]) * (proj[k] - pp[k]) for k in range(1, ${JlProjDims + 1})]), vec_id
+      |  LIMIT $JlCandBudget),
       |probe AS (SELECT qv AS pq FROM quantized WHERE vec_id = 0)
       |SELECT q.vec_id,
       |  CAST(list_sum([(qv[k] - pq[k]) * (qv[k] - pq[k]) for k in range(1, 65)]) AS BIGINT) AS dist_sq

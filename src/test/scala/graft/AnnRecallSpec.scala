@@ -86,6 +86,21 @@ class AnnRecallSpec extends SparkSpec {
         "the 0.8 target it was selected for (RecallCurve nprobe sweep, BASELINE.md)")
   }
 
+  test("q126 JL-projection ANN at the shipped (dims, budget) clears recall@30 >= 0.8 vs the exact quantized top-30") {
+    // The last ANN path gets its swept operating point (VERDICT r10
+    // item 5): recall is bounded by stage 1's candidate list alone
+    // (stage 2 re-ranks exactly, in the same quantized space as the
+    // ground truth), so this pins the projection formula + budget.
+    val exact = queries.LlmPipeline.quantizedExactTop30(spark, dir)
+      .select("vec_id").as[Long].collect().toSet
+    val got = queries.LlmPipeline.projectedAnn(spark, dir)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = (got & exact).size.toDouble / exact.size
+    assert(recall >= 0.8,
+      s"q126 recall@30 ${(got & exact).size}/${exact.size} = $recall fell below the " +
+        "0.8 target it was selected for (RecallCurve JL sweep, BASELINE.md)")
+  }
+
   test("scrambled sign family: codegen'd hyperplane_bucket matches the Scala reference mix") {
     // Pins the cross-engine contract at the bit level: the bucket the
     // fused codegen loop computes must equal a bucket rebuilt from the
