@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool (round 11 — VERDICT r10 item 3): empirical 100× scale
+  * evidence for the stored-artifact maintenance family — q168
+  * (incremental inverted-index merge) and the generation-history
+  * family q164/q171 (time travel + VACUUM).
+  *
+  * The q168 claim is SHARPER than linearity: "merge cost tracks the
+  * SHARD, never the corpus". The corpus construction isolates exactly
+  * that: the standing corpus (doc_id % 4 != 0) is replicated N× with
+  * per-replica doc_id offsets (multiples of 4, so the shard split is
+  * preserved), while the NEW SHARD (doc_id % 4 == 0) stays the base
+  * shard — only replica 0 contributes shard docs. At N× the nightly
+  * artifact BUILD must grow (it tokenizes the corpus — that is its
+  * job), but the per-crawl MERGE reads only the shard scan plus the
+  * index-artifact leaf, so its time must stay ~flat. The harness
+  * measures both and requires merge == rebuild at N× (the q149
+  * full-rebuild contract held at scale).
+  *
+  * For q164/q171 the generation tables are built from `part`,
+  * replicated N× with offsets that are multiples of 20 (preserving
+  * both the % 10 = 7 delete stripe and the % 4 = 0 premium band), so
+  * every per-generation summary must scale EXACTLY N× in rows and
+  * premium counts — replica-identity requires, the ChangelogScale
+  * discipline. Expected time ratio is ≈ linear (each generation write
+  * is a full rewrite of N× data — the rewrite convention's cost by
+  * design); the claim under test is that history depth (3 generations
+  * + a vacuum) costs generation-LOCAL work, not history-times-corpus.
+  *
+  * Usage: `sbt "runMain graft.IndexScale [replicas]"` (default 100).
+  * SPARK_GRAFT_CPUS as in Bench/ScaleCurve. Prints a markdown table
+  * for BASELINE.md.
+  */
+object IndexScale {
+  def main(args: Array[String]): Unit = {
+    val replicas = if (args.nonEmpty) args(0).toInt else 100
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val baseDir = "/root/testdata/sf0.1"
+    val bigDir = s"/tmp/graft_idxscale${replicas}x_${queries.SourcesOps.sanitizedAppId(spark)}"
+
+    try {
+      // --- corpus: base shard + N× standing corpus ------------------------
+      // Offsets are multiples of 4 (documents) / 20 (part) so every
+      // id-derived predicate (% 4 shard split, % 10 delete stripe,
+      // % 4 premium band) is replica-invariant.
+      val docs = graft.sources.Tables.documents(spark, baseDir)
+      val docOff = 400000000L
+      docs.crossJoin(spark.range(replicas).select(col("id").as("rep")))
+        .filter(col("rep") === 0 || col("doc_id") % 4 =!= 0)
+        .select((col("doc_id") + col("rep") * docOff).as("doc_id"),
+          col("text"), col("lang"), col("source"), col("n_chars"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode(SaveMode.Overwrite).parquet(s"$bigDir/documents.parquet")
+      val part = graft.sources.Tables.part(spark, baseDir)
+      val partOff = 20000000L
+      part.crossJoin(spark.range(replicas).select(col("id").as("rep")))
+        .select((col("p_partkey") + col("rep") * partOff).as("p_partkey"),
+          col("p_name"), col("p_brand"), col("p_type"), col("p_size"),
+          col("p_retailprice"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode(SaveMode.Overwrite).parquet(s"$bigDir/part.parquet")
+      // q164/q171 route through Tables.registerAll, which resolves every
+      // fixture table eagerly — symlink the tables this harness does not
+      // replicate to their base-scale files.
+      Seq("lineitem", "orders", "customer", "supplier", "nation", "region",
+        "events", "embeddings").foreach { t =>
+        java.nio.file.Files.createSymbolicLink(
+          java.nio.file.Paths.get(bigDir, s"$t.parquet"),
+          java.nio.file.Paths.get(baseDir, s"$t.parquet"))
+      }
+      val nShardBase = docs.filter(col("doc_id") % 4 === 0).count()
+      val nCorpusBig = spark.read.parquet(s"$bigDir/documents.parquet")
+        .filter(col("doc_id") % 4 =!= 0).count()
+      println(s"corpus at $bigDir: shard=$nShardBase docs (FIXED = base shard), " +
+        s"standing corpus=$nCorpusBig docs (${replicas}x), part=${replicas}x")
+
+      def time(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+
+      // Warm-up (JIT + codegen) at the smallest sf.
+      queries.LlmPipeline.ensureIndexArtifact(spark, "/root/testdata/sf0.001")
+      noop(queries.LlmPipeline.incrementalIndexMerge(spark, "/root/testdata/sf0.001"))
+      noop(queries.SqlGateway.generationTimeTravel(spark, "/root/testdata/sf0.001"))
+      noop(queries.SqlGateway.generationVacuum(spark, "/root/testdata/sf0.001"))
+
+      println(s"\n| step | sf0.1 (s) | ${replicas}x (s) | ratio | expectation |")
+      println("|---|---|---|---|---|")
+      val buildBase = time(queries.LlmPipeline.ensureIndexArtifact(spark, baseDir))
+      val buildBig = time(queries.LlmPipeline.ensureIndexArtifact(spark, bigDir))
+      println(f"| q168 artifact build (nightly) | $buildBase%.1f | $buildBig%.1f " +
+        f"| ${buildBig / buildBase}%.1f | ~linear (tokenizes the corpus) |")
+      val mergeBase = time(noop(queries.LlmPipeline.incrementalIndexMerge(spark, baseDir)))
+      val mergeBig = time(noop(queries.LlmPipeline.incrementalIndexMerge(spark, bigDir)))
+      println(f"| q168 shard merge (per-crawl) | $mergeBase%.1f | $mergeBig%.1f " +
+        f"| ${mergeBig / mergeBase}%.1f | ~flat (tracks the shard) |")
+      val ttvBase = time(noop(queries.SqlGateway.generationTimeTravel(spark, baseDir)))
+      val ttvBig = time(noop(queries.SqlGateway.generationTimeTravel(spark, bigDir)))
+      println(f"| q164 generation history build+read | $ttvBase%.1f | $ttvBig%.1f " +
+        f"| ${ttvBig / ttvBase}%.1f | ~linear (full rewrites by design) |")
+      val vacBase = time(noop(queries.SqlGateway.generationVacuum(spark, baseDir)))
+      val vacBig = time(noop(queries.SqlGateway.generationVacuum(spark, bigDir)))
+      println(f"| q171 history + VACUUM | $vacBase%.1f | $vacBig%.1f " +
+        f"| ${vacBig / vacBase}%.1f | ~linear |")
+
+      // --- contract requires at N× ----------------------------------------
+      // q168: merge == full rebuild on the N× corpus, exactly.
+      val merged = queries.LlmPipeline.incrementalIndexMerge(spark, bigDir)
+      val rebuilt = queries.LlmPipeline.invertedIndex(spark, bigDir)
+      val d1 = merged.exceptAll(rebuilt).count()
+      val d2 = rebuilt.exceptAll(merged).count()
+      println(s"\nq168 merge == rebuild at ${replicas}x: ${d1 == 0 && d2 == 0}")
+      require(d1 == 0 && d2 == 0, s"merge diverged from rebuild at ${replicas}x ($d1/$d2 rows)")
+      // q164: replica-identity — summaries exactly N× the base.
+      val tb = queries.SqlGateway.generationTimeTravel(spark, baseDir).collect()
+      val tg = queries.SqlGateway.generationTimeTravel(spark, bigDir).collect()
+      (0 until 3).foreach { i =>
+        require(tg(i).getLong(1) == replicas * tb(i).getLong(1),
+          s"q164 gen ${i + 1} rows not ${replicas}x")
+        require(math.abs(tg(i).getDouble(2) - replicas * tb(i).getDouble(2)) < 1e-2,
+          s"q164 gen ${i + 1} total_price not ${replicas}x")
+        if (!tb(i).isNullAt(3))
+          require(tg(i).getLong(3) == replicas * tb(i).getLong(3),
+            s"q164 gen ${i + 1} premium count not ${replicas}x")
+      }
+      // q171: same statuses, retained summaries exactly N×.
+      val vb = queries.SqlGateway.generationVacuum(spark, baseDir).collect()
+      val vg = queries.SqlGateway.generationVacuum(spark, bigDir).collect()
+      (0 until 3).foreach { i =>
+        require(vb(i).getString(1) == vg(i).getString(1) &&
+          vb(i).getBoolean(2) == vg(i).getBoolean(2) && vg(i).getBoolean(3),
+          s"q171 gen ${i + 1} status/contract drifted at ${replicas}x")
+        if (!vb(i).isNullAt(4))
+          require(vg(i).getLong(4) == replicas * vb(i).getLong(4),
+            s"q171 gen ${i + 1} rows not ${replicas}x")
+      }
+      println(s"q164/q171 replica-identity at ${replicas}x: all summaries exactly ${replicas}x, " +
+        "statuses and contract booleans unchanged — all hold")
+    } finally {
+      queries.LlmPipeline.deleteRecursively(java.nio.file.Paths.get(bigDir))
+    }
+    spark.stop()
+  }
+}
