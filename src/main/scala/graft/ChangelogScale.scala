@@ -77,7 +77,8 @@ object ChangelogScale {
       "q94_funnel" -> queries.Sessions.funnel _,
       "q139_transition_matrix" -> queries.Sessions.transitionMatrix _,
       "q166_sequence_motifs" -> queries.Sessions.sequenceMotifs _,
-      "q167_session_motifs" -> queries.Sessions.sessionMotifs _)
+      "q167_session_motifs" -> queries.Sessions.sessionMotifs _,
+      "q173_session_funnel_classes" -> queries.Sessions.sessionFunnelClasses _)
 
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         dir: String): Double = {
@@ -152,9 +153,20 @@ object ChangelogScale {
     require(smBig.getLong(0) == replicas * smBase.getLong(0) &&
       smBig.getLong(1) == replicas * smBase.getLong(1),
       s"q167 session/motif totals not exactly ${replicas}x base")
+    // q173: the funnel-class counts (exclusion/alternation/abandonment)
+    // are session-local, so sessions and all three class totals must be
+    // exactly Nx as well.
+    val fcBase = queries.Sessions.sessionFunnelClasses(spark, baseDir)
+      .agg(count(lit(1)).as("n"), sum("n_conv").as("c"), sum("n_assist").as("a"),
+        sum("n_abandoned").as("ab")).head()
+    val fcBig = queries.Sessions.sessionFunnelClasses(spark, bigDir)
+      .agg(count(lit(1)).as("n"), sum("n_conv").as("c"), sum("n_assist").as("a"),
+        sum("n_abandoned").as("ab")).head()
+    require((0 to 3).forall(i => fcBig.getLong(i) == replicas * fcBase.getLong(i)),
+      s"q173 session/class totals not exactly ${replicas}x base")
     println(s"window-family invariants: q41 rows ${replicas}x, q62 sessions ${replicas}x, " +
       s"q139 matrix cell-exact ${replicas}x, q166 users+motifs ${replicas}x, " +
-      s"q167 sessions+motifs ${replicas}x — all hold")
+      s"q167 sessions+motifs ${replicas}x, q173 sessions+classes ${replicas}x — all hold")
     } finally {
       queries.LlmPipeline.deleteRecursively(java.nio.file.Paths.get(bigDir))
     }
