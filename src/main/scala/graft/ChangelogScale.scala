@@ -78,7 +78,8 @@ object ChangelogScale {
       "q139_transition_matrix" -> queries.Sessions.transitionMatrix _,
       "q166_sequence_motifs" -> queries.Sessions.sequenceMotifs _,
       "q167_session_motifs" -> queries.Sessions.sessionMotifs _,
-      "q173_session_funnel_classes" -> queries.Sessions.sessionFunnelClasses _)
+      "q173_session_funnel_classes" -> queries.Sessions.sessionFunnelClasses _,
+      "q175_session_define_motifs" -> queries.Sessions.sessionDefineMotifs _)
 
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         dir: String): Double = {
@@ -164,9 +165,19 @@ object ChangelogScale {
         sum("n_abandoned").as("ab")).head()
     require((0 to 3).forall(i => fcBig.getLong(i) == replicas * fcBase.getLong(i)),
       s"q173 session/class totals not exactly ${replicas}x base")
+    // q175: the DEFINE alphabet is row-local, so its motif totals are
+    // session-local too — exactly Nx.
+    val dmBase = queries.Sessions.sessionDefineMotifs(spark, baseDir)
+      .agg(count(lit(1)).as("n"), sum("n_premium_conv").as("pc"),
+        sum("n_upsell").as("u")).head()
+    val dmBig = queries.Sessions.sessionDefineMotifs(spark, bigDir)
+      .agg(count(lit(1)).as("n"), sum("n_premium_conv").as("pc"),
+        sum("n_upsell").as("u")).head()
+    require((0 to 2).forall(i => dmBig.getLong(i) == replicas * dmBase.getLong(i)),
+      s"q175 session/motif totals not exactly ${replicas}x base")
     println(s"window-family invariants: q41 rows ${replicas}x, q62 sessions ${replicas}x, " +
       s"q139 matrix cell-exact ${replicas}x, q166 users+motifs ${replicas}x, " +
-      s"q167 sessions+motifs ${replicas}x, q173 sessions+classes ${replicas}x — all hold")
+      s"q167 sessions+motifs ${replicas}x, q173 sessions+classes ${replicas}x, q175 DEFINE motifs ${replicas}x — all hold")
     } finally {
       queries.LlmPipeline.deleteRecursively(java.nio.file.Paths.get(bigDir))
     }

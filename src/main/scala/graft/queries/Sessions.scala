@@ -307,12 +307,21 @@ object Sessions extends QueryPack {
     * idiom, on both engines) followed by one collect_list aggregation
     * per (user, session). Columns: user_id, sid, s_start_us, seq.
     */
-  private def sessionSeqs(spark: SparkSession, dir: String): DataFrame = {
-    val sym = when(col("event_type") === "view", "v")
-      .when(col("event_type") === "click", "c")
-      .when(col("event_type") === "purchase", "p")
-      .when(col("event_type") === "signup", "s")
-      .otherwise("e")
+  private def sessionSeqs(spark: SparkSession, dir: String): DataFrame =
+    sessionSeqsWith(spark, dir,
+      when(col("event_type") === "view", "v")
+        .when(col("event_type") === "click", "c")
+        .when(col("event_type") === "purchase", "p")
+        .when(col("event_type") === "signup", "s")
+        .otherwise("e"))
+
+  /** [[sessionSeqs]] over an arbitrary symbol DEFINITION — the
+    * MATCH_RECOGNIZE DEFINE clause's alphabet hook (q175's predicate
+    * symbols; q167/q173 use the plain event-type map).
+    */
+  private def sessionSeqsWith(
+      spark: SparkSession, dir: String,
+      sym: org.apache.spark.sql.Column): DataFrame = {
     val wOrd = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
     val gapUs = 4L * 3600L * 1000000L
     val e = Tables.events(spark, dir)
@@ -433,6 +442,75 @@ object Sessions extends QueryPack {
       |FROM seqs
       |ORDER BY user_id, sid""".stripMargin
 
+  /** DEFINE-predicate motifs (q175): completes the MATCH_RECOGNIZE
+    * capability class — the pattern ALPHABET is no longer the raw event
+    * type but a DEFINE clause over the full row, exactly
+    * MATCH_RECOGNIZE's `DEFINE P AS event_type = 'purchase' AND
+    * value >= 50`. Symbols here: `P` = premium purchase (value ≥ 50),
+    * `p` = other purchase, `v`/`c` as before, `o` = everything else.
+    * Per 4-hour session (the q167/q173 composition):
+    *
+    *   - `n_premium_conv` — `v[^Pp]*P`: a view converting to a PREMIUM
+    *     purchase with no intervening purchase of either kind (the
+    *     exclusion class now spans a two-symbol DEFINE partition),
+    *   - `n_any_conv` — `v[^Pp]*[Pp]`: any conversion. Because
+    *     {P, p} partitions exactly q173's `p` and the other symbols
+    *     coarsen without crossing the purchase boundary, this count
+    *     EQUALS q173's `n_conv` per session — a cross-query refinement
+    *     law TemporalSpec asserts (the DEFINE split must refine, never
+    *     perturb, the coarser alphabet's matches),
+    *   - `n_upsell` — `p[^Pp]*P`: a plain purchase followed next by a
+    *     premium one (the upgrade motif — anchors on BOTH ends are
+    *     DEFINE symbols).
+    *
+    * The value predicate is a bare comparison (no arithmetic), so both
+    * engines derive the identical alphabet; patterns stay in the
+    * RE2∩Java common subset (negated classes + literals).
+    */
+  def sessionDefineMotifs(spark: SparkSession, dir: String): DataFrame =
+    sessionSeqsWith(spark, dir,
+      when(col("event_type") === "purchase" && col("value") >= 50, "P")
+        .when(col("event_type") === "purchase", "p")
+        .when(col("event_type") === "view", "v")
+        .when(col("event_type") === "click", "c")
+        .otherwise("o"))
+      .select(col("user_id"), col("sid").cast("long").as("sid"), col("s_start_us"),
+        length(col("seq")).as("seq_len"),
+        regexp_count(col("seq"), lit("v[^Pp]*P")).cast("int").as("n_premium_conv"),
+        regexp_count(col("seq"), lit("v[^Pp]*[Pp]")).cast("int").as("n_any_conv"),
+        regexp_count(col("seq"), lit("p[^Pp]*P")).cast("int").as("n_upsell"))
+      .orderBy("user_id", "sid")
+
+  private val sessionDefineMotifsSql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id,
+      |    CASE WHEN event_type = 'purchase' AND value >= 50 THEN 'P'
+      |         WHEN event_type = 'purchase' THEN 'p'
+      |         WHEN event_type = 'view' THEN 'v'
+      |         WHEN event_type = 'click' THEN 'c'
+      |         ELSE 'o' END AS sym
+      |  FROM events),
+      |flagged AS (
+      |  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+      |         OR ts_us - lag(ts_us) OVER w >= 14400000000 THEN 1 ELSE 0 END AS new_s
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |sess AS (
+      |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flagged),
+      |seqs AS (
+      |  SELECT user_id, CAST(sid AS BIGINT) AS sid, min(ts_us) AS s_start_us,
+      |    string_agg(sym, '' ORDER BY ts_us, event_id) AS seq
+      |  FROM sess GROUP BY user_id, sid)
+      |SELECT user_id, sid, s_start_us,
+      |  CAST(length(seq) AS INTEGER) AS seq_len,
+      |  CAST(len(regexp_extract_all(seq, 'v[^Pp]*P')) AS INTEGER) AS n_premium_conv,
+      |  CAST(len(regexp_extract_all(seq, 'v[^Pp]*[Pp]')) AS INTEGER) AS n_any_conv,
+      |  CAST(len(regexp_extract_all(seq, 'p[^Pp]*P')) AS INTEGER) AS n_upsell
+      |FROM seqs
+      |ORDER BY user_id, sid""".stripMargin
+
   override def all: Seq[QueryDef] = Seq(
     QueryDef("q60_tumbling_daily", tumblingDaily, Some(tumblingDailySql)),
     QueryDef("q61_sliding_windows", slidingWindows, Some(slidingWindowsSql)),
@@ -444,5 +522,7 @@ object Sessions extends QueryPack {
     QueryDef("q166_sequence_motifs", sequenceMotifs, Some(sequenceMotifsSql)),
     QueryDef("q167_session_motifs", sessionMotifs, Some(sessionMotifsSql)),
     QueryDef("q173_session_funnel_classes", sessionFunnelClasses,
-      Some(sessionFunnelClassesSql)))
+      Some(sessionFunnelClassesSql)),
+    QueryDef("q175_session_define_motifs", sessionDefineMotifs,
+      Some(sessionDefineMotifsSql)))
 }

@@ -181,6 +181,58 @@ class TemporalSpec extends SparkSpec {
       "assisted conversions exceeded exclusion-span conversions in some session")
   }
 
+  test("q175: DEFINE-predicate motifs match a pure-Scala rebuild, and the DEFINE split refines q173 exactly") {
+    import graft.queries.Sessions
+    val got = Sessions.sessionDefineMotifs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6))).toList
+    // Independent reference: sessionize + DEFINE alphabet in plain
+    // Scala, count with java.util.regex.
+    val gapUs = 4L * 3600L * 1000000L
+    val evs = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+    def sym(t: String, v: Double): String = t match {
+      case "purchase" => if (v >= 50) "P" else "p"
+      case "view" => "v"
+      case "click" => "c"
+      case _ => "o"
+    }
+    def reCount(s: String, p: String): Int = {
+      val m = java.util.regex.Pattern.compile(p).matcher(s)
+      var n = 0
+      while (m.find()) n += 1
+      n
+    }
+    val expected = evs.groupBy(_._1).toList.flatMap { case (u, rows) =>
+      val ordered = rows.sortBy(r => (r._2, r._3))
+      val sids = ordered.scanLeft((0L, 0L)) { case ((sid, prevTs), r) =>
+        (if (sid == 0 || r._2 - prevTs >= gapUs) sid + 1 else sid, r._2)
+      }.drop(1).map(_._1)
+      ordered.zip(sids).groupBy(_._2).toList.map { case (sid, srows) =>
+        val seq = srows.map(x => sym(x._1._4, x._1._5)).mkString
+        (u, sid, srows.map(_._1._2).min, seq.length,
+          reCount(seq, "v[^Pp]*P"), reCount(seq, "v[^Pp]*[Pp]"),
+          reCount(seq, "p[^Pp]*P"))
+      }
+    }.sortBy(t => (t._1, t._2))
+    assert(got == expected)
+    // Refinement law: splitting the purchase symbol by the DEFINE
+    // predicate must not perturb the coarser alphabet's matches —
+    // n_any_conv equals q173's n_conv in every session.
+    val anyConv = got.map(t => ((t._1, t._2), t._6)).toMap
+    val q173Conv = Sessions.sessionFunnelClasses(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(4))).toMap
+    assert(anyConv == q173Conv,
+      "DEFINE refinement changed the coarse conversion counts")
+    // Dominance + fixture non-degeneracy for the DEFINE-only motifs.
+    assert(got.forall(t => t._5 <= t._6), "premium conversions exceeded total conversions")
+    assert(got.map(_._5).sum > 0, "premium-conversion motif never fired")
+    assert(got.map(_._7).sum > 0, "upsell motif never fired")
+  }
+
   test("q142: monthly revenue deltas telescope back to the series") {
     import graft.queries.Temporal
     val m = Temporal.momRevenue(spark, sfDir).collect()
