@@ -1388,15 +1388,22 @@ object LlmPipeline extends QueryPack {
       .select(col("vec_id"), col("tbl"), expr("int(bucket ^ flip)").as("bucket"))
     val index = spark.read.parquet(keysPath)
     val oldVecs = spark.read.parquet(vecsPath)
-    val cand = probeKeys.alias("a").join(index.alias("b"),
+    // The batch is the small side by construction (one micro-batch /
+    // one shard vs the standing corpus), so every batch-derived
+    // relation rides a BROADCAST: the index probe becomes a broadcast
+    // hash join that streams the index scan with zero shuffle of the
+    // corpus-sized side — the only exchanges left are the batch-keyed
+    // distinct/aggregate, whose size tracks the batch.
+    val cand = index.alias("b").join(broadcast(probeKeys.alias("a")),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket"))
       .select(col("a.vec_id").as("new_id"), col("b.vec_id").as("old_id"))
       .distinct()
-    cand
-      .join(newE.select(col("vec_id").as("new_id"), col("d").as("d1"),
-        col("nrm").as("nrm1")), "new_id")
-      .join(oldVecs.select(col("vec_id").as("old_id"), col("d").as("d2"),
-        col("nrm").as("nrm2")), "old_id")
+    val candWithNew = cand
+      .join(broadcast(newE.select(col("vec_id").as("new_id"), col("d").as("d1"),
+        col("nrm").as("nrm1"))), "new_id")
+    oldVecs.select(col("vec_id").as("old_id"), col("d").as("d2"),
+        col("nrm").as("nrm2"))
+      .join(broadcast(candWithNew), "old_id")
       .filter(expr("dot_product(d1, d2)") / (col("nrm1") * col("nrm2")) >= 0.4)
       .groupBy(col("new_id").as("vec_id"))
       .agg(count(lit(1)).as("n_dup_old"))
