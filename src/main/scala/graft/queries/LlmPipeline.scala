@@ -1912,37 +1912,36 @@ object LlmPipeline extends QueryPack {
     * persist() caps lineage growth (at 100 TB: checkpoint every few
     * rounds instead).
     */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.NativeFunctions.register(spark)
-    val pairs = lshPairGraph(spark, dir).select("id1", "id2")
-    val edges = pairs.union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
-      .persist()
-    // Each round's labels are localCheckpoint'ed (not merely cached):
-    // iterative plans otherwise DOUBLE their lineage every round (next
-    // references labels twice), exploding optimizer/explain cost — the
-    // checkpoint truncates the logical plan to the materialized rows,
-    // exactly the every-few-rounds checkpoint a 100-TB CC job performs.
-    // An empty pair graph (nothing near-duplicated — plausible at a new
-    // scale factor) has an empty component set; short-circuit rather
-    // than let sum() over zero rows return NULL into the convergence
-    // scalar.
+  /** Min-label connected components over a SYMMETRIZED edge set (both
+    * directions present) — the q101 loop factored for reuse (q101 doc
+    * near-dups, q176 embedding clusters, q177 quotient-graph merge).
+    * Returns (id, label) with label = min vertex id of the component;
+    * empty edges give an empty labeling (no NULL convergence scalar).
+    *
+    * Each round's labels are localCheckpoint'ed (not merely cached):
+    * iterative plans otherwise DOUBLE their lineage every round (next
+    * references labels twice), exploding optimizer/explain cost — the
+    * checkpoint truncates the logical plan to the materialized rows,
+    * exactly the every-few-rounds checkpoint a 100-TB CC job performs.
+    * Convergence via a monotone invariant instead of a per-round diff
+    * join: labels only ever DECREASE (min of self and neighbors), so
+    * the label sum strictly decreases every round that changes anything
+    * and is equal exactly at the fixpoint — one scalar aggregate per
+    * round, no join against the previous labels. Summed as
+    * decimal(38,0): at 100-TB id cardinality a bigint sum of
+    * ~2⁶³-sized labels overflows (and Spark's ANSI-off long sum wraps
+    * silently, which would corrupt the invariant).
+    */
+  private[graft] def minLabelComponents(edgesIn: DataFrame): DataFrame = {
+    val edges = edgesIn.persist()
     if (edges.isEmpty) {
       edges.unpersist()
-      return edges.select(col("id1").as("doc_id"), col("id1").as("cluster"),
-        lit(0L).as("cluster_size"))
+      return edges.select(col("id1").as("id"), col("id1").as("label"))
     }
     try {
       var labels = edges.select(col("id1").as("id")).distinct()
         .withColumn("label", col("id"))
         .localCheckpoint()
-      // Convergence via a monotone invariant instead of a per-round
-      // diff join: labels only ever DECREASE (min of self and
-      // neighbors), so the label sum strictly decreases every round
-      // that changes anything and is equal exactly at the fixpoint —
-      // one scalar aggregate per round, no join against the previous
-      // labels. Summed as decimal(38,0): at 100-TB id cardinality a
-      // bigint sum of ~2⁶³-sized labels overflows (and Spark's ANSI-off
-      // long sum wraps silently, which would corrupt the invariant).
       def labelSum(df: DataFrame): java.math.BigDecimal =
         df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
       var prevSum = labelSum(labels)
@@ -1961,13 +1960,23 @@ object LlmPipeline extends QueryPack {
         rounds += 1
       }
       require(converged, s"connected components did not converge in $rounds rounds")
-      val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
-      labels.join(sizes, "label")
-        .select(col("id").as("doc_id"), col("label").as("cluster"), col("cluster_size"))
-        .orderBy("doc_id")
+      labels
     } finally {
       edges.unpersist()
     }
+  }
+
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeFunctions.register(spark)
+    val pairs = lshPairGraph(spark, dir).select("id1", "id2")
+    // An empty pair graph (nothing near-duplicated — plausible at a new
+    // scale factor) has an empty component set.
+    val edges = pairs.union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+    val labels = minLabelComponents(edges)
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("id").as("doc_id"), col("label").as("cluster"), col("cluster_size"))
+      .orderBy("doc_id")
   }
 
   // pairs/edges are MATERIALIZED: DuckDB inlines plain CTEs, so the
@@ -1994,6 +2003,170 @@ object LlmPipeline extends QueryPack {
       |SELECT id AS doc_id, cluster, cluster_size
       |FROM labels JOIN sizes USING (cluster)
       |ORDER BY doc_id""".stripMargin
+
+  /** Semantic (embedding-space) dedup (q176) — the SemDeDup shape
+    * (Abbas et al.): connected components over the EXACT embedding
+    * near-dup graph (q77's pairs, cosine ≥ 0.4), one representative
+    * kept per semantic cluster — the embedding-side completion of the
+    * q101→q127 text pipeline (shingle Jaccard misses paraphrases; the
+    * embedding graph catches them). Output per clustered vector:
+    * (vec_id, cluster, cluster_size, kept) with the representative =
+    * min vec_id (deterministic canonical pick, the q101 convention);
+    * singleton vectors (no near-neighbor) are not emitted, matching
+    * q101.
+    *
+    * Scale shape: the component machinery is the shared
+    * [[minLabelComponents]] loop (one shuffle-join + partial-agg min
+    * per round over 8-byte ids, per-round localCheckpoint). The edge
+    * build here is the exact all-pairs join because the ORACLE needs
+    * the exact graph; at 100 TB the edges come from the recall-target
+    * candidate paths instead (q160/q163 verified at the same
+    * threshold — the committed-recall tradeoff), feeding the identical
+    * component/representative stages.
+    */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("d"))
+      .withColumn("nrm", expr("sqrt(dot_product(d, d))"))
+    val pairs = e.alias("a").join(broadcast(e.alias("b")), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim", expr("dot_product(a.d, b.d)") / (col("a.nrm") * col("b.nrm")))
+      .filter(col("sim") >= 0.4)
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
+    val edges = pairs.union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+    val labels = minLabelComponents(edges)
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("id").as("vec_id"), col("label").as("cluster"),
+        col("cluster_size"), (col("id") === col("label")).as("kept"))
+      .orderBy("vec_id")
+  }
+
+  // pairs MATERIALIZED: DuckDB would otherwise re-run the all-pairs
+  // similarity join on every recursive fixpoint iteration.
+  private val semanticDedupSql =
+    """WITH RECURSIVE n AS MATERIALIZED (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d
+      |  FROM embeddings),
+      |n2 AS MATERIALIZED (
+      |  SELECT vec_id, d, sqrt(list_sum(list_transform(d, x -> x * x))) AS nrm FROM n),
+      |pairs AS MATERIALIZED (
+      |  SELECT a.vec_id AS id1, b.vec_id AS id2
+      |  FROM n2 a JOIN n2 b ON a.vec_id < b.vec_id
+      |  WHERE list_sum([a.d[i] * b.d[i] for i in range(1, 65)]) / (a.nrm * b.nrm) >= 0.4),
+      |edges AS (
+      |  SELECT id1, id2 FROM pairs UNION ALL SELECT id2 AS id1, id1 AS id2 FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT id1 AS id, id1 AS r FROM edges
+      |  UNION
+      |  SELECT e.id1 AS id, reach.r FROM edges e JOIN reach ON e.id2 = reach.id),
+      |labels AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+      |sizes AS (SELECT cluster, count(*) AS cluster_size FROM labels GROUP BY cluster)
+      |SELECT id AS vec_id, cluster, cluster_size, (id = cluster) AS kept
+      |FROM labels JOIN sizes USING (cluster)
+      |ORDER BY vec_id""".stripMargin
+
+  /** Stored component labeling of the STANDING corpus (doc_id % 4 != 0
+    * — the q144 shard split), memoized per (session, dir) with the
+    * artifact lifecycle discipline: the q101 CC answer restricted to
+    * corpus-internal edges, written once by a bench-excluded prepare
+    * (in production, the labeling the previous ingest left behind).
+    */
+  private val ccArtifactCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.nio.file.Path]()
+
+  private[graft] def ensureCcArtifact(spark: SparkSession, dir: String): String = {
+    evictStoppedArtifacts(ccArtifactCache)
+    ccArtifactCache.computeIfAbsent((spark, dir), _ => {
+      artifactShutdownHook
+      graft.functions.NativeFunctions.register(spark)
+      val tag = s"${SourcesOps.sanitizedAppId(spark)}_${Integer.toHexString(dir.hashCode)}"
+      val path = Paths.get(sys.props("java.io.tmpdir"), s"graft_cclabels_$tag")
+      val corpusPairs = lshPairGraph(spark, dir).select("id1", "id2")
+        .filter(col("id1") % 4 =!= 0 && col("id2") % 4 =!= 0)
+      val edges = corpusPairs.union(
+        corpusPairs.select(col("id2").as("id1"), col("id1").as("id2")))
+      minLabelComponents(edges)
+        .write.mode(SaveMode.Overwrite).parquet(path.toString)
+      path
+    }).toString
+  }
+
+  /** q177 setup, bench-excluded via QueryDef.prepare. */
+  private[graft] def prepareIncrementalCc(spark: SparkSession, dir: String): Unit = {
+    ensureCcArtifact(spark, dir)
+    ()
+  }
+
+  /** Core of q177: fold delta edges into a stored component labeling
+    * WITHOUT iterating over the corpus — the quotient-graph merge.
+    * `stored` is the standing labeling (id, label); `deltaPairs` the
+    * new edges (≥ 1 endpoint outside the stored labeling, though
+    * corpus-internal pairs are tolerated and become no-op self-loops).
+    *
+    * Every endpoint maps to its contracted vertex — its stored label if
+    * it has one, else itself (new docs AND old singletons) — and the
+    * iterative CC runs on THAT graph: components-as-vertices plus delta
+    * endpoints, a graph sized by the delta and the components it
+    * touches, never by the corpus. Correctness: contracting each stored
+    * component to its label preserves connectivity, and since a stored
+    * label is the MIN id of its component, the quotient min-label is
+    * the global min of the merged component — so the merged labeling
+    * equals the full rebuild exactly (the q168/q144 maintenance
+    * contract; q177's oracle IS q101's full-rebuild SQL). The corpus is
+    * touched only by ONE non-iterative relabel join (stored label →
+    * merged label), and only labels that appear in the quotient can
+    * change.
+    */
+  private[graft] def mergeComponentLabels(
+      stored: DataFrame, deltaPairs: DataFrame): DataFrame = {
+    val sLab = stored.select(col("id"), col("label"))
+    val mapped = deltaPairs
+      .join(sLab.select(col("id").as("id1"), col("label").as("l1")), Seq("id1"), "left")
+      .join(sLab.select(col("id").as("id2"), col("label").as("l2")), Seq("id2"), "left")
+      .select(coalesce(col("l1"), col("id1")).as("id1"),
+        coalesce(col("l2"), col("id2")).as("id2"))
+      .filter(col("id1") =!= col("id2"))
+    val qEdges = mapped.union(mapped.select(col("id2").as("id1"), col("id1").as("id2")))
+    val qLabels = minLabelComponents(qEdges)
+    // Corpus side: one relabel join — only labels in the quotient move.
+    val relabeled = sLab
+      .join(qLabels.select(col("id").as("label"), col("label").as("merged")),
+        Seq("label"), "left")
+      .select(col("id"), coalesce(col("merged"), col("label")).as("cluster"))
+    // Delta-only vertices (new docs, old singletons): labeled directly
+    // by the quotient.
+    val fresh = qLabels.join(sLab.select("id"), Seq("id"), "left_anti")
+      .select(col("id"), col("label").as("cluster"))
+    relabeled.unionByName(fresh)
+  }
+
+  /** Incremental connected-components maintenance (q177) — the
+    * q144-of-q101: admit a newly ingested shard (doc_id % 4 == 0) into
+    * the STANDING component labeling without re-running CC over the
+    * corpus. The corpus contributes its stored labeling artifact
+    * ([[ensureCcArtifact]]); the delta edges (pairs with a new
+    * endpoint) come from the memoized pair-graph leaf here — in
+    * production they are exactly q144's probe output (new-vs-old
+    * verified pairs) plus the shard-internal pairs, discovered against
+    * the stored band index without touching corpus text. The merge is
+    * [[mergeComponentLabels]]'s quotient-graph fold: iteration cost
+    * scales with the delta and the components it bridges, never the
+    * corpus; the corpus is touched by one relabel join. The oracle IS
+    * q101's full-rebuild recursive-CTE SQL — merge == rebuild
+    * hash-verified cross-engine.
+    */
+  def incrementalComponents(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeFunctions.register(spark)
+    val stored = spark.read.parquet(ensureCcArtifact(spark, dir))
+    val deltaPairs = lshPairGraph(spark, dir).select("id1", "id2")
+      .filter(col("id1") % 4 === 0 || col("id2") % 4 === 0)
+    val labels = mergeComponentLabels(stored, deltaPairs)
+    val sizes = labels.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "cluster")
+      .select(col("id").as("doc_id"), col("cluster"), col("cluster_size"))
+      .orderBy("doc_id")
+  }
 
   /** Takedown propagation (q165): bounded-hop closure of an external
     * removal list through the near-dup graph. When a takedown /
@@ -2656,6 +2829,8 @@ object LlmPipeline extends QueryPack {
     java.lang.Runtime.getRuntime.addShutdownHook(new Thread(() => {
       bandIndexCache.values().forEach(deleteRecursively(_))
       indexArtifactCache.values().forEach(deleteRecursively(_))
+      mpAnnIndexCache.values().forEach(deleteRecursively(_))
+      ccArtifactCache.values().forEach(deleteRecursively(_))
     }))
 
   private[graft] def ensureBandIndex(spark: SparkSession, dir: String): (String, String) = {
@@ -3529,6 +3704,9 @@ object LlmPipeline extends QueryPack {
     QueryDef("q163_multiprobe_neardup", multiProbeNearDup, Some(multiProbeNearDupSql)),
     QueryDef("q174_ann_admission", annAdmission, Some(annAdmissionSql),
       prepare = Some(prepareAnnAdmission _)),
+    QueryDef("q176_semantic_dedup", semanticDedup, Some(semanticDedupSql)),
+    QueryDef("q177_incremental_components", incrementalComponents, Some(dedupClustersSql),
+      prepare = Some(prepareIncrementalCc _)),
     QueryDef("q165_takedown_spread", takedownSpread, Some(takedownSpreadSql)),
     QueryDef("q168_index_merge", incrementalIndexMerge, Some(invertedIndexSql),
       prepare = Some(prepareIndexMerge _)),

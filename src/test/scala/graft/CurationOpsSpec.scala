@@ -231,6 +231,51 @@ class CurationOpsSpec extends SparkSpec {
     assert(unsorted == 0, "merged postings_head must stay ascending")
   }
 
+  test("q177 core: quotient merge bridges stored components through new docs and relabels to the global min") {
+    import spark.implicits._
+    // Stored labeling: component A = {10, 11} (label 10), B = {20, 21}
+    // (label 20), C = {40, 41} (label 40, untouched); 30 is an old
+    // SINGLETON (no stored row). Delta: new doc 4 bridges A and B
+    // (pairs 4-11, 4-21) — the merged component's min id is the NEW
+    // doc's; new doc 8 links the old singleton 30.
+    val stored = Seq((10L, 10L), (11L, 10L), (20L, 20L), (21L, 20L),
+      (40L, 40L), (41L, 40L)).toDF("id", "label")
+    val delta = Seq((4L, 11L), (4L, 21L), (8L, 30L)).toDF("id1", "id2")
+    val got = LlmPipeline.mergeComponentLabels(stored, delta)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(10L -> 4L, 11L -> 4L, 20L -> 4L, 21L -> 4L,
+      40L -> 40L, 41L -> 40L, 4L -> 4L, 8L -> 8L, 30L -> 8L),
+      s"quotient merge produced $got")
+  }
+
+  test("q177: merged labeling equals the full rebuild and never re-iterates the corpus") {
+    val merged = LlmPipeline.incrementalComponents(spark, sfDir)
+    val rebuilt = LlmPipeline.dedupClusters(spark, sfDir)
+    assert(merged.exceptAll(rebuilt).count() == 0 &&
+      rebuilt.exceptAll(merged).count() == 0,
+      "incremental component merge must be indistinguishable from a full rebuild")
+    // The corpus arrives as the stored labeling artifact + the pair-
+    // graph leaf; no documents scan exists anywhere in the plan (the
+    // q168 structural-scan discipline).
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+    }.flatten
+    val roots = scans(merged.queryExecution.executedPlan)
+      .flatMap(_.relation.location.rootPaths.map(_.toString))
+    // (The pair-graph leaf feeds only the quotient CC loop, whose
+    // output is localCheckpoint'ed — so it cannot appear in the final
+    // plan; the artifact scan and the absence of any documents scan
+    // are the assertable facts.)
+    assert(roots.exists(_.contains("graft_cclabels")),
+      s"stored labeling artifact not among scan roots: $roots")
+    assert(!roots.exists(_.contains("documents.parquet")),
+      s"corpus text must never be rescanned by the merge: $roots")
+  }
+
   test("q165 core: propagation enters at hop 2 on a chain, takes the min over a diamond, and stops at K") {
     import spark.implicits._
     // Chain 1-2-3-4 seeded at 1 (node 4 is 3 hops out — past K=2) plus

@@ -177,6 +177,30 @@ class LlmPipelineSpec extends SparkSpec {
     assert(recall >= 12, s"projected-ANN recall $recall/30 vs exact top-30")
   }
 
+  test("q176: semantic clusters cover exactly the exact-pair endpoints, one min-id representative each") {
+    val out = LlmPipeline.semanticDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val pairs = LlmPipeline.embeddingNearDup(spark, sfDir)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty && out.nonEmpty)
+    // Vertex set = exactly the vectors with >= 1 exact near-neighbor
+    // (singletons excluded, the q101 convention).
+    val endpoints = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(out.map(_._1).toSet == endpoints)
+    // Both endpoints of every exact pair share a cluster.
+    val clusterOf = out.map(t => t._1 -> t._2).toMap
+    pairs.foreach { case (a, b) =>
+      assert(clusterOf(a) == clusterOf(b), s"pair ($a,$b) split across clusters")
+    }
+    // Exactly one kept representative per cluster, and it is the min id.
+    out.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.count(_._4) == 1, s"cluster $c kept ${members.count(_._4)}")
+      assert(members.filter(_._4).head._1 == members.map(_._1).min &&
+        c == members.map(_._1).min, s"cluster $c representative is not the min id")
+      assert(members.forall(_._3 == members.size), s"cluster $c size column drifted")
+    }
+  }
+
   test("q127: representatives are maximal members of their clusters, one per cluster") {
     val clusters = LlmPipeline.dedupClusters(spark, sfDir).cache()
     val reps = LlmPipeline.clusterRepresentatives(spark, sfDir).cache()
