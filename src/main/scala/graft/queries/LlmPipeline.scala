@@ -1242,18 +1242,50 @@ object LlmPipeline extends QueryPack {
     * (flip f hits iff the buckets differ in exactly bit f), so the
     * count aggregate is again the number of agreeing tables.
     */
-  def multiProbeNearDup(spark: SparkSession, dir: String): DataFrame = {
+  def multiProbeNearDup(spark: SparkSession, dir: String): DataFrame =
+    multiProbeVerifiedPairs(spark, dir)
+      .select(col("id1"), col("id2"), col("n_tabs"),
+        (round(col("sim"), 4) + lit(0)).as("sim_r"))
+      .orderBy("id1", "id2")
+
+  /** The q163 candidate + exact-verify stage, shared with q179's
+    * component build: symmetric Hamming-≤1 multi-probe candidates over
+    * the whole embeddings table, exact cosine verify at 0.4. Returns
+    * (id1 < id2, n_tabs, sim) un-ordered — callers shape/sort.
+    *
+    * `bits` defaults to the swept [[MpBits]] operating point; IndexScale
+    * passes bits + log2(replicas) — the production discipline (bits
+    * grows with log n so per-bucket occupancy, and with it candidate
+    * cost, stays ~flat as the corpus grows).
+    *
+    * `probeHamming` is the probe RADIUS — the multi-probe recall dial
+    * that leaves the stored index untouched: radius h explodes each
+    * probe vector to Σ_{k≤h} C(bits,k) keys per table and a pair is a
+    * candidate iff its buckets differ in ≤ h bits in some table.
+    * q163 ships radius 1 (the swept point for the pair surface); q179
+    * ships radius [[SemDedupProbeHamming]] because its CLUSTER contract
+    * amplifies edge loss (one missed bridge edge splits a component
+    * into two, losing every cross pair).
+    */
+  private[graft] def multiProbeVerifiedPairs(
+      spark: SparkSession, dir: String, bits: Int = MpBits,
+      probeHamming: Int = 1): DataFrame = {
     graft.functions.NativeFunctions.register(spark)
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("d"))
       .withColumn("nrm", expr("sqrt(dot_product(d, d))"))
     val bucketCols = (0 until MpTables).map(t =>
-      s"struct($t AS tbl, hyperplane_bucket(d, $MpBits, $t, 0) AS bucket)").mkString(", ")
+      s"struct($t AS tbl, hyperplane_bucket(d, $bits, $t, 0) AS bucket)").mkString(", ")
     val indexKeys = e.select(col("vec_id"), explode(expr(s"array($bucketCols)")).as("tb"))
       .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-    val flips = (0 until MpBits).map(1 << _)
+    // All XOR masks within the probe radius. Distinct masks ⇒ per
+    // (pair, table) at most ONE probe key matches (mask = the exact
+    // bucket difference), so the n_tabs count stays the number of
+    // agreeing tables at any radius.
+    val masks = (0 until (1 << bits))
+      .filter(m => java.lang.Integer.bitCount(m) <= probeHamming)
     val probeKeys = indexKeys.select(col("vec_id"), col("tbl"),
-      explode(array((lit(0) +: flips.map(lit(_))): _*)).as("flip"),
+      explode(array(masks.map(lit(_)): _*)).as("flip"),
       col("bucket"))
       .select(col("vec_id"), col("tbl"),
         expr("int(bucket ^ flip)").as("bucket"))
@@ -1268,9 +1300,6 @@ object LlmPipeline extends QueryPack {
       .join(e.select(col("vec_id").as("id2"), col("d").as("d2"), col("nrm").as("nrm2")), "id2")
       .withColumn("sim", expr("dot_product(d1, d2)") / (col("nrm1") * col("nrm2")))
       .filter(col("sim") >= 0.4)
-      .select(col("id1"), col("id2"), col("n_tabs"),
-        (round(col("sim"), 4) + lit(0)).as("sim_r"))
-      .orderBy("id1", "id2")
   }
 
   /** Oracle for q163: same scrambled sign table as the Spark side,
@@ -1322,12 +1351,22 @@ object LlmPipeline extends QueryPack {
   private val mpAnnIndexCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.nio.file.Path]()
 
-  private[graft] def ensureMpAnnIndex(spark: SparkSession, dir: String): (String, String) = {
+  private[graft] def ensureMpAnnIndex(spark: SparkSession, dir: String,
+      bits: Int = MpBits): (String, String) = {
     evictStoppedArtifacts(mpAnnIndexCache)
-    val base = mpAnnIndexCache.computeIfAbsent((spark, dir), _ => {
+    // `bits` joins the cache key (an IndexScale run holds base-width
+    // and log-n-scaled indexes of different dirs concurrently) but the
+    // parquet reads below always use the raw dir.
+    val base = mpAnnIndexCache.computeIfAbsent((spark, s"$dir#b$bits"), _ => {
       artifactShutdownHook
       graft.functions.NativeFunctions.register(spark)
-      val tag = s"${SourcesOps.sanitizedAppId(spark)}_${Integer.toHexString(dir.hashCode)}"
+      // Caches key on SparkSession identity but appId is per-CONTEXT:
+      // two sessions over one context (spark.newSession()) must not
+      // share (and race Overwrite into) one tmpdir, so the tag also
+      // carries the session identity (ADVICE r11).
+      val tag = s"${SourcesOps.sanitizedAppId(spark)}_" +
+        s"${Integer.toHexString(System.identityHashCode(spark))}_" +
+        s"${Integer.toHexString(dir.hashCode)}_b$bits"
       val b = Paths.get(sys.props("java.io.tmpdir"), s"graft_mpann_$tag")
       val vecsPath = b.resolve("vecs").toString
       val keysPath = b.resolve("keys").toString
@@ -1339,7 +1378,7 @@ object LlmPipeline extends QueryPack {
       // The index derives from the stored vector table — one nightly
       // job writes both (the ensureBandIndex convention).
       val bucketCols = (0 until MpTables).map(t =>
-        s"struct($t AS tbl, hyperplane_bucket(d, $MpBits, $t, 0) AS bucket)").mkString(", ")
+        s"struct($t AS tbl, hyperplane_bucket(d, $bits, $t, 0) AS bucket)").mkString(", ")
       spark.read.parquet(vecsPath)
         .select(col("vec_id"), explode(expr(s"array($bucketCols)")).as("tb"))
         .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
@@ -1372,14 +1411,14 @@ object LlmPipeline extends QueryPack {
     */
   private[graft] def annProbeDecisions(
       spark: SparkSession, keysPath: String, vecsPath: String,
-      batch: DataFrame): DataFrame = {
+      batch: DataFrame, bits: Int = MpBits): DataFrame = {
     graft.functions.NativeFunctions.register(spark)
     val newE = batch
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("d"))
       .withColumn("nrm", expr("sqrt(dot_product(d, d))"))
     val bucketCols = (0 until MpTables).map(t =>
-      s"struct($t AS tbl, hyperplane_bucket(d, $MpBits, $t, 0) AS bucket)").mkString(", ")
-    val flips = (0 until MpBits).map(1 << _)
+      s"struct($t AS tbl, hyperplane_bucket(d, $bits, $t, 0) AS bucket)").mkString(", ")
+    val flips = (0 until bits).map(1 << _)
     val probeKeys = newE
       .select(col("vec_id"), explode(expr(s"array($bucketCols)")).as("tb"))
       .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
@@ -1418,12 +1457,19 @@ object LlmPipeline extends QueryPack {
     * table and verifies at the same threshold, so a stale artifact, a
     * probe-expansion bug, or a verify drift all flip hashed cells.
     */
-  def annAdmission(spark: SparkSession, dir: String): DataFrame = {
-    val (keysPath, vecsPath) = ensureMpAnnIndex(spark, dir)
+  def annAdmission(spark: SparkSession, dir: String): DataFrame =
+    annAdmissionCfg(spark, dir, MpBits)
+
+  /** q174 at an explicit index width — IndexScale's entry point for the
+    * bits ~ log n discipline (the stored index a 100× corpus ships is
+    * wider; the probe machinery is identical). */
+  private[graft] def annAdmissionCfg(
+      spark: SparkSession, dir: String, bits: Int): DataFrame = {
+    val (keysPath, vecsPath) = ensureMpAnnIndex(spark, dir, bits)
     val batch = Tables.embeddings(spark, dir)
       .filter(col("vec_id") % 4 === 0)
       .select("vec_id", "embedding")
-    annProbeDecisions(spark, keysPath, vecsPath, batch).orderBy("vec_id")
+    annProbeDecisions(spark, keysPath, vecsPath, batch, bits).orderBy("vec_id")
   }
 
   private[graft] val annAdmissionSql = {
@@ -2019,10 +2065,11 @@ object LlmPipeline extends QueryPack {
     * [[minLabelComponents]] loop (one shuffle-join + partial-agg min
     * per round over 8-byte ids, per-round localCheckpoint). The edge
     * build here is the exact all-pairs join because the ORACLE needs
-    * the exact graph; at 100 TB the edges come from the recall-target
-    * candidate paths instead (q160/q163 verified at the same
-    * threshold — the committed-recall tradeoff), feeding the identical
-    * component/representative stages.
+    * the exact graph; the production path is [[semanticDedupAnn]]
+    * (q179) — edges from the q163 multi-probe candidate path at the
+    * same threshold (the committed-recall tradeoff), feeding the
+    * identical component/representative stages. q179 is the default at
+    * scale; this exact variant is its recall reference.
     */
   def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.NativeFunctions.register(spark)
@@ -2066,6 +2113,92 @@ object LlmPipeline extends QueryPack {
       |FROM labels JOIN sizes USING (cluster)
       |ORDER BY vec_id""".stripMargin
 
+  /** Semantic dedup on ANN edges (q179 — VERDICT r11 item 4, the scale
+    * path q176's doc prescribes): the identical component +
+    * representative machinery, but the edge source is the q163
+    * multi-probe candidate path — symmetric Hamming-≤[[SemDedupProbeHamming]]
+    * candidates over the stored (bits, L) index family, exact cosine
+    * verify at the same 0.4 threshold — instead of the all-pairs theta
+    * join. This is the
+    * DEFAULT semantic-dedup path: candidate generation is ONE
+    * (tbl, bucket) equi-join bounded by L·Σ|bucket|², never n², so the
+    * plan survives 100 TB (with bits grown ~log n, the IndexScale
+    * discipline); q176 remains as the oracle-exact variant its own
+    * fixture-scale contract needs.
+    *
+    * Two laws tie it to q176 (LlmPipelineSpec): (1) REFINEMENT, exact:
+    * every verified ANN edge is an exact-graph edge (the verify
+    * threshold is identical), so q179's partition refines q176's —
+    * any two vectors q179 co-clusters are co-clustered by q176; (2)
+    * RECALL, measured: same-cluster vector pairs of q176 recovered by
+    * q179 ≥ 0.8 (the swept q163 operating point, AnnRecallSpec-gated).
+    */
+  /** q179's probe radius over the stored q163 index (see
+    * [[multiProbeVerifiedPairs]]): radius 1 measured same-cluster pair
+    * recall 0.760 at sf0.001 — edge recall 0.89-0.92 amplified DOWN by
+    * bridge-edge loss — so the cluster surface probes radius 2
+    * (16 keys/table at bits=5 vs 6; index unchanged). Radius 2 clears
+    * the 0.8 gate (LlmPipelineSpec's q179 refinement + recall test).
+    */
+  private[graft] val SemDedupProbeHamming = 2
+
+  def semanticDedupAnn(spark: SparkSession, dir: String): DataFrame =
+    semanticDedupAnnCfg(spark, dir, MpBits)
+
+  /** q179 at an explicit index width — IndexScale's entry point for the
+    * bits ~ log n scale discipline. */
+  private[graft] def semanticDedupAnnCfg(
+      spark: SparkSession, dir: String, bits: Int): DataFrame = {
+    val pairs = multiProbeVerifiedPairs(spark, dir, bits, SemDedupProbeHamming)
+      .select("id1", "id2")
+    val edges = pairs.union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+    val labels = minLabelComponents(edges)
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("id").as("vec_id"), col("label").as("cluster"),
+        col("cluster_size"), (col("id") === col("label")).as("kept"))
+      .orderBy("vec_id")
+  }
+
+  /** Oracle for q179: q163's candidate predicate (`bit_count(xor(bks))
+    * <= 1` per table over the same literal scrambled sign table) +
+    * exact verify, then q176's recursive-CTE components over those
+    * edges. CTEs MATERIALIZED so the fixpoint doesn't re-run the
+    * bucketing scan per iteration.
+    */
+  private[graft] val semanticDedupAnnSql = {
+    val lits = (0 until MpBits * MpTables).flatMap(jj =>
+      (0 until 64).map(i => scrambledSignBit(i, jj))).mkString("[", ", ", "]")
+    val hams = (1 to MpTables).map(t =>
+      s"bit_count(CAST(xor(a.bks[$t], b.bks[$t]) AS BIGINT)) <= $SemDedupProbeHamming")
+    s"""WITH RECURSIVE sb AS (SELECT $lits AS sbits),
+       |e AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d
+       |  FROM embeddings),
+       |n AS MATERIALIZED (
+       |  SELECT vec_id, d, sqrt(list_sum(list_transform(d, x -> x * x))) AS nrm,
+       |    [CAST(list_sum([CASE WHEN list_sum([
+       |        CASE WHEN sbits[(j + $MpBits * t) * 64 + i] = 1 THEN d[i] ELSE -d[i] END
+       |        for i in range(1, 65)]) >= 0
+       |      THEN (1 << j) ELSE 0 END for j in range(0, $MpBits)]) AS INTEGER) for t in range(0, $MpTables)] AS bks
+       |  FROM e, sb),
+       |pairs AS MATERIALIZED (
+       |  SELECT a.vec_id AS id1, b.vec_id AS id2
+       |  FROM n a JOIN n b ON a.vec_id < b.vec_id AND (${hams.mkString(" OR ")})
+       |  WHERE list_sum([a.d[i] * b.d[i] for i in range(1, 65)]) / (a.nrm * b.nrm) >= 0.4),
+       |edges AS MATERIALIZED (
+       |  SELECT id1, id2 FROM pairs UNION ALL SELECT id2 AS id1, id1 AS id2 FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT id1 AS id, id1 AS r FROM edges
+       |  UNION
+       |  SELECT g.id1 AS id, reach.r FROM edges g JOIN reach ON g.id2 = reach.id),
+       |labels AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+       |sizes AS (SELECT cluster, count(*) AS cluster_size FROM labels GROUP BY cluster)
+       |SELECT id AS vec_id, cluster, cluster_size, (id = cluster) AS kept
+       |FROM labels JOIN sizes USING (cluster)
+       |ORDER BY vec_id""".stripMargin
+  }
+
   /** Stored component labeling of the STANDING corpus (doc_id % 4 != 0
     * — the q144 shard split), memoized per (session, dir) with the
     * artifact lifecycle discipline: the q101 CC answer restricted to
@@ -2080,7 +2213,13 @@ object LlmPipeline extends QueryPack {
     ccArtifactCache.computeIfAbsent((spark, dir), _ => {
       artifactShutdownHook
       graft.functions.NativeFunctions.register(spark)
-      val tag = s"${SourcesOps.sanitizedAppId(spark)}_${Integer.toHexString(dir.hashCode)}"
+      // Caches key on SparkSession identity but appId is per-CONTEXT:
+      // two sessions over one context (spark.newSession()) must not
+      // share (and race Overwrite into) one tmpdir, so the tag also
+      // carries the session identity (ADVICE r11).
+      val tag = s"${SourcesOps.sanitizedAppId(spark)}_" +
+        s"${Integer.toHexString(System.identityHashCode(spark))}_" +
+        s"${Integer.toHexString(dir.hashCode)}"
       val path = Paths.get(sys.props("java.io.tmpdir"), s"graft_cclabels_$tag")
       val corpusPairs = lshPairGraph(spark, dir).select("id1", "id2")
         .filter(col("id1") % 4 =!= 0 && col("id2") % 4 =!= 0)
@@ -2838,7 +2977,13 @@ object LlmPipeline extends QueryPack {
     val base = bandIndexCache.computeIfAbsent((spark, dir), _ => {
       artifactShutdownHook
       graft.functions.NativeFunctions.register(spark)
-      val tag = s"${SourcesOps.sanitizedAppId(spark)}_${Integer.toHexString(dir.hashCode)}"
+      // Caches key on SparkSession identity but appId is per-CONTEXT:
+      // two sessions over one context (spark.newSession()) must not
+      // share (and race Overwrite into) one tmpdir, so the tag also
+      // carries the session identity (ADVICE r11).
+      val tag = s"${SourcesOps.sanitizedAppId(spark)}_" +
+        s"${Integer.toHexString(System.identityHashCode(spark))}_" +
+        s"${Integer.toHexString(dir.hashCode)}"
       val b = Paths.get(sys.props("java.io.tmpdir"), s"graft_bandidx_$tag")
       val bandsPath = b.resolve("bands").toString
       val shinglesPath = b.resolve("shingles").toString
@@ -3177,7 +3322,13 @@ object LlmPipeline extends QueryPack {
     evictStoppedArtifacts(indexArtifactCache)
     indexArtifactCache.computeIfAbsent((spark, dir), _ => {
       artifactShutdownHook
-      val tag = s"${SourcesOps.sanitizedAppId(spark)}_${Integer.toHexString(dir.hashCode)}"
+      // Caches key on SparkSession identity but appId is per-CONTEXT:
+      // two sessions over one context (spark.newSession()) must not
+      // share (and race Overwrite into) one tmpdir, so the tag also
+      // carries the session identity (ADVICE r11).
+      val tag = s"${SourcesOps.sanitizedAppId(spark)}_" +
+        s"${Integer.toHexString(System.identityHashCode(spark))}_" +
+        s"${Integer.toHexString(dir.hashCode)}"
       val path = Paths.get(sys.props("java.io.tmpdir"), s"graft_invidx_$tag")
       val minK = udaf(new graft.functions.Udafs.MinKLongs(PostingsHeadCap))
       Tables.documents(spark, dir)
@@ -3705,6 +3856,7 @@ object LlmPipeline extends QueryPack {
     QueryDef("q174_ann_admission", annAdmission, Some(annAdmissionSql),
       prepare = Some(prepareAnnAdmission _)),
     QueryDef("q176_semantic_dedup", semanticDedup, Some(semanticDedupSql)),
+    QueryDef("q179_semantic_dedup_ann", semanticDedupAnn, Some(semanticDedupAnnSql)),
     QueryDef("q177_incremental_components", incrementalComponents, Some(dedupClustersSql),
       prepare = Some(prepareIncrementalCc _)),
     QueryDef("q165_takedown_spread", takedownSpread, Some(takedownSpreadSql)),

@@ -643,7 +643,13 @@ object SqlGateway extends QueryPack {
   private[graft] def vacuumAwareRead(spark: SparkSession, gen: Int): DataFrame = {
     import org.apache.spark.sql.functions.col
     val ptr = spark.table("vac_generations_v2")
-    val row = ptr.filter(col("gen") === gen).head()
+    val row = ptr.filter(col("gen") === gen).collect().headOption.getOrElse {
+      val range = ptr.agg(org.apache.spark.sql.functions.min("gen"),
+        org.apache.spark.sql.functions.max("gen")).head()
+      throw new IllegalArgumentException(
+        s"unknown generation $gen; known generations are " +
+          s"[${range.getInt(0)}, ${range.getInt(1)}]")
+    }
     if (row.getString(2) == "expired") {
       val earliest = ptr.filter(col("status") === "retained")
         .agg(org.apache.spark.sql.functions.min("gen")).head().getInt(0)
@@ -836,6 +842,153 @@ object SqlGateway extends QueryPack {
       |  count(*) AS n_rows, round(CAST(sum(price) AS DOUBLE), 4) AS total_price
       |FROM fin""".stripMargin
 
+  /** Snapshot-compact the durable command log at `atSeq` (q178 — the
+    * Raft §7 log-compaction analog the reference omits: its in-memory
+    * `log []LogEntry`, src/raft/node.go:28, grows without bound and
+    * q171 only closed the state-retention half; this closes the LOG
+    * half). Compaction rewrites the log so that recovery stays a pure
+    * function of one parquet file:
+    *
+    *   1. recover state to `atSeq` from the genesis log (the ordinary
+    *      q159 replay of a prefix),
+    *   2. persist every managed table alive at `atSeq` as a snapshot
+    *      parquet under `snapDir` (the Raft snapshot),
+    *   3. write the COMPACTED log: the truncated prefix 1..atSeq is
+    *      replaced by restore commands — the same idempotent
+    *      DROP IF EXISTS + CTAS convention, CTAS-ing each snapshot file
+    *      — occupying seqs (atSeq-k+1)..atSeq, followed by the original
+    *      suffix atSeq+1.. verbatim; a constant `snap_seq` column marks
+    *      the truncation point for fail-closed reads.
+    *
+    * Because the restore commands ARE ordinary log entries, the q159
+    * recovery path ([[replayFrom]]) runs unchanged on a compacted log,
+    * and all q159 idempotence laws carry over. The restore block always
+    * fits its seq window: after the first command (a DROP) at most
+    * ⌊atSeq/2⌋ tables exist, so k = 2·live ≤ atSeq.
+    */
+  private[graft] def compactCommandLog(
+      spark: SparkSession, dir: String, logPath: String,
+      snapDir: java.nio.file.Path, atSeq: Long): String = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    Tables.registerAll(spark, dir)
+    // A PREFIX replay only drops the tables its own commands touch, so
+    // tables a previous replay left in the (shared) catalog would
+    // otherwise masquerade as live-at-atSeq and leak into the snapshot.
+    durableLogTables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    resetManagedLocations(spark, durableLogTables)
+    val entries = spark.read.parquet(logPath).orderBy("seq")
+      .select("seq", "command").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    applyLog(spark, entries.filter(_._1 <= atSeq).map(_._2))
+    val live = durableLogTables.filter(spark.catalog.tableExists)
+    val restoreCmds = live.flatMap { t =>
+      val p = snapDir.resolve(s"snap_$t").toString
+      spark.table(t).write.mode("overwrite").parquet(p)
+      Seq(s"DROP TABLE IF EXISTS $t",
+        s"CREATE TABLE $t USING PARQUET AS SELECT * FROM parquet.`$p`")
+    }
+    val restore = restoreCmds.zipWithIndex.map { case (c, i) =>
+      (atSeq - restoreCmds.size + 1 + i, c)
+    }
+    val outPath = snapDir.resolve("cmdlog_compacted.parquet").toString
+    (restore ++ entries.filter(_._1 > atSeq)).toDF("seq", "command")
+      .withColumn("snap_seq", lit(atSeq))
+      .repartition(1).write.mode("overwrite").parquet(outPath)
+    outPath
+  }
+
+  /** Reconstruct state as of `upToSeq` from a COMPACTED log. History at
+    * or past the snapshot replays normally; history BEFORE it was
+    * truncated by compaction, so the read fails CLOSED (before touching
+    * any state) with an error naming the earliest reconstructible seq —
+    * the q171 fail-closed discipline applied to the log axis.
+    */
+  private[graft] def replayCompactedTo(
+      spark: SparkSession, dir: String, logPath: String, upToSeq: Long): Unit = {
+    import org.apache.spark.sql.functions.col
+    val log = spark.read.parquet(logPath)
+    val snapSeq = log.agg(org.apache.spark.sql.functions.max("snap_seq")).head().getLong(0)
+    if (upToSeq < snapSeq) {
+      throw new IllegalStateException(
+        s"seq $upToSeq predates the snapshot at seq $snapSeq — the prefix was " +
+          s"truncated by log compaction; earliest reconstructible state is seq $snapSeq")
+    }
+    Tables.registerAll(spark, dir)
+    // Prefix replay: clear catalog state past the prefix (see
+    // compactCommandLog) so "state as of upToSeq" means exactly that.
+    durableLogTables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    resetManagedLocations(spark, durableLogTables)
+    val cmds = log.filter(col("seq") <= upToSeq).orderBy("seq")
+      .select("command").collect().map(_.getString(0)).toSeq
+    applyLog(spark, cmds)
+  }
+
+  /** Durable-log compaction (q178): snapshot at seq 4 of 6, truncate
+    * the prefix, recover purely from the compacted log, and emit the
+    * recovered final state (cross-checked by the oracle — identical to
+    * q159's) plus the protocol facts as computed-vs-literal contract
+    * cells (the q171/q172 idiom): log sizes before/after, restore-block
+    * size, replay-from-snapshot == replay-from-genesis, and the
+    * truncated-history read failing closed naming the snapshot seq.
+    */
+  def logCompaction(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-logcompact-")
+    try {
+      val logPath = tmp.resolve("cmdlog.parquet").toString
+      writeCommandLog(spark, logPath)
+      // Reference: the q159 genesis replay.
+      replayFrom(spark, dir, logPath)
+      val genesis = spark.sql(durableFinalQuery).collect().toSeq
+      val snapAt = 4L
+      val compactedPath =
+        compactCommandLog(spark, dir, logPath, tmp, snapAt)
+      val compactedLog = spark.read.parquet(compactedPath)
+        .select("seq", "command").orderBy("seq").collect()
+      val nTail = compactedLog.count(_.getLong(0) > snapAt)
+      val nRestore = compactedLog.count(_.getLong(0) <= snapAt)
+      // Truncated-history read fails closed BEFORE mutating any state.
+      val failsClosed =
+        try { replayCompactedTo(spark, dir, compactedPath, snapAt - 2); false }
+        catch {
+          case e: IllegalStateException => e.getMessage.contains(s"seq $snapAt")
+        }
+      // "Restarted node": recover purely from the compacted log.
+      replayFrom(spark, dir, compactedPath)
+      val recovered = spark.sql(durableFinalQuery)
+      val replayEqual = recovered.collect().toSeq == genesis
+      recovered.select(col("segment"), col("n_cust"), col("n_orders_sum"),
+        col("total_spend"),
+        lit(snapAt).as("snap_seq"),
+        lit(durableLog.size.toLong).as("n_log_genesis"),
+        lit(nTail.toLong).as("n_log_tail"),
+        lit(nRestore.toLong).as("n_restore_cmds"),
+        lit(replayEqual).as("replay_equal"),
+        lit(failsClosed).as("truncated_read_fails_closed"))
+    } finally LlmPipeline.deleteRecursively(tmp)
+  }
+
+  private val logCompactionSql =
+    """WITH dlog_spend AS (
+      |  SELECT o_custkey, count(*) AS n_orders,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+      |  FROM orders GROUP BY o_custkey),
+      |dlog_seg AS (
+      |  SELECT c.c_mktsegment AS segment, s.n_orders, s.spend
+      |  FROM dlog_spend s JOIN customer c ON s.o_custkey = c.c_custkey),
+      |dlog_seg_v2 AS (
+      |  SELECT * FROM dlog_seg WHERE NOT (n_orders < 5))
+      |SELECT segment, count(*) AS n_cust,
+      |  CAST(sum(n_orders) AS BIGINT) AS n_orders_sum,
+      |  round(CAST(sum(spend) AS DOUBLE), 4) AS total_spend,
+      |  CAST(4 AS BIGINT) AS snap_seq, CAST(6 AS BIGINT) AS n_log_genesis,
+      |  CAST(2 AS BIGINT) AS n_log_tail, CAST(4 AS BIGINT) AS n_restore_cmds,
+      |  TRUE AS replay_equal, TRUE AS truncated_read_fails_closed
+      |FROM dlog_seg_v2
+      |GROUP BY segment
+      |ORDER BY segment""".stripMargin
+
   override def all: Seq[QueryDef] = Seq(
     QueryDef("q91_sql_command", sqlCommand, Some(revenueByNationCmd)),
     QueryDef("q107_command_log_replay", commandLogReplay, Some(commandLogReplaySql)),
@@ -846,5 +999,6 @@ object SqlGateway extends QueryPack {
     QueryDef("q164_generation_time_travel", generationTimeTravel,
       Some(generationTimeTravelSql)),
     QueryDef("q171_generation_vacuum", generationVacuum, Some(generationVacuumSql)),
-    QueryDef("q172_occ_commit_race", occCommitRace, Some(occCommitRaceSql)))
+    QueryDef("q172_occ_commit_race", occCommitRace, Some(occCommitRaceSql)),
+    QueryDef("q178_log_compaction", logCompaction, Some(logCompactionSql)))
 }

@@ -74,4 +74,67 @@ class DurableCommandLogSpec extends SparkSpec {
       assert(finalState(s) == once, "replaying the full log twice changed state")
     } finally LlmPipeline.deleteRecursively(tmp)
   }
+
+  test("q178: replay-from-snapshot equals replay-from-genesis at EVERY compaction point, across sessions") {
+    val tmp = Files.createTempDirectory("graft-cmdlog-spec3-")
+    try {
+      val logPath = tmp.resolve("cmdlog.parquet").toString
+      SqlGateway.writeCommandLog(spark, logPath)
+      val sGen = spark.newSession()
+      SqlGateway.replayFrom(sGen, sfDir, logPath)
+      val genesis = finalState(sGen)
+      val m = SqlGateway.durableLog.size.toLong
+      (0L to m).foreach { n =>
+        val snapDir = Files.createTempDirectory(s"graft-cmdlog-snap$n-")
+        try {
+          val compacted =
+            SqlGateway.compactCommandLog(spark, sfDir, logPath, snapDir, n)
+          // The q159 law re-based on the snapshot: a RESTARTED node
+          // (fresh session, durable store intact) recovering purely
+          // from the compacted log lands on the genesis final state.
+          val s2 = spark.newSession()
+          SqlGateway.replayFrom(s2, sfDir, compacted)
+          assert(finalState(s2) == genesis,
+            s"compaction at seq $n diverged from the genesis replay")
+          // The tail survives verbatim; the restore block fits the
+          // truncated window (2 commands per live table, ≤ n).
+          val log = s2.read.parquet(compacted)
+            .select("seq", "snap_seq").collect()
+          assert(log.forall(_.getLong(1) == n))
+          assert(log.count(_.getLong(0) > n) == (m - n))
+          assert(log.count(_.getLong(0) <= n) <= n.max(0L))
+        } finally LlmPipeline.deleteRecursively(snapDir)
+      }
+    } finally LlmPipeline.deleteRecursively(tmp)
+  }
+
+  test("q178: reads of truncated history fail closed naming the snapshot; at/past it they answer") {
+    val tmp = Files.createTempDirectory("graft-cmdlog-spec4-")
+    try {
+      val logPath = tmp.resolve("cmdlog.parquet").toString
+      SqlGateway.writeCommandLog(spark, logPath)
+      val snapAt = 4L
+      val compacted =
+        SqlGateway.compactCommandLog(spark, sfDir, logPath, tmp, snapAt)
+      val s = spark.newSession()
+      (0L until snapAt).foreach { q =>
+        val e = intercept[IllegalStateException] {
+          SqlGateway.replayCompactedTo(s, sfDir, compacted, q)
+        }
+        assert(e.getMessage.contains(s"seq $snapAt"),
+          s"fail-closed error for seq $q must name the earliest reconstructible seq")
+      }
+      // At the snapshot point the state is exactly the snapshot: the
+      // final generation does not exist yet (commands 5-6 not applied).
+      SqlGateway.replayCompactedTo(s, sfDir, compacted, snapAt)
+      assert(s.catalog.tableExists("dlog_seg"))
+      assert(!s.catalog.tableExists("dlog_seg_v2"),
+        "state at the snapshot seq must not include later commands")
+      // Past it, the tail applies and the full state is reachable.
+      val sGen = spark.newSession()
+      SqlGateway.replayFrom(sGen, sfDir, logPath)
+      SqlGateway.replayCompactedTo(s, sfDir, compacted, SqlGateway.durableLog.size.toLong)
+      assert(finalState(s) == finalState(sGen))
+    } finally LlmPipeline.deleteRecursively(tmp)
+  }
 }

@@ -201,6 +201,46 @@ class LlmPipelineSpec extends SparkSpec {
     }
   }
 
+  test("q179: ANN clusters refine q176's exactly, and recover >= 0.8 of its same-cluster pairs") {
+    val exact = LlmPipeline.semanticDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val ann = LlmPipeline.semanticDedupAnn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(ann.nonEmpty, "ANN edge source found no clusters")
+    // REFINEMENT (hard law, not statistical): every verified ANN edge
+    // is an exact edge (identical threshold, candidate set a subset of
+    // all pairs), so every ANN cluster sits inside one exact cluster —
+    // q179 never merges vectors q176 keeps apart, and its vertex set is
+    // a subset of q176's.
+    val annClusters = ann.groupBy(_._2)
+    annClusters.foreach { case (c, members) =>
+      assert(members.forall(m => exact.contains(m._1)),
+        s"ANN cluster $c contains a vector q176 considers a singleton")
+      val exactOf = members.map(m => exact(m._1)).distinct
+      assert(exactOf.size == 1,
+        s"ANN cluster $c spans ${exactOf.size} exact clusters — refinement violated")
+      // Representative convention carried over: min id, kept once.
+      assert(members.count(_._4) == 1 && c == members.map(_._1).min)
+      assert(members.forall(_._3 == members.size))
+    }
+    // RECALL (measured, the swept q163 operating point): of the
+    // same-cluster vector pairs q176 asserts, the fraction q179 also
+    // co-clusters. Components amplify edge recall (any surviving path
+    // reconnects a cluster), so this sits at or above q163's pair
+    // recall; gate at the 0.8 the RecallCurve sweep targets.
+    val exactPairs = exact.toSeq.groupBy(_._2).values.flatMap { ms =>
+      val ids = ms.map(_._1).sorted
+      for (i <- ids.indices; j <- (i + 1) until ids.size) yield (ids(i), ids(j))
+    }.toSeq
+    val annClusterOf = ann.map(t => t._1 -> t._2).toMap
+    val kept = exactPairs.count { case (a, b) =>
+      annClusterOf.get(a).exists(ca => annClusterOf.get(b).contains(ca))
+    }
+    val recall = kept.toDouble / exactPairs.size
+    assert(recall >= 0.8,
+      f"q179 same-cluster pair recall $recall%.3f (${kept}/${exactPairs.size}) below 0.8")
+  }
+
   test("q127: representatives are maximal members of their clusters, one per cluster") {
     val clusters = LlmPipeline.dedupClusters(spark, sfDir).cache()
     val reps = LlmPipeline.clusterRepresentatives(spark, sfDir).cache()

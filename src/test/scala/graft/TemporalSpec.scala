@@ -193,7 +193,10 @@ class TemporalSpec extends SparkSpec {
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
         col("event_id"), col("event_type"), col("value"))
       .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+      // value is nullable: NULL → NaN so NaN >= 50 is false, matching
+      // the query side's SQL NULL semantics (ADVICE r11).
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        Option(r.get(4)).map(_.asInstanceOf[Double]).getOrElse(Double.NaN)))
     def sym(t: String, v: Double): String = t match {
       case "purchase" => if (v >= 50) "P" else "p"
       case "view" => "v"
