@@ -247,10 +247,12 @@ object IndexScale {
     val prBig = time(noop(queries.LlmPipeline.annAdmissionCfg(spark, bigDirInc, bitsBig)))
     println(f"| q174 ANN shard admission (per-crawl) | $prBase%.1f | $prBig%.1f " +
       f"| ${prBig / prBase}%.1f | ~flat (fixed shard probes a log-n-wider stored index) |")
+    // Radius 1 for BOTH points: the radius is a constant mask-count
+    // factor orthogonal to n-scaling (see semanticDedupAnnCfg's doc).
     val sdBase = time(noop(queries.LlmPipeline.semanticDedupAnnCfg(
-      spark, baseDir, queries.LlmPipeline.MpBits)))
-    val sdBig = time(noop(queries.LlmPipeline.semanticDedupAnnCfg(spark, bigDirInc, bitsBig)))
-    println(f"| q179 semantic dedup on ANN edges | $sdBase%.1f | $sdBig%.1f " +
+      spark, baseDir, queries.LlmPipeline.MpBits, 1)))
+    val sdBig = time(noop(queries.LlmPipeline.semanticDedupAnnCfg(spark, bigDirInc, bitsBig, 1)))
+    println(f"| q179 semantic dedup on ANN edges (radius 1) | $sdBase%.1f | $sdBig%.1f " +
       f"| ${sdBig / sdBase}%.1f | ~linear (bucket-bounded candidates, never n^2) |")
 
     // --- contract requires at N× ------------------------------------------
@@ -277,7 +279,7 @@ object IndexScale {
     println(s"q174 monotone admission at ${replicas}x (equal bits $bitsBig): " +
       s"base ${aBase.size} admitted vecs all kept, counts never shrink — holds")
     // q179: non-degenerate at N× and the representative convention holds.
-    val sd = queries.LlmPipeline.semanticDedupAnnCfg(spark, bigDirInc, bitsBig)
+    val sd = queries.LlmPipeline.semanticDedupAnnCfg(spark, bigDirInc, bitsBig, 1)
     val nClusters = sd.filter(col("kept")).count()
     val nRows = sd.count()
     require(nClusters > 0 && nRows > nClusters,

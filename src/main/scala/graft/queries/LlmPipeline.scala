@@ -2145,11 +2145,19 @@ object LlmPipeline extends QueryPack {
   def semanticDedupAnn(spark: SparkSession, dir: String): DataFrame =
     semanticDedupAnnCfg(spark, dir, MpBits)
 
-  /** q179 at an explicit index width — IndexScale's entry point for the
-    * bits ~ log n scale discipline. */
+  /** q179 at an explicit index width and probe radius — IndexScale's
+    * entry point. The harness measures the family at radius 1: the
+    * scale law under test (candidates bounded by L·Σ|bucket|², ~linear
+    * in n at bits ~ log n) is orthogonal to the radius, which is a
+    * CONSTANT mask-count factor (Σ_{k≤h} C(bits,k) per table) — at the
+    * harness's 100×/bits=12 point radius 2 multiplies candidate volume
+    * ~6× (79/13 masks) into tens of GB of shuffle spill for no extra
+    * information about n-scaling.
+    */
   private[graft] def semanticDedupAnnCfg(
-      spark: SparkSession, dir: String, bits: Int): DataFrame = {
-    val pairs = multiProbeVerifiedPairs(spark, dir, bits, SemDedupProbeHamming)
+      spark: SparkSession, dir: String, bits: Int,
+      probeHamming: Int = SemDedupProbeHamming): DataFrame = {
+    val pairs = multiProbeVerifiedPairs(spark, dir, bits, probeHamming)
       .select("id1", "id2")
     val edges = pairs.union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
     val labels = minLabelComponents(edges)

@@ -511,6 +511,78 @@ object Sessions extends QueryPack {
       |FROM seqs
       |ORDER BY user_id, sid""".stripMargin
 
+  /** Bounded-quantifier + skip-mode motifs (q180): the residual
+    * MATCH_RECOGNIZE forms after q166/q167/q173/q175 — quantifier
+    * BOUNDS (`{m,n}`), AFTER MATCH SKIP TO NEXT ROW, and reluctant
+    * quantifiers — per 4-hour session on the q173 alphabet:
+    *
+    *   - `n_burst_conv` — `v[^p]{2,6}p`: a conversion whose path length
+    *     is BOUNDED — a view reaching a purchase through two to six
+    *     intervening non-purchase events (the `{m,n}` quantifier-bound
+    *     form; direct and one-step conversions excluded by the lower
+    *     bound, meandering ones by the upper). Greedy counted
+    *     repetition follows the same leftmost-first priority order in
+    *     Java and RE2, and the excluded class still cannot cross `p`,
+    *     so extents agree; counting stays leftmost non-overlapping =
+    *     SKIP PAST LAST ROW. Both bounds BIND on the fixture
+    *     (TemporalSpec: sessions exist where `v[^p]*p` counts more).
+    *   - `n_skip_conv` — `v[^p]*p` counted under AFTER MATCH SKIP TO
+    *     NEXT ROW: overlapping matches, one per STARTING row. A match
+    *     starts at every `v` that still has a purchase ahead of it, so
+    *     the count is #v(seq) − #v(tail after the last p) — anchored
+    *     `[^p]*$` extracts that tail in both engines without the
+    *     lookahead RE2 lacks. Per-session law: ≥ q173's `n_conv`
+    *     (every non-overlapping match contains ≥ 1 starting row).
+    *   - `n_conv_reluctant` — `v[^p]*?p`: the reluctant form. Because
+    *     the excluded class cannot cross `p`, the reluctant and greedy
+    *     extents are the SAME span (first p after the v) — so this
+    *     EQUALS q173's `n_conv` on every session, and the equality is
+    *     hash-pinned by the oracle computing the reluctant form
+    *     independently (TemporalSpec asserts the cross-query law).
+    */
+  def sessionSkipMotifs(spark: SparkSession, dir: String): DataFrame = {
+    val tail = regexp_extract(col("seq"), "[^p]*$", 0)
+    def vCount(c: org.apache.spark.sql.Column) =
+      length(c) - length(regexp_replace(c, "v", ""))
+    sessionSeqs(spark, dir)
+      .select(col("user_id"), col("sid").cast("long").as("sid"), col("s_start_us"),
+        length(col("seq")).as("seq_len"),
+        regexp_count(col("seq"), lit("v[^p]{2,6}p")).cast("int").as("n_burst_conv"),
+        (vCount(col("seq")) - vCount(tail)).cast("int").as("n_skip_conv"),
+        regexp_count(col("seq"), lit("v[^p]*?p")).cast("int").as("n_conv_reluctant"))
+      .orderBy("user_id", "sid")
+  }
+
+  private val sessionSkipMotifsSql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id,
+      |    CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+      |         WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+      |         ELSE 'e' END AS sym
+      |  FROM events),
+      |flagged AS (
+      |  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+      |         OR ts_us - lag(ts_us) OVER w >= 14400000000 THEN 1 ELSE 0 END AS new_s
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |sess AS (
+      |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flagged),
+      |seqs AS (
+      |  SELECT user_id, CAST(sid AS BIGINT) AS sid, min(ts_us) AS s_start_us,
+      |    string_agg(sym, '' ORDER BY ts_us, event_id) AS seq,
+      |    regexp_extract(string_agg(sym, '' ORDER BY ts_us, event_id), '[^p]*$') AS tl
+      |  FROM sess GROUP BY user_id, sid)
+      |SELECT user_id, sid, s_start_us,
+      |  CAST(length(seq) AS INTEGER) AS seq_len,
+      |  CAST(len(regexp_extract_all(seq, 'v[^p]{2,6}p')) AS INTEGER) AS n_burst_conv,
+      |  CAST((length(seq) - length(replace(seq, 'v', '')))
+      |     - (length(tl) - length(replace(tl, 'v', ''))) AS INTEGER) AS n_skip_conv,
+      |  CAST(len(regexp_extract_all(seq, 'v[^p]*?p')) AS INTEGER) AS n_conv_reluctant
+      |FROM seqs
+      |ORDER BY user_id, sid""".stripMargin
+
   override def all: Seq[QueryDef] = Seq(
     QueryDef("q60_tumbling_daily", tumblingDaily, Some(tumblingDailySql)),
     QueryDef("q61_sliding_windows", slidingWindows, Some(slidingWindowsSql)),
@@ -524,5 +596,7 @@ object Sessions extends QueryPack {
     QueryDef("q173_session_funnel_classes", sessionFunnelClasses,
       Some(sessionFunnelClassesSql)),
     QueryDef("q175_session_define_motifs", sessionDefineMotifs,
-      Some(sessionDefineMotifsSql)))
+      Some(sessionDefineMotifsSql)),
+    QueryDef("q180_session_skip_motifs", sessionSkipMotifs,
+      Some(sessionSkipMotifsSql)))
 }

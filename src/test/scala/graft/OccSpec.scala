@@ -109,6 +109,95 @@ class OccSpec extends SparkSpec {
     }
   }
 
+  test("N racing writers with unscripted interleavings serialize to exactly the commit-log order") {
+    // VERDICT r11 item 7: generalize the 2-writer race — four threads,
+    // no barrier (interleavings fall where the scheduler drops them),
+    // each retrying until it commits exactly once. The rewrites are
+    // affine maps price -> m*price + 1, multipliers chosen so ALL 24
+    // order compositions have distinct constants (searched; distinct
+    // m alone is not enough — (2,3,5,7) collides on one order pair),
+    // so the final state pins the exact serial order; the commit log
+    // IS that order, and replaying the rewrites in commit order must
+    // reproduce the final table bit-for-bit.
+    val logDir = Files.createTempDirectory("graft-occ-n-")
+    val ms = Seq(2, 3, 4, 8)
+    val n = ms.size
+    val allTables = "occn_base" +: (0 until n).flatMap(i =>
+      (1 to n + 3).map(j => s"occn_w${i}_$j"))
+    try {
+      graft.sources.Tables.registerAll(spark, sfDir)
+      allTables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      SqlGateway.resetManagedLocations(spark, allTables)
+      spark.sql(
+        """CREATE TABLE occn_base USING PARQUET AS
+          |SELECT p_partkey, CAST(p_retailprice AS DECIMAL(12,2)) AS price
+          |FROM part""".stripMargin)
+      assert(SqlGateway.occTryCommit(logDir, -1L, "occn_base"))
+
+      // Non-vacuity: all 24 orderings compose to pairwise-distinct
+      // affine constants, so only the true commit order can match.
+      def compose(order: Seq[Int]): (BigInt, BigInt) =
+        order.foldLeft((BigInt(1), BigInt(0))) { case ((m, c), i) =>
+          (m * ms(i), BigInt(ms(i)) * c + 1)
+        }
+      val consts = ms.indices.permutations.map(p => compose(p)._2).toSeq
+      assert(consts.distinct.size == consts.size,
+        "rewrite family must be pairwise non-commuting across all orders")
+
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val lostTotal = new java.util.concurrent.atomic.AtomicInteger(0)
+      def writer(i: Int): Unit = {
+        var committed = false
+        var attempt = 0
+        while (!committed && attempt < n + 3) {
+          attempt += 1
+          val cur = SqlGateway.occCurrentGen(logDir)
+          val base = SqlGateway.occTableAt(logDir, cur)
+          val mine = s"occn_w${i}_$attempt"
+          spark.sql(s"CREATE TABLE $mine USING PARQUET AS " +
+            s"SELECT p_partkey, CAST(price * ${ms(i)} + 1 AS DECIMAL(12,2)) AS price FROM $base")
+          if (SqlGateway.occTryCommit(logDir, cur, mine)) committed = true
+          else { lostTotal.incrementAndGet(); spark.sql(s"DROP TABLE $mine") }
+        }
+        assert(committed, s"writer $i never committed in ${n + 3} attempts")
+      }
+      val threads = ms.indices.map(i => new Thread(() =>
+        try writer(i) catch { case t: Throwable => errs.add(t) }))
+      threads.foreach(_.start()); threads.foreach(_.join(180000))
+      assert(errs.isEmpty, s"writer failures: ${errs.toArray.mkString("; ")}")
+
+      // Every generation 1..n committed; the committed tables name
+      // their writers — that sequence is THE serial order.
+      assert(SqlGateway.occCurrentGen(logDir) == n.toLong)
+      val commitOrder = (1 to n).map { g =>
+        val t = SqlGateway.occTableAt(logDir, g.toLong)
+        assert(t.startsWith("occn_w"), s"unexpected committed table $t")
+        t.stripPrefix("occn_w").split("_")(0).toInt
+      }
+      assert(commitOrder.sorted == ms.indices.toSeq,
+        s"each writer must commit exactly once, got order $commitOrder")
+
+      // Final state == the commit-order composition applied to base.
+      val (m, c) = compose(commitOrder)
+      val finalRows = spark.sql(
+        s"SELECT * FROM ${SqlGateway.occTableAt(logDir, n.toLong)}")
+        .collect().map(_.toString).toSet
+      val composed = spark.sql(
+        s"SELECT p_partkey, CAST(price * $m + $c AS DECIMAL(12,2)) AS price FROM occn_base")
+        .collect().map(_.toString).toSet
+      assert(finalRows == composed,
+        s"final state diverged from the commit-order composition $commitOrder")
+      // Losers cleaned every orphan: no non-committed candidate remains.
+      val committedTables = (1 to n).map(g => SqlGateway.occTableAt(logDir, g.toLong)).toSet
+      val orphans = allTables.drop(1).filter(t =>
+        !committedTables.contains(t) && spark.catalog.tableExists(t))
+      assert(orphans.isEmpty, s"orphaned candidates survived: $orphans")
+    } finally {
+      allTables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      LlmPipeline.deleteRecursively(logDir)
+    }
+  }
+
   test("the commit CAS is first-writer-wins at the file level") {
     val logDir = Files.createTempDirectory("graft-occ-cas-")
     try {

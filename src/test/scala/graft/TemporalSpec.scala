@@ -236,6 +236,66 @@ class TemporalSpec extends SparkSpec {
     assert(got.map(_._7).sum > 0, "upsell motif never fired")
   }
 
+  test("q180: skip-mode motifs match a pure-Scala rebuild; reluctant == greedy; skip-to-next >= skip-past-last") {
+    import graft.queries.Sessions
+    val got = Sessions.sessionSkipMotifs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6))).toList
+    val symOf = Map("view" -> "v", "click" -> "c", "purchase" -> "p",
+      "signup" -> "s").withDefaultValue("e")
+    val gapUs = 4L * 3600L * 1000000L
+    val evs = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    def reCount(s: String, p: String): Int = {
+      val m = java.util.regex.Pattern.compile(p).matcher(s)
+      var n = 0
+      while (m.find()) n += 1
+      n
+    }
+    val expected = evs.groupBy(_._1).toList.flatMap { case (u, rows) =>
+      val ordered = rows.sortBy(r => (r._2, r._3))
+      val sids = ordered.scanLeft((0L, 0L)) { case ((sid, prevTs), r) =>
+        (if (sid == 0 || r._2 - prevTs >= gapUs) sid + 1 else sid, r._2)
+      }.drop(1).map(_._1)
+      ordered.zip(sids).groupBy(_._2).toList.map { case (sid, srows) =>
+        val seq = srows.map(x => symOf(x._1._4)).mkString
+        // SKIP TO NEXT ROW reference: one overlapping match per v that
+        // still has a purchase ahead of it.
+        val skip = seq.indices.count(i =>
+          seq.charAt(i) == 'v' && seq.indexOf('p', i) >= 0)
+        (u, sid, srows.map(_._1._2).min, seq.length,
+          reCount(seq, "v[^p]{2,6}p"), skip, reCount(seq, "v[^p]*?p"))
+      }
+    }.sortBy(t => (t._1, t._2))
+    assert(got == expected)
+    // Cross-query laws vs q173 (same sessions by construction):
+    val q173 = Sessions.sessionFunnelClasses(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(4))).toMap
+    got.foreach { t =>
+      val conv = q173((t._1, t._2))
+      // Reluctant and greedy extents coincide when the excluded class
+      // cannot cross the terminator: both stop at the FIRST p.
+      assert(t._7 == conv,
+        s"reluctant v[^p]*?p diverged from greedy in session (${t._1},${t._2})")
+      // Every non-overlapping match contains >= 1 starting row.
+      assert(t._6 >= conv,
+        s"SKIP TO NEXT ROW counted fewer than SKIP PAST LAST ROW in (${t._1},${t._2})")
+    }
+    // Non-degeneracy: the bounded quantifier fires, and skip-to-next
+    // counts strictly more than skip-past-last somewhere (overlap does
+    // real work on the fixture).
+    assert(got.map(_._5).sum > 0, "bounded quantifier v[^p]{2,6}p never fired")
+    // ... and the bounds genuinely bind: some session has unbounded
+    // conversions the bounded form excludes.
+    assert(got.exists(t => q173((t._1, t._2)) > t._5),
+      "the {2,6} bounds never excluded anything — quantifier is vacuous")
+    assert(got.map(_._6).sum > got.map(t => q173((t._1, t._2))).sum,
+      "skip-to-next never exceeded skip-past-last anywhere")
+  }
+
   test("q142: monthly revenue deltas telescope back to the series") {
     import graft.queries.Temporal
     val m = Temporal.momRevenue(spark, sfDir).collect()
