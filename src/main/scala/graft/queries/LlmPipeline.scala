@@ -3357,6 +3357,117 @@ object LlmPipeline extends QueryPack {
     ()
   }
 
+  /** BM25 ranked retrieval over the indexed corpus (q181 — the READ
+    * side of the q149/q168 index family: building and maintaining an
+    * inverted index earns its keep only if queries rank against it).
+    * Scores the STANDING corpus (doc_id % 4 != 0 — the population the
+    * stored artifact indexes) for a deterministic 3-query batch and
+    * returns the top 10 per query.
+    *
+    * Query derivation is data-driven and engine-exact: the 6
+    * highest-df tokens from the STORED index artifact (ties broken by
+    * token — integer df, total order), paired rank r with rank r+3 so
+    * each query mixes a high- and mid-frequency term. Two-term queries
+    * keep the floating score a single commutative addition — no
+    * summation-order coordination needed between engines.
+    *
+    * Score: BM25 (k1 = 1.2, b = 0.75) with the log-free odds IDF
+    * (N − df + 0.5)/(df + 0.5) — monotone in the classic ln form but
+    * rational in integer inputs, so both engines evaluate the
+    * identical double expression tree (the repo's engine-exact
+    * discipline; ln's last-ulp differences across libms are exactly
+    * the cross-engine hazard this avoids). Ranking orders by the
+    * ROUNDED score with doc_id tie-break, so a last-ulp difference
+    * below the 4-decimal output precision cannot flip ranks.
+    *
+    * Scale shape: the query-term table is 6 rows — it BROADCASTS into
+    * the tokenize stream, so the corpus-side explode is pruned to
+    * query-term matches inside codegen before the (doc, token)
+    * aggregate; df rides the broadcast from the artifact leaf (no
+    * corpus join for IDF); doc lengths are one corpus-pass aggregate
+    * amortized over the whole query batch (production's stored
+    * doc-stats sidecar, recomputed here so the oracle can too). The
+    * only shuffles are batch-pruned aggregates; top-10 per query is a
+    * 3-partition window over ≤ |corpus| pruned rows.
+    */
+  def bm25Retrieval(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val idx = spark.read.parquet(ensureIndexArtifact(spark, dir))
+    val terms = idx.select(col("token"), col("df"))
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("df").desc, col("token").asc)))
+      .filter(col("r") <= 6)
+      .withColumn("query_id", (((col("r") - 1) % 3) + 1).cast("int"))
+      .select("query_id", "token", "df")
+    val toks = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 4 =!= 0)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 4 =!= 0)
+      .agg(count(lit(1)).as("nd"))
+      .crossJoin(dl.agg(sum(col("dl")).as("toktot"), count(lit(1)).as("ndl")))
+      .select(col("nd"),
+        (col("toktot").cast("double") / col("ndl").cast("double")).as("avgl"))
+    val tf = toks.join(broadcast(terms), "token")
+      .groupBy("query_id", "token", "df", "doc_id")
+      .agg(count(lit(1)).as("tf"))
+    val scored = tf.join(dl, "doc_id").crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        (col("nd") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) *
+          (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgl"))))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("contrib")).as("score"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(round(col("score"), 4).desc, col("doc_id").asc)).cast("int"))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        round(col("score"), 4).as("score_r"))
+      .orderBy("query_id", "rank")
+  }
+
+  private[graft] val bm25RetrievalSql =
+    """WITH t2 AS (
+      |  SELECT doc_id, token
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |        FROM documents WHERE doc_id % 4 <> 0)
+      |  WHERE token <> ''),
+      |dft AS (SELECT token, count(DISTINCT doc_id) AS df FROM t2 GROUP BY token),
+      |terms AS (
+      |  SELECT token, df, CAST((((r - 1) % 3) + 1) AS INTEGER) AS query_id
+      |  FROM (SELECT token, df, row_number() OVER (ORDER BY df DESC, token) AS r
+      |        FROM dft)
+      |  WHERE r <= 6),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM t2 GROUP BY doc_id),
+      |stats AS (
+      |  SELECT (SELECT count(*) FROM documents WHERE doc_id % 4 <> 0) AS nd,
+      |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgl
+      |  FROM dl),
+      |tf AS (
+      |  SELECT q.query_id, q.token, q.df, t.doc_id, count(*) AS tf
+      |  FROM t2 t JOIN terms q ON t.token = q.token
+      |  GROUP BY q.query_id, q.token, q.df, t.doc_id),
+      |sc AS (
+      |  SELECT query_id, tf.doc_id AS doc_id,
+      |    sum((nd - df + 0.5) / (df + 0.5) * (tf * 2.2)
+      |        / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgl))) AS score
+      |  FROM tf
+      |  CROSS JOIN stats
+      |  JOIN dl ON tf.doc_id = dl.doc_id
+      |  GROUP BY query_id, tf.doc_id)
+      |SELECT query_id, rank, doc_id, round(score, 4) AS score_r
+      |FROM (
+      |  SELECT query_id, doc_id, score,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY round(score, 4) DESC, doc_id) AS INTEGER) AS rank
+      |  FROM sc)
+      |WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
   /** Incremental inverted-index maintenance (q168): fold a newly
     * ingested shard (doc_id % 4 == 0) into the STORED q149 index
     * without touching the standing corpus's documents — the per-crawl
@@ -3868,6 +3979,8 @@ object LlmPipeline extends QueryPack {
     QueryDef("q177_incremental_components", incrementalComponents, Some(dedupClustersSql),
       prepare = Some(prepareIncrementalCc _)),
     QueryDef("q165_takedown_spread", takedownSpread, Some(takedownSpreadSql)),
+    QueryDef("q181_bm25_retrieval", bm25Retrieval, Some(bm25RetrievalSql),
+      prepare = Some(prepareIndexMerge)),
     QueryDef("q168_index_merge", incrementalIndexMerge, Some(invertedIndexSql),
       prepare = Some(prepareIndexMerge _)),
     QueryDef("q169_containment_probe", containmentProbe, Some(containmentProbeSql)),

@@ -241,6 +241,52 @@ class LlmPipelineSpec extends SparkSpec {
       f"q179 same-cluster pair recall $recall%.3f (${kept}/${exactPairs.size}) below 0.8")
   }
 
+  test("q181: BM25 ranking matches a pure-Scala rebuild; every hit contains a query term; scores non-increasing") {
+    val got = LlmPipeline.bm25Retrieval(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toList
+    assert(got.nonEmpty)
+    // Independent reference: tokenize the corpus side in plain Scala,
+    // derive the same query batch, score with the identical expression
+    // tree, rank by (rounded score desc, doc_id).
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 4 =!= 0)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").filter(_.nonEmpty)))
+    val df = docs.flatMap { case (_, ts) => ts.distinct }.groupBy(identity)
+      .map { case (t, xs) => t -> xs.length.toLong }
+    val terms = df.toSeq.sortBy { case (t, d) => (-d, t) }.take(6).zipWithIndex
+      .map { case ((t, d), i) => (i % 3 + 1, t, d) }
+    val dl = docs.map { case (id, ts) => id -> ts.length.toLong }.toMap
+    val nd = docs.length.toLong
+    val avgl = dl.values.sum.toDouble / dl.size.toDouble
+    val expected = terms.groupBy(_._1).toList.flatMap { case (qid, qterms) =>
+      val scores = docs.flatMap { case (id, ts) =>
+        val contribs = qterms.flatMap { case (_, tok, d) =>
+          val tf = ts.count(_ == tok).toLong
+          if (tf == 0) None
+          else Some((nd - d + 0.5) / (d + 0.5) * (tf * 2.2) /
+            (tf + 1.2 * (0.25 + 0.75 * dl(id) / avgl)))
+        }
+        if (contribs.isEmpty) None else Some(id -> contribs.sum)
+      }
+      def r4(x: Double): Double =
+        new java.math.BigDecimal(x).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+      scores.sortBy { case (id, s) => (-r4(s), id) }.take(10).zipWithIndex
+        .map { case ((id, s), i) => (qid, i + 1, id, r4(s)) }
+    }.sortBy(t => (t._1, t._2))
+    assert(got == expected, s"BM25 ranking diverged from the Scala reference")
+    // Soundness + shape: every hit matched >= 1 term (score > 0),
+    // rounded scores non-increasing within each query.
+    assert(got.forall(_._4 > 0))
+    got.groupBy(_._1).values.foreach { hits =>
+      val ordered = hits.sortBy(_._2).map(_._4)
+      assert(ordered.zip(ordered.tail).forall { case (a, b) => a >= b },
+        "scores must be non-increasing in rank")
+    }
+    // The batch is non-trivial: all three queries return hits.
+    assert(got.map(_._1).distinct.size == 3)
+  }
+
   test("q127: representatives are maximal members of their clusters, one per cluster") {
     val clusters = LlmPipeline.dedupClusters(spark, sfDir).cache()
     val reps = LlmPipeline.clusterRepresentatives(spark, sfDir).cache()
