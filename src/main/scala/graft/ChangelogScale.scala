@@ -79,7 +79,8 @@ object ChangelogScale {
       "q166_sequence_motifs" -> queries.Sessions.sequenceMotifs _,
       "q167_session_motifs" -> queries.Sessions.sessionMotifs _,
       "q173_session_funnel_classes" -> queries.Sessions.sessionFunnelClasses _,
-      "q175_session_define_motifs" -> queries.Sessions.sessionDefineMotifs _)
+      "q175_session_define_motifs" -> queries.Sessions.sessionDefineMotifs _,
+      "q180_session_skip_motifs" -> queries.Sessions.sessionSkipMotifs _)
 
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         dir: String): Double = {
@@ -175,9 +176,20 @@ object ChangelogScale {
         sum("n_upsell").as("u")).head()
     require((0 to 2).forall(i => dmBig.getLong(i) == replicas * dmBase.getLong(i)),
       s"q175 session/motif totals not exactly ${replicas}x base")
+    // q180: bounded/skip/reluctant counts are session-local string
+    // functions of replica-identical sequences — exactly Nx.
+    val skBase = queries.Sessions.sessionSkipMotifs(spark, baseDir)
+      .agg(count(lit(1)).as("n"), sum("n_burst_conv").as("b"),
+        sum("n_skip_conv").as("s"), sum("n_conv_reluctant").as("r")).head()
+    val skBig = queries.Sessions.sessionSkipMotifs(spark, bigDir)
+      .agg(count(lit(1)).as("n"), sum("n_burst_conv").as("b"),
+        sum("n_skip_conv").as("s"), sum("n_conv_reluctant").as("r")).head()
+    require((0 to 3).forall(i => skBig.getLong(i) == replicas * skBase.getLong(i)),
+      s"q180 session/motif totals not exactly ${replicas}x base")
     println(s"window-family invariants: q41 rows ${replicas}x, q62 sessions ${replicas}x, " +
       s"q139 matrix cell-exact ${replicas}x, q166 users+motifs ${replicas}x, " +
-      s"q167 sessions+motifs ${replicas}x, q173 sessions+classes ${replicas}x, q175 DEFINE motifs ${replicas}x — all hold")
+      s"q167 sessions+motifs ${replicas}x, q173 sessions+classes ${replicas}x, " +
+      s"q175 DEFINE motifs ${replicas}x, q180 skip motifs ${replicas}x — all hold")
     } finally {
       queries.LlmPipeline.deleteRecursively(java.nio.file.Paths.get(bigDir))
     }

@@ -231,6 +231,8 @@ object IndexScale {
     queries.LlmPipeline.ensureMpAnnIndex(spark, baseDir)
     queries.LlmPipeline.ensureMpAnnIndex(spark, baseDir, bitsBig)
     queries.LlmPipeline.ensureMpAnnIndex(spark, bigDirInc, bitsBig)
+    queries.LlmPipeline.ensureIndexArtifact(spark, baseDir)
+    queries.LlmPipeline.ensureIndexArtifact(spark, bigDirInc)
 
     println(s"\n| step | sf0.1 (s) | ${replicas}x (s) | ratio | expectation |")
     println("|---|---|---|---|---|")
@@ -255,7 +257,16 @@ object IndexScale {
     println(f"| q179 semantic dedup on ANN edges (radius 1) | $sdBase%.1f | $sdBig%.1f " +
       f"| ${sdBig / sdBase}%.1f | ~linear (bucket-bounded candidates, never n^2) |")
 
+    val bmBase = time(noop(queries.LlmPipeline.bm25Retrieval(spark, baseDir)))
+    val bmBig = time(noop(queries.LlmPipeline.bm25Retrieval(spark, bigDirInc)))
+    println(f"| q181 BM25 query batch (read path) | $bmBase%.1f | $bmBig%.1f " +
+      f"| ${bmBig / bmBase}%.1f | ~linear (one broadcast-pruned corpus pass per batch) |")
+
     // --- contract requires at N× ------------------------------------------
+    // q181: retrieval stays well-formed on the N× corpus.
+    val bm = queries.LlmPipeline.bm25Retrieval(spark, bigDirInc).collect()
+    require(bm.length == 30 && bm.forall(_.getDouble(3) > 0),
+      s"q181 degenerate at ${replicas}x (${bm.length} rows)")
     // q177: quotient merge == full CC rebuild on the N× corpus, exactly
     // (the q168 merge==rebuild discipline on the component artifact).
     val merged = queries.LlmPipeline.incrementalComponents(spark, bigDirInc)
