@@ -4,6 +4,9 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
+import scala.jdk.CollectionConverters._
+import scala.util.Using
+
 import graft.queries.LlmPipeline
 
 /** Streaming shard admission: q144's incremental near-dup check run
@@ -128,6 +131,164 @@ object StreamingAdmission {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         commitAnnBatch(spark, keysPath, vecsPath, batch, decisionLogPath, batchId)
+      }
+      .start()
+
+  // --- streaming component maintenance (q177's live form, r12) ----------
+
+  /** Streaming incremental connected-components maintenance: q177's
+    * quotient-graph fold run continuously — each micro-batch of newly
+    * crawled docs is admitted into the STANDING component labeling,
+    * which EVOLVES across batches (unlike [[start]]/[[startAnn]], whose
+    * decisions are stateless against static artifacts, this operator
+    * maintains state — the labeling is the state).
+    *
+    * State discipline (the generation convention, not operator state
+    * store): labeling generation b lands in `labels/batch_id=b` with
+    * Overwrite; batch b reads its predecessor (the highest generation
+    * `< b`), merges, writes generation b. foreachBatch is
+    * at-least-once, and a replayed batch re-reads the SAME predecessor
+    * and rewrites the SAME directory — replay converges (the q144 sink
+    * argument applied to evolving state; spec-exercised). A crash
+    * between the write and the checkpoint commit leaves a complete
+    * generation that the replay simply rewrites.
+    *
+    * Pair discovery per batch (all against bucket-keyed artifacts, so
+    * per-batch cost tracks the batch):
+    *   - batch × standing corpus: the q144 band-index probe, verified,
+    *   - batch × previously streamed docs: the batch's bands probe the
+    *     ACCUMULATED stream band store (each batch appends its bands
+    *     and shingles under `batch_id=` directories — the q168
+    *     incremental-index idea applied to the stream's own history),
+    *   - batch-internal: the ordinary capped LSH pair pass.
+    * A pair (x, y) with x streamed before y is discovered exactly when
+    * y arrives, so the UNION of discovered pairs over any chunking of
+    * the same doc set is the same pair set (below the bucket cap —
+    * caps bind per visibility set, so the invariance law is exercised
+    * below them, where the fixture lives), and CC of the same edges is
+    * chunking- and order-invariant: the final labeling equals the
+    * single-batch run's. CcStreamSpec asserts exactly that, plus
+    * replay idempotence and the coarsen-only law (stored corpus
+    * components can merge downstream, never split).
+    */
+  private[graft] def ccBatchPairs(
+      spark: SparkSession, bandsPath: String, shinglesPath: String,
+      streamDir: String, batch: DataFrame, batchId: Long): DataFrame = {
+    graft.functions.NativeFunctions.register(spark)
+    val shNew = batch
+      .withColumn("sh", expr("shingle_hash64(word_shingles(text, 3))"))
+      .select("doc_id", "sh")
+    // Idempotent history append: this batch's shingles + bands land in
+    // their own batch_id directories (a replay rewrites them in place).
+    shNew.write.mode(SaveMode.Overwrite)
+      .parquet(s"$streamDir/shingles/batch_id=$batchId")
+    LlmPipeline.lshBands(shNew).write.mode(SaveMode.Overwrite)
+      .parquet(s"$streamDir/bands/batch_id=$batchId")
+    val newBands = LlmPipeline.lshBands(shNew)
+      .select(col("doc_id").as("new_id"), col("band"), col("bsig"))
+    def verified(cand: DataFrame, shOld: DataFrame): DataFrame = cand
+      .join(shNew.select(col("doc_id").as("new_id"), col("sh").as("sh_n")), "new_id")
+      .join(shOld.select(col("doc_id").as("old_id"), col("sh").as("sh_o")), "old_id")
+      .filter(expr("jaccard_sim(sh_n, sh_o)") >= 0.5)
+      .select(col("new_id").as("id1"), col("old_id").as("id2"))
+    // vs the standing corpus (static artifacts).
+    val corpusCand = newBands
+      .join(spark.read.parquet(bandsPath)
+        .select(col("doc_id").as("old_id"), col("band"), col("bsig")),
+        Seq("band", "bsig"))
+      .select("new_id", "old_id").distinct()
+    val corpusPairs = verified(corpusCand, spark.read.parquet(shinglesPath))
+    // vs previously streamed docs (accumulated history, batches < b).
+    val histBase = java.nio.file.Paths.get(streamDir, "bands")
+    val hasHistory = Using.resource(java.nio.file.Files.list(histBase)) { st =>
+      st.iterator().asScala.exists(p =>
+        p.getFileName.toString.startsWith("batch_id=") &&
+          p.getFileName.toString.stripPrefix("batch_id=").toLong < batchId)
+    }
+    val streamPairs = if (!hasHistory) spark.emptyDataFrame.select(
+      lit(0L).as("id1"), lit(0L).as("id2")).limit(0)
+    else {
+      val oldBands = spark.read.option("basePath", s"$streamDir/bands")
+        .parquet(s"$streamDir/bands")
+        .filter(col("batch_id") < batchId)
+      val oldSh = spark.read.option("basePath", s"$streamDir/shingles")
+        .parquet(s"$streamDir/shingles")
+        .filter(col("batch_id") < batchId)
+        .select("doc_id", "sh")
+      val cand = newBands
+        .join(oldBands.select(col("doc_id").as("old_id"), col("band"), col("bsig")),
+          Seq("band", "bsig"))
+        .select("new_id", "old_id").distinct()
+      verified(cand, oldSh)
+    }
+    // batch-internal pairs (the ordinary capped pass).
+    val internal = LlmPipeline.lshNearDupPairs(shNew).select("id1", "id2")
+    corpusPairs.unionByName(streamPairs).unionByName(internal).distinct()
+  }
+
+  /** Merge one micro-batch into the labeling chain: read the
+    * predecessor generation, fold the batch's pairs through the q177
+    * quotient merge, write this batch's generation idempotently.
+    */
+  private[graft] def commitCcBatch(
+      spark: SparkSession, bandsPath: String, shinglesPath: String,
+      streamDir: String, labelsDir: String, batch: DataFrame,
+      batchId: Long): Unit = {
+    val prev = spark.read.parquet(latestLabels(labelsDir, batchId))
+    val pairs = ccBatchPairs(spark, bandsPath, shinglesPath, streamDir, batch, batchId)
+    LlmPipeline.mergeComponentLabels(prev, pairs)
+      .select(col("id"), col("cluster").as("label"))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$labelsDir/batch_id=$batchId")
+  }
+
+  /** The highest committed labeling generation strictly below
+    * `beforeBatch` — the predecessor a (re)played batch reads. The
+    * listing is driver-side control plane (one directory per batch).
+    */
+  private[graft] def latestLabels(labelsDir: String, beforeBatch: Long): String = {
+    val ids = Using.resource(
+      java.nio.file.Files.list(java.nio.file.Paths.get(labelsDir))) { st =>
+      st.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.startsWith("batch_id="))
+        .map(_.stripPrefix("batch_id=").toLong)
+        .filter(_ < beforeBatch)
+        .toSeq
+    }
+    require(ids.nonEmpty, s"no labeling generation below $beforeBatch in $labelsDir")
+    s"$labelsDir/batch_id=${ids.max}"
+  }
+
+  /** Seed the labeling chain with the standing corpus labeling (the
+    * q177 stored artifact) as generation -1, and prepare the stream
+    * history root.
+    */
+  private[graft] def initCc(
+      spark: SparkSession, corpusLabelsPath: String, streamDir: String,
+      labelsDir: String): Unit = {
+    spark.read.parquet(corpusLabelsPath)
+      .select("id", "label")
+      .write.mode(SaveMode.Overwrite).parquet(s"$labelsDir/batch_id=-1")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(streamDir, "bands"))
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(streamDir, "shingles"))
+  }
+
+  /** Start the component-maintenance stream: `input` is a streaming
+    * DataFrame of (doc_id, text); call [[initCc]] first. The labeling
+    * after the stream drains is `latestLabels(labelsDir, Long.MaxValue)`.
+    */
+  def startCc(
+      spark: SparkSession, bandsPath: String, shinglesPath: String,
+      input: DataFrame, streamDir: String, labelsDir: String,
+      checkpointDir: String): StreamingQuery =
+    input.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        commitCcBatch(spark, bandsPath, shinglesPath, streamDir, labelsDir,
+          batch, batchId)
       }
       .start()
 }
