@@ -276,6 +276,54 @@ object StreamingAdmission {
       java.nio.file.Paths.get(streamDir, "shingles"))
   }
 
+  /** Retention for the labeling chain — q171's VACUUM discipline
+    * applied to [[startCc]]'s state: generations strictly below
+    * `keepFrom` are dropped (each is a complete superseded snapshot;
+    * the chain needs only the latest plus however much replay window
+    * the checkpoint can demand). Fail-closed consequences, both
+    * spec-asserted: [[labelsAt]] on a dropped generation names the
+    * earliest retained one, and a replay DEEPER than the retention
+    * point refuses (its predecessor is gone) instead of computing from
+    * wrong state. Returns the dropped generation ids.
+    */
+  private[graft] def vacuumCcGenerations(labelsDir: String, keepFrom: Long): Seq[Long] = {
+    val dirs = Using.resource(
+      java.nio.file.Files.list(java.nio.file.Paths.get(labelsDir))) { st =>
+      st.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("batch_id="))
+        .map(p => (p.getFileName.toString.stripPrefix("batch_id=").toLong, p))
+        .toSeq
+    }
+    val dropped = dirs.filter(_._1 < keepFrom)
+    require(dirs.exists(_._1 >= keepFrom),
+      s"refusing to vacuum every generation in $labelsDir (keepFrom=$keepFrom)")
+    dropped.foreach { case (_, p) => LlmPipeline.deleteRecursively(p) }
+    dropped.map(_._1).sorted
+  }
+
+  /** Read one exact labeling generation; a generation dropped by
+    * [[vacuumCcGenerations]] fails CLOSED naming the earliest retained
+    * one (the q171 error contract on the streaming state axis).
+    */
+  private[graft] def labelsAt(
+      spark: SparkSession, labelsDir: String, gen: Long): DataFrame = {
+    val p = java.nio.file.Paths.get(labelsDir, s"batch_id=$gen")
+    if (!java.nio.file.Files.exists(p)) {
+      val retained = Using.resource(
+        java.nio.file.Files.list(java.nio.file.Paths.get(labelsDir))) { st =>
+        st.iterator().asScala
+          .map(_.getFileName.toString)
+          .filter(_.startsWith("batch_id="))
+          .map(_.stripPrefix("batch_id=").toLong)
+          .toSeq
+      }
+      throw new IllegalStateException(
+        s"labeling generation $gen was dropped by retention; earliest retained " +
+          s"generation is ${retained.min}")
+    }
+    spark.read.parquet(p.toString)
+  }
+
   /** Start the component-maintenance stream: `input` is a streaming
     * DataFrame of (doc_id, text); call [[initCc]] first. The labeling
     * after the stream drains is `latestLabels(labelsDir, Long.MaxValue)`.

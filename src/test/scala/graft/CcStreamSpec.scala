@@ -98,6 +98,36 @@ class CcStreamSpec extends SparkSpec {
         .parquet(StreamingAdmission.latestLabels(labelsDir, Long.MaxValue))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
       assert(replayed == chunked, "batch replay changed the maintained labeling")
+      // Retention (q171's VACUUM on the state axis): drop everything
+      // below the last batch's predecessor; the latest generation and
+      // the last batch's replay window survive.
+      val lastId = (chunks.size - 1).toLong
+      val dropped = StreamingAdmission.vacuumCcGenerations(labelsDir, lastId - 1)
+      assert(dropped == (-1L until (lastId - 1)).toSeq,
+        s"unexpected dropped set $dropped")
+      val afterVac = spark.read
+        .parquet(StreamingAdmission.latestLabels(labelsDir, Long.MaxValue))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(afterVac == chunked, "vacuum touched the retained labeling")
+      // Replay of the LAST batch still converges (its predecessor was
+      // retained)…
+      StreamingAdmission.commitCcBatch(spark, bandsPath, shinglesPath,
+        t2.resolve("hist").toString, labelsDir,
+        chunks.last.toDF("doc_id", "text"), batchId = lastId)
+      // …while reads of dropped generations and a replay DEEPER than
+      // the retention point both fail closed, naming the earliest
+      // retained generation instead of computing from wrong state.
+      val e1 = intercept[IllegalStateException] {
+        StreamingAdmission.labelsAt(spark, labelsDir, 0L)
+      }
+      assert(e1.getMessage.contains(s"earliest retained generation is ${lastId - 1}"))
+      val e2 = intercept[IllegalArgumentException] {
+        StreamingAdmission.commitCcBatch(spark, bandsPath, shinglesPath,
+          t2.resolve("hist").toString, labelsDir,
+          chunks.head.toDF("doc_id", "text"), batchId = lastId - 1)
+      }
+      assert(e2.getMessage.contains("no labeling generation below"),
+        s"too-deep replay must refuse, got: ${e2.getMessage}")
     } finally {
       LlmPipeline.deleteRecursively(t1)
       LlmPipeline.deleteRecursively(t2)
