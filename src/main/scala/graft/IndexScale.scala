@@ -176,6 +176,12 @@ object IndexScale {
   }
 
   private def incScale(spark: SparkSession, baseDir: String, replicas: Int): Unit = {
+    // The rotate+sign-flip family yields 126 distinct transforms
+    // (rotations 1..63 × two signs); at replicas ≥ 128 rep r would
+    // repeat rep r−63's exact vectors and silently stack buckets,
+    // voiding the decorrelation premise — refuse rather than mislead.
+    require(replicas <= 127,
+      s"incremental-ingest corpus supports at most 127 replicas (got $replicas)")
     val bigDirInc =
       s"/tmp/graft_idxscale_inc${replicas}x_${queries.SourcesOps.sanitizedAppId(spark)}"
     queries.LlmPipeline.deleteRecursively(java.nio.file.Paths.get(bigDirInc))

@@ -3393,10 +3393,14 @@ object LlmPipeline extends QueryPack {
   def bm25Retrieval(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val idx = spark.read.parquet(ensureIndexArtifact(spark, dir))
-    val terms = idx.select(col("token"), col("df"))
+    // Parallel top-k (TakeOrderedAndProject) first — a partitionless
+    // window here would funnel the whole corpus vocabulary through one
+    // task; the rank window then runs over exactly 6 rows.
+    val top6 = idx.select(col("token"), col("df"))
+      .orderBy(col("df").desc, col("token").asc).limit(6)
+    val terms = top6
       .withColumn("r", row_number().over(
         Window.orderBy(col("df").desc, col("token").asc)))
-      .filter(col("r") <= 6)
       .withColumn("query_id", (((col("r") - 1) % 3) + 1).cast("int"))
       .select("query_id", "token", "df")
     val toks = Tables.documents(spark, dir)

@@ -646,9 +646,10 @@ object SqlGateway extends QueryPack {
     val row = ptr.filter(col("gen") === gen).collect().headOption.getOrElse {
       val range = ptr.agg(org.apache.spark.sql.functions.min("gen"),
         org.apache.spark.sql.functions.max("gen")).head()
+      val known = if (range.isNullAt(0)) "none (pointer table is empty)"
+        else s"[${range.getInt(0)}, ${range.getInt(1)}]"
       throw new IllegalArgumentException(
-        s"unknown generation $gen; known generations are " +
-          s"[${range.getInt(0)}, ${range.getInt(1)}]")
+        s"unknown generation $gen; known generations are $known")
     }
     if (row.getString(2) == "expired") {
       val earliest = ptr.filter(col("status") === "retained")
@@ -854,17 +855,23 @@ object SqlGateway extends QueryPack {
     *   2. persist every managed table alive at `atSeq` as a snapshot
     *      parquet under `snapDir` (the Raft snapshot),
     *   3. write the COMPACTED log: the truncated prefix 1..atSeq is
-    *      replaced by restore commands — the same idempotent
-    *      DROP IF EXISTS + CTAS convention, CTAS-ing each snapshot file
-    *      — occupying seqs (atSeq-k+1)..atSeq, followed by the original
+    *      replaced by restore commands — a DROP IF EXISTS for EVERY
+    *      managed table (not only the live ones: a bare CREATE in the
+    *      verbatim suffix may have relied on a DROP that sat in the
+    *      truncated prefix, so dropping all of them is what preserves
+    *      the q159 replay-over-partially-applied-state idempotence)
+    *      plus a CTAS from the snapshot file for each live table —
+    *      occupying seqs (atSeq-k+1)..atSeq, followed by the original
     *      suffix atSeq+1.. verbatim; a constant `snap_seq` column marks
     *      the truncation point for fail-closed reads.
     *
     * Because the restore commands ARE ordinary log entries, the q159
     * recovery path ([[replayFrom]]) runs unchanged on a compacted log,
-    * and all q159 idempotence laws carry over. The restore block always
-    * fits its seq window: after the first command (a DROP) at most
-    * ⌊atSeq/2⌋ tables exist, so k = 2·live ≤ atSeq.
+    * and all q159 idempotence laws carry over. The restore block's k =
+    * |tables| + |live| commands can exceed a small atSeq, in which case
+    * restore seqs extend to zero or below — harmless: seq is an
+    * ordering coordinate, and all restore seqs stay ≤ atSeq < every
+    * suffix seq.
     */
   private[graft] def compactCommandLog(
       spark: SparkSession, dir: String, logPath: String,
@@ -881,12 +888,15 @@ object SqlGateway extends QueryPack {
       .select("seq", "command").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq
     applyLog(spark, entries.filter(_._1 <= atSeq).map(_._2))
-    val live = durableLogTables.filter(spark.catalog.tableExists)
-    val restoreCmds = live.flatMap { t =>
-      val p = snapDir.resolve(s"snap_$t").toString
-      spark.table(t).write.mode("overwrite").parquet(p)
-      Seq(s"DROP TABLE IF EXISTS $t",
-        s"CREATE TABLE $t USING PARQUET AS SELECT * FROM parquet.`$p`")
+    val live = durableLogTables.filter(spark.catalog.tableExists).toSet
+    val restoreCmds = durableLogTables.flatMap { t =>
+      val drop = s"DROP TABLE IF EXISTS $t"
+      if (!live(t)) Seq(drop)
+      else {
+        val p = snapDir.resolve(s"snap_$t").toString
+        spark.table(t).write.mode("overwrite").parquet(p)
+        Seq(drop, s"CREATE TABLE $t USING PARQUET AS SELECT * FROM parquet.`$p`")
+      }
     }
     val restore = restoreCmds.zipWithIndex.map { case (c, i) =>
       (atSeq - restoreCmds.size + 1 + i, c)
@@ -983,7 +993,7 @@ object SqlGateway extends QueryPack {
       |  CAST(sum(n_orders) AS BIGINT) AS n_orders_sum,
       |  round(CAST(sum(spend) AS DOUBLE), 4) AS total_spend,
       |  CAST(4 AS BIGINT) AS snap_seq, CAST(6 AS BIGINT) AS n_log_genesis,
-      |  CAST(2 AS BIGINT) AS n_log_tail, CAST(4 AS BIGINT) AS n_restore_cmds,
+      |  CAST(2 AS BIGINT) AS n_log_tail, CAST(5 AS BIGINT) AS n_restore_cmds,
       |  TRUE AS replay_equal, TRUE AS truncated_read_fails_closed
       |FROM dlog_seg_v2
       |GROUP BY segment

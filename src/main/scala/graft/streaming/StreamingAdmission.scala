@@ -175,14 +175,23 @@ object StreamingAdmission {
       spark: SparkSession, bandsPath: String, shinglesPath: String,
       streamDir: String, batch: DataFrame, batchId: Long): DataFrame = {
     graft.functions.NativeFunctions.register(spark)
-    val shNew = batch
-      .withColumn("sh", expr("shingle_hash64(word_shingles(text, 3))"))
-      .select("doc_id", "sh")
     // Idempotent history append: this batch's shingles + bands land in
     // their own batch_id directories (a replay rewrites them in place).
-    shNew.write.mode(SaveMode.Overwrite)
+    // The batch's tokenize+minhash lineage runs ONCE — everything below
+    // reads the just-written parquet back, which is also exactly what a
+    // replayed batch observes. The stored band history is CAPPED (the
+    // ensureBandIndex write-time discipline): it serves future batches
+    // as an index, and an uncapped store would hand a later probe an
+    // unbounded degenerate bucket.
+    batch
+      .withColumn("sh", expr("shingle_hash64(word_shingles(text, 3))"))
+      .select("doc_id", "sh")
+      .write.mode(SaveMode.Overwrite)
       .parquet(s"$streamDir/shingles/batch_id=$batchId")
-    LlmPipeline.lshBands(shNew).write.mode(SaveMode.Overwrite)
+    val shNew = spark.read
+      .parquet(s"$streamDir/shingles/batch_id=$batchId")
+      .select("doc_id", "sh")
+    LlmPipeline.cappedBandIndex(shNew).write.mode(SaveMode.Overwrite)
       .parquet(s"$streamDir/bands/batch_id=$batchId")
     val newBands = LlmPipeline.lshBands(shNew)
       .select(col("doc_id").as("new_id"), col("band"), col("bsig"))

@@ -96,13 +96,23 @@ class DurableCommandLogSpec extends SparkSpec {
           SqlGateway.replayFrom(s2, sfDir, compacted)
           assert(finalState(s2) == genesis,
             s"compaction at seq $n diverged from the genesis replay")
-          // The tail survives verbatim; the restore block fits the
-          // truncated window (2 commands per live table, ≤ n).
+          // Re-replaying the compacted log over the just-applied state
+          // must be a fixpoint — this is where a restore block that
+          // dropped only LIVE tables breaks: a bare CREATE in the
+          // verbatim suffix whose guarding DROP was truncated would
+          // collide with the table the first replay left behind.
+          SqlGateway.replayFrom(s2, sfDir, compacted)
+          assert(finalState(s2) == genesis,
+            s"second replay of the compacted log (seq $n) is not a fixpoint")
+          // The tail survives verbatim; the restore block is one DROP
+          // per managed table plus one CTAS per table live at n
+          // (live(n) = n/2 for this log's DROP/CTAS pairing).
           val log = s2.read.parquet(compacted)
             .select("seq", "snap_seq").collect()
           assert(log.forall(_.getLong(1) == n))
           assert(log.count(_.getLong(0) > n) == (m - n))
-          assert(log.count(_.getLong(0) <= n) <= n.max(0L))
+          assert(log.count(_.getLong(0) <= n) ==
+            SqlGateway.durableLogTables.size + (n / 2).toInt)
         } finally LlmPipeline.deleteRecursively(snapDir)
       }
     } finally LlmPipeline.deleteRecursively(tmp)

@@ -256,7 +256,11 @@ class LlmPipelineSpec extends SparkSpec {
       .map { case (t, xs) => t -> xs.length.toLong }
     val terms = df.toSeq.sortBy { case (t, d) => (-d, t) }.take(6).zipWithIndex
       .map { case ((t, d), i) => (i % 3 + 1, t, d) }
-    val dl = docs.map { case (id, ts) => id -> ts.length.toLong }.toMap
+    // dl / avgl cover docs with >= 1 token only — the query's doc-length
+    // aggregate comes from the exploded token stream, so a zero-token
+    // doc contributes no dl row on either engine.
+    val dl = docs.filter(_._2.nonEmpty)
+      .map { case (id, ts) => id -> ts.length.toLong }.toMap
     val nd = docs.length.toLong
     val avgl = dl.values.sum.toDouble / dl.size.toDouble
     val expected = terms.groupBy(_._1).toList.flatMap { case (qid, qterms) =>

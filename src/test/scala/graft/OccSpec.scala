@@ -145,7 +145,6 @@ class OccSpec extends SparkSpec {
         "rewrite family must be pairwise non-commuting across all orders")
 
       val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
-      val lostTotal = new java.util.concurrent.atomic.AtomicInteger(0)
       def writer(i: Int): Unit = {
         var committed = false
         var attempt = 0
@@ -157,7 +156,7 @@ class OccSpec extends SparkSpec {
           spark.sql(s"CREATE TABLE $mine USING PARQUET AS " +
             s"SELECT p_partkey, CAST(price * ${ms(i)} + 1 AS DECIMAL(12,2)) AS price FROM $base")
           if (SqlGateway.occTryCommit(logDir, cur, mine)) committed = true
-          else { lostTotal.incrementAndGet(); spark.sql(s"DROP TABLE $mine") }
+          else spark.sql(s"DROP TABLE $mine")
         }
         assert(committed, s"writer $i never committed in ${n + 3} attempts")
       }
