@@ -2137,8 +2137,10 @@ object LlmPipeline extends QueryPack {
     * [[multiProbeVerifiedPairs]]): radius 1 measured same-cluster pair
     * recall 0.760 at sf0.001 — edge recall 0.89-0.92 amplified DOWN by
     * bridge-edge loss — so the cluster surface probes radius 2
-    * (16 keys/table at bits=5 vs 6; index unchanged). Radius 2 clears
-    * the 0.8 gate (LlmPipelineSpec's q179 refinement + recall test).
+    * (16 keys/table at bits=5 vs 6; index unchanged). Radius 2
+    * measures cluster-pair recall 1.000 at BOTH fixture scales (96/96
+    * at sf0.001, 89/89 at sf0.01 — cross-engine via the DuckDB
+    * oracles; BASELINE.md r12); LlmPipelineSpec gates ≥ 0.8.
     */
   private[graft] val SemDedupProbeHamming = 2
 
