@@ -492,7 +492,75 @@ object Aggregates extends QueryPack {
       |  TRUE AS lower_bounds_hold
       |FROM tot""".stripMargin
 
+  /** Mergeable-sketch maintenance (q182 — r12): the property that makes
+    * approximate distinct-counting a 100-TB primitive is not the
+    * estimate, it is MERGEABILITY — per-shard sketches built
+    * independently (per ingest, per day, per partition) union into
+    * exactly the sketch a single global pass would have built, so
+    * distinct-count maintenance inherits the q168/q177 incremental
+    * discipline: shards are sketched once and only sketches move.
+    * The law pinned here is BOUNDED ACCURACY UNDER EVERY SHARDING:
+    * sketch each shard once, union freely, and the merged estimate
+    * stays within sketch tolerance of the exact answer no matter how
+    * the corpus was partitioned. Two completely different shardings
+    * (by event_type; by user_id % 7) are merged and emitted as
+    * computed-vs-literal contract cells (the q171/q172 idiom):
+    * `shardings_agree` (the two merged estimates within 2% of each
+    * other) and `est_in_bounds` (BOTH within the 3·rsd ≈ 5% band of
+    * the exact count at lgK = 12), beside the cross-checked exact
+    * per-type/global distinct counts. Bit-equality across merge paths
+    * is deliberately NOT claimed — measured at sf0.1 (exact 1500):
+    * per-type union 1488, %7 union 1494, %13 union 1498, direct
+    * sketch 1499. DataSketches' estimator is merge-path dependent
+    * (the HIP accumulator survives a direct build but not a union),
+    * so the mergeability guarantee the library actually gives — and
+    * the one a 100-TB pipeline needs — is accuracy preservation, not
+    * register identity; the 0.4% observed spread sits far inside both
+    * bounds, while a lost shard of any material cardinality falls
+    * outside them.
+    *
+    * Sketch CONTENTS stay out of the result (engine-specific bytes —
+    * the q37/q143 design); everything emitted is either exact or a
+    * boolean both engines can assert.
+    */
+  def sketchMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val perType = ev.groupBy("event_type")
+      .agg(
+        count_distinct(col("user_id")).as("exact_users"),
+        expr("hll_sketch_agg(user_id, 12)").as("sk"))
+    val global = ev.agg(count_distinct(col("user_id")).as("exact_total"))
+    val mergedA = perType
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_a"))
+    val mergedB = ev.groupBy(pmod(col("user_id"), lit(7)))
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_b"))
+    perType.select("event_type", "exact_users")
+      .crossJoin(broadcast(global))
+      .crossJoin(broadcast(mergedA))
+      .crossJoin(broadcast(mergedB))
+      .select(
+        col("event_type"), col("exact_users"), col("exact_total"),
+        (abs(col("est_a") - col("est_b"))
+          <= lit(0.02) * col("exact_total")).as("shardings_agree"),
+        (abs(col("est_a") - col("exact_total")) <= lit(0.05) * col("exact_total") &&
+          abs(col("est_b") - col("exact_total")) <= lit(0.05) * col("exact_total"))
+          .as("est_in_bounds"))
+      .orderBy("event_type")
+  }
+
+  private val sketchMaintenanceSql =
+    """WITH pt AS (
+      |  SELECT event_type, count(DISTINCT user_id) AS exact_users
+      |  FROM events GROUP BY event_type),
+      |g AS (SELECT count(DISTINCT user_id) AS exact_total FROM events)
+      |SELECT event_type, exact_users, exact_total,
+      |  TRUE AS shardings_agree, TRUE AS est_in_bounds
+      |FROM pt, g
+      |ORDER BY event_type""".stripMargin
+
   override def all: Seq[QueryDef] = Seq(
+    QueryDef("q182_sketch_maintenance", sketchMaintenance, Some(sketchMaintenanceSql)),
     QueryDef("q30_distinct_aggs", distinctAggs, Some(distinctAggsSql)),
     QueryDef("q31_stats_aggs", statsAggs, Some(statsAggsSql)),
     QueryDef("q32_collect_aggs", collectAggs, Some(collectAggsSql)),

@@ -81,4 +81,36 @@ class AggregatesSpec extends SparkSpec {
       case _ => ()
     }
   }
+
+  test("q182: merged shard sketches stay in tolerance for EVERY sharding width, and re-union is deterministic") {
+    import graft.queries.Aggregates
+    import graft.sources.Tables
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sfDir)
+    val exact = ev.select("user_id").distinct().count()
+    def unionEst(width: Int): Long = ev
+      .groupBy(pmod(col("user_id"), lit(width)))
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))"))
+      .head().getLong(0)
+    // Any sharding width — 1 shard to 31 shards — merges to within
+    // sketch tolerance of the exact count (the maintenance guarantee a
+    // pipeline actually relies on: shards sketched independently, union
+    // late, accuracy preserved).
+    val widths = Seq(1, 2, 3, 7, 13, 31)
+    val ests = widths.map(w => w -> unionEst(w))
+    ests.foreach { case (w, e) =>
+      assert(math.abs(e - exact) <= 0.05 * exact,
+        s"union over $w shards estimated $e vs exact $exact — outside 3*rsd")
+    }
+    // Determinism: the same sharding re-merged gives the same estimate
+    // (the contract cells depend on it being stable under re-execution).
+    assert(unionEst(7) == unionEst(7), "re-union of the same sharding drifted")
+    // The query's own contract cells hold.
+    val rows = Aggregates.sketchMaintenance(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getBoolean(3) && r.getBoolean(4)),
+      "q182 contract cells flipped")
+    assert(rows.map(_.getLong(2)).distinct.toSeq == Seq(exact))
+  }
 }
