@@ -80,7 +80,8 @@ object ChangelogScale {
       "q167_session_motifs" -> queries.Sessions.sessionMotifs _,
       "q173_session_funnel_classes" -> queries.Sessions.sessionFunnelClasses _,
       "q175_session_define_motifs" -> queries.Sessions.sessionDefineMotifs _,
-      "q180_session_skip_motifs" -> queries.Sessions.sessionSkipMotifs _)
+      "q180_session_skip_motifs" -> queries.Sessions.sessionSkipMotifs _,
+      "q182_sketch_maintenance" -> queries.Aggregates.sketchMaintenance _)
 
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         dir: String): Double = {
@@ -186,10 +187,21 @@ object ChangelogScale {
         sum("n_skip_conv").as("s"), sum("n_conv_reluctant").as("r")).head()
     require((0 to 3).forall(i => skBig.getLong(i) == replicas * skBase.getLong(i)),
       s"q180 session/motif totals not exactly ${replicas}x base")
+    // q182: disjoint-user replicas make the exact distinct count exactly
+    // Nx, and both sketch contract cells must still hold at Nx distinct
+    // values (the sketch is well past sparse mode there — the regime the
+    // fixture alone cannot reach).
+    val skm = queries.Aggregates.sketchMaintenance(spark, bigDir).collect()
+    val skmBase = queries.Aggregates.sketchMaintenance(spark, baseDir).collect()
+    require(skm.head.getLong(2) == replicas * skmBase.head.getLong(2),
+      s"q182 exact_total not exactly ${replicas}x base")
+    require(skm.forall(r => r.getBoolean(3) && r.getBoolean(4)),
+      s"q182 sketch contract cells flipped at ${replicas}x")
     println(s"window-family invariants: q41 rows ${replicas}x, q62 sessions ${replicas}x, " +
       s"q139 matrix cell-exact ${replicas}x, q166 users+motifs ${replicas}x, " +
       s"q167 sessions+motifs ${replicas}x, q173 sessions+classes ${replicas}x, " +
-      s"q175 DEFINE motifs ${replicas}x, q180 skip motifs ${replicas}x — all hold")
+      s"q175 DEFINE motifs ${replicas}x, q180 skip motifs ${replicas}x, " +
+      s"q182 exact ${replicas}x distinct + contract cells — all hold")
     } finally {
       queries.LlmPipeline.deleteRecursively(java.nio.file.Paths.get(bigDir))
     }
