@@ -302,5 +302,87 @@ object IndexScale {
     require(nClusters > 0 && nRows > nClusters,
       s"q179 degenerate at ${replicas}x ($nClusters clusters / $nRows rows)")
     println(s"q179 at ${replicas}x: $nRows clustered vectors in $nClusters clusters")
+
+    ccStreamScale(spark, baseDir, bigDirInc, replicas)
+  }
+
+  /** Streaming CC maintenance per-batch cost vs corpus size (r13 —
+    * VERDICT r12 item 1's measurement leg). The r12 scale-killer was
+    * the full-labeling rewrite per micro-batch; the r13 delta chain
+    * writes only the labels a batch CHANGES. Stream the SAME fixed
+    * two-batch shard into the 1× and N× corpora and measure each
+    * commit: probe cost is bucket-keyed (flat), the state write is
+    * delta-sized (flat — the in-run law re-checks written ≤ |batch| +
+    * |swept corpus ids| at N×), and the only corpus-sized touches are
+    * leaf scans with delta-sized build sides (no corpus shuffle, no
+    * corpus write).
+    */
+  private def ccStreamScale(
+      spark: SparkSession, baseDir: String, bigDirInc: String,
+      replicas: Int): Unit = {
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    // Nightly artifacts, off-clock (band index + corpus labeling).
+    val (bandsBase, shBase) = queries.LlmPipeline.ensureBandIndex(spark, baseDir)
+    val (bandsBig, shBig) = queries.LlmPipeline.ensureBandIndex(spark, bigDirInc)
+    // The FIXED shard, split into two micro-batches — identical for
+    // both corpora (shard docs are rep-0 only by construction).
+    val docs = graft.sources.Tables.documents(spark, baseDir)
+    val b0 = docs.filter(col("doc_id") % 8 === 0).select("doc_id", "text")
+    val b1 = docs.filter(col("doc_id") % 4 === 0 && col("doc_id") % 8 =!= 0)
+      .select("doc_id", "text")
+    val nB1 = b1.count()
+
+    def run(dir: String, bands: String, shingles: String)
+        : (Double, Double, Long, Long, Long) = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ccscale")
+      try {
+        val hist = tmp.resolve("hist").toString
+        val labels = tmp.resolve("labels").toString
+        graft.streaming.StreamingAdmission.initCc(spark,
+          queries.LlmPipeline.ensureCcArtifact(spark, dir), hist, labels)
+        val t0 = time(graft.streaming.StreamingAdmission.commitCcBatch(
+          spark, bands, shingles, hist, labels, b0, 0L))
+        val t1 = time(graft.streaming.StreamingAdmission.commitCcBatch(
+          spark, bands, shingles, hist, labels, b1, 1L))
+        val w0 = spark.read.parquet(s"$labels/delta/batch_id=0").count()
+        val w1 = spark.read.parquet(s"$labels/delta/batch_id=1").count()
+        val total = graft.streaming.StreamingAdmission
+          .currentLabels(spark, labels).count()
+        // In-run delta law at this scale: batch 1's write is bounded by
+        // the batch plus the corpus ids actually swept into a merged
+        // component — never a labeling rewrite.
+        val prev1 = graft.streaming.StreamingAdmission
+          .resolveLabels(spark, labels, 0L)
+          .select(col("id"), col("label").as("pl"))
+        val cur1 = graft.streaming.StreamingAdmission
+          .resolveLabels(spark, labels, 1L)
+          .select(col("id"), col("label").as("cl"))
+        val changedOld = prev1.join(cur1, "id")
+          .filter(col("pl") =!= col("cl")).count()
+        require(w1 <= nB1 + changedOld,
+          s"batch-1 delta $w1 rows > |batch| $nB1 + swept corpus ids $changedOld")
+        require(w0 < total && w1 < total,
+          s"a delta rewrote the labeling ($w0/$w1 of $total rows)")
+        (t0, t1, w0, w1, total)
+      } finally queries.LlmPipeline.deleteRecursively(tmp)
+    }
+    // Warm-up at the smallest sf (JIT for the streaming path).
+    val (bandsW, shW) = queries.LlmPipeline.ensureBandIndex(spark, "/root/testdata/sf0.001")
+    queries.LlmPipeline.ensureCcArtifact(spark, "/root/testdata/sf0.001")
+    run("/root/testdata/sf0.001", bandsW, shW)
+
+    val (t0b, t1b, w0b, w1b, totB) = run(baseDir, bandsBase, shBase)
+    val (t0g, t1g, w0g, w1g, totG) = run(bigDirInc, bandsBig, shBig)
+    println(f"\n| streaming CC commit, batch 0 | $t0b%.1f | $t0g%.1f " +
+      f"| ${t0g / t0b}%.1f | ~flat (delta state write + bucket-keyed probes) |")
+    println(f"| streaming CC commit, batch 1 | $t1b%.1f | $t1g%.1f " +
+      f"| ${t1g / t1b}%.1f | ~flat |")
+    println(s"streaming CC delta rows at sf0.1: batch0=$w0b batch1=$w1b " +
+      s"(labeling $totB rows); at ${replicas}x: batch0=$w0g batch1=$w1g " +
+      s"(labeling $totG rows) — writes track the batch, not the corpus")
+    require(w0g < 3 * w0b + nB1 && w1g < 3 * w1b + nB1,
+      s"delta writes grew with the corpus ($w0b->$w0g, $w1b->$w1g)")
   }
 }

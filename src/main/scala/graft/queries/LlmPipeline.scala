@@ -2270,14 +2270,7 @@ object LlmPipeline extends QueryPack {
   private[graft] def mergeComponentLabels(
       stored: DataFrame, deltaPairs: DataFrame): DataFrame = {
     val sLab = stored.select(col("id"), col("label"))
-    val mapped = deltaPairs
-      .join(sLab.select(col("id").as("id1"), col("label").as("l1")), Seq("id1"), "left")
-      .join(sLab.select(col("id").as("id2"), col("label").as("l2")), Seq("id2"), "left")
-      .select(coalesce(col("l1"), col("id1")).as("id1"),
-        coalesce(col("l2"), col("id2")).as("id2"))
-      .filter(col("id1") =!= col("id2"))
-    val qEdges = mapped.union(mapped.select(col("id2").as("id1"), col("id1").as("id2")))
-    val qLabels = minLabelComponents(qEdges)
+    val qLabels = quotientLabels(sLab, deltaPairs)
     // Corpus side: one relabel join — only labels in the quotient move.
     val relabeled = sLab
       .join(qLabels.select(col("id").as("label"), col("label").as("merged")),
@@ -2285,6 +2278,55 @@ object LlmPipeline extends QueryPack {
       .select(col("id"), coalesce(col("merged"), col("label")).as("cluster"))
     // Delta-only vertices (new docs, old singletons): labeled directly
     // by the quotient.
+    val fresh = qLabels.join(sLab.select("id"), Seq("id"), "left_anti")
+      .select(col("id"), col("label").as("cluster"))
+    relabeled.unionByName(fresh)
+  }
+
+  /** The contracted-graph labeling both merge forms share: every delta
+    * endpoint maps to its contracted vertex (stored label if present,
+    * else itself), and the iterative CC runs on that quotient graph —
+    * sized by the delta and the components it touches, never the
+    * corpus (see [[mergeComponentLabels]] for the correctness
+    * argument).
+    */
+  private def quotientLabels(sLab: DataFrame, deltaPairs: DataFrame): DataFrame = {
+    val mapped = deltaPairs
+      .join(sLab.select(col("id").as("id1"), col("label").as("l1")), Seq("id1"), "left")
+      .join(sLab.select(col("id").as("id2"), col("label").as("l2")), Seq("id2"), "left")
+      .select(coalesce(col("l1"), col("id1")).as("id1"),
+        coalesce(col("l2"), col("id2")).as("id2"))
+      .filter(col("id1") =!= col("id2"))
+    val qEdges = mapped.union(mapped.select(col("id2").as("id1"), col("id1").as("id2")))
+    minLabelComponents(qEdges)
+  }
+
+  /** Delta form of [[mergeComponentLabels]] (r13, the streaming-state
+    * fix): returns ONLY the rows the merge CHANGES — corpus ids whose
+    * stored label moves (members of merged components) plus vertices
+    * the stored labeling did not know (new docs, old singletons that
+    * just gained an edge). `mergeComponentLabels(stored, pairs)` ==
+    * `stored` overlaid with these rows (CcStreamSpec pins the overlay
+    * law), so a streaming maintainer can persist just this delta per
+    * micro-batch instead of rewriting the full labeling — the write
+    * is sized by |batch| + |members of merged components|, never the
+    * corpus. The corpus-sized `stored` relation is touched by exactly
+    * two non-iterative joins (endpoint mapping + the inner relabel
+    * join), both against delta-sized build sides — scans, no
+    * corpus-sized shuffle or write anywhere.
+    */
+  private[graft] def mergeComponentDeltas(
+      stored: DataFrame, deltaPairs: DataFrame): DataFrame = {
+    val sLab = stored.select(col("id"), col("label"))
+    val qLabels = quotientLabels(sLab, deltaPairs)
+    // Corpus ids inside a touched component whose label actually moves:
+    // INNER join on the stored label (a quotient vertex) + a strict
+    // inequality — untouched components never leave the scan.
+    val relabeled = sLab
+      .join(qLabels.select(col("id").as("label"), col("label").as("merged")),
+        Seq("label"))
+      .filter(col("merged") =!= col("label"))
+      .select(col("id"), col("merged").as("cluster"))
     val fresh = qLabels.join(sLab.select("id"), Seq("id"), "left_anti")
       .select(col("id"), col("label").as("cluster"))
     relabeled.unionByName(fresh)

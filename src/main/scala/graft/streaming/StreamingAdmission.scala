@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -134,7 +135,21 @@ object StreamingAdmission {
       }
       .start()
 
-  // --- streaming component maintenance (q177's live form, r12) ----------
+  // --- streaming component maintenance (q177's live form, r12; ----------
+  // --- delta-encoded state + compaction, r13) ---------------------------
+
+  /** Numbered generation directories under `dir` (driver-side control
+    * plane — one listing per batch, never row data).
+    */
+  private def genIds(dir: java.nio.file.Path, prefix: String = "batch_id="): Seq[Long] =
+    if (!java.nio.file.Files.isDirectory(dir)) Seq.empty
+    else Using.resource(java.nio.file.Files.list(dir)) { st =>
+      st.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.startsWith(prefix))
+        .map(_.stripPrefix(prefix).toLong)
+        .toSeq
+    }
 
   /** Streaming incremental connected-components maintenance: q177's
     * quotient-graph fold run continuously — each micro-batch of newly
@@ -143,23 +158,39 @@ object StreamingAdmission {
     * decisions are stateless against static artifacts, this operator
     * maintains state — the labeling is the state).
     *
-    * State discipline (the generation convention, not operator state
-    * store): labeling generation b lands in `labels/batch_id=b` with
-    * Overwrite; batch b reads its predecessor (the highest generation
-    * `< b`), merges, writes generation b. foreachBatch is
-    * at-least-once, and a replayed batch re-reads the SAME predecessor
-    * and rewrites the SAME directory — replay converges (the q144 sink
-    * argument applied to evolving state; spec-exercised). A crash
-    * between the write and the checkpoint commit leaves a complete
-    * generation that the replay simply rewrites.
+    * State discipline (r13 — the delta-chain convention; r12 rewrote
+    * the FULL labeling every micro-batch, the same unbounded-state
+    * shape as the reference's `src/raft/node.go:28` log):
+    *
+    *   - `labels/snap/batch_id=B` — full labeling SNAPSHOTS: the seed
+    *     (the stored corpus labeling, generation -1) plus one per
+    *     [[compactCc]] call.
+    *   - `labels/delta/batch_id=b` — per-batch DELTAS: only the rows
+    *     batch b CHANGED (members of merged components + newly labeled
+    *     docs — [[graft.queries.LlmPipeline.mergeComponentDeltas]]),
+    *     so the per-batch state write is sized by the batch and the
+    *     components it touches, never the corpus.
+    *
+    * The labeling at generation g is the latest snapshot ≤ g overlaid
+    * with the deltas in between ([[resolveLabels]] — two joins of the
+    * snapshot leaf against delta-sized build sides; the corpus never
+    * shuffles). Batch b resolves generation b−1, merges, writes delta
+    * b with Overwrite: foreachBatch is at-least-once, and a replayed
+    * batch resolves the SAME predecessor chain (its own delta is
+    * excluded by construction) and rewrites the SAME directory —
+    * replay converges (the q144 sink argument applied to evolving
+    * state; spec-exercised). [[compactCc]] is the q178 log-compaction
+    * discipline on this chain: snapshot at B, truncate deltas ≤ B,
+    * fail closed below B.
     *
     * Pair discovery per batch (all against bucket-keyed artifacts, so
     * per-batch cost tracks the batch):
     *   - batch × standing corpus: the q144 band-index probe, verified,
     *   - batch × previously streamed docs: the batch's bands probe the
-    *     ACCUMULATED stream band store (each batch appends its bands
-    *     and shingles under `batch_id=` directories — the q168
-    *     incremental-index idea applied to the stream's own history),
+    *     stream's own history index — the COMPACTED base artifact plus
+    *     the bounded tail of per-batch band/shingle deltas newer than
+    *     the base (r13; r12 probed every prior batch generation, a
+    *     per-batch read growing with stream length),
     *   - batch-internal: the ordinary capped LSH pair pass.
     * A pair (x, y) with x streamed before y is discovered exactly when
     * y arrives, so the UNION of discovered pairs over any chunking of
@@ -168,8 +199,9 @@ object StreamingAdmission {
     * below them, where the fixture lives), and CC of the same edges is
     * chunking- and order-invariant: the final labeling equals the
     * single-batch run's. CcStreamSpec asserts exactly that, plus
-    * replay idempotence and the coarsen-only law (stored corpus
-    * components can merge downstream, never split).
+    * replay idempotence, the coarsen-only law (stored corpus
+    * components can merge downstream, never split), the per-batch
+    * written-rows law, and compacted-chain == full-chain equality.
     */
   private[graft] def ccBatchPairs(
       spark: SparkSession, bandsPath: String, shinglesPath: String,
@@ -207,135 +239,234 @@ object StreamingAdmission {
         Seq("band", "bsig"))
       .select("new_id", "old_id").distinct()
     val corpusPairs = verified(corpusCand, spark.read.parquet(shinglesPath))
-    // vs previously streamed docs (accumulated history, batches < b).
-    val histBase = java.nio.file.Paths.get(streamDir, "bands")
-    val hasHistory = Using.resource(java.nio.file.Files.list(histBase)) { st =>
-      st.iterator().asScala.exists(p =>
-        p.getFileName.toString.startsWith("batch_id=") &&
-          p.getFileName.toString.stripPrefix("batch_id=").toLong < batchId)
-    }
-    val streamPairs = if (!hasHistory) spark.emptyDataFrame.select(
-      lit(0L).as("id1"), lit(0L).as("id2")).limit(0)
-    else {
-      val oldBands = spark.read.option("basePath", s"$streamDir/bands")
-        .parquet(s"$streamDir/bands")
-        .filter(col("batch_id") < batchId)
-      val oldSh = spark.read.option("basePath", s"$streamDir/shingles")
-        .parquet(s"$streamDir/shingles")
-        .filter(col("batch_id") < batchId)
-        .select("doc_id", "sh")
-      val cand = newBands
-        .join(oldBands.select(col("doc_id").as("old_id"), col("band"), col("bsig")),
-          Seq("band", "bsig"))
-        .select("new_id", "old_id").distinct()
-      verified(cand, oldSh)
+    // vs previously streamed docs: the compacted base (ONE artifact
+    // leaf) + the tail of batch deltas newer than it — never one leaf
+    // per generation of stream history.
+    val (histBands, histShingles) = streamHistory(spark, streamDir, batchId)
+    val streamPairs = (histBands, histShingles) match {
+      case (Some(oldBands), Some(oldSh)) =>
+        val cand = newBands
+          .join(oldBands.select(col("doc_id").as("old_id"), col("band"), col("bsig")),
+            Seq("band", "bsig"))
+          .select("new_id", "old_id").distinct()
+        verified(cand, oldSh.select("doc_id", "sh"))
+      case _ => spark.emptyDataFrame.select(
+        lit(0L).as("id1"), lit(0L).as("id2")).limit(0)
     }
     // batch-internal pairs (the ordinary capped pass).
     val internal = LlmPipeline.lshNearDupPairs(shNew).select("id1", "id2")
     corpusPairs.unionByName(streamPairs).unionByName(internal).distinct()
   }
 
-  /** Merge one micro-batch into the labeling chain: read the
-    * predecessor generation, fold the batch's pairs through the q177
-    * quotient merge, write this batch's generation idempotently.
+  /** The stream's own history index visible to batch `beforeBatch`:
+    * the latest compacted base generation (if any) plus the band /
+    * shingle deltas strictly between it and `beforeBatch`. Returns
+    * (bands, shingles) as None when no history exists yet.
+    */
+  private def streamHistory(
+      spark: SparkSession, streamDir: String,
+      beforeBatch: Long): (Option[DataFrame], Option[DataFrame]) = {
+    val baseGen = genIds(
+      java.nio.file.Paths.get(streamDir, "bands_base"), "gen=").maxOption
+    val tailIds = genIds(java.nio.file.Paths.get(streamDir, "bands"))
+      .filter(b => b < beforeBatch && baseGen.forall(b > _)).sorted
+    def assemble(baseDir: String, tailDir: String): Option[DataFrame] = {
+      val parts =
+        baseGen.map(g => spark.read.parquet(s"$streamDir/$baseDir/gen=$g")).toSeq ++
+          (if (tailIds.isEmpty) Seq.empty
+           else Seq(spark.read.parquet(
+             tailIds.map(b => s"$streamDir/$tailDir/batch_id=$b"): _*)))
+      parts.reduceOption(_ unionByName _)
+    }
+    (assemble("bands_base", "bands"), assemble("shingles_base", "shingles"))
+  }
+
+  /** Merge one micro-batch into the labeling chain: resolve the
+    * predecessor labeling, fold the batch's pairs through the q177
+    * quotient merge, and write ONLY the changed rows as this batch's
+    * delta generation, idempotently. The predecessor resolves FIRST:
+    * a replay deeper than the compaction point refuses here, before
+    * any history mutation.
     */
   private[graft] def commitCcBatch(
       spark: SparkSession, bandsPath: String, shinglesPath: String,
       streamDir: String, labelsDir: String, batch: DataFrame,
       batchId: Long): Unit = {
-    val prev = spark.read.parquet(latestLabels(labelsDir, batchId))
+    val prev = resolveLabels(spark, labelsDir, batchId - 1)
     val pairs = ccBatchPairs(spark, bandsPath, shinglesPath, streamDir, batch, batchId)
-    LlmPipeline.mergeComponentLabels(prev, pairs)
+    LlmPipeline.mergeComponentDeltas(prev, pairs)
       .select(col("id"), col("cluster").as("label"))
       .write.mode(SaveMode.Overwrite)
-      .parquet(s"$labelsDir/batch_id=$batchId")
+      .parquet(s"$labelsDir/delta/batch_id=$batchId")
   }
 
-  /** The highest committed labeling generation strictly below
-    * `beforeBatch` — the predecessor a (re)played batch reads. The
-    * listing is driver-side control plane (one directory per batch).
+  /** The labeling as of generation `upTo` (inclusive): the latest
+    * snapshot ≤ `upTo` overlaid with the delta generations between it
+    * and `upTo`. Plan shape: the snapshot is a leaf scan; the deltas
+    * reduce to one per-id latest-label relation (delta-sized shuffle),
+    * then overlay via one left join + one anti join against the
+    * snapshot — delta-sized build sides, so the corpus-sized snapshot
+    * STREAMS and never shuffles. With an empty delta tail (right after
+    * compaction) this is the bare snapshot leaf.
+    *
+    * Fails CLOSED when compaction has dropped every snapshot ≤ `upTo`
+    * (the q171 error contract on the streaming state axis), naming the
+    * earliest retained snapshot.
     */
-  private[graft] def latestLabels(labelsDir: String, beforeBatch: Long): String = {
-    val ids = Using.resource(
-      java.nio.file.Files.list(java.nio.file.Paths.get(labelsDir))) { st =>
-      st.iterator().asScala
-        .map(_.getFileName.toString)
-        .filter(_.startsWith("batch_id="))
-        .map(_.stripPrefix("batch_id=").toLong)
-        .filter(_ < beforeBatch)
-        .toSeq
+  private[graft] def resolveLabels(
+      spark: SparkSession, labelsDir: String, upTo: Long): DataFrame = {
+    val snapDir = java.nio.file.Paths.get(labelsDir, "snap")
+    val snaps = genIds(snapDir).filter(_ <= upTo)
+    if (snaps.isEmpty) {
+      val retained = genIds(snapDir)
+      throw new IllegalStateException(
+        s"no labeling snapshot at or below generation $upTo (dropped by " +
+          s"compaction); earliest retained generation is " +
+          s"${retained.minOption.map(_.toString).getOrElse("<none>")}")
     }
-    require(ids.nonEmpty, s"no labeling generation below $beforeBatch in $labelsDir")
-    s"$labelsDir/batch_id=${ids.max}"
+    val s = snaps.max
+    val base = spark.read.parquet(s"$labelsDir/snap/batch_id=$s")
+      .select("id", "label")
+    val deltaIds = genIds(java.nio.file.Paths.get(labelsDir, "delta"))
+      .filter(b => b > s && b <= upTo)
+    if (deltaIds.isEmpty) base
+    else {
+      val latest = spark.read.option("basePath", s"$labelsDir/delta")
+        .parquet(deltaIds.map(b => s"$labelsDir/delta/batch_id=$b"): _*)
+        .select(col("id"), col("label"), col("batch_id").cast("long").as("gen"))
+        .groupBy("id").agg(expr("max_by(label, gen)").as("label"))
+      base.join(latest.select(col("id"), col("label").as("nl")), Seq("id"), "left")
+        .select(col("id"), coalesce(col("nl"), col("label")).as("label"))
+        .unionByName(latest.join(base.select("id"), Seq("id"), "left_anti"))
+    }
+  }
+
+  /** Read the labeling at one generation — the time-travel read of the
+    * delta chain. Alias of [[resolveLabels]]; a generation below the
+    * compaction point fails closed naming the earliest retained one.
+    */
+  private[graft] def labelsAt(
+      spark: SparkSession, labelsDir: String, gen: Long): DataFrame =
+    resolveLabels(spark, labelsDir, gen)
+
+  /** The labeling after the stream drains. */
+  private[graft] def currentLabels(
+      spark: SparkSession, labelsDir: String): DataFrame =
+    resolveLabels(spark, labelsDir, Long.MaxValue)
+
+  /** Compact BOTH state axes of the stream at `atBatch` — the q178
+    * log-compaction discipline applied to [[startCc]]'s state:
+    *
+    *   1. Labeling chain: materialize the resolved labeling as
+    *      snapshot `atBatch`, then truncate deltas ≤ `atBatch` and
+    *      older snapshots. Reads below the snapshot now fail closed
+    *      ([[resolveLabels]]), and a replay deeper than the snapshot
+    *      refuses before touching any state ([[commitCcBatch]]
+    *      resolves its predecessor first).
+    *   2. History index: fold the current base (if any) and the
+    *      band/shingle deltas ≤ `atBatch` into one new base
+    *      generation, re-capping each (band, bsig) bucket to the
+    *      lowest [[graft.queries.LlmPipeline.LshBucketCap]] doc ids —
+    *      the q168 merge applied to the stream's own history. The
+    *      fold is exact: a doc id among the cap lowest of the UNION
+    *      ranks ≤ cap within its own generation too, so folding
+    *      per-generation-capped sets reproduces the write-time-capped
+    *      index of the whole history (the MinKLongs postings-head
+    *      merge argument) — and between compactions a degenerate
+    *      bucket holds at most cap·(1 + tail length) rows instead of
+    *      cap·(stream length) (r12's ADVICE noted the history had no
+    *      retention counterpart; this is it).
+    *
+    * Ordering: the labeling compacts FIRST, establishing the
+    * fail-closed point — a crash between the steps leaves the history
+    * uncompacted (correct, just unfolded) while deep replays already
+    * refuse; re-running compactCc is idempotent (a complete prior fold
+    * is detected and skipped, a partial one is discarded and redone
+    * from its still-present inputs). `atBatch` must be a batch the
+    * checkpoint has committed — the same precondition as q178's
+    * snapshot-at-committed-offset.
+    */
+  private[graft] def compactCc(
+      spark: SparkSession, streamDir: String, labelsDir: String,
+      atBatch: Long): Unit = {
+    // --- 1. labeling chain: snapshot + truncate ------------------------
+    val snapPath = java.nio.file.Paths.get(labelsDir, "snap", s"batch_id=$atBatch")
+    if (!java.nio.file.Files.exists(snapPath)) {
+      resolveLabels(spark, labelsDir, atBatch)
+        .write.mode(SaveMode.Overwrite).parquet(snapPath.toString)
+    }
+    genIds(java.nio.file.Paths.get(labelsDir, "delta")).filter(_ <= atBatch)
+      .foreach(b => LlmPipeline.deleteRecursively(
+        java.nio.file.Paths.get(labelsDir, "delta", s"batch_id=$b")))
+    genIds(java.nio.file.Paths.get(labelsDir, "snap")).filter(_ < atBatch)
+      .foreach(g => LlmPipeline.deleteRecursively(
+        java.nio.file.Paths.get(labelsDir, "snap", s"batch_id=$g")))
+    // --- 2. history index: fold base + deltas, re-cap ------------------
+    val oldBase = genIds(
+      java.nio.file.Paths.get(streamDir, "bands_base"), "gen=").filter(_ < atBatch)
+    val foldIds = genIds(java.nio.file.Paths.get(streamDir, "bands"))
+      .filter(_ <= atBatch).sorted
+    val newBandsBase = java.nio.file.Paths.get(streamDir, "bands_base", s"gen=$atBatch")
+    val newShBase = java.nio.file.Paths.get(streamDir, "shingles_base", s"gen=$atBatch")
+    if (oldBase.nonEmpty || foldIds.nonEmpty) {
+      // A crashed prior fold may have left a partial gen=atBatch while
+      // its inputs are still present (inputs are deleted LAST) — redo
+      // the fold from the inputs.
+      LlmPipeline.deleteRecursively(newBandsBase)
+      LlmPipeline.deleteRecursively(newShBase)
+      def folded(baseDir: String, deltaDir: String): DataFrame = {
+        val parts =
+          oldBase.maxOption.map(g =>
+            spark.read.parquet(s"$streamDir/$baseDir/gen=$g")).toSeq ++
+            (if (foldIds.isEmpty) Seq.empty
+             else Seq(spark.read.parquet(
+               foldIds.map(b => s"$streamDir/$deltaDir/batch_id=$b"): _*)))
+        parts.reduce(_ unionByName _).distinct()
+      }
+      val wBucket = Window.partitionBy("band", "bsig").orderBy("doc_id")
+      folded("bands_base", "bands")
+        .withColumn("brk", row_number().over(wBucket))
+        .filter(col("brk") <= LlmPipeline.LshBucketCap)
+        .drop("brk")
+        .write.mode(SaveMode.Overwrite).parquet(newBandsBase.toString)
+      folded("shingles_base", "shingles")
+        .write.mode(SaveMode.Overwrite).parquet(newShBase.toString)
+      foldIds.foreach { b =>
+        LlmPipeline.deleteRecursively(
+          java.nio.file.Paths.get(streamDir, "bands", s"batch_id=$b"))
+        LlmPipeline.deleteRecursively(
+          java.nio.file.Paths.get(streamDir, "shingles", s"batch_id=$b"))
+      }
+      oldBase.foreach { g =>
+        LlmPipeline.deleteRecursively(
+          java.nio.file.Paths.get(streamDir, "bands_base", s"gen=$g"))
+        LlmPipeline.deleteRecursively(
+          java.nio.file.Paths.get(streamDir, "shingles_base", s"gen=$g"))
+      }
+    }
   }
 
   /** Seed the labeling chain with the standing corpus labeling (the
-    * q177 stored artifact) as generation -1, and prepare the stream
-    * history root.
+    * q177 stored artifact) as snapshot generation -1, and prepare the
+    * stream history roots.
     */
   private[graft] def initCc(
       spark: SparkSession, corpusLabelsPath: String, streamDir: String,
       labelsDir: String): Unit = {
     spark.read.parquet(corpusLabelsPath)
       .select("id", "label")
-      .write.mode(SaveMode.Overwrite).parquet(s"$labelsDir/batch_id=-1")
+      .write.mode(SaveMode.Overwrite).parquet(s"$labelsDir/snap/batch_id=-1")
     java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(streamDir, "bands"))
     java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(streamDir, "shingles"))
   }
 
-  /** Retention for the labeling chain — q171's VACUUM discipline
-    * applied to [[startCc]]'s state: generations strictly below
-    * `keepFrom` are dropped (each is a complete superseded snapshot;
-    * the chain needs only the latest plus however much replay window
-    * the checkpoint can demand). Fail-closed consequences, both
-    * spec-asserted: [[labelsAt]] on a dropped generation names the
-    * earliest retained one, and a replay DEEPER than the retention
-    * point refuses (its predecessor is gone) instead of computing from
-    * wrong state. Returns the dropped generation ids.
-    */
-  private[graft] def vacuumCcGenerations(labelsDir: String, keepFrom: Long): Seq[Long] = {
-    val dirs = Using.resource(
-      java.nio.file.Files.list(java.nio.file.Paths.get(labelsDir))) { st =>
-      st.iterator().asScala
-        .filter(_.getFileName.toString.startsWith("batch_id="))
-        .map(p => (p.getFileName.toString.stripPrefix("batch_id=").toLong, p))
-        .toSeq
-    }
-    val dropped = dirs.filter(_._1 < keepFrom)
-    require(dirs.exists(_._1 >= keepFrom),
-      s"refusing to vacuum every generation in $labelsDir (keepFrom=$keepFrom)")
-    dropped.foreach { case (_, p) => LlmPipeline.deleteRecursively(p) }
-    dropped.map(_._1).sorted
-  }
-
-  /** Read one exact labeling generation; a generation dropped by
-    * [[vacuumCcGenerations]] fails CLOSED naming the earliest retained
-    * one (the q171 error contract on the streaming state axis).
-    */
-  private[graft] def labelsAt(
-      spark: SparkSession, labelsDir: String, gen: Long): DataFrame = {
-    val p = java.nio.file.Paths.get(labelsDir, s"batch_id=$gen")
-    if (!java.nio.file.Files.exists(p)) {
-      val retained = Using.resource(
-        java.nio.file.Files.list(java.nio.file.Paths.get(labelsDir))) { st =>
-        st.iterator().asScala
-          .map(_.getFileName.toString)
-          .filter(_.startsWith("batch_id="))
-          .map(_.stripPrefix("batch_id=").toLong)
-          .toSeq
-      }
-      throw new IllegalStateException(
-        s"labeling generation $gen was dropped by retention; earliest retained " +
-          s"generation is ${retained.min}")
-    }
-    spark.read.parquet(p.toString)
-  }
-
   /** Start the component-maintenance stream: `input` is a streaming
     * DataFrame of (doc_id, text); call [[initCc]] first. The labeling
-    * after the stream drains is `latestLabels(labelsDir, Long.MaxValue)`.
+    * after the stream drains is [[currentLabels]]; call [[compactCc]]
+    * periodically (at a checkpoint-committed batch) to bound both the
+    * label chain and the history index.
     */
   def startCc(
       spark: SparkSession, bandsPath: String, shinglesPath: String,

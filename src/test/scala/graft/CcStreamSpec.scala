@@ -1,6 +1,6 @@
 package graft
 
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -13,10 +13,19 @@ import graft.streaming.StreamingAdmission
   * beyond the stateless admission specs — the final labeling must be
   * invariant to how the same doc set is chunked and ordered (a pair
   * split across batches is discovered when its later endpoint arrives,
-  * via the accumulated stream history), a replayed batch must converge
-  * onto the same generation (at-least-once), and stored corpus
-  * components may only MERGE downstream, never split (the quotient fold
-  * adds edges; it cannot remove any).
+  * via the stream history index), a replayed batch must converge onto
+  * the same generation (at-least-once), and stored corpus components
+  * may only MERGE downstream, never split (the quotient fold adds
+  * edges; it cannot remove any).
+  *
+  * r13 adds the delta-state laws (VERDICT r12 items 1–2): each batch
+  * persists ONLY the labels it changed — written rows equal the ids
+  * whose label moved or appeared, bounded by |batch| + |members of
+  * merged components| — and [[StreamingAdmission.compactCc]] (snapshot
+  * + truncate on the label chain, q168-fold on the band/shingle
+  * history) preserves the resolved labeling exactly while deleting the
+  * folded generations, with reads/replays below the compaction point
+  * failing closed.
   */
 class CcStreamSpec extends SparkSpec {
 
@@ -36,13 +45,14 @@ class CcStreamSpec extends SparkSpec {
     try {
       chunks.foreach { c => input.addData(c); q.processAllAvailable() }
     } finally q.stop()
-    val fin = spark.read
-      .parquet(StreamingAdmission.latestLabels(labels, Long.MaxValue))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    (fin, tmp)
+    (readLabels(labels), tmp)
   }
 
-  test("streamed CC maintenance: chunked == single-batch, corpus components only coarsen, replay converges") {
+  private def readLabels(labelsDir: String): Map[Long, Long] =
+    StreamingAdmission.currentLabels(spark, labelsDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+  test("streamed CC maintenance: chunked == single-batch, delta-sized state writes, corpus components only coarsen, replay converges") {
     import spark.implicits._
     val (bandsPath, shinglesPath) = LlmPipeline.ensureBandIndex(spark, sfDir)
     val ccPath = LlmPipeline.ensureCcArtifact(spark, sfDir)
@@ -73,6 +83,40 @@ class CcStreamSpec extends SparkSpec {
         assert(finals.size == 1,
           s"a stored corpus component split across ${finals.size} final labels")
       }
+      // Delta-state law (r13): each batch wrote EXACTLY the rows whose
+      // label changed or appeared vs its predecessor generation —
+      // bounded by |batch| + |corpus ids swept into a merged component|,
+      // never a full-labeling rewrite.
+      val labelsDir = t2.resolve("labels").toString
+      chunks.indices.foreach { b =>
+        val prev = StreamingAdmission.resolveLabels(spark, labelsDir, b - 1L)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        val cur = StreamingAdmission.resolveLabels(spark, labelsDir, b.toLong)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        val written = spark.read.parquet(s"$labelsDir/delta/batch_id=$b")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        val changed = cur.filter { case (id, l) => prev.get(id) != Some(l) }
+        assert(written == changed,
+          s"batch $b delta (${written.size} rows) != changed labels (${changed.size})")
+        val changedOld = changed.keySet.count(prev.contains)
+        assert(written.size <= chunks(b).size + changedOld,
+          s"batch $b wrote ${written.size} rows > |batch| + |touched corpus ids|")
+        assert(written.size < cur.size,
+          s"batch $b rewrote the full labeling (${written.size} of ${cur.size} rows)")
+      }
+      // Overlay law: the delta fold reproduces the full quotient merge.
+      // (mergeComponentDeltas is what the stream persists; the q177
+      // batch form is the ground truth.)
+      val prevAll = spark.read.parquet(ccPath).select("id", "label")
+      val allPairs = StreamingAdmission.ccBatchPairs(spark, bandsPath, shinglesPath,
+        t1.resolve("hist").toString, newDocs.toSeq.toDF("doc_id", "text"), 0L)
+      val full = LlmPipeline.mergeComponentLabels(prevAll, allPairs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val delta = LlmPipeline.mergeComponentDeltas(prevAll, allPairs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val prevMap = prevAll.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(prevMap ++ delta == full,
+        "stored-overlaid-with-deltas != full quotient merge")
       // The fixture genuinely exercises cross-batch discovery: some
       // shard-shard near-dup pair straddles two chunks AND is co-labeled.
       val shardPairs = LlmPipeline.minhashLsh(spark, sfDir)
@@ -88,45 +132,87 @@ class CcStreamSpec extends SparkSpec {
           s"cross-chunk pair ($a,$b) not co-labeled — stream history probe failed")
       }
       // At-least-once: replay the LAST batch over the existing state
-      // (same predecessor generation, same directory) — labeling
+      // (same predecessor chain, same delta directory) — labeling
       // unchanged.
-      val labelsDir = t2.resolve("labels").toString
       StreamingAdmission.commitCcBatch(spark, bandsPath, shinglesPath,
         t2.resolve("hist").toString, labelsDir,
         chunks.last.toDF("doc_id", "text"), batchId = (chunks.size - 1).toLong)
-      val replayed = spark.read
-        .parquet(StreamingAdmission.latestLabels(labelsDir, Long.MaxValue))
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-      assert(replayed == chunked, "batch replay changed the maintained labeling")
-      // Retention (q171's VACUUM on the state axis): drop everything
-      // below the last batch's predecessor; the latest generation and
-      // the last batch's replay window survive.
-      val lastId = (chunks.size - 1).toLong
-      val dropped = StreamingAdmission.vacuumCcGenerations(labelsDir, lastId - 1)
-      assert(dropped == (-1L until (lastId - 1)).toSeq,
-        s"unexpected dropped set $dropped")
-      val afterVac = spark.read
-        .parquet(StreamingAdmission.latestLabels(labelsDir, Long.MaxValue))
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-      assert(afterVac == chunked, "vacuum touched the retained labeling")
-      // Replay of the LAST batch still converges (its predecessor was
-      // retained)…
+      assert(readLabels(labelsDir) == chunked,
+        "batch replay changed the maintained labeling")
+    } finally {
+      LlmPipeline.deleteRecursively(t1)
+      LlmPipeline.deleteRecursively(t2)
+    }
+  }
+
+  test("compactCc: snapshot+truncate preserves the labeling, folds the history index, fails closed below the snapshot") {
+    import spark.implicits._
+    val (bandsPath, shinglesPath) = LlmPipeline.ensureBandIndex(spark, sfDir)
+    val ccPath = LlmPipeline.ensureCcArtifact(spark, sfDir)
+    val newDocs = graft.sources.Tables.documents(spark, sfDir)
+      .filter("doc_id % 4 = 0").select("doc_id", "text")
+      .as[(Long, String)].collect()
+      .sortBy { case (id, _) => (id % 5, id) }
+    val chunks = newDocs.grouped(math.max(newDocs.length / 3, 1)).toSeq
+      .map(_.toSeq)
+    require(chunks.size >= 3, "fixture must yield >= 3 chunks")
+
+    // Ground truth: the whole doc set in one batch.
+    val (single, t1) = runStream(Seq(newDocs.toSeq), bandsPath, shinglesPath, ccPath)
+    // Stream the first chunks, stop, compact MID-STREAM, then admit the
+    // last chunk directly — cross-compaction pairs must be discovered
+    // through the FOLDED history artifact, and the final labeling must
+    // equal the single-batch run's.
+    val (_, t2) = runStream(chunks.init, bandsPath, shinglesPath, ccPath)
+    try {
+      val hist = t2.resolve("hist").toString
+      val labelsDir = t2.resolve("labels").toString
+      val atBatch = (chunks.size - 2).toLong // last committed batch
+      val beforeCompact = readLabels(labelsDir)
+      StreamingAdmission.compactCc(spark, hist, labelsDir, atBatch)
+      // (b) compacted-chain == full-chain labeling equality.
+      assert(readLabels(labelsDir) == beforeCompact,
+        "compaction changed the resolved labeling")
+      // Folded generations are GONE (the retention the r12 history
+      // lacked): no per-batch label deltas, band or shingle generations
+      // at or below the compaction point survive.
+      (-1L to atBatch).foreach { b =>
+        assert(!Files.exists(Paths.get(labelsDir, "delta", s"batch_id=$b")),
+          s"label delta $b survived compaction")
+        assert(!Files.exists(Paths.get(hist, "bands", s"batch_id=$b")),
+          s"band generation $b survived compaction")
+        assert(!Files.exists(Paths.get(hist, "shingles", s"batch_id=$b")),
+          s"shingle generation $b survived compaction")
+      }
+      assert(!Files.exists(Paths.get(labelsDir, "snap", "batch_id=-1")),
+        "superseded seed snapshot survived compaction")
+      assert(Files.exists(Paths.get(hist, "bands_base", s"gen=$atBatch")) &&
+        Files.exists(Paths.get(hist, "shingles_base", s"gen=$atBatch")),
+        "compaction did not write the folded history base")
+      // Idempotent re-run (crash-recovery path): no-op.
+      StreamingAdmission.compactCc(spark, hist, labelsDir, atBatch)
+      assert(readLabels(labelsDir) == beforeCompact,
+        "re-running compaction changed the labeling")
+      // Admit the held-out chunk AFTER compaction: its cross-chunk
+      // pairs resolve through the folded base, landing on the
+      // single-batch labeling exactly.
       StreamingAdmission.commitCcBatch(spark, bandsPath, shinglesPath,
-        t2.resolve("hist").toString, labelsDir,
-        chunks.last.toDF("doc_id", "text"), batchId = lastId)
-      // …while reads of dropped generations and a replay DEEPER than
-      // the retention point both fail closed, naming the earliest
-      // retained generation instead of computing from wrong state.
+        hist, labelsDir, chunks.last.toDF("doc_id", "text"),
+        batchId = (chunks.size - 1).toLong)
+      assert(readLabels(labelsDir) == single,
+        "post-compaction admission diverged from the single-batch labeling")
+      // Fail-closed below the snapshot: time-travel reads name the
+      // earliest retained generation; a too-deep replay refuses before
+      // touching state.
       val e1 = intercept[IllegalStateException] {
-        StreamingAdmission.labelsAt(spark, labelsDir, 0L)
+        StreamingAdmission.labelsAt(spark, labelsDir, atBatch - 1)
       }
-      assert(e1.getMessage.contains(s"earliest retained generation is ${lastId - 1}"))
-      val e2 = intercept[IllegalArgumentException] {
+      assert(e1.getMessage.contains(s"earliest retained generation is $atBatch"))
+      val e2 = intercept[IllegalStateException] {
         StreamingAdmission.commitCcBatch(spark, bandsPath, shinglesPath,
-          t2.resolve("hist").toString, labelsDir,
-          chunks.head.toDF("doc_id", "text"), batchId = lastId - 1)
+          hist, labelsDir, chunks.head.toDF("doc_id", "text"), batchId = atBatch)
       }
-      assert(e2.getMessage.contains("no labeling generation below"),
+      assert(e2.getMessage.contains("no labeling snapshot"),
         s"too-deep replay must refuse, got: ${e2.getMessage}")
     } finally {
       LlmPipeline.deleteRecursively(t1)
