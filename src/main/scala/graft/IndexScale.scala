@@ -255,13 +255,27 @@ object IndexScale {
     val prBig = time(noop(queries.LlmPipeline.annAdmissionCfg(spark, bigDirInc, bitsBig)))
     println(f"| q174 ANN shard admission (per-crawl) | $prBase%.1f | $prBig%.1f " +
       f"| ${prBig / prBase}%.1f | ~flat (fixed shard probes a log-n-wider stored index) |")
-    // Radius 1 for BOTH points: the radius is a constant mask-count
-    // factor orthogonal to n-scaling (see semanticDedupAnnCfg's doc).
+    // Radius 1 (unbudgeted) for cross-round comparability with the r12
+    // record: the radius is a constant mask-count factor orthogonal to
+    // n-scaling (see semanticDedupAnnCfg's doc).
     val sdBase = time(noop(queries.LlmPipeline.semanticDedupAnnCfg(
-      spark, baseDir, queries.LlmPipeline.MpBits, 1)))
-    val sdBig = time(noop(queries.LlmPipeline.semanticDedupAnnCfg(spark, bigDirInc, bitsBig, 1)))
+      spark, baseDir, queries.LlmPipeline.MpBits, 1, Long.MaxValue)))
+    val sdBig = time(noop(queries.LlmPipeline.semanticDedupAnnCfg(
+      spark, bigDirInc, bitsBig, 1, Long.MaxValue)))
     println(f"| q179 semantic dedup on ANN edges (radius 1) | $sdBase%.1f | $sdBig%.1f " +
       f"| ${sdBig / sdBase}%.1f | ~linear (bucket-bounded candidates, never n^2) |")
+    // The SHIPPED operating point (r13, VERDICT item 3): radius 2 with
+    // the Hamming-ordered per-probe candidate budget. The budget binds
+    // at this scale (~11.6k mean per-probe volume vs 8 192), capping
+    // candidate volume at n·budget; the broadcast verify keeps the
+    // candidate stream sort-free (the r12 spill is gone by design).
+    val sd2Base = time(noop(queries.LlmPipeline.semanticDedupAnnCfg(
+      spark, baseDir, queries.LlmPipeline.MpBits)))
+    val sd2Big = time(noop(queries.LlmPipeline.semanticDedupAnnCfg(
+      spark, bigDirInc, bitsBig)))
+    println(f"| q179 SHIPPED point (radius 2, budget ${queries.LlmPipeline.SemDedupProbeBudget}) " +
+      f"| $sd2Base%.1f | $sd2Big%.1f " +
+      f"| ${sd2Big / sd2Base}%.1f | ~linear (budget caps per-probe candidates) |")
 
     val bmBase = time(noop(queries.LlmPipeline.bm25Retrieval(spark, baseDir)))
     val bmBig = time(noop(queries.LlmPipeline.bm25Retrieval(spark, bigDirInc)))
@@ -295,13 +309,40 @@ object IndexScale {
       s"q174 partner counts shrank at ${replicas}x")
     println(s"q174 monotone admission at ${replicas}x (equal bits $bitsBig): " +
       s"base ${aBase.size} admitted vecs all kept, counts never shrink — holds")
-    // q179: non-degenerate at N× and the representative convention holds.
-    val sd = queries.LlmPipeline.semanticDedupAnnCfg(spark, bigDirInc, bitsBig, 1)
+    // q179: non-degenerate at N× and the representative convention
+    // holds — at the SHIPPED (radius 2, budgeted) point.
+    val sd = queries.LlmPipeline.semanticDedupAnnCfg(spark, bigDirInc, bitsBig)
     val nClusters = sd.filter(col("kept")).count()
     val nRows = sd.count()
     require(nClusters > 0 && nRows > nClusters,
       s"q179 degenerate at ${replicas}x ($nClusters clusters / $nRows rows)")
-    println(s"q179 at ${replicas}x: $nRows clustered vectors in $nClusters clusters")
+    println(s"q179 at ${replicas}x (shipped point): $nRows clustered vectors " +
+      s"in $nClusters clusters")
+    // Budget law at N×: the Hamming-ordered spend admits every
+    // radius-≤1 mask-bucket before any radius-2 one, and per-probe
+    // radius-1 volume (~1.9k mean here) sits far below the budget —
+    // so the budgeted radius-2 pair set must CONTAIN the unbudgeted
+    // radius-1 pair set. Pair sets are materialized once each
+    // (driver holds only counts).
+    val lawDir = s"/tmp/graft_idxscale_r2law_${queries.SourcesOps.sanitizedAppId(spark)}"
+    queries.LlmPipeline.deleteRecursively(java.nio.file.Paths.get(lawDir))
+    queries.LlmPipeline.multiProbeVerifiedPairs(spark, bigDirInc, bitsBig, 1, Long.MaxValue)
+      .select("id1", "id2")
+      .write.mode(SaveMode.Overwrite).parquet(s"$lawDir/r1")
+    queries.LlmPipeline.multiProbeVerifiedPairs(spark, bigDirInc, bitsBig,
+      queries.LlmPipeline.SemDedupProbeHamming, queries.LlmPipeline.SemDedupProbeBudget)
+      .select("id1", "id2")
+      .write.mode(SaveMode.Overwrite).parquet(s"$lawDir/r2")
+    val r1p = spark.read.parquet(s"$lawDir/r1")
+    val r2p = spark.read.parquet(s"$lawDir/r2")
+    val n1 = r1p.count(); val n2 = r2p.count()
+    val lost = r1p.exceptAll(r2p).count()
+    println(s"q179 budget law at ${replicas}x: radius-1 pairs $n1, budgeted radius-2 " +
+      s"pairs $n2, radius-1 pairs lost under budget: $lost")
+    require(lost == 0,
+      s"budgeted radius-2 dropped $lost radius-1 pairs — budget cut into the radius-1 prefix")
+    require(n2 >= n1, s"budgeted radius-2 found fewer pairs ($n2) than radius 1 ($n1)")
+    queries.LlmPipeline.deleteRecursively(java.nio.file.Paths.get(lawDir))
 
     ccStreamScale(spark, baseDir, bigDirInc, replicas)
   }

@@ -63,6 +63,49 @@ class AnnRecallSpec extends SparkSpec {
       "the q163 index must be strictly smaller than q160's — that's its reason to exist")
   }
 
+  test("q179 budget: provably unreachable at fixture scale, recall >= 0.8 when deliberately binding") {
+    // (1) The shipped SemDedupProbeBudget must stay unreachable at
+    // every fixture scale so the DuckDB oracles remain the exact
+    // unbudgeted SQL: per-probe candidate volume is bounded by
+    // MpTables·n (each table's probed buckets are disjoint subsets of
+    // the corpus). Pin the bound so a fixture regeneration that grows
+    // embeddings past it fails HERE, not as a silent hash drift.
+    val budget = queries.LlmPipeline.SemDedupProbeBudget
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+      .foreach { d =>
+        val n = graft.sources.Tables.embeddings(spark, d).count()
+        assert(queries.LlmPipeline.MpTables * n < budget,
+          s"fixture $d has $n vectors: L*n >= budget $budget — the shipped budget " +
+            "can now bind at fixture scale and the q179/q163 oracles are no longer exact")
+      }
+    // (2) Under a deliberately BINDING budget the Hamming-ordered
+    // spend must still hold the cluster-pair recall contract — the
+    // law the 100x IndexScale row relies on. Budget 600 < L*n = 2000
+    // here, so some probes are cut mid-prefix.
+    val full = queries.LlmPipeline.semanticDedupAnnCfg(
+      spark, dir, queries.LlmPipeline.MpBits)
+      .select("vec_id", "cluster").as[(Long, Long)].collect()
+    val capped = queries.LlmPipeline.semanticDedupAnnCfg(
+      spark, dir, queries.LlmPipeline.MpBits,
+      queries.LlmPipeline.SemDedupProbeHamming, 600L)
+      .select("vec_id", "cluster").as[(Long, Long)].collect()
+    def coPairs(rows: Array[(Long, Long)]): Set[(Long, Long)] =
+      rows.groupBy(_._2).values.flatMap { m =>
+        val ids = m.map(_._1).sorted
+        for (i <- ids.indices; j <- (i + 1) until ids.length) yield (ids(i), ids(j))
+      }.toSet
+    val fullPairs = coPairs(full)
+    val cappedPairs = coPairs(capped)
+    val recall = (cappedPairs & fullPairs).size.toDouble / fullPairs.size
+    assert(recall >= 0.8,
+      s"budgeted q179 cluster-pair recall ${(cappedPairs & fullPairs).size}/${fullPairs.size} " +
+        s"= $recall fell below 0.8 under a binding budget")
+    // Refinement survives the budget: dropping candidates can only
+    // split clusters, never invent co-membership.
+    assert(cappedPairs.subsetOf(fullPairs),
+      "a budget (which only removes edges) created co-clustered pairs the unbudgeted run lacks")
+  }
+
   test("q161 IVF at the shipped nprobe clears recall@3 >= 0.8 vs the exact top-3") {
     graft.functions.NativeFunctions.register(spark)
     val e = graft.sources.Tables.embeddings(spark, dir)
