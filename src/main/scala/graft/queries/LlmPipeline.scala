@@ -1610,6 +1610,92 @@ object LlmPipeline extends QueryPack {
     * min(struct) — no window over the full vector stream; candidate
     * generation is the cell-key equi-join.
     */
+  /** IVF codebook geometry: [[IvfCells]] k-means centroids refined for
+    * [[IvfKmeansRounds]] Lloyd rounds over INTEGER-QUANTIZED vectors.
+    * Quantization is `floor(x · 2¹⁶)` per coordinate — multiplying by a
+    * power of two only shifts the exponent, so the product and its
+    * floor are IEEE-exact and both engines quantize identically — and
+    * every training step is integer arithmetic: squared-L2 assignment
+    * (BIGINT sums, ties to the smallest cell) and centroid update by
+    * per-dimension floor division `(s − pmod(s, n)) div n` (the q151
+    * integer-exact-iteration discipline — double means would make the
+    * codebook depend on each engine's summation order). Cells that
+    * lose every member keep their previous centroid.
+    */
+  private[graft] val IvfCells = 8
+  private[graft] val IvfKmeansRounds = 3
+
+  /** Stored IVF codebook artifact (r13 — VERDICT r12 item 4: the
+    * codebook was an inline `vec_id < 8` stand-in; it is now a k-means
+    * artifact with the same `ensure*` lifecycle as the band/ANN/index
+    * artifacts). Written once by a bench-excluded prepare — in
+    * production, the nightly codebook training job — and read as a
+    * broadcast leaf by every q95/q161 probe. Init = the quantized
+    * vectors with vec_id < [[IvfCells]] (a deterministic seed both
+    * engines share); the oracle retrains the identical integer
+    * recurrence, so a stale artifact or a training drift flips hashed
+    * cells.
+    */
+  private val ivfCodebookCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.nio.file.Path]()
+
+  private[graft] def ensureIvfCodebook(spark: SparkSession, dir: String): String = {
+    evictStoppedArtifacts(ivfCodebookCache)
+    ivfCodebookCache.computeIfAbsent((spark, dir), _ => {
+      artifactShutdownHook
+      // Caches key on SparkSession identity but appId is per-CONTEXT:
+      // two sessions over one context (spark.newSession()) must not
+      // share (and race Overwrite into) one tmpdir, so the tag also
+      // carries the session identity (ADVICE r11).
+      val tag = s"${SourcesOps.sanitizedAppId(spark)}_" +
+        s"${Integer.toHexString(System.identityHashCode(spark))}_" +
+        s"${Integer.toHexString(dir.hashCode)}"
+      val path = Paths.get(sys.props("java.io.tmpdir"), s"graft_ivfcb_$tag")
+      val q = Tables.embeddings(spark, dir)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(floor(cast(x as double) * 65536.0) as bigint))")
+            .as("qd"))
+      var cents = q.filter(col("vec_id") < IvfCells)
+        .select(col("vec_id").cast("long").as("cell"), col("qd").as("qc"))
+      for (_ <- 1 to IvfKmeansRounds) {
+        // Assignment: integer squared-L2 argmin over the k broadcast
+        // centroids; lexicographic struct min makes ties deterministic.
+        val assign = q.crossJoin(broadcast(cents))
+          .withColumn("l2q",
+            expr("aggregate(zip_with(qd, qc, (x, y) -> (x - y) * (x - y)), 0L, (a, b) -> a + b)"))
+          .groupBy("vec_id")
+          .agg(min(struct(col("l2q"), col("cell"))).as("a"))
+          .select(col("vec_id"), col("a.cell").as("cell"))
+        // Update: per-(cell, dim) integer sum + floor division, then
+        // re-pack in dimension order. One shuffle of k·64 partial rows
+        // per task — the map-side-combined shape a 10^9-vector corpus
+        // needs.
+        val upd = assign.join(q, "vec_id")
+          .select(col("cell"), posexplode(col("qd")).as(Seq("pos", "v")))
+          .groupBy("cell", "pos")
+          .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+          .withColumn("cv", expr("(s - pmod(s, n)) div n"))
+          .groupBy("cell")
+          .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), e -> e.cv)")
+            .as("qcNew"))
+        // Empty cells keep their previous centroid; localCheckpoint
+        // keeps each round a leaf instead of a growing lineage.
+        cents = cents.select(col("cell"), col("qc").as("qcPrev"))
+          .join(upd, Seq("cell"), "left")
+          .select(col("cell"), coalesce(col("qcNew"), col("qcPrev")).as("qc"))
+          .localCheckpoint()
+      }
+      cents.write.mode(SaveMode.Overwrite).parquet(path.toString)
+      path
+    }).toString
+  }
+
+  /** q95/q161 setup, bench-excluded via QueryDef.prepare. */
+  private[graft] def prepareIvfAnn(spark: SparkSession, dir: String): Unit = {
+    ensureIvfCodebook(spark, dir)
+    ()
+  }
+
   def ivfAnn(spark: SparkSession, dir: String): DataFrame =
     ivfAnnCfg(spark, dir, nprobe = 2)
 
@@ -1638,28 +1724,31 @@ object LlmPipeline extends QueryPack {
 
   /** Candidate stage of [[ivfAnnCfg]]: every (probe, member) pair in the
     * probe's nprobe nearest cells, with the exact sim attached — BEFORE
-    * the top-3 ranking cut.
+    * the top-3 ranking cut. Cells come from the STORED k-means codebook
+    * ([[ensureIvfCodebook]]); cell distance uses the same integer
+    * quantized metric the training loop used (assignment consistency),
+    * while the verify sim stays the exact double cosine of the raw
+    * vectors.
     */
   private def ivfCandidates(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
     graft.functions.NativeFunctions.register(spark)
     val e = normed(spark, dir).select(col("vec_id"), col("d"), col("nrm"))
-    val cents = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cell"), col("d").as("cd"), col("nrm").as("cnrm"))
+      .withColumn("qd", expr("transform(d, x -> cast(floor(x * 65536.0) as bigint))"))
+    val cents = spark.read.parquet(ensureIvfCodebook(spark, dir))
     val dist = e.crossJoin(broadcast(cents))
-      .withColumn("l2sq",
-        col("nrm") * col("nrm") + col("cnrm") * col("cnrm")
-          - lit(2.0) * expr("dot_product(d, cd)"))
+      .withColumn("l2q",
+        expr("aggregate(zip_with(qd, qc, (x, y) -> (x - y) * (x - y)), 0L, (a, b) -> a + b)"))
     // Members: one nearest cell per vector (lexicographic struct min ⇒
     // deterministic cell tie-break); vectors re-attached by key join.
     val members = dist.groupBy("vec_id")
-      .agg(min(struct(col("l2sq"), col("cell"))).as("a"))
+      .agg(min(struct(col("l2q"), col("cell"))).as("a"))
       .select(col("vec_id").as("c_id"), col("a.cell").as("cell"))
       .join(e.select(col("vec_id").as("c_id"), col("d").as("cd2"), col("nrm").as("cnrm2")), "c_id")
     // Probes: nprobe nearest cells each (8 structs collected per probe
     // — k is small by construction, this never grows with n).
     val probes = dist.filter(col("vec_id") < 10)
       .groupBy("vec_id")
-      .agg(slice(sort_array(collect_list(struct(col("l2sq"), col("cell")))), 1, nprobe).as("cs"))
+      .agg(slice(sort_array(collect_list(struct(col("l2q"), col("cell")))), 1, nprobe).as("cs"))
       .select(col("vec_id").as("p_id"), explode(col("cs")).as("c"))
       .select(col("p_id"), col("c.cell").as("cell"))
       .join(e.select(col("vec_id").as("p_id"), col("d").as("pd"), col("nrm").as("pnrm")), "p_id")
@@ -1673,24 +1762,57 @@ object LlmPipeline extends QueryPack {
   /** DuckDB oracle for [[ivfAnnCfg]] at any nprobe (q95 is nprobe=2,
     * q161 the recall-target point): identical formulas in identical
     * operation order, with only the `crk <= nprobe` probe-cell cut
-    * parameterized.
+    * parameterized. The codebook is RETRAINED in SQL — the same
+    * quantization (`floor(x · 2¹⁶)`, IEEE-exact), the same
+    * [[IvfKmeansRounds]] unrolled Lloyd rounds in pure BIGINT
+    * arithmetic (sums cast down from DuckDB's HUGEINT accumulator;
+    * floor division via the shared `s − pmod(s, n)` form — DuckDB's
+    * `//` truncates toward zero, so the pmod subtraction makes the
+    * exact-division result identical to Spark's `div`), the same
+    * empty-cell carry — so the oracle independently reproduces the
+    * stored artifact bit-for-bit before ranking against it.
     */
-  private[graft] def ivfAnnCfgSql(nprobe: Int): String =
+  private[graft] def ivfAnnCfgSql(nprobe: Int): String = {
+    val rounds = (1 to IvfKmeansRounds).map { r =>
+      s"""d$r AS (
+      |  SELECT q.vec_id, c.cell,
+      |    CAST(list_sum([(q.qd[i] - c.qc[i]) * (q.qd[i] - c.qc[i]) for i in range(1, 65)]) AS BIGINT) AS l2q
+      |  FROM q CROSS JOIN c${r - 1} c),
+      |a$r AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY l2q, cell) AS rk
+      |    FROM d$r) WHERE rk = 1),
+      |s$r AS (
+      |  SELECT a$r.cell, t.i AS pos, CAST(sum(q.qd[t.i]) AS BIGINT) AS s, count(*) AS n
+      |  FROM a$r JOIN q USING (vec_id) CROSS JOIN range(1, 65) t(i)
+      |  GROUP BY a$r.cell, t.i),
+      |u$r AS (
+      |  SELECT cell,
+      |    list(CAST((s - ((s % n + n) % n)) // n AS BIGINT) ORDER BY pos) AS qc
+      |  FROM s$r GROUP BY cell),
+      |c$r AS (
+      |  SELECT c${r - 1}.cell, coalesce(u$r.qc, c${r - 1}.qc) AS qc
+      |  FROM c${r - 1} LEFT JOIN u$r USING (cell))""".stripMargin
+    }.mkString(",\n")
     s"""WITH n AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d
       |  FROM embeddings),
       |n2 AS (
       |  SELECT vec_id, d, sqrt(list_sum(list_transform(d, x -> x * x))) AS nrm FROM n),
-      |cents AS (
-      |  SELECT vec_id AS cell, d AS cd, nrm AS cnrm FROM n2 WHERE vec_id < 8),
+      |q AS (
+      |  SELECT vec_id,
+      |    list_transform(d, x -> CAST(floor(x * 65536.0) AS BIGINT)) AS qd
+      |  FROM n),
+      |c0 AS (SELECT CAST(vec_id AS BIGINT) AS cell, qd AS qc FROM q WHERE vec_id < $IvfCells),
+      |$rounds,
       |dist AS (
-      |  SELECT v.vec_id, c.cell,
-      |    v.nrm * v.nrm + c.cnrm * c.cnrm
-      |      - 2 * list_sum([v.d[i] * c.cd[i] for i in range(1, 65)]) AS l2sq
-      |  FROM n2 v CROSS JOIN cents c),
+      |  SELECT q.vec_id, c.cell,
+      |    CAST(list_sum([(q.qd[i] - c.qc[i]) * (q.qd[i] - c.qc[i]) for i in range(1, 65)]) AS BIGINT) AS l2q
+      |  FROM q CROSS JOIN c$IvfKmeansRounds c),
       |ranked_cells AS (
-      |  SELECT vec_id, cell, l2sq,
-      |    row_number() OVER (PARTITION BY vec_id ORDER BY l2sq, cell) AS crk
+      |  SELECT vec_id, cell, l2q,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY l2q, cell) AS crk
       |  FROM dist),
       |members AS (
       |  SELECT r.vec_id AS c_id, r.cell, v.d AS cd2, v.nrm AS cnrm2
@@ -1711,6 +1833,7 @@ object LlmPipeline extends QueryPack {
       |SELECT p_id, rk, c_id, cell, round(sim, 4) + 0 AS sim_r
       |FROM ranked WHERE rk <= 3
       |ORDER BY p_id, rk""".stripMargin
+  }
 
   /** q161 operating point — chosen from the committed RecallCurve nprobe
     * sweep at sf0.1 (BASELINE.md): the smallest nprobe whose measured
@@ -4055,7 +4178,8 @@ object LlmPipeline extends QueryPack {
     QueryDef("q88_rolling_fingerprint", rollingFingerprint, Some(rollingFingerprintSql)),
     QueryDef("q92_bucketed_neardup", bucketedNearDup, Some(bucketedNearDupSql)),
     QueryDef("q93_tfidf", tfidf, Some(tfidfSql)),
-    QueryDef("q95_ivf_ann", ivfAnn, Some(ivfAnnSql)),
+    QueryDef("q95_ivf_ann", ivfAnn, Some(ivfAnnSql),
+      prepare = Some(prepareIvfAnn)),
     QueryDef("q96_curation_pipeline", curationPipeline, Some(curationPipelineSql)),
     QueryDef("q97_multitable_neardup", multiTableNearDup, Some(multiTableNearDupSql)),
     QueryDef("q100_decontaminate", decontaminate, Some(decontaminateSql)),
@@ -4087,7 +4211,8 @@ object LlmPipeline extends QueryPack {
     QueryDef("q153_negative_sampling", negativeSampling, Some(negativeSamplingSql)),
     QueryDef("q155_vocab_encode", vocabEncode, Some(vocabEncodeSql)),
     QueryDef("q160_recall_target_neardup", recallTargetNearDup, Some(recallTargetNearDupSql)),
-    QueryDef("q161_ivf_recall_ann", ivfRecallAnn, Some(ivfRecallAnnSql)),
+    QueryDef("q161_ivf_recall_ann", ivfRecallAnn, Some(ivfRecallAnnSql),
+      prepare = Some(prepareIvfAnn)),
     QueryDef("q163_multiprobe_neardup", multiProbeNearDup, Some(multiProbeNearDupSql)),
     QueryDef("q174_ann_admission", annAdmission, Some(annAdmissionSql),
       prepare = Some(prepareAnnAdmission _)),
