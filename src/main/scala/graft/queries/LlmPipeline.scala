@@ -3626,9 +3626,25 @@ object LlmPipeline extends QueryPack {
     * only shuffles are batch-pruned aggregates; top-10 per query is a
     * 3-partition window over ≤ |corpus| pruned rows.
     */
-  def bm25Retrieval(spark: SparkSession, dir: String): DataFrame = {
+  def bm25Retrieval(spark: SparkSession, dir: String): DataFrame =
+    bm25Against(spark, dir,
+      spark.read.parquet(ensureIndexArtifact(spark, dir)),
+      col("doc_id") % 4 =!= 0)
+
+  /** BM25 scoring core, parameterized by the index relation supplying
+    * (token, df) — the stored corpus artifact for q181, the q168
+    * POST-MERGE index for the read-side closure law — and by the doc
+    * population it ranks (which must be the population the index
+    * describes). LlmPipelineSpec asserts that retrieval against the
+    * maintained merged index equals retrieval against a from-scratch
+    * rebuild — the read-side completion of q168's merge == rebuild
+    * contract: maintaining the artifact preserves not just its rows
+    * but every ranking computed from it.
+    */
+  private[graft] def bm25Against(
+      spark: SparkSession, dir: String, idx: DataFrame,
+      pop: org.apache.spark.sql.Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val idx = spark.read.parquet(ensureIndexArtifact(spark, dir))
     // Parallel top-k (TakeOrderedAndProject) first — a partitionless
     // window here would funnel the whole corpus vocabulary through one
     // task; the rank window then runs over exactly 6 rows.
@@ -3640,12 +3656,12 @@ object LlmPipeline extends QueryPack {
       .withColumn("query_id", (((col("r") - 1) % 3) + 1).cast("int"))
       .select("query_id", "token", "df")
     val toks = Tables.documents(spark, dir)
-      .filter(col("doc_id") % 4 =!= 0)
+      .filter(pop)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .filter(col("token") =!= "")
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val stats = Tables.documents(spark, dir)
-      .filter(col("doc_id") % 4 =!= 0)
+      .filter(pop)
       .agg(count(lit(1)).as("nd"))
       .crossJoin(dl.agg(sum(col("dl")).as("toktot"), count(lit(1)).as("ndl")))
       .select(col("nd"),

@@ -291,6 +291,28 @@ class LlmPipelineSpec extends SparkSpec {
     assert(got.map(_._1).distinct.size == 3)
   }
 
+  test("q181/q168: BM25 against the MERGED index equals BM25 against a full rebuild (read-side merge==rebuild)") {
+    // The read-side closure of q168's maintenance contract (VERDICT r12
+    // item 5): merge == rebuild is already hash-verified on the index
+    // ROWS; this law closes it over the index's CONSUMER — the same
+    // query batch ranked against the maintained post-merge artifact and
+    // against a from-scratch full-corpus index must return identical
+    // rankings. (df drives both term selection and the IDF term, so a
+    // merge that drifted df by even 1 on a head term would reorder.)
+    val mergedIdx = LlmPipeline.incrementalIndexMerge(spark, sfDir)
+      .select("token", "df")
+    val rebuiltIdx = LlmPipeline.invertedIndex(spark, sfDir)
+      .select("token", "df")
+    val viaMerged = LlmPipeline.bm25Against(spark, sfDir, mergedIdx, lit(true))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val viaRebuilt = LlmPipeline.bm25Against(spark, sfDir, rebuiltIdx, lit(true))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(viaMerged.nonEmpty && viaMerged.length == 30,
+      s"degenerate retrieval (${viaMerged.length} rows)")
+    assert(viaMerged.sameElements(viaRebuilt),
+      "retrieval against the merged index diverged from the full rebuild")
+  }
+
   test("q127: representatives are maximal members of their clusters, one per cluster") {
     val clusters = LlmPipeline.dedupClusters(spark, sfDir).cache()
     val reps = LlmPipeline.clusterRepresentatives(spark, sfDir).cache()
