@@ -82,7 +82,8 @@ object ChangelogScale {
       "q175_session_define_motifs" -> queries.Sessions.sessionDefineMotifs _,
       "q180_session_skip_motifs" -> queries.Sessions.sessionSkipMotifs _,
       "q182_sketch_maintenance" -> queries.Aggregates.sketchMaintenance _,
-      "q183_quantile_maintenance" -> queries.Aggregates.quantileMaintenance _)
+      "q183_quantile_maintenance" -> queries.Aggregates.quantileMaintenance _,
+      "q184_freq_sketch_maintenance" -> queries.Aggregates.freqSketchMaintenance _)
 
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         dir: String): Double = {
@@ -220,6 +221,90 @@ object ChangelogScale {
     }
     require(klq.forall(r => r.getBoolean(5) && r.getBoolean(6)),
       s"q183 KLL contract cells flipped at ${replicas}x")
+    // q184: disjoint-user replicas copy each base user's event multiset
+    // onto N fresh ids, so per-user counts are UNCHANGED while n grows
+    // N× — at N ≥ 8 the base maximum count exists on ≥ N users and the
+    // exact top-8 must be eight ties at exactly that count. The CM
+    // contract cells must hold with N× the collision mass in every
+    // cell (the deep-counter regime the fixture cannot reach), and the
+    // never-underestimate/bit-identity theorems are load-bearing there.
+    val cmBig = queries.Aggregates.freqSketchMaintenance(spark, bigDir).collect()
+    val cmBase = queries.Aggregates.freqSketchMaintenance(spark, baseDir).collect()
+    require(cmBig.head.getLong(2) == replicas * cmBase.head.getLong(2),
+      s"q184 n_events not exactly ${replicas}x base")
+    if (replicas >= 8) {
+      val baseTop = cmBase.head.getLong(1)
+      require(cmBig.forall(_.getLong(1) == baseTop),
+        s"q184 top-8 at ${replicas}x not all at the base top count $baseTop: " +
+          cmBig.map(_.getLong(1)).mkString(","))
+    }
+    require(cmBig.forall(r => r.getBoolean(3) && r.getBoolean(4) && r.getBoolean(5)),
+      s"q184 CM contract cells flipped at ${replicas}x")
+    // --- q185: theta set algebra on an N× lineitem corpus ----------------
+    // Its own replica corpus (lineitem, not events): l_partkey offsets
+    // are disjoint per replica while timestamps are copied verbatim, so
+    // every exact set cardinality (per-year, intersection, difference,
+    // union) must scale EXACTLY N×. At N× the sketches are in deep
+    // estimation mode (≈ 2M keys/year vs k = 4096 retained), where the
+    // fixture-calibrated ±2 % point cells are no longer the honest
+    // claim — the scale law is that the TRUTH stays inside each
+    // sketch's OWN [lb(3σ), ub(3σ)] interval, which widens with depth
+    // automatically (theta_bounds / theta_intersect_bounds /
+    // theta_anotb_bounds). Fixture-cell values at N× are printed for
+    // the record, not required.
+    val liDir = s"$bigDir/li_corpus"
+    val liBase = graft.sources.Tables.lineitem(spark, baseDir)
+    liBase
+      .crossJoin(spark.range(replicas).select(col("id").as("rep")))
+      .select(liBase.columns.map {
+        case "l_partkey" => (col("l_partkey") + col("rep") * 100000000L).as("l_partkey")
+        case c => col(c)
+      }: _*)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode(SaveMode.Overwrite).parquet(s"$liDir/lineitem.parquet")
+    def timeQ185(dir: String): Double = {
+      val t0 = System.nanoTime()
+      queries.Aggregates.setSketchMaintenance(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val t185Base = timeQ185(baseDir)
+    val t185Big = timeQ185(liDir)
+    println(f"| q185_set_sketch_maintenance | $t185Base%.1f | $t185Big%.1f " +
+      f"| ${t185Big / t185Base}%.1f |")
+    val exBig = queries.Aggregates.thetaYearExact(spark, liDir).head()
+    val exBase = queries.Aggregates.thetaYearExact(spark, baseDir).head()
+    (0 to 4).foreach { i =>
+      require(exBig.getLong(i) == replicas * exBase.getLong(i),
+        s"q185 exact field $i not exactly ${replicas}x: " +
+          s"${exBig.getLong(i)} vs $replicas x ${exBase.getLong(i)}")
+    }
+    val skRow = queries.Aggregates.thetaYearSketches(spark, liDir)
+      .select(
+        expr("theta_bounds(ska)").as("ba"), expr("theta_bounds(skb)").as("bb"),
+        expr("theta_intersect_bounds(ska, skb)").as("bi"),
+        expr("theta_anotb_bounds(ska, skb)").as("bd"),
+        expr("theta_bounds(mu)").as("bu")).head()
+    def inBounds(b: Seq[Double], exact: Long): Boolean =
+      exact >= b(0) && exact <= b(2)
+    val boundsOk = Seq(
+      ("a", skRow.getSeq[Double](0), exBig.getLong(0)),
+      ("b", skRow.getSeq[Double](1), exBig.getLong(1)),
+      ("inter", skRow.getSeq[Double](2), exBig.getLong(2)),
+      ("diff", skRow.getSeq[Double](3), exBig.getLong(3)),
+      ("union", skRow.getSeq[Double](4), exBig.getLong(4)))
+    boundsOk.foreach { case (name, b, exact) =>
+      println(f"q185 $name at ${replicas}x: exact=$exact est=${b(1)}%.1f " +
+        f"bounds=[${b(0)}%.1f, ${b(2)}%.1f] relerr=${math.abs(b(1) - exact) / math.max(1L, exact)}%.4f")
+      require(inBounds(b, exact),
+        s"q185 $name truth $exact outside the sketch's own 3-sigma bounds " +
+          s"[${b(0)}, ${b(2)}] at ${replicas}x")
+    }
+    val cells185 = queries.Aggregates.setSketchMaintenance(spark, liDir).head()
+    println(s"q185 fixture-calibrated cells at ${replicas}x (recorded, not required): " +
+      s"ab=${cells185.getBoolean(7)} inter=${cells185.getBoolean(8)} " +
+      s"diff=${cells185.getBoolean(9)} union=${cells185.getBoolean(10)}")
+
     println(s"window-family invariants: q41 rows ${replicas}x, q62 sessions ${replicas}x, " +
       s"q139 matrix cell-exact ${replicas}x, q166 users+motifs ${replicas}x, " +
       s"q167 sessions+motifs ${replicas}x, q173 sessions+classes ${replicas}x, " +

@@ -212,5 +212,69 @@ object NativeFunctions {
         KllSketchQuantile(e.head, e(1))
       },
       "scala_udf")
+    // Count-min frequency-sketch family (q184) — see functions/CountMin.scala.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cm_sketch_agg",
+      exprs => {
+        val e = arity("cm_sketch_agg", exprs, 4)
+        CmSketchAgg(e.head, intLiteralArg("cm_sketch_agg", e, 1),
+          intLiteralArg("cm_sketch_agg", e, 2), intLiteralArg("cm_sketch_agg", e, 3))
+      },
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cm_union_agg",
+      exprs => CmUnionAgg(arity("cm_union_agg", exprs, 1).head),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cm_estimate",
+      exprs => {
+        val e = arity("cm_estimate", exprs, 2)
+        CmEstimate(e.head, e(1))
+      },
+      "scala_udf")
+    // Theta set-algebra sketch family (q185) — see functions/ThetaSketch.scala.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "theta_sketch_agg",
+      exprs => {
+        val e = arity("theta_sketch_agg", exprs, 2)
+        ThetaSketchAgg(e.head, intLiteralArg("theta_sketch_agg", e, 1))
+      },
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "theta_union_agg",
+      exprs => {
+        val e = arity("theta_union_agg", exprs, 2)
+        ThetaUnionAgg(e.head, intLiteralArg("theta_union_agg", e, 1))
+      },
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "theta_estimate",
+      exprs => ThetaEstimate(arity("theta_estimate", exprs, 1).head),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "theta_intersect_estimate",
+      exprs => {
+        val e = arity("theta_intersect_estimate", exprs, 2)
+        ThetaIntersectEstimate(e.head, e(1))
+      },
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "theta_bounds",
+      exprs => ThetaBounds(arity("theta_bounds", exprs, 1).head),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "theta_intersect_bounds",
+      exprs => {
+        val e = arity("theta_intersect_bounds", exprs, 2)
+        ThetaIntersectBounds(e.head, e(1))
+      },
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "theta_anotb_bounds",
+      exprs => {
+        val e = arity("theta_anotb_bounds", exprs, 2)
+        ThetaAnotbBounds(e.head, e(1))
+      },
+      "scala_udf")
   }
 }

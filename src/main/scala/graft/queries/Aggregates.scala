@@ -643,7 +643,174 @@ object Aggregates extends QueryPack {
       |FROM pt, g
       |ORDER BY event_type""".stripMargin
 
+  /** Mergeable-FREQUENCY maintenance (q184 — the point-frequency member
+    * of the sketch-maintenance plane, beside q182's HLL distinct counts
+    * and q183's KLL quantiles): per-key event counts at 100 TB via
+    * per-shard count-min sketches (`cm_sketch_agg`, depth 7 × width 400,
+    * fixed seed — functions/CountMin.scala) built once, merged late
+    * (`cm_union_agg`), point-queried for the hot keys (`cm_estimate`).
+    *
+    * CM is the strongest-contract member of the plane, so the cells are
+    * sharper than q182/q183's statistical bands:
+    *   - `shardings_identical`: the merged sketches from two UNRELATED
+    *     shardings (by event_type; by user_id % 13) give BIT-IDENTICAL
+    *     estimates — merge is cell-wise counter addition, which commutes
+    *     exactly (the law HLL's HIP estimator and KLL's randomized
+    *     compaction made impossible to claim).
+    *   - `never_underestimates`: est ≥ exact, a theorem (min over rows
+    *     of count-plus-nonnegative-collision-mass).
+    *   - `within_eps_n`: est ≤ exact + ⌈ε·n⌉ with ε = 2/width = 0.005 —
+    *     probabilistic per key (confidence 1 − 2⁻⁷) but deterministic
+    *     given data + seed (probed: max overestimate 46 vs ε·n = 75 at
+    *     sf0.01), so a passing cell stays passing.
+    * Exact top-8 keys and counts (total order: count desc, user_id) are
+    * cross-checked against the oracle; sketch bytes never cross the
+    * engine boundary.
+    *
+    * Scale shape: two group-sketch aggregates with constant ~22 KB
+    * state per group and map-side partials, two single-row unions, one
+    * exact top-k pass for the contract audit, 1-row broadcasts — the
+    * q182/q183 shape.
+    */
+  def freqSketchMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeFunctions.register(spark)
+    val ev = Tables.events(spark, dir)
+    def mergedVia(shards: DataFrame): DataFrame = shards
+      .agg(expr("cm_union_agg(sk)").as("m"))
+    val mA = mergedVia(ev.groupBy("event_type")
+      .agg(expr("cm_sketch_agg(user_id, 7, 400, 42)").as("sk")))
+      .select(col("m").as("ma"))
+    val mB = mergedVia(ev.groupBy(pmod(col("user_id"), lit(13)))
+      .agg(expr("cm_sketch_agg(user_id, 7, 400, 42)").as("sk")))
+      .select(col("m").as("mb"))
+    val n = ev.agg(count(lit(1)).as("n_events"))
+    val top = ev.groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("user_id").asc).limit(8)
+    val estA = expr("cm_estimate(ma, user_id)")
+    top
+      .crossJoin(broadcast(n))
+      .crossJoin(broadcast(mA))
+      .crossJoin(broadcast(mB))
+      .select(
+        col("user_id"), col("exact_cnt"), col("n_events"),
+        (estA === expr("cm_estimate(mb, user_id)")).as("shardings_identical"),
+        (estA >= col("exact_cnt")).as("never_underestimates"),
+        (estA <= col("exact_cnt") +
+          ceil(col("n_events") * lit(2.0 / 400)).cast("long")).as("within_eps_n"))
+      .orderBy(col("exact_cnt").desc, col("user_id").asc)
+  }
+
+  private val freqSketchMaintenanceSql =
+    """WITH n AS (SELECT count(*) AS n_events FROM events),
+      |t AS (
+      |  SELECT user_id, count(*) AS exact_cnt FROM events
+      |  GROUP BY 1 ORDER BY exact_cnt DESC, user_id LIMIT 8)
+      |SELECT user_id, exact_cnt, n_events,
+      |  TRUE AS shardings_identical, TRUE AS never_underestimates,
+      |  TRUE AS within_eps_n
+      |FROM t, n
+      |ORDER BY exact_cnt DESC, user_id""".stripMargin
+
+  /** Mergeable SET-ALGEBRA maintenance (q185 — the member of the
+    * sketch-maintenance plane HLL fundamentally cannot provide): theta
+    * sketches (functions/ThetaSketch.scala) are uniform hash-samples of
+    * the key set, so merged per-shard sketches answer INTERSECTION and
+    * DIFFERENCE — audience overlap across 100-TB partitions without a
+    * distinct-join. Parts shipped in 1995 vs 1996: per-(year, partkey%7
+    * shard) sketches (`theta_sketch_agg`, k = 4096) merged late per
+    * year (`theta_union_agg`), then read as |A|, |B|, |A∩B|, |A∖B|,
+    * |A∪B| against the exact answers.
+    *
+    * Contract cells: the per-set, intersection, and union estimates
+    * land within ±2 % of exact (`ab_in_bounds` / `inter_in_bounds` /
+    * `union_in_bounds` — rse ≈ 1/√k ≈ 1.56 % in estimation mode at
+    * sf0.1, measured 0.06–0.25 %; EXACT mode below k retained, so
+    * equality at the smaller SFs), and the exact difference lands
+    * inside the AnotB sketch's own [lb(3σ), ub(3σ)] interval
+    * (`diff_in_bounds` — the difference of near-equal sets is the
+    * high-relative-error read, measured ~15 % point error at the
+    * fixture's 239-of-19.7k difference, so the contract bounds the
+    * truth with the sketch's interval, not a naked point). All
+    * estimates are deterministic (fixed-seed hashing) and SHARDING-
+    * INDEPENDENT (union retains the global k smallest hashes — the
+    * MinKLongs argument; probed bit-equal across %7/%13 shardings), so
+    * the cells are stable booleans, not statistical coin flips.
+    */
+  /** The q185 sketch side, exposed for the scale harness: one row of
+    * (ska, skb, mu) — per-year merged sketches and their union — built
+    * by the per-(year, shard) → per-year fold.
+    */
+  private[graft] def thetaYearSketches(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeFunctions.register(spark)
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), year(col("l_shipdate")).as("y"))
+      .filter(col("y").isin(1995, 1996))
+    val perYear = li
+      .groupBy(col("y"), pmod(col("l_partkey"), lit(7)))
+      .agg(expr("theta_sketch_agg(l_partkey, 4096)").as("sk"))
+      .groupBy("y").agg(expr("theta_union_agg(sk, 4096)").as("m"))
+    val pair = perYear.agg(
+      first(when(col("y") === 1995, col("m")), ignoreNulls = true).as("ska"),
+      first(when(col("y") === 1996, col("m")), ignoreNulls = true).as("skb"))
+    val both = perYear.agg(expr("theta_union_agg(m, 4096)").as("mu"))
+    pair.crossJoin(broadcast(both))
+  }
+
+  /** The q185 exact side, exposed for the scale harness: one row of
+    * exact |A| / |B| / |A∩B| / |A∖B| / |A∪B| over 1995/1996 partkeys.
+    */
+  private[graft] def thetaYearExact(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), year(col("l_shipdate")).as("y"))
+      .filter(col("y").isin(1995, 1996))
+    li.groupBy("l_partkey").agg(
+      max(when(col("y") === 1995, 1).otherwise(0)).as("ina"),
+      max(when(col("y") === 1996, 1).otherwise(0)).as("inb"))
+      .agg(
+        sum("ina").as("exact_a"), sum("inb").as("exact_b"),
+        sum(col("ina") * col("inb")).as("exact_inter"),
+        sum(col("ina") * (lit(1) - col("inb"))).as("exact_diff"),
+        count(lit(1)).as("exact_union"))
+  }
+
+  def setSketchMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    val band = lit(0.02)
+    val db = expr("theta_anotb_bounds(ska, skb)")
+    thetaYearExact(spark, dir)
+      .crossJoin(broadcast(thetaYearSketches(spark, dir)))
+      .select(
+        lit(1995).as("year_a"), lit(1996).as("year_b"),
+        col("exact_a"), col("exact_b"), col("exact_inter"),
+        col("exact_diff"), col("exact_union"),
+        (abs(expr("theta_estimate(ska)") - col("exact_a")) <= band * col("exact_a") &&
+          abs(expr("theta_estimate(skb)") - col("exact_b")) <= band * col("exact_b"))
+          .as("ab_in_bounds"),
+        (abs(expr("theta_intersect_estimate(ska, skb)") - col("exact_inter")) <=
+          band * col("exact_inter")).as("inter_in_bounds"),
+        (col("exact_diff") >= db.getItem(0) && col("exact_diff") <= db.getItem(2))
+          .as("diff_in_bounds"),
+        (abs(expr("theta_estimate(mu)") - col("exact_union")) <=
+          band * col("exact_union")).as("union_in_bounds"))
+  }
+
+  private val setSketchMaintenanceSql =
+    """WITH f AS (
+      |  SELECT l_partkey,
+      |    max(CASE WHEN year(l_shipdate) = 1995 THEN 1 ELSE 0 END) AS ina,
+      |    max(CASE WHEN year(l_shipdate) = 1996 THEN 1 ELSE 0 END) AS inb
+      |  FROM lineitem WHERE year(l_shipdate) IN (1995, 1996) GROUP BY 1)
+      |SELECT 1995 AS year_a, 1996 AS year_b,
+      |  CAST(sum(ina) AS BIGINT) AS exact_a, CAST(sum(inb) AS BIGINT) AS exact_b,
+      |  CAST(sum(ina * inb) AS BIGINT) AS exact_inter,
+      |  CAST(sum(ina * (1 - inb)) AS BIGINT) AS exact_diff,
+      |  CAST(count(*) AS BIGINT) AS exact_union,
+      |  TRUE AS ab_in_bounds, TRUE AS inter_in_bounds,
+      |  TRUE AS diff_in_bounds, TRUE AS union_in_bounds
+      |FROM f""".stripMargin
+
   override def all: Seq[QueryDef] = Seq(
+    QueryDef("q185_set_sketch_maintenance", setSketchMaintenance, Some(setSketchMaintenanceSql)),
+    QueryDef("q184_freq_sketch_maintenance", freqSketchMaintenance, Some(freqSketchMaintenanceSql)),
     QueryDef("q183_quantile_maintenance", quantileMaintenance, Some(quantileMaintenanceSql)),
     QueryDef("q182_sketch_maintenance", sketchMaintenance, Some(sketchMaintenanceSql)),
     QueryDef("q30_distinct_aggs", distinctAggs, Some(distinctAggsSql)),

@@ -172,4 +172,92 @@ class AggregatesSpec extends SparkSpec {
     assert(rows.forall(r => r.getBoolean(5) && r.getBoolean(6)),
       "q183 contract cells flipped")
   }
+
+  test("q184: merged CM sketches are BIT-IDENTICAL under every sharding and never underestimate any key") {
+    import graft.queries.Aggregates
+    import graft.sources.Tables
+    import org.apache.spark.sql.functions._
+    graft.functions.NativeFunctions.register(spark)
+    val ev = Tables.events(spark, sfDir)
+    // Cell-wise counter addition commutes exactly: the merged sketch
+    // from EVERY sharding width must estimate bit-equal to the direct
+    // single-sketch build — the law q182/q183 could only band.
+    def estimates(width: Int): Map[Long, Long] = {
+      val m = ev.groupBy(pmod(col("user_id"), lit(width)))
+        .agg(expr("cm_sketch_agg(user_id, 7, 400, 42)").as("sk"))
+        .agg(expr("cm_union_agg(sk)").as("m"))
+      ev.select(col("user_id")).distinct()
+        .crossJoin(broadcast(m))
+        .select(col("user_id"), expr("cm_estimate(m, user_id)").as("est"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val direct = ev.agg(expr("cm_sketch_agg(user_id, 7, 400, 42)").as("m"))
+    val directEst = ev.select(col("user_id")).distinct()
+      .crossJoin(broadcast(direct))
+      .select(col("user_id"), expr("cm_estimate(m, user_id)").as("est"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Seq(1, 2, 7, 13, 31).foreach { w =>
+      assert(estimates(w) == directEst,
+        s"$w-shard merged CM estimates differ from the direct build — merge is not cell-wise")
+    }
+    // Never-underestimate is a theorem — assert it for EVERY key, not
+    // just the hot ones the query emits.
+    val exact = ev.groupBy("user_id").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, c) =>
+      assert(directEst(k) >= c, s"CM underestimated key $k: ${directEst(k)} < $c")
+    }
+    // The query's own contract cells hold (within_eps_n included —
+    // deterministic given data + seed, so this pin is stable).
+    val rows = Aggregates.freqSketchMaintenance(spark, sfDir).collect()
+    assert(rows.length == 8)
+    assert(rows.forall(r => r.getBoolean(3) && r.getBoolean(4) && r.getBoolean(5)),
+      "q184 contract cells flipped")
+  }
+
+  test("q185: merged theta sketches are sharding-independent, exact below k, and in-band in estimation mode") {
+    import graft.queries.Aggregates
+    import graft.sources.Tables
+    import org.apache.spark.sql.functions._
+    graft.functions.NativeFunctions.register(spark)
+    val parts = Tables.lineitem(spark, sfDir).select(col("l_partkey"))
+    val exact = parts.distinct().count()
+    // Sharding-independence: union keeps the global k smallest hashes
+    // (the MinKLongs argument), so every sharding width lands on the
+    // identical merged sketch estimate.
+    def merged(width: Int): Double = parts
+      .groupBy(pmod(col("l_partkey"), lit(width)))
+      .agg(expr("theta_sketch_agg(l_partkey, 4096)").as("sk"))
+      .agg(expr("theta_union_agg(sk, 4096)").as("m"))
+      .select(expr("theta_estimate(m)")).head().getDouble(0)
+    val ests = Seq(1, 2, 7, 13, 31).map(merged)
+    assert(ests.distinct.size == 1,
+      s"theta merged estimates differ across shardings: $ests")
+    // Below k retained entries the sketch is EXACT (theta = 1).
+    assert(ests.head == exact.toDouble,
+      s"theta in exact mode estimated ${ests.head}, exact $exact")
+    // Estimation mode: replicate the key set with disjoint offsets to
+    // exceed k, then the estimate must land within the published
+    // ~3/sqrt(k) band (3 sigma ~ 4.7% at k = 4096) and stay
+    // sharding-independent there too.
+    val big = parts.crossJoin(spark.range(40).select(col("id").as("rep")))
+      .select((col("l_partkey") + col("rep") * 1000000L).as("k"))
+    val bigExact = 40L * exact
+    def mergedBig(width: Int): Double = big
+      .groupBy(pmod(col("k"), lit(width)))
+      .agg(expr("theta_sketch_agg(k, 4096)").as("sk"))
+      .agg(expr("theta_union_agg(sk, 4096)").as("m"))
+      .select(expr("theta_estimate(m)")).head().getDouble(0)
+    val bigEsts = Seq(1, 7, 13).map(mergedBig)
+    assert(bigEsts.distinct.size == 1,
+      s"estimation-mode theta estimates differ across shardings: $bigEsts")
+    assert(math.abs(bigEsts.head - bigExact) <= 0.047 * bigExact,
+      s"estimation-mode estimate ${bigEsts.head} outside 4.7% of $bigExact")
+    // The query's own contract cells hold.
+    val row = Aggregates.setSketchMaintenance(spark, sfDir).head()
+    assert(row.getBoolean(7) && row.getBoolean(8) && row.getBoolean(9) && row.getBoolean(10),
+      s"q185 contract cells flipped: $row")
+    assert(row.getLong(2) > 0 && row.getLong(4) > 0 && row.getLong(5) > 0,
+      "q185 degenerate: empty year set, intersection, or difference")
+  }
 }
