@@ -172,6 +172,14 @@ object NativeFunctions {
       "zorder2",
       exprs => { val e = arity("zorder2", exprs, 2); ZOrder2(e.head, e(1)) },
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "zorderk",
+      exprs => {
+        require(exprs.length >= 2 && exprs.length <= 6,
+          s"zorderk expects 2..6 arguments, got ${exprs.length}")
+        ZOrderK(exprs)
+      },
+      "scala_udf")
     // Spark's own Bloom-filter expressions (used by the q99 runtime
     // rewrite) are registry-internal — not resolvable from expr(). For
     // operators that build a Bloom filter EXPLICITLY (q145: eval-set

@@ -545,7 +545,101 @@ object SourcesOps extends QueryPack {
        |FROM tiled GROUP BY file_id ORDER BY file_id""".stripMargin
   }
 
+  /** k-dimensional z-order clustering layout (q186 — the r12 verdict's
+    * "z-order is 2-dimensional only" note closed): the q146 operator
+    * generalized to THREE clustering dimensions over lineitem
+    * (part, supplier, ship date) via the native `zorderk` kernel
+    * (functions/ZOrder.scala — round-robin bit interleave, d ≤ 6, the
+    * d = 2 case bit-identical to `zorder2` and spec-pinned so the
+    * kernels cannot drift). Same normalize-from-stats prepass, same
+    * q137/q146 scalable ntile (radix split on the top 3 of the 48
+    * z-bits — one parallel hash-partitioned window, never a
+    * single-partition global NTILE), 16 "files", and the output is the
+    * file-skipping index: per-file min/max on ALL THREE dimensions,
+    * so a predicate on ANY of the three prunes files from footer
+    * stats alone. The oracle reproduces the interleave with 48
+    * unrolled shift/mask terms — integer-exact cross-engine.
+    *
+    * Why it matters at 100 TB: ZORDER BY lists in real lakehouse
+    * tables are 2–4 columns; the k-dim kernel is the write-side
+    * operator for those, and its documented ⌊63/d⌋-bit budget is the
+    * precision trade that explains why z-ordering degrades past a
+    * handful of columns rather than being free breadth.
+    */
+  def zorderKLayout(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeFunctions.register(spark)
+    val withDay = Tables.lineitem(spark, dir)
+      .withColumn("dd", expr(
+        "cast(datediff(to_date(l_shipdate), date'1995-01-01') as bigint)"))
+    val stats = withDay.agg(
+      max(col("l_partkey")).as("max_pk"), max(col("l_suppkey")).as("max_sk"),
+      max(col("dd")).as("max_dd"))
+    val z = withDay.crossJoin(broadcast(stats))
+      .withColumn("xd", expr("(l_partkey * 65535) div max_pk"))
+      .withColumn("yd", expr("(l_suppkey * 65535) div max_sk"))
+      .withColumn("wd", expr("(dd * 65535) div max_dd"))
+      .withColumn("z", expr("zorderk(xd, yd, wd)"))
+      .withColumn("pid", expr("cast(z >> 45 as int)"))
+    val local = z.withColumn("local_rn", row_number().over(
+      Window.partitionBy("pid").orderBy(
+        col("z").asc, col("l_orderkey").asc, col("l_linenumber").asc)))
+    val offsets = local.groupBy("pid").agg(count(lit(1)).as("cnt"))
+      .withColumn("offset", coalesce(
+        sum(col("cnt")).over(Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("total", sum(col("cnt")).over(
+        Window.orderBy("pid").rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select("pid", "offset", "total")
+    local.join(broadcast(offsets), "pid")
+      .withColumn("rn", col("local_rn") + col("offset"))
+      .withColumn("q", expr("total div 16"))
+      .withColumn("r", expr("total % 16"))
+      .withColumn("file_id", expr(
+        "cast(CASE WHEN rn <= (q + 1) * r THEN (rn - 1) div (q + 1) " +
+          "ELSE r + (rn - (q + 1) * r - 1) div q END + 1 as int)"))
+      .groupBy("file_id")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_partkey")).as("partkey_lo"), max(col("l_partkey")).as("partkey_hi"),
+        min(col("l_suppkey")).as("suppkey_lo"), max(col("l_suppkey")).as("suppkey_hi"),
+        min(to_date(col("l_shipdate"))).as("date_lo"),
+        max(to_date(col("l_shipdate"))).as("date_hi"))
+      .orderBy("file_id")
+  }
+
+  private val zorderKLayoutSql = {
+    val terms = (0 until 16).flatMap { i =>
+      Seq(s"(((xd >> $i) & 1) * ${1L << (3 * i)})",
+        s"(((yd >> $i) & 1) * ${1L << (3 * i + 1)})",
+        s"(((wd >> $i) & 1) * ${1L << (3 * i + 2)})")
+    }.mkString(" + ")
+    s"""WITH stats AS (
+       |  SELECT max(l_partkey) AS max_pk, max(l_suppkey) AS max_sk,
+       |    max(datediff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE))) AS max_dd
+       |  FROM lineitem
+       |), dims AS (
+       |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       |    CAST(l_shipdate AS DATE) AS sdate,
+       |    (l_partkey * 65535) // max_pk AS xd,
+       |    (l_suppkey * 65535) // max_sk AS yd,
+       |    (datediff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) * 65535) // max_dd AS wd
+       |  FROM lineitem, stats
+       |), z AS (
+       |  SELECT l_partkey, l_suppkey, sdate, $terms AS zv,
+       |    l_orderkey, l_linenumber FROM dims
+       |), tiled AS (
+       |  SELECT l_partkey, l_suppkey, sdate,
+       |    NTILE(16) OVER (ORDER BY zv, l_orderkey, l_linenumber) AS file_id FROM z
+       |)
+       |SELECT file_id, count(*) AS n_rows,
+       |  min(l_partkey) AS partkey_lo, max(l_partkey) AS partkey_hi,
+       |  min(l_suppkey) AS suppkey_lo, max(l_suppkey) AS suppkey_hi,
+       |  min(sdate) AS date_lo, max(sdate) AS date_hi
+       |FROM tiled GROUP BY file_id ORDER BY file_id""".stripMargin
+  }
+
   override def all: Seq[QueryDef] = Seq(
+    QueryDef("q186_zorderk_layout", zorderKLayout, Some(zorderKLayoutSql)),
     QueryDef("q80_csv_roundtrip", csvRoundtrip, Some(csvRoundtripSql)),
     QueryDef("q81_json_roundtrip", jsonRoundtrip, Some(jsonRoundtripSql)),
     QueryDef("q82_partitioned_sink", partitionedSink, Some(partitionedSinkSql)),
