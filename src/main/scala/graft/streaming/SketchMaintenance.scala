@@ -1,0 +1,167 @@
+package graft.streaming
+
+import scala.jdk.CollectionConverters._
+import scala.util.Using
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.queries.LlmPipeline
+
+/** Streaming sketch maintenance (r13): the mergeable-sketch plane
+  * (q182 HLL / q183 KLL / q184 count-min / q185 theta) meets the
+  * streaming axis. A live event stream maintains the three r13 sketch
+  * families — count-min (point frequency), KLL (quantiles), theta
+  * (distinct/set algebra) — continuously, so the 100-TB read side
+  * (hot-key counts, live percentiles, distinct users) is a
+  * metadata-sized artifact read, never a corpus scan.
+  *
+  * Shape rationale — per-batch sketch GENERATIONS, not a rolling
+  * read-modify-write: foreachBatch is at-least-once, and folding each
+  * micro-batch into one mutable stored sketch would DOUBLE-COUNT a
+  * replayed batch (cell-wise CM addition and KLL item counts are
+  * exactly as replay-sensitive as they are merge-friendly). Instead
+  * each batch writes its OWN one-row sketch generation under
+  * `batch_id=<id>` with Overwrite — the
+  * [[StreamingAdmission.commitBatch]] idempotency convention — and the
+  * read side unions generations late ([[mergedSketches]]): the
+  * sketch-once/union-late discipline the batch queries pin, applied to
+  * the stream's time axis. A replayed batch rewrites an identical
+  * generation; the union is unchanged.
+  *
+  * Unbounded-generation growth (the r12 streaming-CC lesson — the
+  * reference's `src/raft/node.go:28` hole, here on the sketch axis) is
+  * closed with the [[StreamingAdmission.compactCc]] base/delta
+  * convention: [[compactSketches]] folds the current base (if any)
+  * plus every generation ≤ upTo into ONE new `base/gen=<upTo>` row —
+  * written FIRST, redone from still-present inputs if a prior fold
+  * crashed partway, inputs deleted LAST — and [[mergedSketches]] reads
+  * the latest base + only the generations past it, so a crash between
+  * fold and delete leaves folded inputs on disk but EXCLUDED from
+  * every read (no double count). Sketch union is associative
+  * (bit-exact for CM's cell-wise addition; set-exact for theta's
+  * k-smallest-hash retention; rank-contract-preserving for KLL), so
+  * fold-then-union == union-of-all. Per-batch cost: one map-side
+  * sketch aggregate of the batch (constant ~30 KB state) + one ~30 KB
+  * generation write — tracks the batch, never the corpus; reads touch
+  * base + bounded tail, the compaction cadence's contract.
+  *
+  * No oracle (streaming is spec-gated per the survey's contract):
+  * SketchStreamSpec proves chunked == single-batch parity — BYTE-equal
+  * for count-min (deterministic cell grid), estimate-equal for theta,
+  * exact-getN + rank-band for KLL — plus replay idempotency, the
+  * compaction equality, and post-compaction admission.
+  */
+object SketchMaintenance {
+
+  private def genIds(dir: java.nio.file.Path, prefix: String = "batch_id="): Seq[Long] =
+    if (!java.nio.file.Files.isDirectory(dir)) Seq.empty
+    else Using.resource(java.nio.file.Files.list(dir)) { st =>
+      st.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.startsWith(prefix))
+        .map(_.stripPrefix(prefix).toLong)
+        .toSeq
+    }
+
+  private def sketchAgg(df: DataFrame): DataFrame =
+    df.agg(
+      expr("cm_sketch_agg(user_id, 7, 400, 42)").as("cm"),
+      expr("kll_sketch_agg(value, 200)").as("kll"),
+      expr("theta_sketch_agg(user_id, 4096)").as("theta"),
+      count(lit(1)).as("n"))
+
+  private def unionAgg(df: DataFrame): DataFrame =
+    df.agg(
+      expr("cm_union_agg(cm)").as("cm"),
+      expr("kll_union_agg(kll)").as("kll"),
+      expr("theta_union_agg(theta, 4096)").as("theta"),
+      sum("n").as("n"))
+
+  /** One micro-batch's sketch generation: a single row of the three
+    * serialized sketches + the exact batch row count (the audit
+    * column — exact counts flow losslessly through every family).
+    * Overwrite into the batch's own directory = idempotent replay.
+    */
+  private[graft] def commitSketchBatch(
+      spark: SparkSession, batch: DataFrame,
+      sketchDir: String, batchId: Long): Unit = {
+    graft.functions.NativeFunctions.register(spark)
+    sketchAgg(batch)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$sketchDir/batch_id=$batchId")
+  }
+
+  /** Start the maintenance stream: `input` is a streaming DataFrame of
+    * (user_id, value); each micro-batch lands one idempotent sketch
+    * generation under `sketchDir`.
+    */
+  def start(
+      spark: SparkSession, input: DataFrame,
+      sketchDir: String, checkpointDir: String): StreamingQuery =
+    input.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        commitSketchBatch(spark, batch, sketchDir, batchId)
+      }
+      .start()
+
+  /** The read side: latest base generation (if any) + every per-batch
+    * generation PAST it, unioned late into one row of merged sketches +
+    * the exact total row count. Generations at or below the base are
+    * excluded even if still on disk (a crashed compaction's
+    * not-yet-deleted inputs) — the base already contains them.
+    */
+  private[graft] def mergedSketches(spark: SparkSession, sketchDir: String): DataFrame = {
+    graft.functions.NativeFunctions.register(spark)
+    val baseGen = genIds(java.nio.file.Paths.get(sketchDir, "base"), "gen=").maxOption
+    val tail = genIds(java.nio.file.Paths.get(sketchDir))
+      .filter(b => baseGen.forall(b > _)).sorted
+    val parts =
+      baseGen.map(g => spark.read.parquet(s"$sketchDir/base/gen=$g")).toSeq ++
+        (if (tail.isEmpty) Seq.empty
+         else Seq(spark.read.parquet(tail.map(b => s"$sketchDir/batch_id=$b"): _*)))
+    require(parts.nonEmpty, s"mergedSketches: no sketch generations under $sketchDir")
+    unionAgg(parts.reduce(_ unionByName _))
+  }
+
+  /** Fold the current base (if any) and every generation ≤ upTo into
+    * ONE new base generation `base/gen=<upTo>` — the
+    * [[StreamingAdmission.compactCc]] ordering: the new base is written
+    * FIRST (a partial fold left by a crash is discarded and redone from
+    * its still-present inputs), fold inputs are deleted LAST, and
+    * [[mergedSketches]]' base-excludes-tail read makes the window
+    * between the two harmless. Idempotent re-runs fold the base into
+    * itself.
+    */
+  private[graft] def compactSketches(
+      spark: SparkSession, sketchDir: String, upTo: Long): Unit = {
+    graft.functions.NativeFunctions.register(spark)
+    val baseGens = genIds(java.nio.file.Paths.get(sketchDir, "base"), "gen=")
+    val oldBase = baseGens.filter(_ < upTo)
+    val foldIds = genIds(java.nio.file.Paths.get(sketchDir))
+      .filter(_ <= upTo).sorted
+    if (oldBase.isEmpty && foldIds.isEmpty) {
+      // A complete prior fold (base at upTo, inputs gone) is detected
+      // and skipped — the compactCc idempotent-re-run convention. A
+      // base at upTo WITH inputs still present is a crashed partial
+      // fold and falls through to be discarded and redone below.
+      require(baseGens.contains(upTo),
+        s"compactSketches: nothing to fold at or below $upTo under $sketchDir")
+      return
+    }
+    val newBase = java.nio.file.Paths.get(sketchDir, "base", s"gen=$upTo")
+    LlmPipeline.deleteRecursively(newBase)
+    val parts =
+      oldBase.maxOption.map(g => spark.read.parquet(s"$sketchDir/base/gen=$g")).toSeq ++
+        (if (foldIds.isEmpty) Seq.empty
+         else Seq(spark.read.parquet(foldIds.map(b => s"$sketchDir/batch_id=$b"): _*)))
+    unionAgg(parts.reduce(_ unionByName _))
+      .write.mode(SaveMode.Overwrite).parquet(newBase.toString)
+    foldIds.foreach(b => LlmPipeline.deleteRecursively(
+      java.nio.file.Paths.get(sketchDir, s"batch_id=$b")))
+    oldBase.foreach(g => LlmPipeline.deleteRecursively(
+      java.nio.file.Paths.get(sketchDir, "base", s"gen=$g")))
+  }
+}

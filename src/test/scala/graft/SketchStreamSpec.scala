@@ -1,0 +1,139 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.SketchMaintenance
+
+/** Streaming sketch maintenance: the mergeable-sketch plane on the
+  * stream's time axis. The proof obligations mirror the batch families'
+  * contracts, upgraded to stream laws:
+  *
+  *   - chunking/order invariance: the same event set through 1 batch
+  *     and through 4 scrambled batches lands on the IDENTICAL merged
+  *     count-min sketch (BYTE-equal — cell-wise addition commutes
+  *     exactly), the identical theta estimate, and a KLL sketch with
+  *     the exact same item count whose quantiles stay in the exact
+  *     rank band;
+  *   - parity with the batch build: the streamed fold equals a direct
+  *     one-shot sketch of the whole set (byte-equal for CM);
+  *   - replay idempotency: re-committing a batch generation
+  *     (at-least-once delivery) leaves every merged read unchanged —
+  *     the per-batch-generation layout is what makes a replay a
+  *     rewrite instead of a double count;
+  *   - compaction: folding generations into a base preserves every
+  *     merged read exactly (union associativity), deletes the folded
+  *     inputs, survives an idempotent re-run, and admits new batches
+  *     on top of the base.
+  */
+class SketchStreamSpec extends SparkSpec {
+
+  private def runStream(chunks: Seq[Seq[(Long, Double)]]): java.nio.file.Path = {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft_skstream")
+    val dir = tmp.resolve("sketches").toString
+    val ckpt = tmp.resolve("ckpt").toString
+    val input = MemoryStream[(Long, Double)]
+    val q = SketchMaintenance.start(spark,
+      input.toDS().toDF("user_id", "value"), dir, ckpt)
+    try {
+      chunks.foreach { c => input.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    tmp
+  }
+
+  private def readMerged(tmp: java.nio.file.Path): (Array[Byte], Double, Long, Double, Double, Long) = {
+    val r = SketchMaintenance.mergedSketches(spark, tmp.resolve("sketches").toString)
+      .select(col("cm"),
+        expr("theta_estimate(theta)"),
+        col("n"),
+        expr("kll_sketch_quantile(kll, 0.5D)"),
+        expr("kll_sketch_quantile(kll, 0.9D)"),
+        col("kll"))
+      .head()
+    val kllN = org.apache.datasketches.kll.KllDoublesSketch.heapify(
+      org.apache.datasketches.memory.Memory.wrap(r.getAs[Array[Byte]](5))).getN
+    (r.getAs[Array[Byte]](0), r.getDouble(1), r.getLong(2), r.getDouble(3), r.getDouble(4), kllN)
+  }
+
+  test("streamed sketches: chunked == single-batch == direct build, replay idempotent, compaction exact") {
+    import spark.implicits._
+    graft.functions.NativeFunctions.register(spark)
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("value"))
+    val rows = ev.as[(Long, Double)].collect()
+    val exactUsers = rows.map(_._1).distinct.length.toLong
+    val pb = ev.agg(expr(
+      "percentile(value, array(0.45D, 0.55D, 0.85D, 0.95D))")).head().getSeq[Double](0)
+
+    // Scramble deterministically, split into 4 chunks.
+    val scrambled = rows.sortBy { case (u, v) => (u % 7, v) }
+    val chunks = scrambled.grouped(math.max(scrambled.length / 4, 1)).toSeq.map(_.toSeq)
+
+    val t1 = runStream(Seq(rows.toSeq))
+    val t2 = runStream(chunks)
+    try {
+      val (cm1, th1, n1, q50a, q90a, klln1) = readMerged(t1)
+      val (cm2, th2, n2, q50b, q90b, klln2) = readMerged(t2)
+      // Chunking invariance. CM: byte-equal (cell-wise addition
+      // commutes exactly). Theta: estimate-equal, and exact below k.
+      // KLL: item count exact; quantiles in the exact rank band (values
+      // may differ across merge paths — the q183 contract, not
+      // byte-equality).
+      assert(java.util.Arrays.equals(cm1, cm2),
+        "merged count-min sketches differ between chunkings — merge is not cell-wise")
+      assert(th1 == th2 && th1 == exactUsers.toDouble,
+        s"theta estimates differ or miss exact: $th1 / $th2 vs $exactUsers")
+      assert(n1 == rows.length && n2 == rows.length && klln1 == rows.length && klln2 == rows.length,
+        s"counts drifted: n=$n1/$n2 kllN=$klln1/$klln2 vs ${rows.length}")
+      Seq((q50a, q90a), (q50b, q90b)).foreach { case (q50, q90) =>
+        assert(q50 >= pb(0) && q50 <= pb(1), s"streamed p50 $q50 outside rank band")
+        assert(q90 >= pb(2) && q90 <= pb(3), s"streamed p90 $q90 outside rank band")
+      }
+      // Parity with the direct one-shot batch build.
+      val direct = ev.agg(expr("cm_sketch_agg(user_id, 7, 400, 42)")).head().getAs[Array[Byte]](0)
+      assert(java.util.Arrays.equals(cm1, direct),
+        "streamed CM fold differs from the direct batch build")
+
+      // Replay idempotency: re-commit an existing generation with the
+      // same data (at-least-once) — every merged read unchanged.
+      val dir2 = t2.resolve("sketches").toString
+      val gen0 = chunks.head.toDF("user_id", "value")
+      SketchMaintenance.commitSketchBatch(spark, gen0, dir2, 0L)
+      val (cmR, thR, nR, _, _, kllnR) = readMerged(t2)
+      assert(java.util.Arrays.equals(cmR, cm2) && thR == th2 && nR == n2 && kllnR == klln2,
+        "replaying batch 0 changed a merged read — the generation sink is not idempotent")
+
+      // Compaction: fold generations 0..2 into base/gen=2. Every merged
+      // read must be unchanged; the folded batch dirs must be gone.
+      SketchMaintenance.compactSketches(spark, dir2, 2L)
+      val (cmC, thC, nC, q50c, q90c, kllnC) = readMerged(t2)
+      assert(java.util.Arrays.equals(cmC, cm2) && thC == th2 && nC == n2 && kllnC == klln2,
+        "compaction changed a merged read — the fold is not union-exact")
+      assert(q50c >= pb(0) && q50c <= pb(1) && q90c >= pb(2) && q90c <= pb(3),
+        "post-compaction KLL quantiles left the rank band")
+      (0L to 2L).foreach { b =>
+        assert(!Files.exists(Paths.get(dir2, s"batch_id=$b")),
+          s"folded generation batch_id=$b not deleted")
+      }
+      assert(Files.exists(Paths.get(dir2, "base", "gen=2")), "base generation missing")
+      // Idempotent re-run: folds the base into itself, reads unchanged.
+      SketchMaintenance.compactSketches(spark, dir2, 2L)
+      val (cmC2, _, nC2, _, _, _) = readMerged(t2)
+      assert(java.util.Arrays.equals(cmC2, cm2) && nC2 == n2,
+        "re-running compaction changed a merged read")
+      // Post-compaction admission: a new batch on top of the base.
+      val extra = Seq((999999L, 42.0))
+      SketchMaintenance.commitSketchBatch(spark, extra.toDF("user_id", "value"), dir2, 4L)
+      val (_, thE, nE, _, _, kllnE) = readMerged(t2)
+      assert(nE == n2 + 1 && kllnE == klln2 + 1 && thE == exactUsers.toDouble + 1,
+        s"post-compaction admission wrong: n=$nE theta=$thE kllN=$kllnE")
+    } finally {
+      graft.queries.LlmPipeline.deleteRecursively(t1)
+      graft.queries.LlmPipeline.deleteRecursively(t2)
+    }
+  }
+}
