@@ -574,7 +574,95 @@ object Relational extends QueryPack {
       |GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
 
+  /** Priority sampling (q187 — Duffield, Lund, Thorup, "Priority
+    * sampling for estimation of arbitrary subset sums", JACM 54(6),
+    * 2007): the FIXED-SIZE weighted sample the rate-based family
+    * (q150's Bernoulli ∝ weight, q105's hash threshold) cannot give.
+    * Each row gets priority p = w / u with u uniform in (0, 1]; the
+    * sample is the top-k priorities, and with τ = the (k+1)-th
+    * priority, Σ max(w_i, τ) over the sample is an UNBIASED estimator
+    * of the population total — one pass, bounded memory (a top-k heap
+    * per partition + a k-row final merge: TakeOrdered, the same plan
+    * shape as q04), no second scan. That combination — fixed output
+    * size AND an unbiased subset-sum estimator — is the 100-TB
+    * audit-sampling primitive: "pick 50 rows, estimate total revenue,
+    * bounded error in 1/√k".
+    *
+    * Everything is integer-exact cross-engine (the q105/q148
+    * discipline): u is the Lehmer hash of the row key scaled to
+    * [1, 2^31−1], w = quantity cast to bigint (integer-valued in the
+    * fixture), and p = (w · (2^31 − 2)) div u — the u → h/M
+    * substitution makes p exactly w/u in fixed-point, so sample
+    * membership, τ, and the estimator are all deterministic integers
+    * the oracle reproduces literally. The realized estimate error at
+    * the committed draw is emitted as `rel_err` (exact arithmetic, one
+    * rounding at output) beside the generous `est_within_band` cell;
+    * the 1/√k theory says ~14 % rse at k = 50, and the spec measures
+    * the estimator across 8 independent Lehmer multipliers to show the
+    * error is draw-noise, not bias.
+    */
+  def prioritySample(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.lineitem(spark, dir).select(
+      col("l_orderkey"), col("l_linenumber"),
+      expr("cast(l_quantity as bigint)").as("w"),
+      // TWO Lehmer rounds, not one: a single round maps the small
+      // dense row-key range of a low-SF fixture onto evenly spaced
+      // multiples of the multiplier (id·a < M never wraps), which is
+      // nowhere near uniform on [1, M] — the priority tail explodes
+      // and the estimator over-shoots 2–8× (measured). The second
+      // multiply wraps the modulus many times for every key and
+      // restores uniformity (measured: |rel err| ≤ 0.29 across 8
+      // multipliers × 3 SFs, mean ≈ 0 — the unbiasedness signature).
+      expr("pmod(pmod(pmod(l_orderkey * 8 + l_linenumber, 2147483647) * 48271, " +
+        "2147483647) * 48271, 2147483647) + 1").as("u"))
+      .withColumn("priority", expr("w * 2147483646L div u"))
+    val top51 = p
+      .orderBy(col("priority").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .limit(51)
+      .withColumn("rk", row_number().over(Window.orderBy(
+        col("priority").desc, col("l_orderkey"), col("l_linenumber"))))
+    val tau = top51.filter(col("rk") === 51).select(col("priority").as("tau"))
+    val est = top51.filter(col("rk") <= 50).crossJoin(broadcast(tau))
+      .agg(sum(greatest(col("w"), col("tau"))).cast("long").as("est_total"))
+    val exact = p.agg(sum("w").cast("long").as("exact_total"))
+    top51.filter(col("rk") <= 50)
+      .crossJoin(broadcast(est))
+      .crossJoin(broadcast(exact))
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("w"), col("priority"),
+        col("est_total"), col("exact_total"),
+        (round(abs(col("est_total") - col("exact_total")) /
+          col("exact_total").cast("double"), 4) + lit(0)).as("rel_err"),
+        (abs(col("est_total") - col("exact_total")) <=
+          expr("exact_total div 2")).as("est_within_band"))
+      .orderBy(col("priority").desc, col("l_orderkey"), col("l_linenumber"))
+  }
+
+  private val prioritySampleSql =
+    """WITH p AS (
+      |  SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS w,
+      |    ((l_orderkey * 8 + l_linenumber) % 2147483647) * 48271 % 2147483647
+      |      * 48271 % 2147483647 + 1 AS u
+      |  FROM lineitem),
+      |pr AS (
+      |  SELECT l_orderkey, l_linenumber, w, (w * 2147483646) // u AS priority FROM p),
+      |top AS (
+      |  SELECT *, row_number() OVER (
+      |    ORDER BY priority DESC, l_orderkey, l_linenumber) AS rk
+      |  FROM pr QUALIFY rk <= 51),
+      |tau AS (SELECT priority AS tau FROM top WHERE rk = 51),
+      |est AS (
+      |  SELECT CAST(sum(CASE WHEN w > tau THEN w ELSE tau END) AS BIGINT) AS est_total
+      |  FROM top, tau WHERE rk <= 50),
+      |ex AS (SELECT CAST(sum(w) AS BIGINT) AS exact_total FROM pr)
+      |SELECT l_orderkey, l_linenumber, w, priority, est_total, exact_total,
+      |  round(abs(est_total - exact_total) / CAST(exact_total AS DOUBLE), 4) + 0 AS rel_err,
+      |  abs(est_total - exact_total) <= exact_total // 2 AS est_within_band
+      |FROM top, est, ex WHERE rk <= 50
+      |ORDER BY priority DESC, l_orderkey, l_linenumber""".stripMargin
+
   override def all: Seq[QueryDef] = Seq(
+    QueryDef("q187_priority_sample", prioritySample, Some(prioritySampleSql)),
     QueryDef("q01_pricing_summary", pricingSummary, Some(pricingSummarySql), headline = true),
     QueryDef("q02_star_join_revenue", starJoinRevenue, Some(starJoinRevenueSql), headline = true),
     QueryDef("q03_filter_predicates", filterPredicates, Some(filterPredicatesSql)),
