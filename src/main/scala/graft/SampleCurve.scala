@@ -39,10 +39,15 @@ object SampleCurve {
 
     def rel(k: Int, a: Long): Double = {
       def u(ok: Long, ln: Long): Long = ((ok * 8 + ln) % M) * a % M * a % M + 1
-      val pr = rows.map { case (ok, ln, w) => (w * 2147483646L / u(ok, ln), w) }
-        .sortBy(-_._1)
+      // Sort by the query's FULL total order — (priority desc,
+      // l_orderkey, l_linenumber) — not priority alone: under a
+      // priority tie at the k/(k+1) boundary, an arbitrary tie-break
+      // here could pick a different τ than the shipped operating point
+      // realizes (ADVICE r13).
+      val pr = rows.map { case (ok, ln, w) => (w * 2147483646L / u(ok, ln), ok, ln, w) }
+        .sortBy { case (p, ok, ln, _) => (-p, ok, ln) }
       val tau = pr(k)._1
-      val est = pr.take(k).map { case (_, w) => math.max(w, tau) }.sum
+      val est = pr.take(k).map { case (_, _, _, w) => math.max(w, tau) }.sum
       (est - exact).toDouble / exact
     }
 

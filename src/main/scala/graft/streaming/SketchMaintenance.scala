@@ -1,8 +1,5 @@
 package graft.streaming
 
-import scala.jdk.CollectionConverters._
-import scala.util.Using
-
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -56,14 +53,7 @@ import graft.queries.LlmPipeline
 object SketchMaintenance {
 
   private def genIds(dir: java.nio.file.Path, prefix: String = "batch_id="): Seq[Long] =
-    if (!java.nio.file.Files.isDirectory(dir)) Seq.empty
-    else Using.resource(java.nio.file.Files.list(dir)) { st =>
-      st.iterator().asScala
-        .map(_.getFileName.toString)
-        .filter(_.startsWith(prefix))
-        .map(_.stripPrefix(prefix).toLong)
-        .toSeq
-    }
+    Generations.genIds(dir, prefix)
 
   private def sketchAgg(df: DataFrame): DataFrame =
     df.agg(
@@ -115,7 +105,16 @@ object SketchMaintenance {
     */
   private[graft] def mergedSketches(spark: SparkSession, sketchDir: String): DataFrame = {
     graft.functions.NativeFunctions.register(spark)
-    val baseGen = genIds(java.nio.file.Paths.get(sketchDir, "base"), "gen=").maxOption
+    // Base selection is _SUCCESS-gated (Generations doc): a crashed
+    // compactSketches leaves a partial base/gen=<upTo> under its final
+    // name while the folded batch generations are still present
+    // (inputs delete LAST); preferring it by directory name alone
+    // would silently undercount every merged read until the fold is
+    // redone. A markerless base is skipped — the next-lower committed
+    // base (or none) plus the then-longer tail reproduces the exact
+    // same union.
+    val baseGen = Generations.completeGenIds(
+      java.nio.file.Paths.get(sketchDir, "base"), "gen=").maxOption
     val tail = genIds(java.nio.file.Paths.get(sketchDir))
       .filter(b => baseGen.forall(b > _)).sorted
     val parts =
@@ -138,16 +137,22 @@ object SketchMaintenance {
   private[graft] def compactSketches(
       spark: SparkSession, sketchDir: String, upTo: Long): Unit = {
     graft.functions.NativeFunctions.register(spark)
-    val baseGens = genIds(java.nio.file.Paths.get(sketchDir, "base"), "gen=")
-    val oldBase = baseGens.filter(_ < upTo)
+    val baseDir = java.nio.file.Paths.get(sketchDir, "base")
+    val allOldBase = genIds(baseDir, "gen=").filter(_ < upTo)
+    // Fold INPUTS are committed bases only (_SUCCESS gate — a partial
+    // base would fold truncated state forward); partial bases still
+    // get deleted in the cleanup below.
+    val oldBase = Generations.completeGenIds(baseDir, "gen=").filter(_ < upTo)
     val foldIds = genIds(java.nio.file.Paths.get(sketchDir))
       .filter(_ <= upTo).sorted
     if (oldBase.isEmpty && foldIds.isEmpty) {
-      // A complete prior fold (base at upTo, inputs gone) is detected
-      // and skipped — the compactCc idempotent-re-run convention. A
-      // base at upTo WITH inputs still present is a crashed partial
-      // fold and falls through to be discarded and redone below.
-      require(baseGens.contains(upTo),
+      // A complete prior fold (COMMITTED base at upTo, inputs gone) is
+      // detected and skipped — the compactCc idempotent-re-run
+      // convention. A base at upTo WITH inputs still present is a
+      // crashed partial fold and falls through to be discarded and
+      // redone below. (A markerless base with its inputs gone is
+      // unreachable: inputs are deleted only after the marker lands.)
+      require(Generations.completeGenIds(baseDir, "gen=").contains(upTo),
         s"compactSketches: nothing to fold at or below $upTo under $sketchDir")
       return
     }
@@ -161,7 +166,7 @@ object SketchMaintenance {
       .write.mode(SaveMode.Overwrite).parquet(newBase.toString)
     foldIds.foreach(b => LlmPipeline.deleteRecursively(
       java.nio.file.Paths.get(sketchDir, s"batch_id=$b")))
-    oldBase.foreach(g => LlmPipeline.deleteRecursively(
+    allOldBase.foreach(g => LlmPipeline.deleteRecursively(
       java.nio.file.Paths.get(sketchDir, "base", s"gen=$g")))
   }
 }

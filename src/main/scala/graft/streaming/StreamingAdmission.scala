@@ -5,9 +5,6 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import scala.jdk.CollectionConverters._
-import scala.util.Using
-
 import graft.queries.LlmPipeline
 
 /** Streaming shard admission: q144's incremental near-dup check run
@@ -142,14 +139,7 @@ object StreamingAdmission {
     * plane — one listing per batch, never row data).
     */
   private def genIds(dir: java.nio.file.Path, prefix: String = "batch_id="): Seq[Long] =
-    if (!java.nio.file.Files.isDirectory(dir)) Seq.empty
-    else Using.resource(java.nio.file.Files.list(dir)) { st =>
-      st.iterator().asScala
-        .map(_.getFileName.toString)
-        .filter(_.startsWith(prefix))
-        .map(_.stripPrefix(prefix).toLong)
-        .toSeq
-    }
+    Generations.genIds(dir, prefix)
 
   /** Streaming incremental connected-components maintenance: q177's
     * quotient-graph fold run continuously — each micro-batch of newly
@@ -266,8 +256,14 @@ object StreamingAdmission {
   private def streamHistory(
       spark: SparkSession, streamDir: String,
       beforeBatch: Long): (Option[DataFrame], Option[DataFrame]) = {
-    val baseGen = genIds(
-      java.nio.file.Paths.get(streamDir, "bands_base"), "gen=").maxOption
+    // A base generation is live only when BOTH its bands and shingles
+    // writes committed (_SUCCESS — Generations doc): compactCc writes
+    // bands first, so a crash between the two leaves a committed bands
+    // base whose shingle twin is partial. Falling back to the
+    // next-lower complete base is always sound — the skipped fold's
+    // inputs are still on disk (deleted last) and the tail filter
+    // below re-includes them.
+    val baseGen = completeHistoryBases(streamDir).maxOption
     val tailIds = genIds(java.nio.file.Paths.get(streamDir, "bands"))
       .filter(b => b < beforeBatch && baseGen.forall(b > _)).sorted
     def assemble(baseDir: String, tailDir: String): Option[DataFrame] = {
@@ -280,6 +276,15 @@ object StreamingAdmission {
     }
     (assemble("bands_base", "bands"), assemble("shingles_base", "shingles"))
   }
+
+  /** History-base generations whose bands AND shingles writes both
+    * committed — the only ones a read or a fold may build on.
+    */
+  private def completeHistoryBases(streamDir: String): Seq[Long] =
+    Generations.completeGenIds(
+      java.nio.file.Paths.get(streamDir, "bands_base"), "gen=")
+      .filter(g => Generations.isComplete(
+        java.nio.file.Paths.get(streamDir, "shingles_base", s"gen=$g")))
 
   /** Merge one micro-batch into the labeling chain: resolve the
     * predecessor labeling, fold the batch's pairs through the q177
@@ -316,9 +321,17 @@ object StreamingAdmission {
   private[graft] def resolveLabels(
       spark: SparkSession, labelsDir: String, upTo: Long): DataFrame = {
     val snapDir = java.nio.file.Paths.get(labelsDir, "snap")
-    val snaps = genIds(snapDir).filter(_ <= upTo)
+    // Only COMMITTED snapshots are candidate bases (_SUCCESS gate —
+    // Generations doc): a crash mid-snapshot-write leaves a partial
+    // directory under the final name, and resolving from it would
+    // compute every downstream labeling from truncated state. The
+    // deltas the partial snapshot would have subsumed are still on
+    // disk (compactCc deletes them only after the marker lands), so
+    // falling back to the previous committed snapshot + deltas is
+    // exact.
+    val snaps = Generations.completeGenIds(snapDir).filter(_ <= upTo)
     if (snaps.isEmpty) {
-      val retained = genIds(snapDir)
+      val retained = Generations.completeGenIds(snapDir)
       throw new IllegalStateException(
         s"no labeling snapshot at or below generation $upTo (dropped by " +
           s"compaction); earliest retained generation is " +
@@ -390,8 +403,17 @@ object StreamingAdmission {
       spark: SparkSession, streamDir: String, labelsDir: String,
       atBatch: Long): Unit = {
     // --- 1. labeling chain: snapshot + truncate ------------------------
+    // Skip the rewrite only for a COMMITTED snapshot (_SUCCESS): a
+    // partial directory left by a crashed prior run is discarded and
+    // the resolve redone from the still-present deltas — Files.exists
+    // alone would "detect" the partial write as complete, truncate the
+    // deltas below, and permanently lose label state (ADVICE r13).
+    // resolveLabels is already _SUCCESS-gated, so it cannot pick the
+    // partial snapshot as its base either; the explicit delete keeps a
+    // half-written file set from surviving under the committed name.
     val snapPath = java.nio.file.Paths.get(labelsDir, "snap", s"batch_id=$atBatch")
-    if (!java.nio.file.Files.exists(snapPath)) {
+    if (!Generations.isComplete(snapPath)) {
+      LlmPipeline.deleteRecursively(snapPath)
       resolveLabels(spark, labelsDir, atBatch)
         .write.mode(SaveMode.Overwrite).parquet(snapPath.toString)
     }
@@ -402,8 +424,14 @@ object StreamingAdmission {
       .foreach(g => LlmPipeline.deleteRecursively(
         java.nio.file.Paths.get(labelsDir, "snap", s"batch_id=$g")))
     // --- 2. history index: fold base + deltas, re-cap ------------------
-    val oldBase = genIds(
-      java.nio.file.Paths.get(streamDir, "bands_base"), "gen=").filter(_ < atBatch)
+    // Fold INPUTS come from committed bases only; a partial base left
+    // by a crashed prior fold is never read (its own inputs are still
+    // present and fold here instead) but IS deleted in the cleanup.
+    val allOldBase = (genIds(
+      java.nio.file.Paths.get(streamDir, "bands_base"), "gen=") ++
+      genIds(java.nio.file.Paths.get(streamDir, "shingles_base"), "gen="))
+      .distinct.filter(_ < atBatch)
+    val oldBase = completeHistoryBases(streamDir).filter(_ < atBatch)
     val foldIds = genIds(java.nio.file.Paths.get(streamDir, "bands"))
       .filter(_ <= atBatch).sorted
     val newBandsBase = java.nio.file.Paths.get(streamDir, "bands_base", s"gen=$atBatch")
@@ -437,7 +465,7 @@ object StreamingAdmission {
         LlmPipeline.deleteRecursively(
           java.nio.file.Paths.get(streamDir, "shingles", s"batch_id=$b"))
       }
-      oldBase.foreach { g =>
+      allOldBase.foreach { g =>
         LlmPipeline.deleteRecursively(
           java.nio.file.Paths.get(streamDir, "bands_base", s"gen=$g"))
         LlmPipeline.deleteRecursively(

@@ -169,7 +169,21 @@ class CcStreamSpec extends SparkSpec {
       val labelsDir = t2.resolve("labels").toString
       val atBatch = (chunks.size - 2).toLong // last committed batch
       val beforeCompact = readLabels(labelsDir)
+      // Crashed-compaction simulation (ADVICE r13): a PARTIAL snapshot
+      // — truncated rows under the final directory name, no _SUCCESS
+      // job-commit marker — must be invisible to reads (resolveLabels
+      // would otherwise compute from truncated state) and must be
+      // discarded and redone by compactCc (which would otherwise
+      // "detect" it as done and truncate the still-needed deltas).
+      val partialSnap = Paths.get(labelsDir, "snap", s"batch_id=$atBatch")
+      spark.read.parquet(s"$labelsDir/snap/batch_id=-1").limit(3)
+        .write.mode("overwrite").parquet(partialSnap.toString)
+      Files.deleteIfExists(partialSnap.resolve("_SUCCESS"))
+      assert(readLabels(labelsDir) == beforeCompact,
+        "a markerless partial snapshot leaked into resolveLabels")
       StreamingAdmission.compactCc(spark, hist, labelsDir, atBatch)
+      assert(Files.exists(partialSnap.resolve("_SUCCESS")),
+        "compaction did not redo the crashed partial snapshot")
       // (b) compacted-chain == full-chain labeling equality.
       assert(readLabels(labelsDir) == beforeCompact,
         "compaction changed the resolved labeling")
@@ -193,6 +207,17 @@ class CcStreamSpec extends SparkSpec {
       StreamingAdmission.compactCc(spark, hist, labelsDir, atBatch)
       assert(readLabels(labelsDir) == beforeCompact,
         "re-running compaction changed the labeling")
+      // Crashed HISTORY fold simulation: a markerless bands_base at a
+      // HIGHER generation (its shingles twin never landed) must not be
+      // selected by streamHistory — trusting it would exclude every
+      // delta below it while supplying garbage bands, so the held-out
+      // chunk's cross-chunk pairs would be lost. The admission below
+      // detects exactly that: it must still land on the single-batch
+      // labeling, through the COMMITTED base at atBatch + the tail.
+      val partialBase = Paths.get(hist, "bands_base", s"gen=${chunks.size + 3}")
+      spark.read.parquet(s"$hist/bands_base/gen=$atBatch").limit(1)
+        .write.mode("overwrite").parquet(partialBase.toString)
+      Files.deleteIfExists(partialBase.resolve("_SUCCESS"))
       // Admit the held-out chunk AFTER compaction: its cross-chunk
       // pairs resolve through the folded base, landing on the
       // single-batch labeling exactly.

@@ -131,6 +131,30 @@ class SketchStreamSpec extends SparkSpec {
       val (_, thE, nE, _, _, kllnE) = readMerged(t2)
       assert(nE == n2 + 1 && kllnE == klln2 + 1 && thE == exactUsers.toDouble + 1,
         s"post-compaction admission wrong: n=$nE theta=$thE kllN=$kllnE")
+      // Crashed-fold simulation (ADVICE r13): a markerless base at a
+      // HIGHER generation — a fold that died before its _SUCCESS
+      // marker, here missing batch 4's contribution — must not be
+      // preferred by name; trusting it would exclude the still-present
+      // batch-4 generation and silently undercount every merged read.
+      val partialBase = Paths.get(dir2, "base", "gen=9")
+      spark.read.parquet(s"$dir2/base/gen=2")
+        .write.mode("overwrite").parquet(partialBase.toString)
+      Files.deleteIfExists(partialBase.resolve("_SUCCESS"))
+      val (_, thP, nP, _, _, kllnP) = readMerged(t2)
+      assert(nP == n2 + 1 && kllnP == klln2 + 1 && thP == exactUsers.toDouble + 1,
+        s"markerless partial base leaked into mergedSketches: n=$nP (want ${n2 + 1})")
+      // Re-running compaction at the crashed point discards the
+      // partial, folds the committed base + tail, and commits the
+      // marker; reads unchanged.
+      SketchMaintenance.compactSketches(spark, dir2, 9L)
+      assert(Files.exists(partialBase.resolve("_SUCCESS")),
+        "compaction re-run did not commit the redone base")
+      assert(!Files.exists(Paths.get(dir2, "batch_id=4")) &&
+        !Files.exists(Paths.get(dir2, "base", "gen=2")),
+        "compaction re-run left folded inputs behind")
+      val (_, thF, nF, _, _, kllnF) = readMerged(t2)
+      assert(nF == n2 + 1 && kllnF == klln2 + 1 && thF == exactUsers.toDouble + 1,
+        s"redone fold changed a merged read: n=$nF")
     } finally {
       graft.queries.LlmPipeline.deleteRecursively(t1)
       graft.queries.LlmPipeline.deleteRecursively(t2)
