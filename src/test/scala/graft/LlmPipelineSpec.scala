@@ -291,26 +291,38 @@ class LlmPipelineSpec extends SparkSpec {
     assert(got.map(_._1).distinct.size == 3)
   }
 
-  test("q181/q168: BM25 against the MERGED index equals BM25 against a full rebuild (read-side merge==rebuild)") {
-    // The read-side closure of q168's maintenance contract (VERDICT r12
-    // item 5): merge == rebuild is already hash-verified on the index
-    // ROWS; this law closes it over the index's CONSUMER — the same
-    // query batch ranked against the maintained post-merge artifact and
-    // against a from-scratch full-corpus index must return identical
+  test("q181/q168/q188/q189: BM25 against the MERGED artifacts equals BM25 against a full rebuild (read-side merge==rebuild)") {
+    // The read-side closure of the index family's maintenance contract
+    // (VERDICT r12 item 5, extended r14 to the full-postings triple):
+    // merge == rebuild is already hash-verified on the artifact ROWS
+    // (q168/q188/q189); this law closes it over the artifacts'
+    // CONSUMER — the same query batch ranked against the maintained
+    // post-merge artifacts (head index for term selection + df, full
+    // postings for (tf, dl), folded stats for N/avgl) and against
+    // from-scratch full-corpus rebuilds must return identical
     // rankings. (df drives both term selection and the IDF term, so a
-    // merge that drifted df by even 1 on a head term would reorder.)
+    // merge that drifted df by even 1 on a head term would reorder;
+    // one dropped posting row or a mis-added stat cell shifts a
+    // score.)
     val mergedIdx = LlmPipeline.incrementalIndexMerge(spark, sfDir)
       .select("token", "df")
     val rebuiltIdx = LlmPipeline.invertedIndex(spark, sfDir)
       .select("token", "df")
-    val viaMerged = LlmPipeline.bm25Against(spark, sfDir, mergedIdx, lit(true))
+    val mergedPost = LlmPipeline.incrementalPostingsMerge(spark, sfDir)
+    // q189's output carries the folded one-row stats beside every doc
+    // row; any single row is the stats relation.
+    val mergedStats = LlmPipeline.incrementalDocStatsMerge(spark, sfDir)
+      .select("nd", "ndl", "toktot").limit(1)
+    val (rebuiltPost, _, rebuiltStats) = LlmPipeline.postingsFor(
+      graft.sources.Tables.documents(spark, sfDir))
+    val viaMerged = LlmPipeline.bm25AgainstArtifacts(mergedIdx, mergedPost, mergedStats)
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
-    val viaRebuilt = LlmPipeline.bm25Against(spark, sfDir, rebuiltIdx, lit(true))
+    val viaRebuilt = LlmPipeline.bm25AgainstArtifacts(rebuiltIdx, rebuiltPost, rebuiltStats)
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
     assert(viaMerged.nonEmpty && viaMerged.length == 30,
       s"degenerate retrieval (${viaMerged.length} rows)")
     assert(viaMerged.sameElements(viaRebuilt),
-      "retrieval against the merged index diverged from the full rebuild")
+      "retrieval against the merged artifacts diverged from the full rebuild")
   }
 
   test("q127: representatives are maximal members of their clusters, one per cluster") {

