@@ -60,6 +60,12 @@ object SketchMaintenance {
       expr("cm_sketch_agg(user_id, 7, 400, 42)").as("cm"),
       expr("kll_sketch_agg(value, 200)").as("kll"),
       expr("theta_sketch_agg(user_id, 4096)").as("theta"),
+      // r14 (VERDICT r13 item 2): the q182 HLL family — distinct-count
+      // is the most common live read; lgK = 12 matches q182. Its
+      // stream contract is the q182 BAND, never byte- or
+      // estimate-equality: the HIP estimator is merge-path dependent
+      // (measured r12), and chunking/compaction change the merge path.
+      expr("hll_sketch_agg(user_id, 12)").as("hll"),
       count(lit(1)).as("n"))
 
   private def unionAgg(df: DataFrame): DataFrame =
@@ -67,6 +73,7 @@ object SketchMaintenance {
       expr("cm_union_agg(cm)").as("cm"),
       expr("kll_union_agg(kll)").as("kll"),
       expr("theta_union_agg(theta, 4096)").as("theta"),
+      expr("hll_union_agg(hll)").as("hll"),
       sum("n").as("n"))
 
   /** One micro-batch's sketch generation: a single row of the three
@@ -86,13 +93,28 @@ object SketchMaintenance {
   /** Start the maintenance stream: `input` is a streaming DataFrame of
     * (user_id, value); each micro-batch lands one idempotent sketch
     * generation under `sketchDir`.
+    *
+    * Compaction cadence (r14 — VERDICT r13 item 4: compaction must not
+    * depend on an operator remembering to call it): with
+    * `compactEvery = N > 0`, every Nth batch folds the generation tail
+    * BEFORE committing itself — [[compactSketches]] at `batchId - 1`,
+    * which the checkpoint has already committed (structured streaming
+    * hands us batch b only after b−1's commit; on a crash-replay of
+    * batch b the same fold re-runs idempotently and crash-safely — the
+    * _SUCCESS-gated redo discipline). Compacting at the batch's OWN id
+    * inside its foreachBatch call would violate the
+    * snapshot-at-committed-offset precondition: a replay of that batch
+    * would then need state at batchId − 1, already truncated.
     */
   def start(
       spark: SparkSession, input: DataFrame,
-      sketchDir: String, checkpointDir: String): StreamingQuery =
+      sketchDir: String, checkpointDir: String,
+      compactEvery: Int = 0): StreamingQuery =
     input.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          compactSketches(spark, sketchDir, batchId - 1)
         commitSketchBatch(spark, batch, sketchDir, batchId)
       }
       .start()

