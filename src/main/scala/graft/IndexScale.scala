@@ -395,6 +395,61 @@ object IndexScale {
     queries.LlmPipeline.deleteRecursively(java.nio.file.Paths.get(lawDir))
 
     ccStreamScale(spark, baseDir, bigDirInc, replicas)
+    annCcStreamScale(spark, baseDir, bigDirInc, bitsBig, replicas)
+  }
+
+  /** Embedding-side streaming CC per-batch cost vs corpus size (r14 —
+    * VERDICT r13 item 3's measurement leg, the ccStreamScale protocol
+    * on the vector axis): stream the SAME fixed two-batch vector shard
+    * into the 1× and N× corpora (stored index at bits ~ log n for the
+    * big one) and measure each commit. Probe cost is bucket-keyed
+    * (flat at ~flat per-bucket occupancy), the state write is
+    * delta-sized, and the corpus-sized index/vector leaves stream
+    * under broadcast batch sides — no corpus shuffle, no corpus write.
+    */
+  private def annCcStreamScale(
+      spark: SparkSession, baseDir: String, bigDirInc: String,
+      bitsBig: Int, replicas: Int): Unit = {
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val docsBase = graft.sources.Tables.embeddings(spark, baseDir)
+    val b0 = docsBase.filter(col("vec_id") % 8 === 0).select("vec_id", "embedding")
+    val b1 = docsBase.filter(col("vec_id") % 4 === 0 && col("vec_id") % 8 =!= 0)
+      .select("vec_id", "embedding")
+
+    def run(dir: String, bits: Int): (Double, Double, Long, Long, Long) = {
+      val (keys, vecs) = queries.LlmPipeline.ensureMpAnnIndex(spark, dir, bits)
+      val cc = queries.LlmPipeline.ensureAnnCcArtifact(spark, dir, bits)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_annccscale")
+      try {
+        val hist = tmp.resolve("hist").toString
+        val labels = tmp.resolve("labels").toString
+        graft.streaming.StreamingAdmission.initAnnCc(spark, cc, hist, labels)
+        val t0 = time(graft.streaming.StreamingAdmission.commitAnnCcBatch(
+          spark, keys, vecs, hist, labels, b0, 0L, bits))
+        val t1 = time(graft.streaming.StreamingAdmission.commitAnnCcBatch(
+          spark, keys, vecs, hist, labels, b1, 1L, bits))
+        val w0 = spark.read.parquet(s"$labels/delta/batch_id=0").count()
+        val w1 = spark.read.parquet(s"$labels/delta/batch_id=1").count()
+        val total = graft.streaming.StreamingAdmission
+          .currentLabels(spark, labels).count()
+        require(w0 < total && w1 < total,
+          s"an ANN delta rewrote the labeling ($w0/$w1 of $total rows)")
+        (t0, t1, w0, w1, total)
+      } finally queries.LlmPipeline.deleteRecursively(tmp)
+    }
+    // Warm-up at the smallest sf.
+    run("/root/testdata/sf0.001", queries.LlmPipeline.MpBits)
+    val (t0b, t1b, w0b, w1b, totB) = run(baseDir, queries.LlmPipeline.MpBits)
+    val (t0g, t1g, w0g, w1g, totG) = run(bigDirInc, bitsBig)
+    println(f"\n| streaming ANN CC commit, batch 0 | $t0b%.1f | $t0g%.1f " +
+      f"| ${t0g / t0b}%.1f | ~flat (delta state write + bucket-keyed index probes) |")
+    println(f"| streaming ANN CC commit, batch 1 | $t1b%.1f | $t1g%.1f " +
+      f"| ${t1g / t1b}%.1f | ~flat |")
+    println(s"streaming ANN CC delta rows at sf0.1: batch0=$w0b batch1=$w1b " +
+      s"(labeling $totB rows); at ${replicas}x: batch0=$w0g batch1=$w1g " +
+      s"(labeling $totG rows) — writes track the batch and the components it bridges")
   }
 
   /** Streaming CC maintenance per-batch cost vs corpus size (r13 —

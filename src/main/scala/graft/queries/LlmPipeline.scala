@@ -2439,6 +2439,41 @@ object LlmPipeline extends QueryPack {
     ()
   }
 
+  /** Stored EMBEDDING-side component labeling over the standing corpus
+    * (vec_id % 4 != 0) — the seed state for streaming ANN component
+    * maintenance ([[graft.streaming.StreamingAdmission.startAnnCc]]),
+    * exactly as [[ensureCcArtifact]] seeds the text-side stream. Edges
+    * are the symmetric multi-probe Hamming-≤1 verified pairs
+    * (cosine ≥ 0.4) restricted to corpus×corpus — the q163/q174 pair
+    * surface at the swept radius-1 operating point, the same criterion
+    * the stream discovers incrementally. `bits` joins the cache key
+    * (IndexScale holds base-width and log-n-scaled labelings of
+    * different dirs concurrently).
+    */
+  private val annCcArtifactCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.nio.file.Path]()
+
+  private[graft] def ensureAnnCcArtifact(spark: SparkSession, dir: String,
+      bits: Int = MpBits): String = {
+    evictStoppedArtifacts(annCcArtifactCache)
+    annCcArtifactCache.computeIfAbsent((spark, s"$dir#b$bits"), _ => {
+      artifactShutdownHook
+      graft.functions.NativeFunctions.register(spark)
+      val tag = s"${SourcesOps.sanitizedAppId(spark)}_" +
+        s"${Integer.toHexString(System.identityHashCode(spark))}_" +
+        s"${Integer.toHexString(dir.hashCode)}_b$bits"
+      val path = Paths.get(sys.props("java.io.tmpdir"), s"graft_annccl_$tag")
+      val corpusPairs = multiProbeVerifiedPairs(spark, dir, bits)
+        .filter(col("id1") % 4 =!= 0 && col("id2") % 4 =!= 0)
+        .select("id1", "id2")
+      val edges = corpusPairs.union(
+        corpusPairs.select(col("id2").as("id1"), col("id1").as("id2")))
+      minLabelComponents(edges)
+        .write.mode(SaveMode.Overwrite).parquet(path.toString)
+      path
+    }).toString
+  }
+
   /** Core of q177: fold delta edges into a stored component labeling
     * WITHOUT iterating over the corpus — the quotient-graph merge.
     * `stored` is the standing labeling (id, label); `deltaPairs` the
@@ -3215,6 +3250,7 @@ object LlmPipeline extends QueryPack {
       postingsArtifactCache.values().forEach(deleteRecursively(_))
       mpAnnIndexCache.values().forEach(deleteRecursively(_))
       ccArtifactCache.values().forEach(deleteRecursively(_))
+      annCcArtifactCache.values().forEach(deleteRecursively(_))
     }))
 
   private[graft] def ensureBandIndex(spark: SparkSession, dir: String): (String, String) = {

@@ -399,18 +399,21 @@ object StreamingAdmission {
     * checkpoint has committed — the same precondition as q178's
     * snapshot-at-committed-offset.
     */
-  private[graft] def compactCc(
-      spark: SparkSession, streamDir: String, labelsDir: String,
-      atBatch: Long): Unit = {
-    // --- 1. labeling chain: snapshot + truncate ------------------------
-    // Skip the rewrite only for a COMMITTED snapshot (_SUCCESS): a
-    // partial directory left by a crashed prior run is discarded and
-    // the resolve redone from the still-present deltas — Files.exists
-    // alone would "detect" the partial write as complete, truncate the
-    // deltas below, and permanently lose label state (ADVICE r13).
-    // resolveLabels is already _SUCCESS-gated, so it cannot pick the
-    // partial snapshot as its base either; the explicit delete keeps a
-    // half-written file set from surviving under the committed name.
+  /** The label-chain half of compaction, shared by the text and
+    * embedding streams (the chain layout and resolve logic are
+    * label-generic): materialize the resolved labeling as snapshot
+    * `atBatch`, truncate deltas ≤ atBatch and older snapshots. Skip
+    * the rewrite only for a COMMITTED snapshot (_SUCCESS): a partial
+    * directory left by a crashed prior run is discarded and the
+    * resolve redone from the still-present deltas — Files.exists alone
+    * would "detect" the partial write as complete, truncate the deltas
+    * below, and permanently lose label state (ADVICE r13).
+    * resolveLabels is already _SUCCESS-gated, so it cannot pick the
+    * partial snapshot as its base either; the explicit delete keeps a
+    * half-written file set from surviving under the committed name.
+    */
+  private[graft] def compactLabelChain(
+      spark: SparkSession, labelsDir: String, atBatch: Long): Unit = {
     val snapPath = java.nio.file.Paths.get(labelsDir, "snap", s"batch_id=$atBatch")
     if (!Generations.isComplete(snapPath)) {
       LlmPipeline.deleteRecursively(snapPath)
@@ -423,6 +426,13 @@ object StreamingAdmission {
     genIds(java.nio.file.Paths.get(labelsDir, "snap")).filter(_ < atBatch)
       .foreach(g => LlmPipeline.deleteRecursively(
         java.nio.file.Paths.get(labelsDir, "snap", s"batch_id=$g")))
+  }
+
+  private[graft] def compactCc(
+      spark: SparkSession, streamDir: String, labelsDir: String,
+      atBatch: Long): Unit = {
+    // --- 1. labeling chain: snapshot + truncate ------------------------
+    compactLabelChain(spark, labelsDir, atBatch)
     // --- 2. history index: fold base + deltas, re-cap ------------------
     // Fold INPUTS come from committed bases only; a partial base left
     // by a crashed prior fold is never read (its own inputs are still
@@ -517,6 +527,257 @@ object StreamingAdmission {
           compactCc(spark, streamDir, labelsDir, batchId - 1)
         commitCcBatch(spark, bandsPath, shinglesPath, streamDir, labelsDir,
           batch, batchId)
+      }
+      .start()
+
+  // --- embedding-side streaming component maintenance (r14 — ------------
+  // --- VERDICT r13 item 3: compose the multi-probe pair discovery -------
+  // --- with the delta-label chain) --------------------------------------
+
+  /** Exact multi-probe bucket keys (vec_id, tbl, bucket) for a
+    * (vec_id, d, nrm) vector relation — the stored-index key recipe
+    * ([[graft.queries.LlmPipeline.ensureMpAnnIndex]]).
+    */
+  private def mpExactKeys(vecs: DataFrame, bits: Int): DataFrame = {
+    val bucketCols = (0 until LlmPipeline.MpTables).map(t =>
+      s"struct($t AS tbl, hyperplane_bucket(d, $bits, $t, 0) AS bucket)").mkString(", ")
+    vecs.select(col("vec_id"), explode(expr(s"array($bucketCols)")).as("tb"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+  }
+
+  /** Hamming-≤1 probe expansion of exact keys: the q163/q174 swept
+    * radius-1 operating point (the PAIR-surface dial; the
+    * cluster-amplified radius-2 point is the batch q179 job's concern —
+    * admission probes the same surface q174 does). Probe-vs-exact at
+    * radius 1 is symmetric — a pair collides iff its buckets differ in
+    * ≤ 1 bit in some table — which is exactly what makes discovery
+    * chunking-invariant: whichever endpoint arrives later finds the
+    * pair.
+    */
+  private def mpProbeKeys(exact: DataFrame, bits: Int): DataFrame = {
+    val flips = (0 until bits).map(1 << _)
+    exact.select(col("vec_id"), col("tbl"),
+      explode(array((lit(0) +: flips.map(lit(_))): _*)).as("flip"), col("bucket"))
+      .select(col("vec_id"), col("tbl"), expr("int(bucket ^ flip)").as("bucket"))
+  }
+
+  /** History-base generations of the embedding stream whose keys AND
+    * vecs writes both committed (the [[completeHistoryBases]] gate on
+    * the ANN axis).
+    */
+  private def completeAnnBases(streamDir: String): Seq[Long] =
+    Generations.completeGenIds(
+      java.nio.file.Paths.get(streamDir, "keys_base"), "gen=")
+      .filter(g => Generations.isComplete(
+        java.nio.file.Paths.get(streamDir, "vecs_base", s"gen=$g")))
+
+  /** The embedding stream's own history visible to batch
+    * `beforeBatch`: latest committed compacted base + the key/vec
+    * generations strictly between it and `beforeBatch`, as
+    * (keys, vecs); None when no history exists yet.
+    */
+  private def annStreamHistory(
+      spark: SparkSession, streamDir: String,
+      beforeBatch: Long): (Option[DataFrame], Option[DataFrame]) = {
+    val baseGen = completeAnnBases(streamDir).maxOption
+    val tailIds = genIds(java.nio.file.Paths.get(streamDir, "keys"))
+      .filter(b => b < beforeBatch && baseGen.forall(b > _)).sorted
+    def assemble(baseDir: String, tailDir: String): Option[DataFrame] = {
+      val parts =
+        baseGen.map(g => spark.read.parquet(s"$streamDir/$baseDir/gen=$g")).toSeq ++
+          (if (tailIds.isEmpty) Seq.empty
+           else Seq(spark.read.parquet(
+             tailIds.map(b => s"$streamDir/$tailDir/batch_id=$b"): _*)))
+      parts.reduceOption(_ unionByName _)
+    }
+    (assemble("keys_base", "keys"), assemble("vecs_base", "vecs"))
+  }
+
+  /** One micro-batch's verified near-neighbor pairs, all three
+    * visibility classes against bucket-keyed state only (the
+    * [[ccBatchPairs]] shape on the embedding side):
+    *
+    *   - batch × standing corpus: probe keys against the STORED q163
+    *     index ([[graft.queries.LlmPipeline.ensureMpAnnIndex]]),
+    *     verify at cosine ≥ 0.4 against the stored corpus vectors —
+    *     q174's admission probe, kept as pairs instead of counts;
+    *   - batch × previously streamed vectors: the same probe against
+    *     the stream's own history (compacted base + bounded tail);
+    *   - batch-internal: probe keys vs the batch's exact keys with
+    *     id1 < id2.
+    *
+    * The batch's vectors and exact keys land in their own idempotent
+    * batch_id generations FIRST (replay rewrites them in place) and
+    * everything below reads the just-written parquet back — exactly
+    * what a replayed batch observes. Batch-derived relations ride
+    * BROADCASTS into every join (the q174 argument: the batch is the
+    * small side by construction), so the corpus-sized index/vector
+    * scans stream with zero corpus shuffle.
+    */
+  private[graft] def annCcBatchPairs(
+      spark: SparkSession, keysPath: String, vecsPath: String,
+      streamDir: String, batch: DataFrame, batchId: Long,
+      bits: Int = LlmPipeline.MpBits): DataFrame = {
+    graft.functions.NativeFunctions.register(spark)
+    batch
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("d"))
+      .withColumn("nrm", expr("sqrt(dot_product(d, d))"))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$streamDir/vecs/batch_id=$batchId")
+    val newE = spark.read.parquet(s"$streamDir/vecs/batch_id=$batchId")
+    mpExactKeys(newE, bits).write.mode(SaveMode.Overwrite)
+      .parquet(s"$streamDir/keys/batch_id=$batchId")
+    val newKeys = spark.read.parquet(s"$streamDir/keys/batch_id=$batchId")
+    val probeKeys = mpProbeKeys(newKeys, bits)
+    def verified(cand: DataFrame, oldVecs: DataFrame): DataFrame = {
+      val withNew = cand.join(broadcast(newE.select(col("vec_id").as("new_id"),
+        col("d").as("d1"), col("nrm").as("nrm1"))), "new_id")
+      oldVecs.select(col("vec_id").as("old_id"), col("d").as("d2"),
+          col("nrm").as("nrm2"))
+        .join(broadcast(withNew), "old_id")
+        .filter(expr("dot_product(d1, d2)") / (col("nrm1") * col("nrm2")) >= 0.4)
+        .select(col("new_id").as("id1"), col("old_id").as("id2"))
+    }
+    // vs the standing corpus (stored artifacts).
+    val corpusCand = spark.read.parquet(keysPath).alias("b")
+      .join(broadcast(probeKeys.alias("a")),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.vec_id").as("new_id"), col("b.vec_id").as("old_id"))
+      .distinct()
+    val corpusPairs = verified(corpusCand, spark.read.parquet(vecsPath))
+    // vs previously streamed vectors (compacted base + bounded tail).
+    val streamPairs = annStreamHistory(spark, streamDir, batchId) match {
+      case (Some(histKeys), Some(histVecs)) =>
+        val cand = histKeys.alias("b")
+          .join(broadcast(probeKeys.alias("a")),
+            col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket"))
+          .select(col("a.vec_id").as("new_id"), col("b.vec_id").as("old_id"))
+          .distinct()
+        verified(cand, histVecs)
+      case _ => spark.emptyDataFrame.select(
+        lit(0L).as("id1"), lit(0L).as("id2")).limit(0)
+    }
+    // batch-internal pairs (symmetric radius-1 within the batch).
+    val internalCand = probeKeys.alias("a").join(newKeys.alias("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("new_id"), col("b.vec_id").as("old_id"))
+      .distinct()
+    val internal = verified(internalCand, newE)
+    corpusPairs.unionByName(streamPairs).unionByName(internal).distinct()
+  }
+
+  /** Merge one embedding micro-batch into the labeling chain — the
+    * [[commitCcBatch]] discipline verbatim (the chain is
+    * label-generic): resolve the predecessor FIRST (a replay deeper
+    * than the compaction point refuses before any state mutation),
+    * fold the batch's pairs through the quotient merge, write ONLY the
+    * changed rows as this batch's delta, idempotently.
+    */
+  private[graft] def commitAnnCcBatch(
+      spark: SparkSession, keysPath: String, vecsPath: String,
+      streamDir: String, labelsDir: String, batch: DataFrame,
+      batchId: Long, bits: Int = LlmPipeline.MpBits): Unit = {
+    val prev = resolveLabels(spark, labelsDir, batchId - 1)
+    val pairs = annCcBatchPairs(spark, keysPath, vecsPath, streamDir, batch,
+      batchId, bits)
+    LlmPipeline.mergeComponentDeltas(prev, pairs)
+      .select(col("id"), col("cluster").as("label"))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$labelsDir/delta/batch_id=$batchId")
+  }
+
+  /** Seed the embedding labeling chain with the standing corpus's
+    * ANN-edge component labeling
+    * ([[graft.queries.LlmPipeline.ensureAnnCcArtifact]]) as snapshot
+    * generation -1, and prepare the stream history roots.
+    */
+  private[graft] def initAnnCc(
+      spark: SparkSession, corpusLabelsPath: String, streamDir: String,
+      labelsDir: String): Unit = {
+    spark.read.parquet(corpusLabelsPath)
+      .select("id", "label")
+      .write.mode(SaveMode.Overwrite).parquet(s"$labelsDir/snap/batch_id=-1")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(streamDir, "keys"))
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(streamDir, "vecs"))
+  }
+
+  /** Compact both state axes of the embedding stream — the
+    * [[compactCc]] discipline with the ANN history fold: the label
+    * chain compacts first (fail-closed point established before any
+    * history mutation), then the key/vec generations ≤ atBatch fold
+    * into one new base. The fold is a plain distinct union — unlike
+    * the band history there is no write-time bucket cap to re-apply
+    * (the stored ANN index is uncapped; per-bucket occupancy is
+    * bounded by the bits ~ log n sizing discipline, not a cap), so
+    * fold == union trivially. Write-first/delete-last ordering and the
+    * _SUCCESS gate make a crash at any point recoverable from
+    * still-present inputs.
+    */
+  private[graft] def compactAnnCc(
+      spark: SparkSession, streamDir: String, labelsDir: String,
+      atBatch: Long): Unit = {
+    compactLabelChain(spark, labelsDir, atBatch)
+    val allOldBase = (genIds(
+      java.nio.file.Paths.get(streamDir, "keys_base"), "gen=") ++
+      genIds(java.nio.file.Paths.get(streamDir, "vecs_base"), "gen="))
+      .distinct.filter(_ < atBatch)
+    val oldBase = completeAnnBases(streamDir).filter(_ < atBatch)
+    val foldIds = genIds(java.nio.file.Paths.get(streamDir, "keys"))
+      .filter(_ <= atBatch).sorted
+    if (oldBase.nonEmpty || foldIds.nonEmpty) {
+      val newKeysBase = java.nio.file.Paths.get(streamDir, "keys_base", s"gen=$atBatch")
+      val newVecsBase = java.nio.file.Paths.get(streamDir, "vecs_base", s"gen=$atBatch")
+      LlmPipeline.deleteRecursively(newKeysBase)
+      LlmPipeline.deleteRecursively(newVecsBase)
+      def folded(baseDir: String, deltaDir: String): DataFrame = {
+        val parts =
+          oldBase.maxOption.map(g =>
+            spark.read.parquet(s"$streamDir/$baseDir/gen=$g")).toSeq ++
+            (if (foldIds.isEmpty) Seq.empty
+             else Seq(spark.read.parquet(
+               foldIds.map(b => s"$streamDir/$deltaDir/batch_id=$b"): _*)))
+        parts.reduce(_ unionByName _).distinct()
+      }
+      folded("keys_base", "keys")
+        .write.mode(SaveMode.Overwrite).parquet(newKeysBase.toString)
+      folded("vecs_base", "vecs")
+        .write.mode(SaveMode.Overwrite).parquet(newVecsBase.toString)
+      foldIds.foreach { b =>
+        LlmPipeline.deleteRecursively(
+          java.nio.file.Paths.get(streamDir, "keys", s"batch_id=$b"))
+        LlmPipeline.deleteRecursively(
+          java.nio.file.Paths.get(streamDir, "vecs", s"batch_id=$b"))
+      }
+      allOldBase.foreach { g =>
+        LlmPipeline.deleteRecursively(
+          java.nio.file.Paths.get(streamDir, "keys_base", s"gen=$g"))
+        LlmPipeline.deleteRecursively(
+          java.nio.file.Paths.get(streamDir, "vecs_base", s"gen=$g"))
+      }
+    }
+  }
+
+  /** Start the embedding component-maintenance stream: `input` is a
+    * streaming DataFrame of (vec_id, embedding); call [[initAnnCc]]
+    * first. The labeling after the stream drains is [[currentLabels]];
+    * `compactEvery` automates the [[compactAnnCc]] cadence under the
+    * same committed-predecessor discipline as [[startCc]].
+    */
+  def startAnnCc(
+      spark: SparkSession, keysPath: String, vecsPath: String,
+      input: DataFrame, streamDir: String, labelsDir: String,
+      checkpointDir: String, compactEvery: Int = 0,
+      bits: Int = LlmPipeline.MpBits): StreamingQuery =
+    input.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          compactAnnCc(spark, streamDir, labelsDir, batchId - 1)
+        commitAnnCcBatch(spark, keysPath, vecsPath, streamDir, labelsDir,
+          batch, batchId, bits)
       }
       .start()
 }
