@@ -137,7 +137,12 @@ object SketchMaintenance {
     // same union.
     val baseGen = Generations.completeGenIds(
       java.nio.file.Paths.get(sketchDir, "base"), "gen=").maxOption
-    val tail = genIds(java.nio.file.Paths.get(sketchDir))
+    // The tail is _SUCCESS-gated too (ADVICE r14): a reader concurrent
+    // with a crashed or in-flight batch write must not union a partial
+    // batch generation — the stream's replay will (re)write it
+    // completely, and until then it is invisible, like every other
+    // markerless directory.
+    val tail = Generations.completeGenIds(java.nio.file.Paths.get(sketchDir))
       .filter(b => baseGen.forall(b > _)).sorted
     val parts =
       baseGen.map(g => spark.read.parquet(s"$sketchDir/base/gen=$g")).toSeq ++
@@ -165,20 +170,41 @@ object SketchMaintenance {
     // base would fold truncated state forward); partial bases still
     // get deleted in the cleanup below.
     val oldBase = Generations.completeGenIds(baseDir, "gen=").filter(_ < upTo)
-    val foldIds = genIds(java.nio.file.Paths.get(sketchDir))
-      .filter(_ <= upTo).sorted
-    if (oldBase.isEmpty && foldIds.isEmpty) {
-      // A complete prior fold (COMMITTED base at upTo, inputs gone) is
-      // detected and skipped — the compactCc idempotent-re-run
-      // convention. A base at upTo WITH inputs still present is a
-      // crashed partial fold and falls through to be discarded and
-      // redone below. (A markerless base with its inputs gone is
-      // unreachable: inputs are deleted only after the marker lands.)
-      require(Generations.completeGenIds(baseDir, "gen=").contains(upTo),
-        s"compactSketches: nothing to fold at or below $upTo under $sketchDir")
+    // Fold inputs are committed generations STRICTLY PAST the base
+    // being folded: a generation ≤ oldBase.max is already inside that
+    // base (a leftover from an interrupted prior cleanup — folding it
+    // again would double-count every sketch cell), and a markerless
+    // generation is a crashed partial write (folding it would count
+    // truncated rows). Both still get deleted in the cleanup.
+    val foldIds = Generations.completeGenIds(java.nio.file.Paths.get(sketchDir))
+      .filter(b => b <= upTo && oldBase.maxOption.forall(b > _)).sorted
+    val staleIds = genIds(java.nio.file.Paths.get(sketchDir)).filter(_ <= upTo).sorted
+    val newBase = java.nio.file.Paths.get(sketchDir, "base", s"gen=$upTo")
+    def cleanup(): Unit = {
+      staleIds.foreach(b => LlmPipeline.deleteRecursively(
+        java.nio.file.Paths.get(sketchDir, s"batch_id=$b")))
+      allOldBase.foreach(g => LlmPipeline.deleteRecursively(
+        java.nio.file.Paths.get(sketchDir, "base", s"gen=$g")))
+    }
+    if (Generations.isComplete(newBase)) {
+      // A COMMITTED base at upTo with inputs still on disk is a prior
+      // fold that crashed mid-CLEANUP (inputs are deleted strictly
+      // after the marker lands), NOT a partial fold — the fold itself
+      // is complete. Refolding here would discard the committed base
+      // and rebuild from a partially-deleted input set — silent
+      // permanent state loss (ADVICE r14). Keep the base; only finish
+      // the input/old-base cleanup.
+      cleanup()
       return
     }
-    val newBase = java.nio.file.Paths.get(sketchDir, "base", s"gen=$upTo")
+    if (oldBase.isEmpty && foldIds.isEmpty) {
+      // Nothing committed to fold and no committed base at upTo —
+      // compaction was invoked at a point with no state at all.
+      throw new IllegalStateException(
+        s"compactSketches: nothing to fold at or below $upTo under $sketchDir")
+    }
+    // A markerless gen=upTo left by a crashed prior fold is discarded
+    // and redone from its still-present inputs.
     LlmPipeline.deleteRecursively(newBase)
     val parts =
       oldBase.maxOption.map(g => spark.read.parquet(s"$sketchDir/base/gen=$g")).toSeq ++
@@ -186,9 +212,6 @@ object SketchMaintenance {
          else Seq(spark.read.parquet(foldIds.map(b => s"$sketchDir/batch_id=$b"): _*)))
     unionAgg(parts.reduce(_ unionByName _))
       .write.mode(SaveMode.Overwrite).parquet(newBase.toString)
-    foldIds.foreach(b => LlmPipeline.deleteRecursively(
-      java.nio.file.Paths.get(sketchDir, s"batch_id=$b")))
-    allOldBase.foreach(g => LlmPipeline.deleteRecursively(
-      java.nio.file.Paths.get(sketchDir, "base", s"gen=$g")))
+    cleanup()
   }
 }

@@ -264,7 +264,13 @@ object StreamingAdmission {
     // inputs are still on disk (deleted last) and the tail filter
     // below re-includes them.
     val baseGen = completeHistoryBases(streamDir).maxOption
-    val tailIds = genIds(java.nio.file.Paths.get(streamDir, "bands"))
+    // Tail deltas are _SUCCESS-gated on both twins (ADVICE r14): a
+    // reader racing a crashed or in-flight batch write must not union
+    // a partial generation — its replay rewrites it completely.
+    val tailIds = Generations.completeGenIds(
+      java.nio.file.Paths.get(streamDir, "bands"))
+      .filter(b => Generations.isComplete(
+        java.nio.file.Paths.get(streamDir, "shingles", s"batch_id=$b")))
       .filter(b => b < beforeBatch && baseGen.forall(b > _)).sorted
     def assemble(baseDir: String, tailDir: String): Option[DataFrame] = {
       val parts =
@@ -340,7 +346,12 @@ object StreamingAdmission {
     val s = snaps.max
     val base = spark.read.parquet(s"$labelsDir/snap/batch_id=$s")
       .select("id", "label")
-    val deltaIds = genIds(java.nio.file.Paths.get(labelsDir, "delta"))
+    // Delta tail _SUCCESS-gated (ADVICE r14): a reader racing an
+    // in-flight or crashed delta write skips the partial generation —
+    // the stream's replay rewrites it before the batch commits, so no
+    // committed read can miss it.
+    val deltaIds = Generations.completeGenIds(
+      java.nio.file.Paths.get(labelsDir, "delta"))
       .filter(b => b > s && b <= upTo)
     if (deltaIds.isEmpty) base
     else {
@@ -442,14 +453,46 @@ object StreamingAdmission {
       genIds(java.nio.file.Paths.get(streamDir, "shingles_base"), "gen="))
       .distinct.filter(_ < atBatch)
     val oldBase = completeHistoryBases(streamDir).filter(_ < atBatch)
-    val foldIds = genIds(java.nio.file.Paths.get(streamDir, "bands"))
-      .filter(_ <= atBatch).sorted
+    // Fold inputs: committed (both twins) deltas strictly past the base
+    // being folded — a leftover ≤ oldBase.max from an interrupted prior
+    // cleanup is already inside that base, and a markerless delta is a
+    // crashed partial write; both are only cleaned up, never folded.
+    val foldIds = Generations.completeGenIds(
+      java.nio.file.Paths.get(streamDir, "bands"))
+      .filter(b => Generations.isComplete(
+        java.nio.file.Paths.get(streamDir, "shingles", s"batch_id=$b")))
+      .filter(b => b <= atBatch && oldBase.maxOption.forall(b > _)).sorted
+    val staleIds = (genIds(java.nio.file.Paths.get(streamDir, "bands")) ++
+      genIds(java.nio.file.Paths.get(streamDir, "shingles")))
+      .distinct.filter(_ <= atBatch).sorted
     val newBandsBase = java.nio.file.Paths.get(streamDir, "bands_base", s"gen=$atBatch")
     val newShBase = java.nio.file.Paths.get(streamDir, "shingles_base", s"gen=$atBatch")
-    if (oldBase.nonEmpty || foldIds.nonEmpty) {
-      // A crashed prior fold may have left a partial gen=atBatch while
-      // its inputs are still present (inputs are deleted LAST) — redo
-      // the fold from the inputs.
+    def cleanup(): Unit = {
+      staleIds.foreach { b =>
+        LlmPipeline.deleteRecursively(
+          java.nio.file.Paths.get(streamDir, "bands", s"batch_id=$b"))
+        LlmPipeline.deleteRecursively(
+          java.nio.file.Paths.get(streamDir, "shingles", s"batch_id=$b"))
+      }
+      allOldBase.foreach { g =>
+        LlmPipeline.deleteRecursively(
+          java.nio.file.Paths.get(streamDir, "bands_base", s"gen=$g"))
+        LlmPipeline.deleteRecursively(
+          java.nio.file.Paths.get(streamDir, "shingles_base", s"gen=$g"))
+      }
+    }
+    if (Generations.isComplete(newBandsBase) && Generations.isComplete(newShBase)) {
+      // BOTH twins at atBatch committed with inputs still on disk: a
+      // prior fold crashed mid-CLEANUP (inputs delete strictly after
+      // both markers land) — the fold itself is complete. Refolding
+      // would discard the committed base and rebuild from a
+      // partially-deleted input set — silent permanent state loss
+      // (ADVICE r14). Keep the base; only finish the cleanup.
+      cleanup()
+    } else if (oldBase.nonEmpty || foldIds.nonEmpty) {
+      // A crashed prior fold may have left a partial (markerless, or
+      // single-twin) gen=atBatch while its inputs are still present
+      // (inputs are deleted LAST) — redo the fold from the inputs.
       LlmPipeline.deleteRecursively(newBandsBase)
       LlmPipeline.deleteRecursively(newShBase)
       def folded(baseDir: String, deltaDir: String): DataFrame = {
@@ -469,18 +512,7 @@ object StreamingAdmission {
         .write.mode(SaveMode.Overwrite).parquet(newBandsBase.toString)
       folded("shingles_base", "shingles")
         .write.mode(SaveMode.Overwrite).parquet(newShBase.toString)
-      foldIds.foreach { b =>
-        LlmPipeline.deleteRecursively(
-          java.nio.file.Paths.get(streamDir, "bands", s"batch_id=$b"))
-        LlmPipeline.deleteRecursively(
-          java.nio.file.Paths.get(streamDir, "shingles", s"batch_id=$b"))
-      }
-      allOldBase.foreach { g =>
-        LlmPipeline.deleteRecursively(
-          java.nio.file.Paths.get(streamDir, "bands_base", s"gen=$g"))
-        LlmPipeline.deleteRecursively(
-          java.nio.file.Paths.get(streamDir, "shingles_base", s"gen=$g"))
-      }
+      cleanup()
     }
   }
 
@@ -580,7 +612,12 @@ object StreamingAdmission {
       spark: SparkSession, streamDir: String,
       beforeBatch: Long): (Option[DataFrame], Option[DataFrame]) = {
     val baseGen = completeAnnBases(streamDir).maxOption
-    val tailIds = genIds(java.nio.file.Paths.get(streamDir, "keys"))
+    // Tail deltas _SUCCESS-gated on both twins (ADVICE r14), as in
+    // [[streamHistory]].
+    val tailIds = Generations.completeGenIds(
+      java.nio.file.Paths.get(streamDir, "keys"))
+      .filter(b => Generations.isComplete(
+        java.nio.file.Paths.get(streamDir, "vecs", s"batch_id=$b")))
       .filter(b => b < beforeBatch && baseGen.forall(b > _)).sorted
     def assemble(baseDir: String, tailDir: String): Option[DataFrame] = {
       val parts =
@@ -725,11 +762,39 @@ object StreamingAdmission {
       genIds(java.nio.file.Paths.get(streamDir, "vecs_base"), "gen="))
       .distinct.filter(_ < atBatch)
     val oldBase = completeAnnBases(streamDir).filter(_ < atBatch)
-    val foldIds = genIds(java.nio.file.Paths.get(streamDir, "keys"))
-      .filter(_ <= atBatch).sorted
-    if (oldBase.nonEmpty || foldIds.nonEmpty) {
-      val newKeysBase = java.nio.file.Paths.get(streamDir, "keys_base", s"gen=$atBatch")
-      val newVecsBase = java.nio.file.Paths.get(streamDir, "vecs_base", s"gen=$atBatch")
+    // Fold inputs: committed (both twins) deltas strictly past the base
+    // being folded — the [[compactCc]] input gate on the ANN axis.
+    val foldIds = Generations.completeGenIds(
+      java.nio.file.Paths.get(streamDir, "keys"))
+      .filter(b => Generations.isComplete(
+        java.nio.file.Paths.get(streamDir, "vecs", s"batch_id=$b")))
+      .filter(b => b <= atBatch && oldBase.maxOption.forall(b > _)).sorted
+    val staleIds = (genIds(java.nio.file.Paths.get(streamDir, "keys")) ++
+      genIds(java.nio.file.Paths.get(streamDir, "vecs")))
+      .distinct.filter(_ <= atBatch).sorted
+    val newKeysBase = java.nio.file.Paths.get(streamDir, "keys_base", s"gen=$atBatch")
+    val newVecsBase = java.nio.file.Paths.get(streamDir, "vecs_base", s"gen=$atBatch")
+    def cleanup(): Unit = {
+      staleIds.foreach { b =>
+        LlmPipeline.deleteRecursively(
+          java.nio.file.Paths.get(streamDir, "keys", s"batch_id=$b"))
+        LlmPipeline.deleteRecursively(
+          java.nio.file.Paths.get(streamDir, "vecs", s"batch_id=$b"))
+      }
+      allOldBase.foreach { g =>
+        LlmPipeline.deleteRecursively(
+          java.nio.file.Paths.get(streamDir, "keys_base", s"gen=$g"))
+        LlmPipeline.deleteRecursively(
+          java.nio.file.Paths.get(streamDir, "vecs_base", s"gen=$g"))
+      }
+    }
+    if (Generations.isComplete(newKeysBase) && Generations.isComplete(newVecsBase)) {
+      // Committed twins at atBatch + inputs on disk = a prior fold
+      // crashed mid-cleanup; the fold is complete. Keep it, finish the
+      // cleanup — refolding from the partially-deleted inputs would
+      // lose state (ADVICE r14, as in [[compactCc]]).
+      cleanup()
+    } else if (oldBase.nonEmpty || foldIds.nonEmpty) {
       LlmPipeline.deleteRecursively(newKeysBase)
       LlmPipeline.deleteRecursively(newVecsBase)
       def folded(baseDir: String, deltaDir: String): DataFrame = {
@@ -745,18 +810,7 @@ object StreamingAdmission {
         .write.mode(SaveMode.Overwrite).parquet(newKeysBase.toString)
       folded("vecs_base", "vecs")
         .write.mode(SaveMode.Overwrite).parquet(newVecsBase.toString)
-      foldIds.foreach { b =>
-        LlmPipeline.deleteRecursively(
-          java.nio.file.Paths.get(streamDir, "keys", s"batch_id=$b"))
-        LlmPipeline.deleteRecursively(
-          java.nio.file.Paths.get(streamDir, "vecs", s"batch_id=$b"))
-      }
-      allOldBase.foreach { g =>
-        LlmPipeline.deleteRecursively(
-          java.nio.file.Paths.get(streamDir, "keys_base", s"gen=$g"))
-        LlmPipeline.deleteRecursively(
-          java.nio.file.Paths.get(streamDir, "vecs_base", s"gen=$g"))
-      }
+      cleanup()
     }
   }
 

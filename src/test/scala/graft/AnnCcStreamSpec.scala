@@ -125,6 +125,54 @@ class AnnCcStreamSpec extends SparkSpec {
     }
   }
 
+  test("compactAnnCc crash mid-cleanup: a committed fold with leftover inputs is kept, never refolded (ADVICE r14)") {
+    import spark.implicits._
+    val (keysPath, vecsPath) = LlmPipeline.ensureMpAnnIndex(spark, sfDir)
+    val ccPath = LlmPipeline.ensureAnnCcArtifact(spark, sfDir)
+    val newVecs = graft.sources.Tables.embeddings(spark, sfDir)
+      .filter("vec_id % 4 = 0").select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect()
+      .sortBy { case (id, _) => (id % 7, id) }
+    val chunks = newVecs.grouped(math.max(newVecs.length / 3, 1)).toSeq
+      .map(_.toSeq)
+    require(chunks.size >= 3, "fixture must yield >= 3 chunks")
+    val (_, t2) = runStream(chunks.init, keysPath, vecsPath, ccPath)
+    try {
+      val hist = t2.resolve("hist").toString
+      val labelsDir = t2.resolve("labels").toString
+      val atBatch = (chunks.size - 2).toLong
+      val before = readLabels(labelsDir)
+      // The [[CcStreamSpec]] crash-mid-cleanup scenario on the ANN
+      // axis: base twins committed, input cleanup interrupted — the
+      // replay must keep the committed fold, not rebuild it from the
+      // partially-deleted input set.
+      val asideK = t2.resolve("aside_keys"); val asideV = t2.resolve("aside_vecs")
+      copyDir(Paths.get(hist, "keys", "batch_id=0"), asideK)
+      copyDir(Paths.get(hist, "vecs", "batch_id=0"), asideV)
+      StreamingAdmission.compactAnnCc(spark, hist, labelsDir, atBatch)
+      val baseRows = spark.read.parquet(s"$hist/keys_base/gen=$atBatch")
+        .collect().map(_.toString).toSet
+      copyDir(asideK, Paths.get(hist, "keys", "batch_id=0"))
+      copyDir(asideV, Paths.get(hist, "vecs", "batch_id=0"))
+      StreamingAdmission.compactAnnCc(spark, hist, labelsDir, atBatch)
+      assert(Files.exists(Paths.get(hist, "keys_base", s"gen=$atBatch", "_SUCCESS")) &&
+        Files.exists(Paths.get(hist, "vecs_base", s"gen=$atBatch", "_SUCCESS")),
+        "ANN compaction replay lost the committed history base")
+      val baseRowsAfter = spark.read.parquet(s"$hist/keys_base/gen=$atBatch")
+        .collect().map(_.toString).toSet
+      assert(baseRowsAfter == baseRows,
+        s"ANN compaction replay refolded the committed base from partial inputs " +
+          s"(${baseRowsAfter.size} vs ${baseRows.size} rows)")
+      assert(!Files.exists(Paths.get(hist, "keys", "batch_id=0")) &&
+        !Files.exists(Paths.get(hist, "vecs", "batch_id=0")),
+        "ANN compaction replay did not finish the leftover-input cleanup")
+      assert(readLabels(labelsDir) == before,
+        "ANN compaction replay changed the resolved labeling")
+    } finally {
+      LlmPipeline.deleteRecursively(t2)
+    }
+  }
+
   test("ANN CC compaction cadence: compactEvery=1 folds mid-stream; labeling == single-batch; fails closed below") {
     import spark.implicits._
     val (keysPath, vecsPath) = LlmPipeline.ensureMpAnnIndex(spark, sfDir)

@@ -245,6 +245,66 @@ class CcStreamSpec extends SparkSpec {
     }
   }
 
+  test("compactCc crash mid-cleanup: a committed fold with leftover inputs is kept, never refolded (ADVICE r14)") {
+    import spark.implicits._
+    val (bandsPath, shinglesPath) = LlmPipeline.ensureBandIndex(spark, sfDir)
+    val ccPath = LlmPipeline.ensureCcArtifact(spark, sfDir)
+    val newDocs = graft.sources.Tables.documents(spark, sfDir)
+      .filter("doc_id % 4 = 0").select("doc_id", "text")
+      .as[(Long, String)].collect()
+      .sortBy { case (id, _) => (id % 5, id) }
+    val chunks = newDocs.grouped(math.max(newDocs.length / 3, 1)).toSeq
+      .map(_.toSeq)
+    require(chunks.size >= 3, "fixture must yield >= 3 chunks")
+    val (_, t2) = runStream(chunks.init, bandsPath, shinglesPath, ccPath)
+    try {
+      val hist = t2.resolve("hist").toString
+      val labelsDir = t2.resolve("labels").toString
+      val atBatch = (chunks.size - 2).toLong
+      val before = readLabels(labelsDir)
+      // Snapshot batch 0's fold inputs aside, compact, then RESTORE
+      // them — the exact on-disk state of a compaction whose base
+      // (both twins) COMMITTED but whose input cleanup was interrupted:
+      // inputs delete strictly after the markers land, so a committed
+      // base at atBatch can coexist with a subset of its inputs.
+      val asideB = t2.resolve("aside_bands"); val asideS = t2.resolve("aside_sh")
+      val asideD = t2.resolve("aside_delta")
+      copyDir(Paths.get(hist, "bands", "batch_id=0"), asideB)
+      copyDir(Paths.get(hist, "shingles", "batch_id=0"), asideS)
+      copyDir(Paths.get(labelsDir, "delta", "batch_id=0"), asideD)
+      StreamingAdmission.compactCc(spark, hist, labelsDir, atBatch)
+      val baseRows = spark.read.parquet(s"$hist/bands_base/gen=$atBatch")
+        .collect().map(_.toString).toSet
+      copyDir(asideB, Paths.get(hist, "bands", "batch_id=0"))
+      copyDir(asideS, Paths.get(hist, "shingles", "batch_id=0"))
+      copyDir(asideD, Paths.get(labelsDir, "delta", "batch_id=0"))
+      // Leftovers are invisible to reads (≤ the committed snapshot/base).
+      assert(readLabels(labelsDir) == before,
+        "a leftover folded label delta leaked into resolveLabels")
+      // The compaction replay must KEEP the committed fold (refolding
+      // from the now-partial input set — batch 1's deltas are already
+      // gone — would silently truncate the history base) and only
+      // finish the cleanup.
+      StreamingAdmission.compactCc(spark, hist, labelsDir, atBatch)
+      assert(Files.exists(Paths.get(hist, "bands_base", s"gen=$atBatch", "_SUCCESS")) &&
+        Files.exists(Paths.get(hist, "shingles_base", s"gen=$atBatch", "_SUCCESS")),
+        "compaction replay lost the committed history base")
+      val baseRowsAfter = spark.read.parquet(s"$hist/bands_base/gen=$atBatch")
+        .collect().map(_.toString).toSet
+      assert(baseRowsAfter == baseRows,
+        s"compaction replay refolded the committed base from partial inputs " +
+          s"(${baseRowsAfter.size} vs ${baseRows.size} rows)")
+      assert(!Files.exists(Paths.get(hist, "bands", "batch_id=0")) &&
+        !Files.exists(Paths.get(hist, "shingles", "batch_id=0")) &&
+        !Files.exists(Paths.get(labelsDir, "delta", "batch_id=0")),
+        "compaction replay did not finish the leftover-input cleanup")
+      assert(readLabels(labelsDir) == before,
+        "compaction replay changed the resolved labeling")
+    } finally {
+      LlmPipeline.deleteRecursively(t2)
+    }
+  }
+
   test("compaction cadence: compactEvery=1 compacts every committed predecessor mid-stream; labeling == single-batch") {
     import spark.implicits._
     val (bandsPath, shinglesPath) = LlmPipeline.ensureBandIndex(spark, sfDir)

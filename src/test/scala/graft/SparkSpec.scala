@@ -22,4 +22,23 @@ object SparkSpec {
 abstract class SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.spark
   def sfDir: String = SparkSpec.sfSmoke
+
+  /** Recursive directory copy — crash-simulation helper: snapshot a
+    * generation directory aside so a test can restore it after a
+    * compaction, faithfully reproducing a cleanup interrupted before
+    * that input's deletion.
+    */
+  protected def copyDir(src: java.nio.file.Path, dst: java.nio.file.Path): Unit =
+    scala.util.Using.resource(java.nio.file.Files.walk(src)) { s =>
+      s.forEach { p =>
+        val t = dst.resolve(src.relativize(p).toString)
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(t)
+        else {
+          java.nio.file.Files.createDirectories(t.getParent)
+          java.nio.file.Files.copy(p, t,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
+    }
 }
