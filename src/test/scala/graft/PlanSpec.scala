@@ -217,6 +217,19 @@ class PlanSpec extends SparkSpec {
       s"query terms not pushed into the postings scan:\n$plan")
   }
 
+  test("q190: conjunctive WAND read path scans stored postings only; terms pushed") {
+    // The q181 pin extended to the k-term conjunctive path: pruning,
+    // seeding, θ and the final pivot all run downstream of the pushed
+    // In-filter — never against the corpus.
+    val plan = formatted(LlmPipeline.bm25Conjunctive(spark, sfDir))
+    assert(!plan.contains("documents.parquet"),
+      s"q190 read path scans the corpus:\n$plan")
+    assert(plan.contains("graft_postings_"),
+      s"no postings-artifact scan in the plan:\n$plan")
+    assert(plan.contains("PushedFilters: [In(token"),
+      s"query terms not pushed into the postings scan:\n$plan")
+  }
+
   test("q97: multi-table near-dup joins on (table, bucket), never quadratic") {
     withoutAutoBroadcast {
       val plan = simple(LlmPipeline.multiTableNearDup(spark, sfDir))

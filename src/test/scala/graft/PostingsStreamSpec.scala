@@ -1,0 +1,165 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.queries.LlmPipeline
+import graft.streaming.PostingsMaintenance
+
+/** Streaming postings maintenance (r15 — VERDICT r14 item 4): the
+  * q188/q189 fold laws on the stream's time axis. Obligations:
+  *
+  *   - chunked == single-batch == the nightly one-shot build, as exact
+  *     ROW EQUALITY on all three axes (row union over disjoint doc
+  *     sets commutes — the merged postings must be byte-equal to
+  *     `postingsFor` of the whole corpus, not merely rank-equal);
+  *   - replay idempotency (at-least-once: re-committing a generation
+  *     changes no merged read);
+  *   - compaction preserves every merged read, deletes the folded
+  *     inputs, survives idempotent re-runs and the crash-mid-cleanup
+  *     state (committed base + leftover inputs — ADVICE r14);
+  *   - READ-SIDE CLOSURE: a q181 BM25 retrieval against the streamed
+  *     artifacts equals the retrieval against the stored batch-built
+  *     artifacts — maintaining the index preserves every ranking
+  *     computed from it, live as well as nightly.
+  */
+class PostingsStreamSpec extends SparkSpec {
+
+  private def runStream(
+      chunks: Seq[Seq[(Long, String)]], compactEvery: Int = 0): java.nio.file.Path = {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft_poststream")
+    val dir = tmp.resolve("index").toString
+    val ckpt = tmp.resolve("ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    val q = PostingsMaintenance.start(spark,
+      input.toDS().toDF("doc_id", "text"), dir, ckpt, compactEvery)
+    try {
+      chunks.foreach { c => input.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    tmp
+  }
+
+  private def rowsEqual(a: DataFrame, b: DataFrame): Boolean =
+    a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+
+  private def standingDocs = graft.sources.Tables.documents(spark, sfDir)
+    .filter(col("doc_id") % 4 =!= 0).select("doc_id", "text")
+
+  test("streamed postings: chunked == single-batch == one-shot build; replay idempotent; BM25 closure holds") {
+    import spark.implicits._
+    val docs = standingDocs.as[(Long, String)].collect()
+      .sortBy { case (id, _) => (id % 5, id) }
+    val chunks = docs.grouped(math.max(docs.length / 3, 1)).toSeq.map(_.toSeq)
+    require(chunks.size >= 3, "fixture must yield >= 3 chunks")
+    val t1 = runStream(Seq(docs.toSeq))
+    val t2 = runStream(chunks)
+    try {
+      val dir1 = t1.resolve("index").toString
+      val dir2 = t2.resolve("index").toString
+      val (p1, d1, s1) = PostingsMaintenance.mergedIndex(spark, dir1)
+      val (p2, d2, s2) = PostingsMaintenance.mergedIndex(spark, dir2)
+      // The one-shot nightly build of the same corpus — the external
+      // ground truth the stream must reproduce byte-for-byte.
+      val (pB, dB, sB) = LlmPipeline.postingsFor(standingDocs)
+      assert(rowsEqual(p2, p1) && rowsEqual(p2, pB),
+        "streamed postings != one-shot build (row union must commute)")
+      assert(rowsEqual(d2, d1) && rowsEqual(d2, dB),
+        "streamed docstats != one-shot build")
+      val sRow = s2.head(); val sTruth = sB.head()
+      assert(sRow.getLong(0) == sTruth.getLong(0) &&
+        sRow.getLong(1) == sTruth.getLong(1) &&
+        sRow.getLong(2) == sTruth.getLong(2),
+        s"streamed corpus stats $sRow != one-shot $sTruth (addition fold broken)")
+      // Replay idempotency: re-commit the last generation.
+      PostingsMaintenance.commitPostingsBatch(spark,
+        chunks.last.toDF("doc_id", "text"), dir2, (chunks.size - 1).toLong)
+      val (pR, dR, sR) = PostingsMaintenance.mergedIndex(spark, dir2)
+      assert(rowsEqual(pR, pB) && rowsEqual(dR, dB) &&
+        sR.head().getLong(2) == sTruth.getLong(2),
+        "replaying a batch changed a merged read")
+      // READ-SIDE CLOSURE (the LlmPipelineSpec law extended to the
+      // live plane): BM25 against the streamed artifacts == BM25
+      // against the stored batch-built artifacts. Both sides select
+      // terms from their own (token, df) relation, so this also pins
+      // streamed df == stored df.
+      val live = PostingsMaintenance.bm25AgainstStream(spark, dir2)
+        .collect().map(_.toString).toSeq
+      val stored = LlmPipeline.bm25Retrieval(spark, sfDir)
+        .collect().map(_.toString).toSeq
+      assert(live == stored,
+        "BM25 over streamed artifacts diverged from the stored-artifact ranking")
+    } finally {
+      LlmPipeline.deleteRecursively(t1)
+      LlmPipeline.deleteRecursively(t2)
+    }
+  }
+
+  test("postings compaction: fold preserves reads, cadence folds mid-stream, crash-mid-cleanup keeps the committed base") {
+    import spark.implicits._
+    val docs = standingDocs.as[(Long, String)].collect()
+      .sortBy { case (id, _) => (id % 5, id) }
+    val chunks = docs.grouped(math.max(docs.length / 4, 1)).toSeq.map(_.toSeq)
+    require(chunks.size >= 4, "fixture must yield >= 4 chunks")
+    val (pB, dB, sB) = LlmPipeline.postingsFor(standingDocs)
+    val sTruth = sB.head()
+    // Cadence: every 2nd batch folds its committed predecessor.
+    val t = runStream(chunks, compactEvery = 2)
+    try {
+      val dir = t.resolve("index").toString
+      // The last cadence fire: the largest even batch id compacts its
+      // committed predecessor.
+      val lastFold = (0 until chunks.size).filter(b => b > 0 && b % 2 == 0).max - 1L
+      assert(Files.exists(Paths.get(dir, "postings_base", s"gen=$lastFold", "_SUCCESS")) &&
+        Files.exists(Paths.get(dir, "stats_base", s"gen=$lastFold", "_SUCCESS")),
+        "cadence did not fold a committed base mid-stream")
+      (0L to lastFold).foreach { b =>
+        assert(!Files.exists(Paths.get(dir, "postings", s"batch_id=$b")),
+          s"cadence left folded generation batch_id=$b behind")
+      }
+      val (pC, dC, sC) = PostingsMaintenance.mergedIndex(spark, dir)
+      assert(rowsEqual(pC, pB) && rowsEqual(dC, dB) &&
+        sC.head().getLong(2) == sTruth.getLong(2),
+        "cadence compaction changed a merged read")
+      // Manual fold of the whole tail; reads unchanged, inputs gone.
+      val at = (chunks.size - 1).toLong
+      PostingsMaintenance.compactPostings(spark, dir, at)
+      val (pF, dF, sF) = PostingsMaintenance.mergedIndex(spark, dir)
+      assert(rowsEqual(pF, pB) && rowsEqual(dF, dB) &&
+        sF.head().getLong(2) == sTruth.getLong(2),
+        "full compaction changed a merged read")
+      assert(!Files.exists(Paths.get(dir, "postings_base", s"gen=$lastFold")),
+        "full compaction left the superseded base behind")
+      // Idempotent re-run.
+      PostingsMaintenance.compactPostings(spark, dir, at)
+      // Crash mid-cleanup (ADVICE r14): commit one more generation,
+      // snapshot it aside, compact, restore it — the committed base
+      // must be KEPT and the leftover only cleaned up; refolding from
+      // the leftover alone would truncate the index to one batch.
+      val extraId = at + 1
+      PostingsMaintenance.commitPostingsBatch(spark,
+        Seq((400000001L, "zz yy zz")).toDF("doc_id", "text"), dir, extraId)
+      val (pE, _, sE) = PostingsMaintenance.mergedIndex(spark, dir)
+      val pTruth = pE.collect().map(_.toString).toSet
+      val tokTruth = sE.head().getLong(2)
+      val aside = t.resolve("aside")
+      copyDir(Paths.get(dir, "postings", s"batch_id=$extraId"), aside)
+      PostingsMaintenance.compactPostings(spark, dir, extraId)
+      copyDir(aside, Paths.get(dir, "postings", s"batch_id=$extraId"))
+      PostingsMaintenance.compactPostings(spark, dir, extraId)
+      assert(Files.exists(
+        Paths.get(dir, "postings_base", s"gen=$extraId", "_SUCCESS")),
+        "compaction replay lost the committed base")
+      assert(!Files.exists(Paths.get(dir, "postings", s"batch_id=$extraId")),
+        "compaction replay did not finish the leftover cleanup")
+      val (pZ, _, sZ) = PostingsMaintenance.mergedIndex(spark, dir)
+      assert(pZ.collect().map(_.toString).toSet == pTruth &&
+        sZ.head().getLong(2) == tokTruth,
+        "compaction replay rebuilt truncated state from leftover inputs")
+    } finally LlmPipeline.deleteRecursively(t)
+  }
+}
