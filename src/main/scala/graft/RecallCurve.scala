@@ -119,6 +119,30 @@ object RecallCurve {
       approx.unpersist()
     }
 
+    // --- IVF k (cell-count) sweep (r15 — VERDICT r14 item 3) --------------
+    // The codebook dial beyond fixture-scale k=8: more cells = smaller
+    // scanned fraction per nprobe at the same recall knob. A 100-TB
+    // deployment sizes k ~ sqrt(n); this table records how recall and
+    // scanned volume trade as k grows past the fixture's natural
+    // cluster count, so the shipped k is chosen from a curve exactly
+    // like nprobe was.
+    println("\n| k (cells) | nprobe | scanned candidates | hit rows | recall@3 |")
+    println("|---|---|---|---|---|")
+    for (k <- Seq(8, 16, 32)) {
+      val cb = queries.LlmPipeline.trainIvfCodebook(
+        queries.LlmPipeline.ivfQuantizedVecs(spark, dir), k).cache()
+      cb.count()
+      for (np <- Seq(1, 2, 4, 8).filter(_ <= k)) {
+        val cand = queries.LlmPipeline.ivfCandidatesWith(spark, dir, np, cb).cache()
+        val scanned = cand.count()
+        val hits = queries.LlmPipeline.ivfAnnCfgWith(spark, dir, np, cb)
+          .select("p_id", "c_id").join(exactTop3, Seq("p_id", "c_id"), "left_semi").count()
+        println(f"| $k | $np | $scanned | $hits/$nTop | ${hits.toDouble / nTop}%.3f |")
+        cand.unpersist()
+      }
+      cb.unpersist()
+    }
+
     // --- JL-projection ANN sweep (q126 — VERDICT r10 item 5) -------------
     // Ground truth: the exact quantized-space top-30 (the operator's own
     // contract — stage 2 re-ranks in exactly this space, so recall is

@@ -1652,6 +1652,65 @@ object LlmPipeline extends QueryPack {
   private val ivfCodebookCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.nio.file.Path]()
 
+  /** Integer-quantized vector relation (vec_id, qd) — the codebook
+    * training/assignment domain (`floor(x · 2¹⁶)`, IEEE-exact).
+    */
+  private[graft] def ivfQuantizedVecs(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(floor(cast(x as double) * 65536.0) as bigint))")
+          .as("qd"))
+
+  /** Integer squared-L2 argmin assignment of quantized vectors to the
+    * k broadcast centroids; lexicographic struct min makes ties
+    * deterministic. One broadcast-join pass — O(n·k), no shuffle of
+    * the vectors.
+    */
+  private[graft] def ivfAssign(q: DataFrame, cents: DataFrame): DataFrame =
+    q.crossJoin(broadcast(cents))
+      .withColumn("l2q",
+        expr("aggregate(zip_with(qd, qc, (x, y) -> (x - y) * (x - y)), 0L, (a, b) -> a + b)"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("l2q"), col("cell"))).as("a"))
+      .select(col("vec_id"), col("a.cell").as("cell"))
+
+  /** The k-means training loop of [[ensureIvfCodebook]], parameterized
+    * by population and cell count (r15 — VERDICT r14 item 3: k was
+    * fixture-pinned at 8; the k dial is swept by RecallCurve and the
+    * maintenance law trains per-population codebooks). Seeds = the
+    * population's vectors with vec_id < k (deterministic,
+    * engine-shared — the q95 oracle's convention); every step is the
+    * integer recurrence the oracle retrains verbatim.
+    */
+  private[graft] def trainIvfCodebook(
+      q: DataFrame, k: Int, rounds: Int = IvfKmeansRounds): DataFrame = {
+    var cents = q.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("long").as("cell"), col("qd").as("qc"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val assign = ivfAssign(q, cents)
+      // Update: per-(cell, dim) integer sum + floor division, then
+      // re-pack in dimension order. One shuffle of k·64 partial rows
+      // per task — the map-side-combined shape a 10^9-vector corpus
+      // needs.
+      val upd = assign.join(q, "vec_id")
+        .select(col("cell"), posexplode(col("qd")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos")
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .withColumn("cv", expr("(s - pmod(s, n)) div n"))
+        .groupBy("cell")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), e -> e.cv)")
+          .as("qcNew"))
+      // Empty cells keep their previous centroid; localCheckpoint
+      // keeps each round a leaf instead of a growing lineage.
+      cents = cents.select(col("cell"), col("qc").as("qcPrev"))
+        .join(upd, Seq("cell"), "left")
+        .select(col("cell"), coalesce(col("qcNew"), col("qcPrev")).as("qc"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
   private[graft] def ensureIvfCodebook(spark: SparkSession, dir: String): String = {
     evictStoppedArtifacts(ivfCodebookCache)
     ivfCodebookCache.computeIfAbsent((spark, dir), _ => {
@@ -1664,41 +1723,8 @@ object LlmPipeline extends QueryPack {
         s"${Integer.toHexString(System.identityHashCode(spark))}_" +
         s"${Integer.toHexString(dir.hashCode)}"
       val path = Paths.get(sys.props("java.io.tmpdir"), s"graft_ivfcb_$tag")
-      val q = Tables.embeddings(spark, dir)
-        .select(col("vec_id"),
-          expr("transform(embedding, x -> cast(floor(cast(x as double) * 65536.0) as bigint))")
-            .as("qd"))
-      var cents = q.filter(col("vec_id") < IvfCells)
-        .select(col("vec_id").cast("long").as("cell"), col("qd").as("qc"))
-      for (_ <- 1 to IvfKmeansRounds) {
-        // Assignment: integer squared-L2 argmin over the k broadcast
-        // centroids; lexicographic struct min makes ties deterministic.
-        val assign = q.crossJoin(broadcast(cents))
-          .withColumn("l2q",
-            expr("aggregate(zip_with(qd, qc, (x, y) -> (x - y) * (x - y)), 0L, (a, b) -> a + b)"))
-          .groupBy("vec_id")
-          .agg(min(struct(col("l2q"), col("cell"))).as("a"))
-          .select(col("vec_id"), col("a.cell").as("cell"))
-        // Update: per-(cell, dim) integer sum + floor division, then
-        // re-pack in dimension order. One shuffle of k·64 partial rows
-        // per task — the map-side-combined shape a 10^9-vector corpus
-        // needs.
-        val upd = assign.join(q, "vec_id")
-          .select(col("cell"), posexplode(col("qd")).as(Seq("pos", "v")))
-          .groupBy("cell", "pos")
-          .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
-          .withColumn("cv", expr("(s - pmod(s, n)) div n"))
-          .groupBy("cell")
-          .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), e -> e.cv)")
-            .as("qcNew"))
-        // Empty cells keep their previous centroid; localCheckpoint
-        // keeps each round a leaf instead of a growing lineage.
-        cents = cents.select(col("cell"), col("qc").as("qcPrev"))
-          .join(upd, Seq("cell"), "left")
-          .select(col("cell"), coalesce(col("qcNew"), col("qcPrev")).as("qc"))
-          .localCheckpoint()
-      }
-      cents.write.mode(SaveMode.Overwrite).parquet(path.toString)
+      trainIvfCodebook(ivfQuantizedVecs(spark, dir), IvfCells)
+        .write.mode(SaveMode.Overwrite).parquet(path.toString)
       path
     }).toString
   }
@@ -1719,9 +1745,17 @@ object LlmPipeline extends QueryPack {
     * top-3 (BASELINE.md records the curve); q161 pins the chosen
     * recall ≥ 0.8 point and AnnRecallSpec requires it.
     */
-  def ivfAnnCfg(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
+  def ivfAnnCfg(spark: SparkSession, dir: String, nprobe: Int): DataFrame =
+    ivfAnnRank(ivfCandidates(spark, dir, nprobe))
+
+  /** [[ivfAnnCfg]] against an explicit codebook — the k-dial form. */
+  private[graft] def ivfAnnCfgWith(
+      spark: SparkSession, dir: String, nprobe: Int, cents: DataFrame): DataFrame =
+    ivfAnnRank(ivfCandidatesWith(spark, dir, nprobe, cents))
+
+  private def ivfAnnRank(cand: DataFrame): DataFrame = {
     val w = Window.partitionBy("p_id").orderBy(col("sim").desc, col("c_id").asc)
-    ivfCandidates(spark, dir, nprobe)
+    cand
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .select(col("p_id"), col("rk"), col("c_id"), col("cell"),
@@ -1743,11 +1777,19 @@ object LlmPipeline extends QueryPack {
     * while the verify sim stays the exact double cosine of the raw
     * vectors.
     */
-  private def ivfCandidates(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
+  private def ivfCandidates(spark: SparkSession, dir: String, nprobe: Int): DataFrame =
+    ivfCandidatesWith(spark, dir, nprobe,
+      spark.read.parquet(ensureIvfCodebook(spark, dir)))
+
+  /** [[ivfCandidates]] against an explicit (cell, qc) codebook — the
+    * k-dial and maintenance-law entry (RecallCurve's k sweep,
+    * IvfMaintenanceSpec's corpus-trained codebook).
+    */
+  private[graft] def ivfCandidatesWith(
+      spark: SparkSession, dir: String, nprobe: Int, cents: DataFrame): DataFrame = {
     graft.functions.NativeFunctions.register(spark)
     val e = normed(spark, dir).select(col("vec_id"), col("d"), col("nrm"))
       .withColumn("qd", expr("transform(d, x -> cast(floor(x * 65536.0) as bigint))"))
-    val cents = spark.read.parquet(ensureIvfCodebook(spark, dir))
     val dist = e.crossJoin(broadcast(cents))
       .withColumn("l2q",
         expr("aggregate(zip_with(qd, qc, (x, y) -> (x - y) * (x - y)), 0L, (a, b) -> a + b)"))
