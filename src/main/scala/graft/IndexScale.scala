@@ -392,6 +392,47 @@ object IndexScale {
       s"budgeted radius-2 dropped $lost of $n1 radius-1 pairs (> 0.2%) — " +
         "budget cut materially into the radius-1 prefix")
     require(n2 >= n1, s"budgeted radius-2 found fewer pairs ($n2) than radius 1 ($n1)")
+
+    // --- q179 budget-dial sweep (r15 — VERDICT r14 item 2, carried ------
+    // --- from r13 item 5): where does the per-probe candidate budget ----
+    // --- start costing radius-2 recall at the 100× index width? --------
+    // The Hamming-ordered spend admits whole mask-buckets per probe in
+    // radius order, so the budgeted pair set is MONOTONE in the budget
+    // (a larger budget admits a per-probe superset of buckets); the
+    // generous 32768 point — ~3× the measured ~11.6k mean per-probe
+    // volume at this scale, so it almost never binds — serves as the
+    // radius-2 reference, and recall_b = |pairs_b| / |pairs_ref| is
+    // exact under monotonicity (subset inclusion is additionally
+    // spot-verified at the shipped 8192 point). Unbudgeted radius 2 at
+    // this width is the r12 configuration that spilled > 70 GB and
+    // died — the budget exists precisely so the reference never has to
+    // run unbounded.
+    val budgets = Seq(1024L, 2048L, 4096L, 8192L, 16384L, 32768L)
+    val pairCounts = budgets.map { b =>
+      val t0 = System.nanoTime()
+      queries.LlmPipeline.multiProbeVerifiedPairs(spark, bigDirInc, bitsBig,
+          queries.LlmPipeline.SemDedupProbeHamming, b)
+        .select("id1", "id2")
+        .write.mode(SaveMode.Overwrite).parquet(s"$lawDir/b$b")
+      val dt = (System.nanoTime() - t0) / 1e9
+      val n = spark.read.parquet(s"$lawDir/b$b").count()
+      (b, n, dt)
+    }
+    val nRef = pairCounts.last._2
+    println(s"\nq179 budget sweep at ${replicas}x, bits=$bitsBig, radius 2 " +
+      s"(reference = budget 32768, $nRef verified pairs):")
+    println("| budget | verified pairs | recall vs 32768 | time (s) |")
+    println("|---|---|---|---|")
+    pairCounts.foreach { case (b, n, dt) =>
+      println(f"| $b | $n | ${n.toDouble / nRef}%.4f | $dt%.1f |")
+    }
+    // Monotone-subset spot check at the shipped point: the 8192 pair
+    // set must be contained in the 32768 reference.
+    val extra = spark.read.parquet(s"$lawDir/b8192")
+      .exceptAll(spark.read.parquet(s"$lawDir/b32768")).count()
+    require(extra == 0,
+      s"budget 8192 produced $extra pairs outside the 32768 reference — " +
+        "the Hamming-ordered spend is not monotone in the budget")
     queries.LlmPipeline.deleteRecursively(java.nio.file.Paths.get(lawDir))
 
     ccStreamScale(spark, baseDir, bigDirInc, replicas)
