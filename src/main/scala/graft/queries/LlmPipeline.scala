@@ -2388,8 +2388,16 @@ object LlmPipeline extends QueryPack {
     * Hamming-ordered spend keeps the radius-≤1 prefix intact; the
     * recall contract under a deliberately BINDING budget is gated in
     * AnnRecallSpec.
+    *
+    * Re-pinned 8192 → 16384 from the r15 budget-dial sweep
+    * (BASELINE.md "Round-15 q179 budget-dial sweep"): at the 100×
+    * width 8192 kept the radius-1 prefix lossless but forfeited 29%
+    * of radius-2 pairs; 16384 is the measured knee — radius-2 recall
+    * 0.9970 vs the generous 32768 reference for +35% probe time —
+    * and stays provably unreachable at every fixture scale, so no
+    * oracle changes.
     */
-  private[graft] val SemDedupProbeBudget = 8192L
+  private[graft] val SemDedupProbeBudget = 16384L
 
   def semanticDedupAnn(spark: SparkSession, dir: String): DataFrame =
     semanticDedupAnnCfg(spark, dir, MpBits)
