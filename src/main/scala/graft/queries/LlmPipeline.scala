@@ -3712,6 +3712,22 @@ object LlmPipeline extends QueryPack {
     * disjoint doc sets by row union + stat addition
     * ([[incrementalPostingsMerge]] / [[incrementalDocStatsMerge]]).
     */
+  /** Positional postings (token, doc_id, pos) — pos is the token's
+    * 1-based index in the RAW whitespace split (empty tokens from
+    * doubled spaces are dropped AFTER position assignment, so
+    * adjacency means adjacency in the original text; the oracle's
+    * indexed list_transform assigns the identical positions). The
+    * phrase-query axis of the stored index family: like a posting
+    * row, a position row is a pure function of its own doc's text, so
+    * the axis folds across disjoint doc sets by plain row union —
+    * the q188 maintenance law verbatim.
+    */
+  private[graft] def positionalPostingsFor(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos0", "token")))
+      .filter(col("token") =!= "")
+      .select(col("token"), col("doc_id"), (col("pos0") + 1).cast("long").as("pos"))
+
   private[graft] def postingsFor(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val tf = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
@@ -3760,14 +3776,21 @@ object LlmPipeline extends QueryPack {
         s"${Integer.toHexString(System.identityHashCode(spark))}_" +
         s"${Integer.toHexString(dir.hashCode)}"
       val root = Paths.get(sys.props("java.io.tmpdir"), s"graft_postings_$tag")
-      val (postings, dl, stats) = postingsFor(
-        Tables.documents(spark, dir).filter(col("doc_id") % 4 =!= 0))
+      val standing = Tables.documents(spark, dir).filter(col("doc_id") % 4 =!= 0)
+      val (postings, dl, stats) = postingsFor(standing)
       postings
         .repartition(col("token"))
         .sortWithinPartitions("token", "doc_id")
         .write.mode(SaveMode.Overwrite).parquet(s"$root/postings")
       dl.write.mode(SaveMode.Overwrite).parquet(s"$root/docstats")
       stats.write.mode(SaveMode.Overwrite).parquet(s"$root/stats")
+      // The positional axis (r15): same token partitioning, with pos in
+      // the row-group sort so a phrase probe's matched runs stay
+      // sequential reads.
+      positionalPostingsFor(standing)
+        .repartition(col("token"))
+        .sortWithinPartitions("token", "doc_id", "pos")
+        .write.mode(SaveMode.Overwrite).parquet(s"$root/positions")
       root
     }).toString
   }
@@ -4171,6 +4194,90 @@ object LlmPipeline extends QueryPack {
       |      ORDER BY round(score, 4) DESC, doc_id) AS INTEGER) AS rank
       |  FROM (SELECT query_id, doc_id, (c1 + c2) + c3 AS score
       |        FROM sc WHERE nt = 3))
+      |WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** Phrase retrieval over the POSITIONAL postings axis (q191 — r15):
+    * exact two-word phrase matching, the capability that separates a
+    * search index from a bag-of-words one. Three phrase queries are
+    * derived exactly as q181's term batch (the 6 highest-df tokens;
+    * query q's phrase = rank q followed by rank q+3), and a document
+    * matches when the first word at position p is followed by the
+    * second at p+1 — positions as assigned by
+    * [[positionalPostingsFor]] (1-based raw-split indices, identical
+    * on both engines). Output: top 10 docs per phrase by occurrence
+    * count (doc_id tie-break). Everything is integer arithmetic — no
+    * cross-engine float coordination at all.
+    *
+    * Scale shape: the phrase probe reads ONLY the 6 query tokens'
+    * positional rows (pushed In-filter into the token-partitioned
+    * positions leaf — the q181 plan pin verbatim), then one
+    * (query, doc, pos+1)-keyed equi self-join between the two slots'
+    * rows — O(Σ positional df of the query terms), never the corpus —
+    * and one (query, doc) count aggregate. At cluster scale the
+    * bucketBy(token) layout prunes to the terms' buckets and the
+    * (token, doc_id, pos) row-group sort keeps matched runs
+    * sequential.
+    */
+  def phraseRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val root = ensurePostingsArtifact(spark, dir)
+    val idx = spark.read.parquet(ensureIndexArtifact(spark, dir))
+    val positions = spark.read.parquet(s"$root/positions")
+    val top6 = idx.select(col("token"), col("df"))
+      .orderBy(col("df").desc, col("token").asc).limit(6)
+    val terms = top6
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("df").desc, col("token").asc)))
+      .withColumn("query_id", (((col("r") - 1) % 3) + 1).cast("int"))
+      .withColumn("is_a", col("r") <= 3)
+      .select("query_id", "token", "is_a")
+    val termStrings = terms.select("token").collect().map(_.getString(0)).toSeq
+    val matched = positions.filter(col("token").isin(termStrings: _*))
+      .join(broadcast(terms), "token")
+    val aSide = matched.filter(col("is_a"))
+      .select(col("query_id"), col("doc_id"), (col("pos") + 1).as("nxt"))
+    val bSide = matched.filter(!col("is_a"))
+      .select(col("query_id"), col("doc_id"), col("pos").as("nxt"))
+    aSide.join(bSide, Seq("query_id", "doc_id", "nxt"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("occ"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("occ").desc, col("doc_id").asc)).cast("int"))
+      .filter(col("rank") <= 10)
+      .select("query_id", "rank", "doc_id", "occ")
+      .orderBy("query_id", "rank")
+  }
+
+  private[graft] val phraseRetrievalSql =
+    """WITH tok AS (
+      |  SELECT doc_id, u.t.token AS token, CAST(u.t.pos AS BIGINT) AS pos
+      |  FROM documents,
+      |       unnest(list_transform(string_split(text, ' '),
+      |         (x, i) -> {'token': x, 'pos': i})) AS u(t)
+      |  WHERE doc_id % 4 <> 0),
+      |t2 AS (SELECT doc_id, token, pos FROM tok WHERE token <> ''),
+      |dft AS (SELECT token, count(DISTINCT doc_id) AS df FROM t2 GROUP BY token),
+      |terms AS (
+      |  SELECT token, CAST((((r - 1) % 3) + 1) AS INTEGER) AS query_id, (r <= 3) AS is_a
+      |  FROM (SELECT token, df, row_number() OVER (ORDER BY df DESC, token) AS r
+      |        FROM dft)
+      |  WHERE r <= 6),
+      |occ AS (
+      |  SELECT a.query_id, a.doc_id, count(*) AS occ
+      |  FROM (SELECT q.query_id, t.doc_id, t.pos + 1 AS nxt
+      |        FROM t2 t JOIN terms q ON t.token = q.token AND q.is_a) a
+      |  JOIN (SELECT q.query_id, t.doc_id, t.pos AS nxt
+      |        FROM t2 t JOIN terms q ON t.token = q.token AND NOT q.is_a) b
+      |    ON a.query_id = b.query_id AND a.doc_id = b.doc_id AND a.nxt = b.nxt
+      |  GROUP BY a.query_id, a.doc_id)
+      |SELECT query_id, rank, doc_id, occ
+      |FROM (
+      |  SELECT query_id, doc_id, occ,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY occ DESC, doc_id) AS INTEGER) AS rank
+      |  FROM occ)
       |WHERE rank <= 10
       |ORDER BY query_id, rank""".stripMargin
 
@@ -4778,6 +4885,8 @@ object LlmPipeline extends QueryPack {
     QueryDef("q189_docstats_merge", incrementalDocStatsMerge, Some(docStatsMergeSql),
       prepare = Some(preparePostings _)),
     QueryDef("q190_bm25_conjunctive", bm25Conjunctive, Some(bm25ConjunctiveSql),
+      prepare = Some(preparePostings _)),
+    QueryDef("q191_phrase_retrieval", phraseRetrieval, Some(phraseRetrievalSql),
       prepare = Some(preparePostings _)),
     QueryDef("q169_containment_probe", containmentProbe, Some(containmentProbeSql)),
     QueryDef("q170_seeded_pagerank", seededPagerank, Some(seededPagerankSql)))

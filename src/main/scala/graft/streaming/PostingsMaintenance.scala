@@ -10,10 +10,12 @@ import graft.queries.LlmPipeline
   * plane (r15 — VERDICT r14 item 4): the q188/q189 per-crawl folds,
   * upgraded from a nightly batch job to a live ingest stream. Each
   * micro-batch of crawled documents lands one idempotent GENERATION of
-  * the full-postings triple —
+  * the full-postings plane —
   *
   *   - `postings/batch_id=b`  — (token, doc_id, tf, dl) for the
   *     batch's docs,
+  *   - `positions/batch_id=b` — the (token, doc_id, pos) positional
+  *     axis (q191's phrase probes),
   *   - `docstats/batch_id=b`  — the batch's (doc_id, dl) sidecar rows,
   *   - `stats/batch_id=b`     — ONE row (nd, ndl, toktot) counting the
   *     batch,
@@ -44,7 +46,7 @@ import graft.queries.LlmPipeline
   * exactly as they are for the nightly q188 fold.
   *
   * Scale shape: per batch, one batch-sized tokenize + two batch-sized
-  * aggregates + three batch-sized writes — cost tracks the BATCH,
+  * aggregates + four batch-sized writes — cost tracks the BATCH,
   * never the accumulated index. Reads and folds touch base + bounded
   * tail. At cluster scale the postings generations land bucketBy
   * (token) so the late union stays bucket-pruned under a term
@@ -60,7 +62,7 @@ import graft.queries.LlmPipeline
   */
 object PostingsMaintenance {
 
-  private val Axes = Seq("postings", "docstats", "stats")
+  private val Axes = Seq("postings", "docstats", "stats", "positions")
 
   private def genIds(dir: java.nio.file.Path, prefix: String = "batch_id="): Seq[Long] =
     Generations.genIds(dir, prefix)
@@ -96,6 +98,11 @@ object PostingsMaintenance {
       .parquet(s"$indexDir/docstats/batch_id=$batchId")
     stats.write.mode(SaveMode.Overwrite)
       .parquet(s"$indexDir/stats/batch_id=$batchId")
+    // The positional axis (q191's phrase probes) folds by the same
+    // row-union law — a position row is a pure function of its own
+    // doc's text.
+    LlmPipeline.positionalPostingsFor(batch).write.mode(SaveMode.Overwrite)
+      .parquet(s"$indexDir/positions/batch_id=$batchId")
   }
 
   /** Start the index-maintenance stream: `input` is a streaming
@@ -127,7 +134,8 @@ object PostingsMaintenance {
     * already contains them.
     */
   private[graft] def mergedIndex(
-      spark: SparkSession, indexDir: String): (DataFrame, DataFrame, DataFrame) = {
+      spark: SparkSession, indexDir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val baseGen = completeBases(indexDir).maxOption
     val tail = completeBatchGens(indexDir)
       .filter(b => baseGen.forall(b > _)).sorted
@@ -142,7 +150,8 @@ object PostingsMaintenance {
     }
     (unioned("postings"), unioned("docstats"),
       unioned("stats").agg(sum("nd").as("nd"), sum("ndl").as("ndl"),
-        sum("toktot").as("toktot")))
+        sum("toktot").as("toktot")),
+      unioned("positions"))
   }
 
   /** BM25 ranked retrieval against the STREAMED artifacts — the q181
@@ -155,7 +164,7 @@ object PostingsMaintenance {
     */
   private[graft] def bm25AgainstStream(
       spark: SparkSession, indexDir: String): DataFrame = {
-    val (postings, _, stats) = mergedIndex(spark, indexDir)
+    val (postings, _, stats, _) = mergedIndex(spark, indexDir)
     val idx = postings.groupBy("token").agg(count(lit(1)).as("df"))
     LlmPipeline.bm25AgainstArtifacts(idx, postings, stats)
   }

@@ -230,6 +230,18 @@ class PlanSpec extends SparkSpec {
       s"query terms not pushed into the postings scan:\n$plan")
   }
 
+  test("q191: phrase probe scans the positional leaf under a pushed In-filter; adjacency is an equi join") {
+    val plan = formatted(LlmPipeline.phraseRetrieval(spark, sfDir))
+    assert(!plan.contains("documents.parquet"),
+      s"q191 phrase probe scans the corpus:\n$plan")
+    assert(plan.contains("graft_postings_"),
+      s"no positional-artifact scan in the plan:\n$plan")
+    assert(plan.contains("PushedFilters: [In(token"),
+      s"phrase terms not pushed into the positions scan:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"phrase adjacency must be the (query, doc, pos) equi join:\n$plan")
+  }
+
   test("q97: multi-table near-dup joins on (table, bucket), never quadratic") {
     withoutAutoBroadcast {
       val plan = simple(LlmPipeline.multiTableNearDup(spark, sfDir))

@@ -61,13 +61,16 @@ class PostingsStreamSpec extends SparkSpec {
     try {
       val dir1 = t1.resolve("index").toString
       val dir2 = t2.resolve("index").toString
-      val (p1, d1, s1) = PostingsMaintenance.mergedIndex(spark, dir1)
-      val (p2, d2, s2) = PostingsMaintenance.mergedIndex(spark, dir2)
+      val (p1, d1, s1, x1) = PostingsMaintenance.mergedIndex(spark, dir1)
+      val (p2, d2, s2, x2) = PostingsMaintenance.mergedIndex(spark, dir2)
       // The one-shot nightly build of the same corpus — the external
       // ground truth the stream must reproduce byte-for-byte.
       val (pB, dB, sB) = LlmPipeline.postingsFor(standingDocs)
       assert(rowsEqual(p2, p1) && rowsEqual(p2, pB),
         "streamed postings != one-shot build (row union must commute)")
+      val xB = LlmPipeline.positionalPostingsFor(standingDocs)
+      assert(rowsEqual(x2, x1) && rowsEqual(x2, xB),
+        "streamed positional postings != one-shot build")
       assert(rowsEqual(d2, d1) && rowsEqual(d2, dB),
         "streamed docstats != one-shot build")
       val sRow = s2.head(); val sTruth = sB.head()
@@ -78,7 +81,7 @@ class PostingsStreamSpec extends SparkSpec {
       // Replay idempotency: re-commit the last generation.
       PostingsMaintenance.commitPostingsBatch(spark,
         chunks.last.toDF("doc_id", "text"), dir2, (chunks.size - 1).toLong)
-      val (pR, dR, sR) = PostingsMaintenance.mergedIndex(spark, dir2)
+      val (pR, dR, sR, _) = PostingsMaintenance.mergedIndex(spark, dir2)
       assert(rowsEqual(pR, pB) && rowsEqual(dR, dB) &&
         sR.head().getLong(2) == sTruth.getLong(2),
         "replaying a batch changed a merged read")
@@ -107,6 +110,7 @@ class PostingsStreamSpec extends SparkSpec {
     require(chunks.size >= 4, "fixture must yield >= 4 chunks")
     val (pB, dB, sB) = LlmPipeline.postingsFor(standingDocs)
     val sTruth = sB.head()
+    val xB = LlmPipeline.positionalPostingsFor(standingDocs)
     // Cadence: every 2nd batch folds its committed predecessor.
     val t = runStream(chunks, compactEvery = 2)
     try {
@@ -121,14 +125,14 @@ class PostingsStreamSpec extends SparkSpec {
         assert(!Files.exists(Paths.get(dir, "postings", s"batch_id=$b")),
           s"cadence left folded generation batch_id=$b behind")
       }
-      val (pC, dC, sC) = PostingsMaintenance.mergedIndex(spark, dir)
-      assert(rowsEqual(pC, pB) && rowsEqual(dC, dB) &&
+      val (pC, dC, sC, xC) = PostingsMaintenance.mergedIndex(spark, dir)
+      assert(rowsEqual(pC, pB) && rowsEqual(dC, dB) && rowsEqual(xC, xB) &&
         sC.head().getLong(2) == sTruth.getLong(2),
         "cadence compaction changed a merged read")
       // Manual fold of the whole tail; reads unchanged, inputs gone.
       val at = (chunks.size - 1).toLong
       PostingsMaintenance.compactPostings(spark, dir, at)
-      val (pF, dF, sF) = PostingsMaintenance.mergedIndex(spark, dir)
+      val (pF, dF, sF, _) = PostingsMaintenance.mergedIndex(spark, dir)
       assert(rowsEqual(pF, pB) && rowsEqual(dF, dB) &&
         sF.head().getLong(2) == sTruth.getLong(2),
         "full compaction changed a merged read")
@@ -143,7 +147,7 @@ class PostingsStreamSpec extends SparkSpec {
       val extraId = at + 1
       PostingsMaintenance.commitPostingsBatch(spark,
         Seq((400000001L, "zz yy zz")).toDF("doc_id", "text"), dir, extraId)
-      val (pE, _, sE) = PostingsMaintenance.mergedIndex(spark, dir)
+      val (pE, _, sE, _) = PostingsMaintenance.mergedIndex(spark, dir)
       val pTruth = pE.collect().map(_.toString).toSet
       val tokTruth = sE.head().getLong(2)
       val aside = t.resolve("aside")
@@ -156,7 +160,7 @@ class PostingsStreamSpec extends SparkSpec {
         "compaction replay lost the committed base")
       assert(!Files.exists(Paths.get(dir, "postings", s"batch_id=$extraId")),
         "compaction replay did not finish the leftover cleanup")
-      val (pZ, _, sZ) = PostingsMaintenance.mergedIndex(spark, dir)
+      val (pZ, _, sZ, _) = PostingsMaintenance.mergedIndex(spark, dir)
       assert(pZ.collect().map(_.toString).toSet == pTruth &&
         sZ.head().getLong(2) == tokTruth,
         "compaction replay rebuilt truncated state from leftover inputs")
