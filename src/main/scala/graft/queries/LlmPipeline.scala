@@ -4197,6 +4197,173 @@ object LlmPipeline extends QueryPack {
       |WHERE rank <= 10
       |ORDER BY query_id, rank""".stripMargin
 
+  /** Disjunctive (OR-semantics) k-term BM25 top-10 with MAXSCORE
+    * essential-list pruning (q192 — r15): the other classic
+    * dynamic-pruning algorithm next to q190's Block-Max WAND (Turtle &
+    * Flood, Inf. Proc. & Management '95). Same two 3-term queries as
+    * q190, but a document scores on WHATEVER terms it contains —
+    * score = ((coalesce(c1,0) + coalesce(c2,0)) + coalesce(c3,0)),
+    * the fixed addition tree with zeros for missing slots, so 1-, 2-
+    * and 3-term matches all evaluate the identical double expression
+    * both engines share.
+    *
+    * MAXSCORE, set-shaped: with per-slot upper bounds ub_t (max
+    * observed contribution — one 6-row aggregate) and θ = the
+    * 10th-best exact score of a seed (the [[Bm25SeedSize]] highest
+    * single contributions), slots are split into ESSENTIAL and
+    * non-essential: greedily mark slots non-essential in ascending-ub
+    * order while their cumulative Σ ub stays below θ. A document
+    * appearing ONLY in non-essential lists has score ≤ that Σ < θ —
+    * provably outside the top 10 — so candidates are the essential
+    * lists' docs only, and the non-essential lists are touched just to
+    * complete the survivors' exact scores. On stopword-grade terms
+    * (ub ≈ 0.4–0.5 each, θ ≈ 1.2) two of three slots go non-essential
+    * and the candidate set shrinks to one list.
+    *
+    * The slot/ub/θ relations are metadata-sized (6, 2 and 2 rows); the
+    * essential-set choice is made driver-side like the query terms
+    * themselves. LOSSLESS by the bound argument; the oracle recomputes
+    * the UNPRUNED disjunctive ranking from the raw corpus, and
+    * Bm25WandSpec pins pruned == unpruned + a genuinely smaller
+    * candidate set. Plan shape: everything downstream of the pushed
+    * term In-filter, as q181/q190.
+    */
+  def bm25Disjunctive(spark: SparkSession, dir: String): DataFrame =
+    bm25DisjunctiveCfg(spark, dir, prune = true)
+
+  /** (all candidates, pruned candidates) — the spec hook. */
+  private[graft] def bm25DisjunctiveCandidates(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val m = bm25ConjunctiveMatched(spark, dir)
+    (m.select("query_id", "doc_id").distinct(),
+      bm25DisjunctiveSurvivors(spark, m))
+  }
+
+  /** Exact disjunctive scores of a candidate set: the per-slot pivot
+    * with zero-coalesced fixed-tree addition.
+    */
+  private def bm25DisjunctiveExactScores(
+      matched: DataFrame, cand: DataFrame): DataFrame =
+    matched.join(broadcast(cand), Seq("query_id", "doc_id"), "left_semi")
+      .groupBy("query_id", "doc_id")
+      .agg(max(when(col("tr") === 1, col("contrib"))).as("c1"),
+        max(when(col("tr") === 2, col("contrib"))).as("c2"),
+        max(when(col("tr") === 3, col("contrib"))).as("c3"))
+      .withColumn("score",
+        (coalesce(col("c1"), lit(0.0)) + coalesce(col("c2"), lit(0.0))) +
+          coalesce(col("c3"), lit(0.0)))
+
+  /** The MAXSCORE pruning pass: candidates restricted to the essential
+    * lists (see [[bm25Disjunctive]]'s doc).
+    */
+  private def bm25DisjunctiveSurvivors(
+      spark: SparkSession, matched: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // Seed: the Bm25SeedSize highest single-row contributions per
+    // query → exact disjunctive scores → θ = 10th best (none with
+    // fewer than 10 seed docs — correctness first).
+    val wRow = Window.partitionBy("query_id")
+      .orderBy(col("contrib").desc, col("doc_id").asc, col("tr").asc)
+    val seed = matched.withColumn("srk", row_number().over(wRow))
+      .filter(col("srk") <= Bm25SeedSize)
+      .select("query_id", "doc_id").distinct()
+    val wT = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val theta = bm25DisjunctiveExactScores(matched, seed)
+      .withColumn("trk", row_number().over(wT))
+      .filter(col("trk") <= 10)
+      .groupBy("query_id")
+      .agg(min(col("score")).as("theta"), count(lit(1)).as("nseed"))
+      .filter(col("nseed") === 10)
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).toMap
+    val ubs = matched.groupBy("query_id", "tr")
+      .agg(max(col("contrib")).as("ub"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    // Greedy MAXSCORE split, driver-side over ≤ 6 metadata rows: mark
+    // slots non-essential in ascending-ub order (tr tie-break) while
+    // the cumulative bound stays below θ.
+    val essential: Seq[(Int, Int)] = ubs.groupBy(_._1).toSeq.flatMap {
+      case (q, slots) =>
+        theta.get(q) match {
+          case None => slots.map(s => (q, s._2)) // no θ — everything essential
+          case Some(t) =>
+            val asc = slots.sortBy(s => (s._3, s._2)).toList
+            var cum = 0.0
+            val nonEss = asc.takeWhile { s =>
+              val keep = cum + s._3 < t; if (keep) cum += s._3; keep
+            }.map(_._2).toSet
+            slots.collect { case (_, tr, _) if !nonEss(tr) => (q, tr) }
+        }
+    }
+    val essDf = spark.createDataFrame(essential).toDF("query_id", "tr")
+    matched.join(broadcast(essDf), Seq("query_id", "tr"))
+      .select("query_id", "doc_id").distinct()
+  }
+
+  private[graft] def bm25DisjunctiveCfg(
+      spark: SparkSession, dir: String, prune: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val matched = bm25ConjunctiveMatched(spark, dir)
+    val cand =
+      if (prune) bm25DisjunctiveSurvivors(spark, matched)
+      else matched.select("query_id", "doc_id").distinct()
+    bm25DisjunctiveExactScores(matched, cand)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(round(col("score"), 4).desc, col("doc_id").asc)).cast("int"))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        round(col("score"), 4).as("score_r"))
+      .orderBy("query_id", "rank")
+  }
+
+  private[graft] val bm25DisjunctiveSql =
+    """WITH t2 AS (
+      |  SELECT doc_id, token
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |        FROM documents WHERE doc_id % 4 <> 0)
+      |  WHERE token <> ''),
+      |dft AS (SELECT token, count(DISTINCT doc_id) AS df FROM t2 GROUP BY token),
+      |terms AS (
+      |  SELECT token, df,
+      |    CAST((((r - 1) % 2) + 1) AS INTEGER) AS query_id,
+      |    CAST(((r - 1) // 2) + 1 AS INTEGER) AS tr
+      |  FROM (SELECT token, df, row_number() OVER (ORDER BY df DESC, token) AS r
+      |        FROM dft)
+      |  WHERE r <= 6),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM t2 GROUP BY doc_id),
+      |stats AS (
+      |  SELECT (SELECT count(*) FROM documents WHERE doc_id % 4 <> 0) AS nd,
+      |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgl
+      |  FROM dl),
+      |tf AS (
+      |  SELECT q.query_id, q.tr, q.df, t.doc_id, count(*) AS tf
+      |  FROM t2 t JOIN terms q ON t.token = q.token
+      |  GROUP BY q.query_id, q.tr, q.df, t.doc_id),
+      |co AS (
+      |  SELECT query_id, tf.doc_id AS doc_id, tr,
+      |    (nd - df + 0.5) / (df + 0.5) * (tf * 2.2)
+      |        / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgl)) AS contrib
+      |  FROM tf
+      |  CROSS JOIN stats
+      |  JOIN dl ON tf.doc_id = dl.doc_id),
+      |sc AS (
+      |  SELECT query_id, doc_id,
+      |    max(CASE WHEN tr = 1 THEN contrib END) AS c1,
+      |    max(CASE WHEN tr = 2 THEN contrib END) AS c2,
+      |    max(CASE WHEN tr = 3 THEN contrib END) AS c3
+      |  FROM co GROUP BY query_id, doc_id)
+      |SELECT query_id, rank, doc_id, round(score, 4) AS score_r
+      |FROM (
+      |  SELECT query_id, doc_id, score,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY round(score, 4) DESC, doc_id) AS INTEGER) AS rank
+      |  FROM (SELECT query_id, doc_id,
+      |          (coalesce(c1, 0) + coalesce(c2, 0)) + coalesce(c3, 0) AS score
+      |        FROM sc))
+      |WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
   /** Phrase retrieval over the POSITIONAL postings axis (q191 — r15):
     * exact two-word phrase matching, the capability that separates a
     * search index from a bag-of-words one. Three phrase queries are
@@ -4887,6 +5054,8 @@ object LlmPipeline extends QueryPack {
     QueryDef("q190_bm25_conjunctive", bm25Conjunctive, Some(bm25ConjunctiveSql),
       prepare = Some(preparePostings _)),
     QueryDef("q191_phrase_retrieval", phraseRetrieval, Some(phraseRetrievalSql),
+      prepare = Some(preparePostings _)),
+    QueryDef("q192_bm25_disjunctive", bm25Disjunctive, Some(bm25DisjunctiveSql),
       prepare = Some(preparePostings _)),
     QueryDef("q169_containment_probe", containmentProbe, Some(containmentProbeSql)),
     QueryDef("q170_seeded_pagerank", seededPagerank, Some(seededPagerankSql)))

@@ -32,6 +32,22 @@ class Bm25WandSpec extends SparkSpec {
       s"pruning kept fewer candidates than a top-10 needs ($nSurv)")
   }
 
+  test("q192: MAXSCORE-pruned disjunctive ranking == unpruned; essential lists are a strict cut") {
+    val pruned = LlmPipeline.bm25DisjunctiveCfg(spark, sfDir, prune = true)
+      .collect().map(_.toString).toSeq
+    val exact = LlmPipeline.bm25DisjunctiveCfg(spark, sfDir, prune = false)
+      .collect().map(_.toString).toSeq
+    assert(pruned == exact,
+      s"MAXSCORE pruning changed the disjunctive ranking (${pruned.size} vs ${exact.size} rows)")
+    assert(pruned.nonEmpty, "disjunctive retrieval returned no rows — fixture degenerate")
+    val (all, surv) = LlmPipeline.bm25DisjunctiveCandidates(spark, sfDir)
+    val nAll = all.count(); val nSurv = surv.count()
+    assert(nSurv < nAll,
+      s"essential-list pruning dropped nothing ($nSurv of $nAll candidates kept) — " +
+        "on stopword-grade ubs at least one slot must go non-essential")
+    assert(nSurv >= 10, s"pruning kept fewer candidates than a top-10 needs ($nSurv)")
+  }
+
   test("q190: every result doc matches all three of its query's terms (conjunctive semantics)") {
     import org.apache.spark.sql.functions._
     val res = LlmPipeline.bm25Conjunctive(spark, sfDir)

@@ -230,6 +230,16 @@ class PlanSpec extends SparkSpec {
       s"query terms not pushed into the postings scan:\n$plan")
   }
 
+  test("q192: disjunctive read path scans stored postings only; terms pushed") {
+    val plan = formatted(LlmPipeline.bm25Disjunctive(spark, sfDir))
+    assert(!plan.contains("documents.parquet"),
+      s"q192 read path scans the corpus:\n$plan")
+    assert(plan.contains("graft_postings_"),
+      s"no postings-artifact scan in the plan:\n$plan")
+    assert(plan.contains("PushedFilters: [In(token"),
+      s"query terms not pushed into the postings scan:\n$plan")
+  }
+
   test("q191: phrase probe scans the positional leaf under a pushed In-filter; adjacency is an equi join") {
     val plan = formatted(LlmPipeline.phraseRetrieval(spark, sfDir))
     assert(!plan.contains("documents.parquet"),
