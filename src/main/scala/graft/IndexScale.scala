@@ -102,6 +102,9 @@ object IndexScale {
       noop(queries.LlmPipeline.incrementalPostingsMerge(spark, "/root/testdata/sf0.001"))
       noop(queries.LlmPipeline.incrementalDocStatsMerge(spark, "/root/testdata/sf0.001"))
       noop(queries.LlmPipeline.bm25Retrieval(spark, "/root/testdata/sf0.001"))
+      noop(queries.LlmPipeline.bm25Conjunctive(spark, "/root/testdata/sf0.001"))
+      noop(queries.LlmPipeline.bm25Disjunctive(spark, "/root/testdata/sf0.001"))
+      noop(queries.LlmPipeline.phraseRetrieval(spark, "/root/testdata/sf0.001"))
       noop(queries.SqlGateway.generationTimeTravel(spark, "/root/testdata/sf0.001"))
       noop(queries.SqlGateway.generationVacuum(spark, "/root/testdata/sf0.001"))
 
@@ -138,6 +141,32 @@ object IndexScale {
       val bmIdBig = time(noop(queries.LlmPipeline.bm25Retrieval(spark, bigDir)))
       println(f"| q181 BM25 query batch (df grows ${replicas}x) | $bmIdBase%.1f | $bmIdBig%.1f " +
         f"| ${bmIdBig / bmIdBase}%.1f | ~Σ df of query terms (reads postings, never the corpus) |")
+      // r15: the retrieval-family reads over the same artifacts — all
+      // bounded by the query terms' (positional) postings volume.
+      val cjBase = time(noop(queries.LlmPipeline.bm25Conjunctive(spark, baseDir)))
+      val cjBig = time(noop(queries.LlmPipeline.bm25Conjunctive(spark, bigDir)))
+      println(f"| q190 conjunctive BMW batch (df grows ${replicas}x) | $cjBase%.1f | $cjBig%.1f " +
+        f"| ${cjBig / cjBase}%.1f | ~Σ df (pruned pivot over In-filtered postings) |")
+      val djBase = time(noop(queries.LlmPipeline.bm25Disjunctive(spark, baseDir)))
+      val djBig = time(noop(queries.LlmPipeline.bm25Disjunctive(spark, bigDir)))
+      println(f"| q192 disjunctive MAXSCORE batch (df grows ${replicas}x) | $djBase%.1f | $djBig%.1f " +
+        f"| ${djBig / djBase}%.1f | ~Σ df of the essential lists |")
+      val phBase = time(noop(queries.LlmPipeline.phraseRetrieval(spark, baseDir)))
+      val phBig = time(noop(queries.LlmPipeline.phraseRetrieval(spark, bigDir)))
+      println(f"| q191 phrase batch (positional df grows ${replicas}x) | $phBase%.1f | $phBig%.1f " +
+        f"| ${phBig / phBase}%.1f | ~Σ positional df (one (query, doc, pos) equi join) |")
+      // Well-formedness at N× lives HERE: replica-identity keeps the
+      // query terms the base tokens, so conjunctive/phrase matches
+      // exist in every replica. (On the suffixed corpus below the tied
+      // per-replica dfs make the derived terms span replicas — the
+      // intersections are legitimately empty there and only the probe
+      // cost is measured.)
+      require(queries.LlmPipeline.bm25Conjunctive(spark, bigDir).count() == 20,
+        s"q190 degenerate at ${replicas}x")
+      require(queries.LlmPipeline.bm25Disjunctive(spark, bigDir).count() == 20,
+        s"q192 degenerate at ${replicas}x")
+      require(queries.LlmPipeline.phraseRetrieval(spark, bigDir).count() == 30,
+        s"q191 degenerate at ${replicas}x")
       val ttvBase = time(noop(queries.SqlGateway.generationTimeTravel(spark, baseDir)))
       val ttvBig = time(noop(queries.SqlGateway.generationTimeTravel(spark, bigDir)))
       println(f"| q164 generation history build+read | $ttvBase%.1f | $ttvBig%.1f " +
@@ -325,6 +354,30 @@ object IndexScale {
     val bmBig = time(noop(queries.LlmPipeline.bm25Retrieval(spark, bigDirInc)))
     println(f"| q181 BM25 query batch (fixed Σ df) | $bmBase%.1f | $bmBig%.1f " +
       f"| ${bmBig / bmBase}%.1f | ~flat (reads only the query terms' postings; r13 corpus scan: 2.8) |")
+    // r15: the suffixed corpus keeps the query terms' (positional) df
+    // FIXED while the index grows 100x — all three new reads must stay
+    // ~flat like q181's.
+    val cjBase2 = time(noop(queries.LlmPipeline.bm25Conjunctive(spark, baseDir)))
+    val cjBig2 = time(noop(queries.LlmPipeline.bm25Conjunctive(spark, bigDirInc)))
+    println(f"| q190 conjunctive BMW batch (fixed Σ df) | $cjBase2%.1f | $cjBig2%.1f " +
+      f"| ${cjBig2 / cjBase2}%.1f | ~flat |")
+    val djBase2 = time(noop(queries.LlmPipeline.bm25Disjunctive(spark, baseDir)))
+    val djBig2 = time(noop(queries.LlmPipeline.bm25Disjunctive(spark, bigDirInc)))
+    println(f"| q192 disjunctive MAXSCORE batch (fixed Σ df) | $djBase2%.1f | $djBig2%.1f " +
+      f"| ${djBig2 / djBase2}%.1f | ~flat |")
+    val phBase2 = time(noop(queries.LlmPipeline.phraseRetrieval(spark, baseDir)))
+    val phBig2 = time(noop(queries.LlmPipeline.phraseRetrieval(spark, bigDirInc)))
+    println(f"| q191 phrase batch (fixed positional Σ df) | $phBase2%.1f | $phBig2%.1f " +
+      f"| ${phBig2 / phBase2}%.1f | ~flat |")
+    // Disjunctive retrieval stays well-formed on the suffixed corpus
+    // (any-term semantics). Conjunctive/phrase intersections are
+    // legitimately EMPTY here — the tied per-replica dfs make the
+    // derived terms span replicas (no doc carries two replicas'
+    // tokens), so the rows above measure the probe pipeline's cost,
+    // not result production; their well-formedness require lives on
+    // the replica-identity corpus.
+    require(queries.LlmPipeline.bm25Disjunctive(spark, bigDirInc).count() == 20,
+      s"q192 degenerate at ${replicas}x")
 
     // --- contract requires at N× ------------------------------------------
     // q181: retrieval stays well-formed on the N× corpus.
@@ -437,6 +490,63 @@ object IndexScale {
 
     ccStreamScale(spark, baseDir, bigDirInc, replicas)
     annCcStreamScale(spark, baseDir, bigDirInc, bitsBig, replicas)
+    postingsStreamScale(spark, baseDir)
+  }
+
+  /** Streaming postings maintenance vs accumulated stream depth (r15):
+    * the per-batch commit writes only its OWN generations and reads
+    * nothing accumulated, so its cost must be FLAT in the number of
+    * prior generations; the merged read pays for the tail until
+    * compaction folds it. Measured on sf0.1's standing corpus split
+    * into 32 disjoint batches (doc_id % 32 — each doc in exactly one
+    * batch, the fold precondition).
+    */
+  private def postingsStreamScale(spark: SparkSession, baseDir: String): Unit = {
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val docs = graft.sources.Tables.documents(spark, baseDir)
+      .filter(col("doc_id") % 4 =!= 0).select("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_postscale")
+    try {
+      val dir = tmp.resolve("index").toString
+      // Warm-up commit (JIT) on the smallest sf.
+      graft.streaming.PostingsMaintenance.commitPostingsBatch(spark,
+        graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+          .filter(col("doc_id") % 4 =!= 0).select("doc_id", "text"),
+        tmp.resolve("warm").toString, 0L)
+      val times = (0 until 32).map { i =>
+        time(graft.streaming.PostingsMaintenance.commitPostingsBatch(spark,
+          docs.filter(col("doc_id") % 32 === i), dir, i.toLong))
+      }
+      println(f"\nstreaming postings commit vs depth (32 batches, sf0.1 standing corpus): " +
+        f"batch 0 ${times.head}%.2f s, batch 31 ${times.last}%.2f s, " +
+        f"ratio ${times.last / times.head}%.2f (expectation ~flat — a commit " +
+        "writes only its own generations)")
+      require(times.last < 3 * times.head + 1.0,
+        s"commit cost grew with stream depth (${times.head} -> ${times.last})")
+      def readCount(): (Long, Double) = {
+        var n = 0L
+        val t = time { n = graft.streaming.PostingsMaintenance
+          .mergedIndex(spark, dir)._1.count() }
+        (n, t)
+      }
+      val (nTail, tTail) = readCount()
+      graft.streaming.PostingsMaintenance.compactPostings(spark, dir, 31L)
+      val (nBase, tBase) = readCount()
+      require(nTail == nBase, s"compaction changed the merged postings ($nTail -> $nBase)")
+      println(f"merged-postings read: 32-generation tail $tTail%.2f s -> " +
+        f"compacted base $tBase%.2f s ($nTail rows unchanged) — the read-side " +
+        "cost the compaction cadence exists to bound")
+      // Closure at sf0.1: the live plane reproduces the stored-artifact
+      // ranking on the full standing corpus.
+      val live = graft.streaming.PostingsMaintenance.bm25AgainstStream(spark, dir)
+        .collect().map(_.toString).toSeq
+      val stored = queries.LlmPipeline.bm25Retrieval(spark, baseDir)
+        .collect().map(_.toString).toSeq
+      require(live == stored, "streamed-plane BM25 diverged from the stored-artifact ranking at sf0.1")
+      println("BM25 closure at sf0.1: ranking over the 32-batch streamed plane == stored-artifact ranking — holds")
+    } finally queries.LlmPipeline.deleteRecursively(tmp)
   }
 
   /** Embedding-side streaming CC per-batch cost vs corpus size (r14 —
