@@ -456,7 +456,7 @@ object IndexScale {
     // volume at this scale, so it almost never binds — serves as the
     // radius-2 reference, and recall_b = |pairs_b| / |pairs_ref| is
     // exact under monotonicity (subset inclusion is additionally
-    // spot-verified at the shipped 8192 point). Unbudgeted radius 2 at
+    // spot-verified at the shipped 16384 point and at 8192). Unbudgeted radius 2 at
     // this width is the r12 configuration that spilled > 70 GB and
     // died — the budget exists precisely so the reference never has to
     // run unbounded.
@@ -479,13 +479,17 @@ object IndexScale {
     pairCounts.foreach { case (b, n, dt) =>
       println(f"| $b | $n | ${n.toDouble / nRef}%.4f | $dt%.1f |")
     }
-    // Monotone-subset spot check at the shipped point: the 8192 pair
-    // set must be contained in the 32768 reference.
-    val extra = spark.read.parquet(s"$lawDir/b8192")
-      .exceptAll(spark.read.parquet(s"$lawDir/b32768")).count()
-    require(extra == 0,
-      s"budget 8192 produced $extra pairs outside the 32768 reference — " +
-        "the Hamming-ordered spend is not monotone in the budget")
+    // Monotone-subset spot check at the SHIPPED point (16384 — the r15
+    // knee SemDedupProbeBudget is pinned at) and at the 8192 point
+    // below it: each budget's pair set must be contained in the 32768
+    // reference, or the recall column above is meaningless.
+    Seq(8192L, 16384L).foreach { b =>
+      val extra = spark.read.parquet(s"$lawDir/b$b")
+        .exceptAll(spark.read.parquet(s"$lawDir/b32768")).count()
+      require(extra == 0,
+        s"budget $b produced $extra pairs outside the 32768 reference — " +
+          "the Hamming-ordered spend is not monotone in the budget")
+    }
     queries.LlmPipeline.deleteRecursively(java.nio.file.Paths.get(lawDir))
 
     ccStreamScale(spark, baseDir, bigDirInc, replicas)

@@ -4128,10 +4128,24 @@ object LlmPipeline extends QueryPack {
       .groupBy("query_id")
       .agg(min(col("score")).as("theta"), count(lit(1)).as("nseed"))
       .filter(col("nseed") === 10)
+    // Prune against θ minus the 4-decimal rounding slack: the final
+    // ranking orders by round(score, 4) with doc_id tie-break, so a
+    // doc whose exact score lies in [θ − 5e-5, θ) can still round-TIE
+    // the 10th seed and win the tie-break. The bound argument must
+    // cover the ROUNDED ordering, not the exact one — keep every
+    // candidate whose optimistic bound clears θ − 5e-5 (ADVICE r15).
     bounded.join(broadcast(theta), Seq("query_id"), "left")
-      .filter(col("theta").isNull || col("bnd") >= col("theta"))
+      .filter(col("theta").isNull || col("bnd") >= col("theta") - lit(RankRoundSlack))
       .select("query_id", "doc_id")
   }
+
+  /** Half a unit in the last place of the 4-decimal rounded score —
+    * the slack both pruning passes (q190 WAND, q192 MAXSCORE) subtract
+    * from θ so their "provably outside the top 10" bound argument
+    * holds for the round(score, 4) + doc_id ordering the final rank
+    * actually uses.
+    */
+  private[graft] val RankRoundSlack = 0.00005
 
   private[graft] def bm25ConjunctiveCfg(
       spark: SparkSession, dir: String, prune: Boolean): DataFrame = {
@@ -4289,8 +4303,12 @@ object LlmPipeline extends QueryPack {
           case Some(t) =>
             val asc = slots.sortBy(s => (s._3, s._2)).toList
             var cum = 0.0
+            // Cut against θ − the rounding slack (see [[RankRoundSlack]]):
+            // a doc only in non-essential lists has score ≤ Σ ub, and
+            // the exclusion must survive the round(score, 4) ordering.
             val nonEss = asc.takeWhile { s =>
-              val keep = cum + s._3 < t; if (keep) cum += s._3; keep
+              val keep = cum + s._3 < t - RankRoundSlack
+              if (keep) cum += s._3; keep
             }.map(_._2).toSet
             slots.collect { case (_, tr, _) if !nonEss(tr) => (q, tr) }
         }

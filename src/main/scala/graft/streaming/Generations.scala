@@ -46,4 +46,42 @@ private[streaming] object Generations {
   /** Generations under `dir` whose write committed. */
   def completeGenIds(dir: java.nio.file.Path, prefix: String = "batch_id="): Seq[Long] =
     genIds(dir, prefix).filter(g => isComplete(dir.resolve(s"$prefix$g")))
+
+  /** Crash-replay guard for the compaction folds (ADVICE r15): an
+    * INCOMPLETE (markerless) batch generation strictly past the base
+    * being folded and at or below the fold target may be a crashed
+    * in-flight batch whose stream replay will rewrite it at the SAME
+    * id. Committing a base at `upTo` ≥ that id and deleting the
+    * partial would leave the replayed generation ≤ baseGen —
+    * permanently invisible to the merged read: silent data loss. A
+    * markerless generation ≤ the old base is provably a mid-cleanup
+    * leftover (the fold that committed that base ran this guard, so
+    * no in-flight partial existed then) and stays safely deletable.
+    * Under the in-stream cadence (compact at batchId − 1, foreachBatch
+    * strictly sequential so every prior batch is committed) this never
+    * fires; it guards the out-of-band compaction API. Call it on the
+    * FOLD path only — on the committed-target-skip path the same
+    * markerless window holds the partially-deleted inputs of the
+    * completed fold, which MUST be cleaned up.
+    */
+  def requireNoInflight(
+      dirs: Seq[java.nio.file.Path], oldBaseMax: Option[Long],
+      upTo: Long, what: String): Unit = {
+    // In-flight = present in ANY axis but not committed in EVERY axis:
+    // a multi-axis commit can crash between axes, leaving one axis'
+    // generation complete and a sibling's absent entirely — that id is
+    // just as rewritable-by-replay as a markerless partial.
+    val present = dirs.flatMap(d => genIds(d)).distinct
+    val inflight = present
+      .filterNot(b => dirs.forall(d => isComplete(d.resolve(s"batch_id=$b"))))
+      .filter(b => b <= upTo && oldBaseMax.forall(b > _))
+      .sorted
+    if (inflight.nonEmpty)
+      throw new IllegalStateException(
+        s"$what: incomplete batch generation(s) ${inflight.mkString(",")} at or " +
+          s"below fold target $upTo — possibly a crashed in-flight batch a " +
+          "stream replay will rewrite at the same id; folding past it would " +
+          "make the rewrite permanently invisible. Compact at an id strictly " +
+          "below the earliest incomplete generation instead.")
+  }
 }

@@ -204,6 +204,13 @@ object PostingsMaintenance {
     if (oldBase.isEmpty && foldIds.isEmpty)
       throw new IllegalStateException(
         s"compactPostings: nothing to fold at or below $upTo under $indexDir")
+    // Refuse to fold past a possibly-in-flight batch (ADVICE r15): a
+    // partial generation in (oldBase, upTo] may be a crashed batch a
+    // stream replay rewrites at the same id; committing this base and
+    // deleting the partial would strand the rewrite below baseGen.
+    Generations.requireNoInflight(
+      Axes.map(a => java.nio.file.Paths.get(indexDir, a)),
+      oldBase.maxOption, upTo, "compactPostings")
     def folded(axis: String): DataFrame = {
       val parts =
         oldBase.maxOption.map(g =>

@@ -203,6 +203,13 @@ object SketchMaintenance {
       throw new IllegalStateException(
         s"compactSketches: nothing to fold at or below $upTo under $sketchDir")
     }
+    // Refuse to fold past a possibly-in-flight batch (ADVICE r15): a
+    // markerless generation in (oldBase, upTo] may be a crashed batch
+    // a stream replay rewrites at the same id; committing this base
+    // and deleting the partial would strand the rewrite below baseGen.
+    Generations.requireNoInflight(
+      Seq(java.nio.file.Paths.get(sketchDir)),
+      oldBase.maxOption, upTo, "compactSketches")
     // A markerless gen=upTo left by a crashed prior fold is discarded
     // and redone from its still-present inputs.
     LlmPipeline.deleteRecursively(newBase)

@@ -490,6 +490,15 @@ object StreamingAdmission {
       // (ADVICE r14). Keep the base; only finish the cleanup.
       cleanup()
     } else if (oldBase.nonEmpty || foldIds.nonEmpty) {
+      // Refuse to fold past a possibly-in-flight batch (ADVICE r15):
+      // a partial delta in (oldBase, atBatch] may be a crashed batch a
+      // stream replay rewrites at the same id; committing this base
+      // and deleting the partial would strand the rewrite below the
+      // base generation.
+      Generations.requireNoInflight(
+        Seq(java.nio.file.Paths.get(streamDir, "bands"),
+          java.nio.file.Paths.get(streamDir, "shingles")),
+        oldBase.maxOption, atBatch, "compactCc")
       // A crashed prior fold may have left a partial (markerless, or
       // single-twin) gen=atBatch while its inputs are still present
       // (inputs are deleted LAST) — redo the fold from the inputs.
@@ -795,6 +804,11 @@ object StreamingAdmission {
       // lose state (ADVICE r14, as in [[compactCc]]).
       cleanup()
     } else if (oldBase.nonEmpty || foldIds.nonEmpty) {
+      // In-flight guard, as in [[compactCc]] (ADVICE r15).
+      Generations.requireNoInflight(
+        Seq(java.nio.file.Paths.get(streamDir, "keys"),
+          java.nio.file.Paths.get(streamDir, "vecs")),
+        oldBase.maxOption, atBatch, "compactAnnCc")
       LlmPipeline.deleteRecursively(newKeysBase)
       LlmPipeline.deleteRecursively(newVecsBase)
       def folded(baseDir: String, deltaDir: String): DataFrame = {

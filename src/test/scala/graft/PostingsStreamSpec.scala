@@ -166,4 +166,54 @@ class PostingsStreamSpec extends SparkSpec {
         "compaction replay rebuilt truncated state from leftover inputs")
     } finally LlmPipeline.deleteRecursively(t)
   }
+
+  test("in-flight guard: compaction refuses to fold past a crashed partial batch; mid-cleanup leftovers below the base stay deletable") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("graft_postguard")
+    try {
+      val dir = t.resolve("index").toString
+      (0 to 2).foreach { b =>
+        PostingsMaintenance.commitPostingsBatch(spark,
+          Seq((100L + b, s"aa bb cc$b")).toDF("doc_id", "text"), dir, b.toLong)
+      }
+      val (p0, _, s0, _) = PostingsMaintenance.mergedIndex(spark, dir)
+      val truth = p0.collect().map(_.toString).toSet
+      val tokTruth = s0.head().getLong(2)
+      // A crashed in-flight batch: generation directory present on one
+      // axis, no _SUCCESS — exactly what a kill mid-commitPostingsBatch
+      // leaves, and what a stream replay would rewrite at the same id.
+      val partial = Paths.get(dir, "postings", "batch_id=3")
+      Files.createDirectories(partial)
+      Files.writeString(partial.resolve("part-00000.parquet"), "partial")
+      // Folding AT or PAST the in-flight id must refuse (ADVICE r15):
+      // committing base gen=3 and deleting the partial would strand the
+      // replayed batch 3 below baseGen — silent data loss.
+      intercept[IllegalStateException] {
+        PostingsMaintenance.compactPostings(spark, dir, 3L)
+      }
+      assert(Files.exists(partial), "refused fold must not touch the partial")
+      assert(!Files.exists(Paths.get(dir, "postings_base", "gen=3")),
+        "refused fold must not commit a base")
+      // Folding strictly BELOW the in-flight id is the sanctioned move.
+      PostingsMaintenance.compactPostings(spark, dir, 2L)
+      assert(Files.exists(Paths.get(dir, "postings_base", "gen=2", "_SUCCESS")))
+      // The replay arrives: batch 3 commits over its own partial, then
+      // the fold at 3 succeeds and every read shows the batch.
+      PostingsMaintenance.commitPostingsBatch(spark,
+        Seq((103L, "dd ee")).toDF("doc_id", "text"), dir, 3L)
+      // A markerless leftover BELOW the base (mid-cleanup debris from
+      // the fold at 2) must not block the fold — it is provably inside
+      // the base already.
+      val debris = Paths.get(dir, "postings", "batch_id=1")
+      Files.createDirectories(debris)
+      Files.writeString(debris.resolve("part-00000.parquet"), "leftover")
+      PostingsMaintenance.compactPostings(spark, dir, 3L)
+      assert(!Files.exists(debris), "fold must clean up sub-base debris")
+      val (pF, _, sF, _) = PostingsMaintenance.mergedIndex(spark, dir)
+      val fRows = pF.collect().map(_.toString).toSet
+      assert(truth.subsetOf(fRows) && fRows.exists(_.contains("dd")) &&
+        sF.head().getLong(2) == tokTruth + 2,
+        "post-replay fold lost state")
+    } finally LlmPipeline.deleteRecursively(t)
+  }
 }
