@@ -1415,6 +1415,23 @@ object LlmPipeline extends QueryPack {
   private val mpAnnIndexCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.nio.file.Path]()
 
+  /** The stored-vecs row shape: (vec_id, d, nrm) with doubles and the
+    * precomputed norm — factored so IndexDeleteSpec's rebuild-without-
+    * docs law runs the identical build over a filtered population.
+    */
+  private[graft] def mpVecsFor(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("d"))
+      .withColumn("nrm", expr("sqrt(dot_product(d, d))"))
+
+  /** The stored-keys rows: one (vec_id, tbl, bucket) per hash table. */
+  private[graft] def mpKeysFor(vecs: DataFrame, bits: Int): DataFrame = {
+    val bucketCols = (0 until MpTables).map(t =>
+      s"struct($t AS tbl, hyperplane_bucket(d, $bits, $t, 0) AS bucket)").mkString(", ")
+    vecs.select(col("vec_id"), explode(expr(s"array($bucketCols)")).as("tb"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+  }
+
   private[graft] def ensureMpAnnIndex(spark: SparkSession, dir: String,
       bits: Int = MpBits): (String, String) = {
     evictStoppedArtifacts(mpAnnIndexCache)
@@ -1434,18 +1451,11 @@ object LlmPipeline extends QueryPack {
       val b = Paths.get(sys.props("java.io.tmpdir"), s"graft_mpann_$tag")
       val vecsPath = b.resolve("vecs").toString
       val keysPath = b.resolve("keys").toString
-      Tables.embeddings(spark, dir)
-        .filter(col("vec_id") % 4 =!= 0)
-        .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("d"))
-        .withColumn("nrm", expr("sqrt(dot_product(d, d))"))
+      mpVecsFor(Tables.embeddings(spark, dir).filter(col("vec_id") % 4 =!= 0))
         .write.mode(SaveMode.Overwrite).parquet(vecsPath)
       // The index derives from the stored vector table — one nightly
       // job writes both (the ensureBandIndex convention).
-      val bucketCols = (0 until MpTables).map(t =>
-        s"struct($t AS tbl, hyperplane_bucket(d, $bits, $t, 0) AS bucket)").mkString(", ")
-      spark.read.parquet(vecsPath)
-        .select(col("vec_id"), explode(expr(s"array($bucketCols)")).as("tb"))
-        .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      mpKeysFor(spark.read.parquet(vecsPath), bits)
         .write.mode(SaveMode.Overwrite).parquet(keysPath)
       b
     })
@@ -2714,8 +2724,11 @@ object LlmPipeline extends QueryPack {
 
   // Fixed K ⇒ the oracle unrolls the hops as a plain WITH-chain (no
   // recursion); pairs/sh MATERIALIZED for the same reason as q101's.
-  private val takedownSpreadSql =
-    """WITH sh AS MATERIALIZED (
+  // The CTE chain is shared: q165 reads the closure itself, the
+  // q193–q195 index-takedown oracles compose it with a full
+  // rebuild-without-the-closure of the artifact they maintain.
+  private[graft] val takedownClosureCtes =
+    """sh AS MATERIALIZED (
       |  SELECT doc_id,
       |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS s
       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
@@ -2739,7 +2752,18 @@ object LlmPipeline extends QueryPack {
       |    UNION ALL
       |    SELECT e.id2 AS id, 2 AS hop FROM edges e
       |    JOIN r1 ON e.id1 = r1.id AND r1.hop = 1)
-      |  GROUP BY id)
+      |  GROUP BY id)""".stripMargin
+
+  /** The surviving standing corpus after the takedown: what the q193–
+    * q195 oracles rebuild their artifact from scratch over.
+    */
+  private[graft] val takedownSurvivorsCte =
+    """tdocs AS (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE doc_id % 4 <> 0 AND doc_id NOT IN (SELECT id FROM r2))""".stripMargin
+
+  private val takedownSpreadSql =
+    s"""WITH $takedownClosureCtes
       |SELECT id AS doc_id, hop FROM r2
       |ORDER BY doc_id""".stripMargin
 
@@ -4595,6 +4619,226 @@ object LlmPipeline extends QueryPack {
       |FROM dl, st
       |ORDER BY doc_id""".stripMargin
 
+  // ===== Index-side takedown maintenance (r16 — VERDICT r15 item 1) =====
+
+  /** The takedown removal set restricted to the standing corpus the
+    * stored index artifacts describe: q165's K-hop near-dup closure of
+    * the notice set (doc_id % 17 == 3), intersected with the standing
+    * population (doc_id % 4 != 0). One (doc_id) column, notice-
+    * closure-sized — every application below rides it as a broadcast.
+    */
+  private[graft] def takedownDocSet(spark: SparkSession, dir: String): DataFrame =
+    takedownSpread(spark, dir)
+      .filter(col("doc_id") % 4 =!= 0)
+      .select("doc_id")
+
+  /** Apply a takedown doc set to EVERY plane of the stored index
+    * family WITHOUT a rebuild (q193–q195 — the most legally-loaded
+    * operation a corpus pipeline runs; before this round the
+    * q188/q189 folds were add-only and every index kept serving
+    * removed docs). Input: the artifact roots + a (doc_id) removal set
+    * KNOWN TO BE ⊆ the indexed population (a takedown notice names
+    * documents that are actually served). Returns the maintained
+    * (index, postings, positions, docstats, stats) relations:
+    *
+    *   - postings / positions / docstats: ANTI-JOIN against the
+    *     broadcast removal set — a posting row is a pure function of
+    *     its own doc's text, so removing the doc's rows IS the rebuild
+    *     (the q188 row-union law run backward).
+    *   - stats: SUBTRACTION — the additive (nd, ndl, toktot) fold run
+    *     backward. nd subtracts the removal-set size (⊆-population
+    *     contract); ndl/toktot subtract the removed docs' docstats
+    *     cells (a doc absent from docstats contributed nothing).
+    *   - index (token, df, head_ids): df subtracts the removed docs'
+    *     per-token posting-row counts; tokens whose df reaches 0 are
+    *     dropped; AFFECTED tokens' heads are REFILLED from the
+    *     post-delete full postings (the head is a capped min-k, so a
+    *     removed head member must be replaced by the next-smallest
+    *     surviving doc — recoverable precisely because the full
+    *     postings artifact exists; the head-only r13 index could not
+    *     repair itself). Only tokens appearing in removed docs are
+    *     touched — cost tracks Σ df of the delete set, never the
+    *     corpus.
+    *
+    * The law (hash-verified by the q193/q194/q195 oracles, which
+    * rebuild from the raw corpus minus the closure): delete-then-read
+    * == rebuild-without-docs, on every plane. The streamed form is
+    * [[graft.streaming.PostingsMaintenance.commitTombstones]].
+    */
+  private[graft] def applyIndexTakedown(
+      spark: SparkSession, root: String, idxPath: String, removed: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val rem = removed.select("doc_id")
+    val postings0 = spark.read.parquet(s"$root/postings")
+    val idx0 = spark.read.parquet(idxPath)
+    val postings = postings0.join(broadcast(rem), Seq("doc_id"), "left_anti")
+      .select("token", "doc_id", "tf", "dl")
+    val positions = spark.read.parquet(s"$root/positions")
+      .join(broadcast(rem), Seq("doc_id"), "left_anti")
+      .select("token", "doc_id", "pos")
+    val docstats0 = spark.read.parquet(s"$root/docstats")
+    val docstats = docstats0.join(broadcast(rem), Seq("doc_id"), "left_anti")
+    val remDl = docstats0.join(broadcast(rem), Seq("doc_id"), "left_semi")
+      .agg(count(lit(1)).as("ndl_r"), coalesce(sum("dl"), lit(0L)).as("tok_r"))
+    val remN = rem.agg(count(lit(1)).as("nd_r"))
+    val stats = spark.read.parquet(s"$root/stats")
+      .crossJoin(broadcast(remN)).crossJoin(broadcast(remDl))
+      .select((col("nd") - col("nd_r")).as("nd"),
+        (col("ndl") - col("ndl_r")).as("ndl"),
+        (col("toktot") - col("tok_r")).as("toktot"))
+    // Index repair: subtractive df + head refill for affected tokens.
+    val minK = udaf(new graft.functions.Udafs.MinKLongs(PostingsHeadCap))
+    val dfr = postings0.join(broadcast(rem), Seq("doc_id"), "left_semi")
+      .groupBy("token").agg(count(lit(1)).as("df_r"))
+    val refilled = postings
+      .join(broadcast(dfr.select("token")), Seq("token"), "left_semi")
+      .groupBy("token").agg(minK(col("doc_id")).as("head_new"))
+    val idx = idx0
+      .join(broadcast(dfr), Seq("token"), "left")
+      .join(broadcast(refilled), Seq("token"), "left")
+      .select(col("token"),
+        (col("df") - coalesce(col("df_r"), lit(0L))).as("df"),
+        coalesce(col("head_new"), col("head_ids")).as("head_ids"))
+      .filter(col("df") > 0)
+    (idx, postings, positions, docstats, stats)
+  }
+
+  /** Apply a takedown set to the stored multi-probe ANN artifacts
+    * (q163/q174's keys/vecs planes — both UNCAPPED, so a key row is a
+    * pure per-vector function and the anti-join IS the rebuild,
+    * exactly; IndexDeleteSpec hash-pins both planes and the post-
+    * delete probe decisions against from-scratch rebuilds).
+    */
+  private[graft] def applyAnnTakedown(
+      spark: SparkSession, keysPath: String, vecsPath: String,
+      removed: DataFrame): (DataFrame, DataFrame) = {
+    val rem = removed.select("vec_id")
+    (spark.read.parquet(keysPath).join(broadcast(rem), Seq("vec_id"), "left_anti"),
+      spark.read.parquet(vecsPath).join(broadcast(rem), Seq("vec_id"), "left_anti"))
+  }
+
+  /** Post-takedown BM25 retrieval (q193): the q181 ranking computed
+    * against the MAINTAINED artifacts — term selection from the
+    * repaired (token, df), scores from the anti-joined postings,
+    * IDF's N and length normalization's avgl from the subtracted
+    * stats. The oracle rebuilds everything from the raw corpus minus
+    * the takedown closure, so one un-deleted posting row, one stale
+    * df, or one mis-subtracted stat cell shifts scores and hash-fails
+    * the ranking — and the removed docs provably stop being served.
+    * Plan shape: the closure is notice-sized (broadcast); everything
+    * else is the q181 read path (pushed In(token), no corpus scan).
+    */
+  def indexTakedown(spark: SparkSession, dir: String): DataFrame = {
+    val root = ensurePostingsArtifact(spark, dir)
+    val (idx, postings, _, _, stats) = applyIndexTakedown(
+      spark, root, ensureIndexArtifact(spark, dir), takedownDocSet(spark, dir))
+    bm25AgainstArtifacts(idx, postings, stats)
+  }
+
+  private[graft] val indexTakedownSql =
+    s"""WITH $takedownClosureCtes,
+      |$takedownSurvivorsCte,
+      |t2 AS (
+      |  SELECT doc_id, token
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM tdocs)
+      |  WHERE token <> ''),
+      |dft AS (SELECT token, count(DISTINCT doc_id) AS df FROM t2 GROUP BY token),
+      |terms AS (
+      |  SELECT token, df, CAST((((r - 1) % 3) + 1) AS INTEGER) AS query_id
+      |  FROM (SELECT token, df, row_number() OVER (ORDER BY df DESC, token) AS r
+      |        FROM dft)
+      |  WHERE r <= 6),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM t2 GROUP BY doc_id),
+      |stats AS (
+      |  SELECT (SELECT count(*) FROM tdocs) AS nd,
+      |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgl
+      |  FROM dl),
+      |tf AS (
+      |  SELECT q.query_id, q.token, q.df, t.doc_id, count(*) AS tf
+      |  FROM t2 t JOIN terms q ON t.token = q.token
+      |  GROUP BY q.query_id, q.token, q.df, t.doc_id),
+      |sc AS (
+      |  SELECT query_id, tf.doc_id AS doc_id,
+      |    sum((nd - df + 0.5) / (df + 0.5) * (tf * 2.2)
+      |        / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgl))) AS score
+      |  FROM tf
+      |  CROSS JOIN stats
+      |  JOIN dl ON tf.doc_id = dl.doc_id
+      |  GROUP BY query_id, tf.doc_id)
+      |SELECT query_id, rank, doc_id, round(score, 4) AS score_r
+      |FROM (
+      |  SELECT query_id, doc_id, score,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY round(score, 4) DESC, doc_id) AS INTEGER) AS rank
+      |  FROM sc)
+      |WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** Post-takedown doc-stats + corpus-stats (q194): q189's additive
+    * maintenance law run BACKWARD — the (doc_id, dl) sidecar by
+    * anti-join, the one-row (nd, ndl, toktot) by subtraction of the
+    * removed docs' cells. Output mirrors q189 (every surviving doc's
+    * dl with the subtracted stats and derived avgl beside it), so a
+    * single mis-subtracted cell hash-fails every row. The oracle
+    * recomputes from the raw corpus minus the closure.
+    */
+  def docStatsTakedown(spark: SparkSession, dir: String): DataFrame = {
+    val root = ensurePostingsArtifact(spark, dir)
+    val (_, _, _, docstats, stats) = applyIndexTakedown(
+      spark, root, ensureIndexArtifact(spark, dir), takedownDocSet(spark, dir))
+    docstats.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("dl"), col("nd"), col("ndl"), col("toktot"),
+        (round(col("toktot").cast("double") / col("ndl").cast("double"), 4) + lit(0))
+          .as("avgl_r"))
+      .orderBy("doc_id")
+  }
+
+  private[graft] val docStatsTakedownSql =
+    s"""WITH $takedownClosureCtes,
+      |$takedownSurvivorsCte,
+      |t AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM tdocs),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM t WHERE token <> '' GROUP BY doc_id),
+      |st AS (SELECT (SELECT count(*) FROM tdocs) AS nd,
+      |              count(*) AS ndl, CAST(sum(dl) AS BIGINT) AS toktot
+      |       FROM dl)
+      |SELECT doc_id, dl, nd, ndl, toktot,
+      |  round(CAST(toktot AS DOUBLE) / ndl, 4) + 0 AS avgl_r
+      |FROM dl, st
+      |ORDER BY doc_id""".stripMargin
+
+  /** Post-takedown head-index repair (q195): the maintained
+    * (token, df, postings_head) — subtractive df, zero-df tokens
+    * dropped, affected heads REFILLED from the surviving full postings
+    * (the capped min-k head loses members on delete; the refill is
+    * exact because the full postings hold every surviving doc id).
+    * Output is q149's shape; the oracle IS the q149 rebuild over the
+    * corpus minus the closure, so "repair == rebuild" is hash-checked
+    * per token, heads included.
+    */
+  def indexTakedownRepair(spark: SparkSession, dir: String): DataFrame = {
+    val root = ensurePostingsArtifact(spark, dir)
+    val (idx, _, _, _, _) = applyIndexTakedown(
+      spark, root, ensureIndexArtifact(spark, dir), takedownDocSet(spark, dir))
+    idx.select(col("token"), col("df"),
+        expr("array_join(transform(head_ids, d -> cast(d as string)), ',')")
+          .as("postings_head"))
+      .orderBy("token")
+  }
+
+  private[graft] val indexTakedownRepairSql =
+    s"""WITH $takedownClosureCtes,
+      |$takedownSurvivorsCte
+      |SELECT token, count(*) AS df,
+      |  array_to_string(list_transform((list(doc_id ORDER BY doc_id))[1:$PostingsHeadCap],
+      |    d -> CAST(d AS VARCHAR)), ',') AS postings_head
+      |FROM (SELECT DISTINCT doc_id, token FROM
+      |        (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |         FROM tdocs))
+      |WHERE token <> ''
+      |GROUP BY token
+      |ORDER BY token""".stripMargin
+
   /** Integer-exact PageRank core over a SYMMETRIZED edge set
     * (`id1 → id2`, both directions present). Ranks live in integer
     * micro-units (start 1,000,000 per vertex) and every step is
@@ -5074,6 +5318,12 @@ object LlmPipeline extends QueryPack {
     QueryDef("q191_phrase_retrieval", phraseRetrieval, Some(phraseRetrievalSql),
       prepare = Some(preparePostings _)),
     QueryDef("q192_bm25_disjunctive", bm25Disjunctive, Some(bm25DisjunctiveSql),
+      prepare = Some(preparePostings _)),
+    QueryDef("q193_index_takedown", indexTakedown, Some(indexTakedownSql),
+      prepare = Some(preparePostings _)),
+    QueryDef("q194_docstats_takedown", docStatsTakedown, Some(docStatsTakedownSql),
+      prepare = Some(preparePostings _)),
+    QueryDef("q195_index_takedown_repair", indexTakedownRepair, Some(indexTakedownRepairSql),
       prepare = Some(preparePostings _)),
     QueryDef("q169_containment_probe", containmentProbe, Some(containmentProbeSql)),
     QueryDef("q170_seeded_pagerank", seededPagerank, Some(seededPagerankSql)))

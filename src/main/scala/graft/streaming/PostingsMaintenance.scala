@@ -126,12 +126,57 @@ object PostingsMaintenance {
       }
       .start()
 
+  /** One takedown generation on the DELETE axis (r16 — VERDICT r15
+    * item 1's streamed form): `ids` is a (doc_id) removal set;
+    * Overwrite into `tombstones/batch_id=<tombGen>`, so a replayed
+    * takedown rewrites an identical generation and the read side's
+    * global DISTINCT makes overlapping tombstones (the same doc named
+    * by two notices) subtract-once. Tombstone generations use their
+    * own id space — they are never folded into postings bases and
+    * never consumed: compaction PURGES their rows physically, and the
+    * read-side anti-join over already-purged ids is a no-op, so
+    * re-application is idempotent by construction and no
+    * applied/unapplied bookkeeping is needed (the crash-mid-cleanup
+    * ambiguity that bookkeeping would create is exactly what the
+    * design avoids). The axis is delete-set-sized — a takedown list,
+    * not data.
+    *
+    * Contract (matches [[graft.queries.LlmPipeline.applyIndexTakedown]]'s
+    * ⊆-population contract): tombstoned ids name docs already ingested
+    * WITH ≥ 1 token — an index takedown targets indexed content. The
+    * stats subtraction keys on the doc's docstats row, so a tombstone
+    * for a never-ingested id is a harmless no-op on every plane.
+    */
+  private[graft] def commitTombstones(
+      spark: SparkSession, ids: DataFrame,
+      indexDir: String, tombGen: Long): Unit =
+    ids.select("doc_id").write.mode(SaveMode.Overwrite)
+      .parquet(s"$indexDir/tombstones/batch_id=$tombGen")
+
+  /** Every committed tombstone id, deduplicated — None when the delete
+    * axis is empty so the no-takedown read path stays join-free.
+    */
+  private def tombstoneIds(
+      spark: SparkSession, indexDir: String): Option[DataFrame] = {
+    val gens = Generations.completeGenIds(
+      java.nio.file.Paths.get(indexDir, "tombstones")).sorted
+    if (gens.isEmpty) None
+    else Some(spark.read.parquet(
+      gens.map(b => s"$indexDir/tombstones/batch_id=$b"): _*)
+      .select("doc_id").distinct())
+  }
+
   /** The read side: (postings, docstats, stats) over the latest
     * committed base (if any) + every committed batch generation past
     * it. postings/docstats are the late row union; stats reduce to ONE
     * row by addition. Generations at or below the base are excluded
     * even if still on disk (a crashed cleanup's leftovers) — the base
-    * already contains them.
+    * already contains them. Committed tombstones apply at read time:
+    * row axes by anti-join against the broadcast delete set, stats by
+    * subtracting the still-present tombstoned docs' docstats cells
+    * (docs a prior compaction already purged no longer match, so their
+    * cells — already subtracted into the base — are not subtracted
+    * twice).
     */
   private[graft] def mergedIndex(
       spark: SparkSession, indexDir: String)
@@ -148,10 +193,28 @@ object PostingsMaintenance {
       require(parts.nonEmpty, s"mergedIndex: no $axis generations under $indexDir")
       parts.reduce(_ unionByName _)
     }
-    (unioned("postings"), unioned("docstats"),
-      unioned("stats").agg(sum("nd").as("nd"), sum("ndl").as("ndl"),
-        sum("toktot").as("toktot")),
-      unioned("positions"))
+    val summed = unioned("stats").agg(sum("nd").as("nd"), sum("ndl").as("ndl"),
+      sum("toktot").as("toktot"))
+    tombstoneIds(spark, indexDir) match {
+      case None =>
+        (unioned("postings"), unioned("docstats"), summed, unioned("positions"))
+      case Some(tomb) =>
+        // The USING-join moves doc_id to the front; re-select the
+        // axis's own column order (readers union/compare positionally).
+        def live(axis: String): DataFrame = {
+          val u = unioned(axis)
+          u.join(broadcast(tomb), Seq("doc_id"), "left_anti")
+            .select(u.columns.map(col).toSeq: _*)
+        }
+        val corr = unioned("docstats")
+          .join(broadcast(tomb), Seq("doc_id"), "left_semi")
+          .agg(count(lit(1)).as("nd_r"), coalesce(sum("dl"), lit(0L)).as("tok_r"))
+        val stats = summed.crossJoin(broadcast(corr))
+          .select((col("nd") - col("nd_r")).as("nd"),
+            (col("ndl") - col("nd_r")).as("ndl"),
+            (col("toktot") - col("tok_r")).as("toktot"))
+        (live("postings"), live("docstats"), stats, live("positions"))
+    }
   }
 
   /** BM25 ranked retrieval against the STREAMED artifacts — the q181
@@ -220,15 +283,43 @@ object PostingsMaintenance {
              foldIds.map(b => s"$indexDir/$axis/batch_id=$b"): _*)))
       parts.reduce(_ unionByName _)
     }
+    // Committed tombstones PURGE physically at fold time: row axes
+    // anti-join the delete set, stats subtract the cells of tombstoned
+    // docs still present in the folded docstats (docs an earlier fold
+    // already purged are absent and so not subtracted twice). The
+    // tombstone generations themselves are NOT consumed — the read
+    // side's anti-join over purged ids is a no-op, so keeping them
+    // needs no applied/unapplied bookkeeping and a tombstone that
+    // races this fold is still applied at read time. The axis stays
+    // delete-set-sized.
+    val tomb = tombstoneIds(spark, indexDir)
     Axes.foreach { a =>
       val newBase = java.nio.file.Paths.get(indexDir, s"${a}_base", s"gen=$upTo")
       // Discard a markerless partial left by a crashed prior fold.
       LlmPipeline.deleteRecursively(newBase)
-      val out =
-        if (a == "stats")
-          folded(a).agg(sum("nd").as("nd"), sum("ndl").as("ndl"),
+      val out = a match {
+        case "stats" =>
+          val summed = folded(a).agg(sum("nd").as("nd"), sum("ndl").as("ndl"),
             sum("toktot").as("toktot"))
-        else folded(a)
+          tomb.fold(summed) { t =>
+            val corr = folded("docstats")
+              .join(broadcast(t), Seq("doc_id"), "left_semi")
+              .agg(count(lit(1)).as("nd_r"),
+                coalesce(sum("dl"), lit(0L)).as("tok_r"))
+            summed.crossJoin(broadcast(corr))
+              .select((col("nd") - col("nd_r")).as("nd"),
+                (col("ndl") - col("nd_r")).as("ndl"),
+                (col("toktot") - col("tok_r")).as("toktot"))
+          }
+        case _ =>
+          tomb.fold(folded(a)) { t =>
+            // Re-select the axis's own column order (the USING-join
+            // fronts doc_id; generations must stay union-compatible).
+            val f = folded(a)
+            f.join(broadcast(t), Seq("doc_id"), "left_anti")
+              .select(f.columns.map(col).toSeq: _*)
+          }
+      }
       out.write.mode(SaveMode.Overwrite).parquet(newBase.toString)
     }
     cleanup()

@@ -1,0 +1,117 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.queries.LlmPipeline
+import graft.sources.Tables
+
+/** Index-side takedown maintenance (r16 — VERDICT r15 item 1): the
+  * batch-plane laws behind q193/q194/q195 plus the ANN planes the
+  * oracles can't reach. The binding law everywhere is
+  * DELETE-THEN-READ == REBUILD-WITHOUT-DOCS, as exact row equality:
+  *
+  *   - postings / positions / docstats: anti-join == `postingsFor` /
+  *     `positionalPostingsFor` of the surviving corpus (the q188
+  *     row-union law run backward);
+  *   - stats: subtraction == recount;
+  *   - head index: subtractive df + head REFILL == the q149 rebuild
+  *     (the refill matters — a capped min-k head that lost a member
+  *     must surface the next-smallest surviving doc);
+  *   - ANN keys/vecs: anti-join == rebuild over surviving embeddings
+  *     (uncapped planes, so equality is exact), and the PROBE
+  *     decisions against the maintained artifacts equal those against
+  *     the rebuilt ones — takedown preserves every read, not just
+  *     every row;
+  *   - the q193 ranking never serves a removed doc.
+  */
+class IndexDeleteSpec extends SparkSpec {
+
+  private def rowsEqual(a: DataFrame, b: DataFrame): Boolean =
+    a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+
+  test("postings-family takedown == rebuild-without-docs on all four axes + stats; ranking stops serving removed docs") {
+    val root = LlmPipeline.ensurePostingsArtifact(spark, sfDir)
+    val idxPath = LlmPipeline.ensureIndexArtifact(spark, sfDir)
+    val removed = LlmPipeline.takedownDocSet(spark, sfDir)
+    assert(removed.count() > 0, "fixture takedown closure is empty — law vacuous")
+    val (idx, postings, positions, docstats, stats) =
+      LlmPipeline.applyIndexTakedown(spark, root, idxPath, removed)
+
+    val kept = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 4 =!= 0)
+      .join(removed, Seq("doc_id"), "left_anti")
+      .select("doc_id", "text")
+    val (rp, rd, rs) = LlmPipeline.postingsFor(kept)
+    assert(rowsEqual(postings, rp), "maintained postings != rebuild")
+    assert(rowsEqual(positions, LlmPipeline.positionalPostingsFor(kept)),
+      "maintained positions != rebuild")
+    assert(rowsEqual(docstats, rd), "maintained docstats != rebuild")
+    assert(stats.head() == rs.head(), "subtracted stats != recount")
+
+    // Head refill: the maintained index equals the q149 rebuild over
+    // the survivors, heads included — and at least one affected
+    // token's head must actually have CHANGED (otherwise the refill
+    // path is untested on this fixture).
+    val minK = udaf(new graft.functions.Udafs.MinKLongs(LlmPipeline.PostingsHeadCap))
+    val rIdx = kept
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .distinct()
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"), minK(col("doc_id")).as("head_ids"))
+    def flat(d: DataFrame): DataFrame = d.select(col("token"), col("df"),
+      expr("array_join(transform(head_ids, x -> cast(x as string)), ',')").as("h"))
+    assert(rowsEqual(flat(idx), flat(rIdx)), "maintained head index != rebuild")
+    val changedHeads = flat(idx).alias("n")
+      .join(flat(spark.read.parquet(idxPath)).alias("o"), Seq("token"))
+      .filter(col("n.h") =!= col("o.h")).count()
+    assert(changedHeads > 0,
+      "no head changed under the takedown — the refill path is vacuous here")
+
+    // The ranking law: no removed doc is served post-takedown.
+    val served = LlmPipeline.indexTakedown(spark, sfDir)
+      .join(removed, Seq("doc_id"), "left_semi").count()
+    assert(served == 0, s"post-takedown ranking still serves $served removed docs")
+  }
+
+  test("ANN takedown: keys/vecs anti-join == rebuild over surviving embeddings; probe decisions preserved") {
+    import spark.implicits._
+    val (keysPath, vecsPath) = LlmPipeline.ensureMpAnnIndex(spark, sfDir)
+    val standing = Tables.embeddings(spark, sfDir).filter(col("vec_id") % 4 =!= 0)
+    val removed = standing.filter(col("vec_id") % 9 === 2).select("vec_id")
+    assert(removed.count() > 0, "fixture ANN removal set empty — law vacuous")
+
+    val (keys, vecs) = LlmPipeline.applyAnnTakedown(spark, keysPath, vecsPath, removed)
+    val survivors = standing.join(removed, Seq("vec_id"), "left_anti")
+    val rVecs = LlmPipeline.mpVecsFor(survivors)
+    val rKeys = LlmPipeline.mpKeysFor(rVecs, LlmPipeline.MpBits)
+    assert(rowsEqual(keys, rKeys), "maintained ANN keys != rebuild")
+    assert(rowsEqual(vecs, rVecs), "maintained ANN vecs != rebuild")
+
+    // Read closure: probing the maintained artifacts == probing the
+    // rebuilt ones, for the q174 shard batch. (Both sides go through
+    // parquet so the probe runs against real artifacts.)
+    val t = Files.createTempDirectory("graft_anndel")
+    try {
+      def dump(df: DataFrame, name: String): String = {
+        val p = t.resolve(name).toString
+        df.write.parquet(p); p
+      }
+      val batch = Tables.embeddings(spark, sfDir)
+        .filter(col("vec_id") % 4 === 0).select("vec_id", "embedding")
+      val dm = LlmPipeline.annProbeDecisions(spark,
+        dump(keys, "mk"), dump(vecs, "mv"), batch).orderBy("vec_id")
+      val dr = LlmPipeline.annProbeDecisions(spark,
+        dump(rKeys, "rk"), dump(rVecs, "rv"), batch).orderBy("vec_id")
+      assert(rowsEqual(dm, dr), "probe decisions diverge after takedown")
+      // Non-vacuity: the takedown must have changed SOME decision
+      // relative to the pre-delete index (fewer corpus neighbors).
+      val d0 = LlmPipeline.annProbeDecisions(spark, keysPath, vecsPath, batch)
+      assert(!rowsEqual(dm, d0),
+        "takedown changed no probe decision — removal set too small to test")
+    } finally LlmPipeline.deleteRecursively(t)
+  }
+}

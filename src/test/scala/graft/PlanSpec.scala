@@ -252,6 +252,25 @@ class PlanSpec extends SparkSpec {
       s"phrase adjacency must be the (query, doc, pos) equi join:\n$plan")
   }
 
+  test("q193: takedown application + post-delete retrieval touch stored artifacts only") {
+    // The closure DERIVATION (q165) reads the pair graph by design; the
+    // APPLICATION must not — a takedown notice arrives as a doc list,
+    // and applying it anti-joins stored artifacts without any corpus
+    // scan. Pin with a literal notice set.
+    import spark.implicits._
+    val root = LlmPipeline.ensurePostingsArtifact(spark, sfDir)
+    val removed = Seq(1L, 2L, 3L).toDF("doc_id")
+    val (idx, postings, _, _, stats) = LlmPipeline.applyIndexTakedown(
+      spark, root, LlmPipeline.ensureIndexArtifact(spark, sfDir), removed)
+    val plan = formatted(LlmPipeline.bm25AgainstArtifacts(idx, postings, stats))
+    assert(!plan.contains("documents.parquet"),
+      s"takedown application scans the corpus:\n$plan")
+    assert(plan.contains("graft_postings_"),
+      s"no postings-artifact scan in the plan:\n$plan")
+    assert(plan.contains("PushedFilters: [In(token"),
+      s"query terms not pushed into the post-delete postings scan:\n$plan")
+  }
+
   test("q97: multi-table near-dup joins on (table, bucket), never quadratic") {
     withoutAutoBroadcast {
       val plan = simple(LlmPipeline.multiTableNearDup(spark, sfDir))

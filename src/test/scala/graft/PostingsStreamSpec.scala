@@ -167,6 +167,64 @@ class PostingsStreamSpec extends SparkSpec {
     } finally LlmPipeline.deleteRecursively(t)
   }
 
+  test("tombstones: delete-then-read == rebuild-without-docs, subtract-once under overlap+replay, compaction purges physically, BM25 closure holds") {
+    import spark.implicits._
+    val docs = standingDocs.as[(Long, String)].collect()
+      .sortBy { case (id, _) => (id % 5, id) }
+    val chunks = docs.grouped(math.max(docs.length / 4, 1)).toSeq.map(_.toSeq)
+    val removedIds = docs.map(_._1).filter(_ % 7 == 1).toSeq
+    assert(removedIds.nonEmpty, "fixture removal set empty — law vacuous")
+    val kept = standingDocs.filter(!col("doc_id").isin(removedIds: _*))
+    val (pK, dK, sK) = LlmPipeline.postingsFor(kept)
+    val xK = LlmPipeline.positionalPostingsFor(kept)
+    val sTruth = sK.head()
+    val t = runStream(chunks)
+    try {
+      val dir = t.resolve("index").toString
+      // Two OVERLAPPING tombstone generations (two notices naming some
+      // of the same docs) — the read must subtract each doc ONCE.
+      val (half1, half2) = removedIds.splitAt(removedIds.length / 2 + 1)
+      PostingsMaintenance.commitTombstones(spark,
+        (half1 ++ half2.take(1)).toDF("doc_id"), dir, 0L)
+      PostingsMaintenance.commitTombstones(spark, half2.toDF("doc_id"), dir, 1L)
+      // Replay idempotency: re-committing a tombstone generation
+      // changes nothing.
+      PostingsMaintenance.commitTombstones(spark,
+        (half1 ++ half2.take(1)).toDF("doc_id"), dir, 0L)
+      val (pT, dT, sT, xT) = PostingsMaintenance.mergedIndex(spark, dir)
+      assert(rowsEqual(pT, pK) && rowsEqual(dT, dK) && rowsEqual(xT, xK),
+        "tombstoned merged read != rebuild-without-docs")
+      assert(sT.head() == sTruth, "subtracted stream stats != recount")
+      // BM25 closure on the DELETE axis: ranking against the
+      // tombstoned stream == ranking against a stream that never
+      // ingested the removed docs.
+      val tClean = runStream(Seq(kept.as[(Long, String)].collect().toSeq))
+      try {
+        val a = PostingsMaintenance.bm25AgainstStream(spark, dir)
+        val b = PostingsMaintenance.bm25AgainstStream(spark,
+          tClean.resolve("index").toString)
+        assert(rowsEqual(a, b), "post-takedown ranking != rebuilt-corpus ranking")
+      } finally LlmPipeline.deleteRecursively(tClean)
+      // Compaction purges physically: reads unchanged, and the base
+      // parquet itself contains none of the removed docs' rows.
+      PostingsMaintenance.compactPostings(spark, dir, (chunks.size - 1).toLong)
+      val (pC, dC, sC, xC) = PostingsMaintenance.mergedIndex(spark, dir)
+      assert(rowsEqual(pC, pK) && rowsEqual(dC, dK) && rowsEqual(xC, xK) &&
+        sC.head() == sTruth, "compaction changed a tombstoned read")
+      val gen = (chunks.size - 1).toLong
+      val inBase = spark.read.parquet(s"$dir/postings_base/gen=$gen")
+        .filter(col("doc_id").isin(removedIds: _*)).count()
+      assert(inBase == 0, s"base still holds $inBase purged posting rows")
+      val statsBase = spark.read.parquet(s"$dir/stats_base/gen=$gen").head()
+      assert(statsBase == sTruth, "purged stats base != recount")
+      // Idempotent re-read after purge: tombstones still on disk, now
+      // no-ops — nothing double-subtracts.
+      val (pZ, _, sZ, _) = PostingsMaintenance.mergedIndex(spark, dir)
+      assert(rowsEqual(pZ, pK) && sZ.head() == sTruth,
+        "post-purge re-read double-subtracted")
+    } finally LlmPipeline.deleteRecursively(t)
+  }
+
   test("in-flight guard: compaction refuses to fold past a crashed partial batch; mid-cleanup leftovers below the base stay deletable") {
     import spark.implicits._
     val t = Files.createTempDirectory("graft_postguard")
