@@ -4826,6 +4826,207 @@ object LlmPipeline extends QueryPack {
       .orderBy("token")
   }
 
+  // ===== Hybrid retrieval fusion (r16 — VERDICT r15 item 2) =====
+
+  /** RRF's rank-damping constant — 60, the value from Cormack, Clarke
+    * & Buettcher's original reciprocal-rank-fusion paper (SIGIR'09),
+    * used by every production hybrid-search stack since.
+    */
+  private[graft] val RrfK = 60
+
+  /** ANN top-k per probe against the STORED multi-probe index (the
+    * q163/q174 read path, returning a RANKING instead of admission
+    * decisions): probes explode to (1 + MpBits)·MpTables Hamming ≤ 1
+    * bucket keys, ONE (tbl, bucket) equi-join against the stored keys
+    * collects candidates, exact cosine re-ranks them, top-k per probe
+    * by the ROUNDED sim with id tie-break (the cross-engine ordering
+    * discipline). Probes ride broadcasts throughout — the index scan
+    * never shuffles.
+    */
+  private[graft] def annTopKAgainstIndex(
+      spark: SparkSession, keysPath: String, vecsPath: String,
+      probes: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.NativeFunctions.register(spark)
+    val pv = probes
+      .select(col("query_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("d"))
+      .withColumn("nrm", expr("sqrt(dot_product(d, d))"))
+    val bucketCols = (0 until MpTables).map(t =>
+      s"struct($t AS tbl, hyperplane_bucket(d, $MpBits, $t, 0) AS bucket)").mkString(", ")
+    val flips = (0 until MpBits).map(1 << _)
+    val probeKeys = pv
+      .select(col("query_id"), explode(expr(s"array($bucketCols)")).as("tb"))
+      .select(col("query_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      .select(col("query_id"), col("tbl"),
+        explode(array((lit(0) +: flips.map(lit(_))): _*)).as("flip"), col("bucket"))
+      .select(col("query_id"), col("tbl"), expr("int(bucket ^ flip)").as("bucket"))
+      .distinct()
+    val cand = spark.read.parquet(keysPath).alias("b")
+      .join(broadcast(probeKeys.alias("a")),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.query_id").as("query_id"), col("b.vec_id").as("doc_id"))
+      .distinct()
+    val withProbe = cand.join(broadcast(pv.select(col("query_id"),
+      col("d").as("d1"), col("nrm").as("nrm1"))), "query_id")
+    val scored = spark.read.parquet(vecsPath)
+      .select(col("vec_id").as("doc_id"), col("d").as("d2"), col("nrm").as("nrm2"))
+      .join(broadcast(withProbe), "doc_id")
+      .select(col("query_id"), col("doc_id"),
+        (expr("dot_product(d1, d2)") / (col("nrm1") * col("nrm2"))).as("sim"))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(round(col("sim"), 4).desc, col("doc_id").asc)).cast("int"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id")
+  }
+
+  /** Hybrid lexical ∪ semantic retrieval with reciprocal-rank fusion
+    * (q196 — VERDICT r15 item 2): the RAG-corpus curation read that
+    * composes the two stored-index families this repo already serves
+    * separately. Per query (1–3): the BM25 top-10 from the stored
+    * postings (the q181 path — pushed In(token), never the corpus) and
+    * the ANN cosine top-10 from the stored multi-probe index (the
+    * q163/q174 path — one bucket equi-join, never a brute-force scan),
+    * fused by RRF: score(d) = Σ_legs 1/(60 + rank_leg(d)).
+    *
+    * Engine-exactness (the q151/q192 discipline): ranks are INTEGERS,
+    * each term 1/(60+r) is one IEEE division of exact integers — the
+    * identical double on both engines — and the two-leg sum is ONE
+    * addition of the zero-coalesced fixed tree, so no summation-order
+    * coordination exists to get wrong. The fused ordering uses the
+    * 6-decimal rounded score with doc_id tie-break.
+    *
+    * The lexical query batch is q181's (terms from the stored index);
+    * the semantic probes are the shard's 3 smallest vec_ids (the query
+    * arrives with the request; shard vectors are disjoint from the
+    * standing index, so no self-matches). Fusion joins the legs'
+    * id spaces: lexical doc ids and vector ids share the fixture's id
+    * universe — the usual doc-keyed embedding table.
+    *
+    * Scale shape: both legs are bounded index reads (Σ df posting rows;
+    * Σ probed-bucket occupancy); the fuse itself is a full-outer join
+    * of two ≤ 30-row rankings — metadata-sized. Nothing scans either
+    * corpus.
+    */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val root = ensurePostingsArtifact(spark, dir)
+    val lex = bm25AgainstArtifacts(
+      spark.read.parquet(ensureIndexArtifact(spark, dir)),
+      spark.read.parquet(s"$root/postings"),
+      spark.read.parquet(s"$root/stats"))
+      .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
+    val (keysPath, vecsPath) = ensureMpAnnIndex(spark, dir)
+    val probes = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 4 === 0)
+      .orderBy("vec_id").limit(3)
+      .withColumn("query_id", row_number().over(
+        Window.orderBy(col("vec_id").asc)).cast("int"))
+      .select("query_id", "vec_id", "embedding")
+    val ann = annTopKAgainstIndex(spark, keysPath, vecsPath, probes, 10)
+      .select(col("query_id"), col("doc_id"), col("rank").as("ann_rank"))
+    val fused = lex.join(ann, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("ann_rank")), lit(0.0)))
+    fused.withColumn("frank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(round(col("rrf"), 6).desc, col("doc_id").asc)).cast("int"))
+      .filter(col("frank") <= 10)
+      .select(col("query_id"), col("frank"), col("doc_id"),
+        round(col("rrf"), 6).as("rrf_r"),
+        coalesce(col("lex_rank"), lit(0)).cast("int").as("lex_rank"),
+        coalesce(col("ann_rank"), lit(0)).cast("int").as("ann_rank"))
+      .orderBy("query_id", "frank")
+  }
+
+  private[graft] val hybridRrfSql = {
+    val lit = (0 until MpBits * MpTables).flatMap(jj =>
+      (0 until 64).map(i => scrambledSignBit(i, jj))).mkString("[", ", ", "]")
+    val hams = (1 to MpTables).map(t =>
+      s"bit_count(CAST(xor(p.bks[$t], b.bks[$t]) AS BIGINT)) <= 1")
+    s"""WITH t2 AS (
+       |  SELECT doc_id, token
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+       |        FROM documents WHERE doc_id % 4 <> 0)
+       |  WHERE token <> ''),
+       |dft AS (SELECT token, count(DISTINCT doc_id) AS df FROM t2 GROUP BY token),
+       |terms AS (
+       |  SELECT token, df, CAST((((r - 1) % 3) + 1) AS INTEGER) AS query_id
+       |  FROM (SELECT token, df, row_number() OVER (ORDER BY df DESC, token) AS r
+       |        FROM dft)
+       |  WHERE r <= 6),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM t2 GROUP BY doc_id),
+       |stats AS (
+       |  SELECT (SELECT count(*) FROM documents WHERE doc_id % 4 <> 0) AS nd,
+       |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgl
+       |  FROM dl),
+       |tfq AS (
+       |  SELECT q.query_id, q.token, q.df, t.doc_id, count(*) AS tf
+       |  FROM t2 t JOIN terms q ON t.token = q.token
+       |  GROUP BY q.query_id, q.token, q.df, t.doc_id),
+       |sc AS (
+       |  SELECT query_id, tfq.doc_id AS doc_id,
+       |    sum((nd - df + 0.5) / (df + 0.5) * (tf * 2.2)
+       |        / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgl))) AS score
+       |  FROM tfq
+       |  CROSS JOIN stats
+       |  JOIN dl ON tfq.doc_id = dl.doc_id
+       |  GROUP BY query_id, tfq.doc_id),
+       |lex AS (
+       |  SELECT query_id, doc_id, rank AS lex_rank FROM (
+       |    SELECT query_id, doc_id,
+       |      CAST(row_number() OVER (PARTITION BY query_id
+       |        ORDER BY round(score, 4) DESC, doc_id) AS INTEGER) AS rank
+       |    FROM sc)
+       |  WHERE rank <= 10),
+       |sb AS (SELECT $lit AS sbits),
+       |e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, d, sqrt(list_sum(list_transform(d, x -> x * x))) AS nrm,
+       |    [CAST(list_sum([CASE WHEN list_sum([
+       |        CASE WHEN sbits[(j + $MpBits * t) * 64 + i] = 1 THEN d[i] ELSE -d[i] END
+       |        for i in range(1, 65)]) >= 0
+       |      THEN (1 << j) ELSE 0 END for j in range(0, $MpBits)]) AS INTEGER) for t in range(0, $MpTables)] AS bks
+       |  FROM e, sb),
+       |probes AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) AS query_id,
+       |    vec_id, d, nrm, bks
+       |  FROM (SELECT * FROM n WHERE vec_id % 4 = 0 ORDER BY vec_id LIMIT 3)),
+       |acand AS (
+       |  SELECT p.query_id, b.vec_id AS doc_id,
+       |    list_sum([p.d[i] * b.d[i] for i in range(1, 65)]) / (p.nrm * b.nrm) AS sim
+       |  FROM probes p JOIN n b ON b.vec_id % 4 <> 0
+       |    AND (${hams.mkString(" OR ")})),
+       |ann AS (
+       |  SELECT query_id, doc_id, rank AS ann_rank FROM (
+       |    SELECT query_id, doc_id,
+       |      CAST(row_number() OVER (PARTITION BY query_id
+       |        ORDER BY round(sim, 4) DESC, doc_id) AS INTEGER) AS rank
+       |    FROM acand)
+       |  WHERE rank <= 10),
+       |fused AS (
+       |  SELECT coalesce(l.query_id, a.query_id) AS query_id,
+       |    coalesce(l.doc_id, a.doc_id) AS doc_id,
+       |    l.lex_rank, a.ann_rank,
+       |    coalesce(1.0 / (60 + l.lex_rank), 0) + coalesce(1.0 / (60 + a.ann_rank), 0) AS rrf
+       |  FROM lex l FULL OUTER JOIN ann a
+       |    ON l.query_id = a.query_id AND l.doc_id = a.doc_id)
+       |SELECT query_id, frank, doc_id, round(rrf, 6) AS rrf_r,
+       |  CAST(coalesce(lex_rank, 0) AS INTEGER) AS lex_rank,
+       |  CAST(coalesce(ann_rank, 0) AS INTEGER) AS ann_rank
+       |FROM (
+       |  SELECT query_id, doc_id, rrf, lex_rank, ann_rank,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY round(rrf, 6) DESC, doc_id) AS INTEGER) AS frank
+       |  FROM fused)
+       |WHERE frank <= 10
+       |ORDER BY query_id, frank""".stripMargin
+  }
+
   private[graft] val indexTakedownRepairSql =
     s"""WITH $takedownClosureCtes,
       |$takedownSurvivorsCte
@@ -5325,6 +5526,10 @@ object LlmPipeline extends QueryPack {
       prepare = Some(preparePostings _)),
     QueryDef("q195_index_takedown_repair", indexTakedownRepair, Some(indexTakedownRepairSql),
       prepare = Some(preparePostings _)),
+    QueryDef("q196_hybrid_rrf", hybridRrf, Some(hybridRrfSql),
+      prepare = Some((s: SparkSession, d: String) => {
+        preparePostings(s, d); ensureMpAnnIndex(s, d); ()
+      })),
     QueryDef("q169_containment_probe", containmentProbe, Some(containmentProbeSql)),
     QueryDef("q170_seeded_pagerank", seededPagerank, Some(seededPagerankSql)))
 }

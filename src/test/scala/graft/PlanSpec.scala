@@ -271,6 +271,23 @@ class PlanSpec extends SparkSpec {
       s"query terms not pushed into the post-delete postings scan:\n$plan")
   }
 
+  test("q196: hybrid RRF reads both stored indexes — no corpus scan on either leg") {
+    val plan = formatted(LlmPipeline.hybridRrf(spark, sfDir))
+    assert(!plan.contains("documents.parquet"),
+      s"lexical leg scans the corpus instead of the postings artifact:\n$plan")
+    assert(plan.contains("graft_postings_"),
+      s"no postings-artifact scan in the plan:\n$plan")
+    assert(plan.contains("graft_mpann_"),
+      s"no ANN-index scan in the plan (semantic leg brute-forcing?):\n$plan")
+    assert(plan.contains("PushedFilters: [In(token"),
+      s"lexical terms not pushed into the postings scan:\n$plan")
+    // The BM25 leg's 1-row stats broadcast rides a BroadcastNestedLoopJoin
+    // by design (q181's shape); what must NOT appear is an unbroadcast
+    // cartesian — that would mean a leg went quadratic.
+    assert(!plan.contains("CartesianProduct"),
+      s"candidate generation must stay equi-join shaped:\n$plan")
+  }
+
   test("q97: multi-table near-dup joins on (table, bucket), never quadratic") {
     withoutAutoBroadcast {
       val plan = simple(LlmPipeline.multiTableNearDup(spark, sfDir))
