@@ -143,6 +143,22 @@ object RecallCurve {
       cb.unpersist()
     }
 
+    // --- IVF-PQ (nprobe, rerank) sweep (q198 — r16, VERDICT r15 item 3) ---
+    // The compressed read's two dials: coarse cells probed and ADC
+    // shortlist depth. Recall is bounded by the shortlist's retention
+    // of the exact top-3 — the table records where the 4-bit-code
+    // approximation needs its exact re-rank headroom.
+    println("\n| nprobe | rerank | hit rows | recall@3 |")
+    println("|---|---|---|---|")
+    for (np <- Seq(2, 4, 8); rr <- Seq(10, 30, 60)) {
+      val hits = queries.LlmPipeline.ivfPqAnnCfg(spark, dir, np, rr)
+        .select("p_id", "c_id").join(exactTop3, Seq("p_id", "c_id"), "left_semi").count()
+      println(f"| $np | $rr | $hits/$nTop | ${hits.toDouble / nTop}%.3f |")
+    }
+    println(s"q198 shipped point: (nprobe=${queries.LlmPipeline.PqNprobe}, " +
+      s"rerank=${queries.LlmPipeline.PqRerank}), m=${queries.LlmPipeline.PqM}, " +
+      s"ks=${queries.LlmPipeline.PqKs} (4-bit codes; target recall@3 >= 0.8)")
+
     // --- JL-projection ANN sweep (q126 — VERDICT r10 item 5) -------------
     // Ground truth: the exact quantized-space top-30 (the operator's own
     // contract — stage 2 re-ranks in exactly this space, so recall is
@@ -172,7 +188,8 @@ object RecallCurve {
     println("\nshipped operating points: " +
       s"q160 = (bits=${queries.LlmPipeline.AnnRecallBits}, " +
       s"L=${queries.LlmPipeline.AnnRecallTables}, $q160Fam); " +
-      s"q161 = nprobe=${queries.LlmPipeline.IvfRecallNprobe}; " +
+      s"q161 = (k=${queries.LlmPipeline.IvfRecallK}, " +
+      s"nprobe=${queries.LlmPipeline.IvfRecallNprobe}); " +
       s"q126 = (dims=${queries.LlmPipeline.JlProjDims}, " +
       s"budget=${queries.LlmPipeline.JlCandBudget})")
     spark.stop()

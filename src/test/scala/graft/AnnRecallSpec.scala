@@ -134,6 +134,33 @@ class AnnRecallSpec extends SparkSpec {
         "the 0.8 target it was selected for (RecallCurve nprobe sweep, BASELINE.md)")
   }
 
+  test("q198 IVF-PQ at the shipped (nprobe, rerank) clears recall@3 >= 0.8 vs the exact top-3") {
+    // The compressed index must not cost the search contract: ADC
+    // shortlisting over 4-bit codes + exact re-rank has to retain the
+    // recall the uncompressed q161 point ships.
+    graft.functions.NativeFunctions.register(spark)
+    val e = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("d"))
+      .withColumn("nrm", expr("sqrt(dot_product(d, d))"))
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("p_id"), col("d").as("pd"), col("nrm").as("pnrm"))
+    val w = Window.partitionBy("p_id").orderBy(col("sim").desc, col("c_id").asc)
+    val exactTop3 = e.select(col("vec_id").as("c_id"), col("d").as("cd"), col("nrm").as("cnrm"))
+      .crossJoin(broadcast(probes))
+      .filter(col("c_id") =!= col("p_id"))
+      .withColumn("sim", expr("dot_product(pd, cd)") / (col("pnrm") * col("cnrm")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("p_id", "c_id").as[(Long, Long)].collect().toSet
+    val approx = queries.LlmPipeline.ivfPqAnn(spark, dir)
+      .select("p_id", "c_id").as[(Long, Long)].collect().toSet
+    val recall = (approx & exactTop3).size.toDouble / exactTop3.size
+    info(s"q198 recall@3: ${(approx & exactTop3).size}/${exactTop3.size} = $recall")
+    assert(recall >= 0.8,
+      s"q198 recall@3 ${(approx & exactTop3).size}/${exactTop3.size} = $recall fell below " +
+        "the 0.8 target (RecallCurve (nprobe, rerank) sweep, BASELINE.md)")
+  }
+
   test("q126 JL-projection ANN at the shipped (dims, budget) clears recall@30 >= 0.8 vs the exact quantized top-30") {
     // The last ANN path gets its swept operating point (VERDICT r10
     // item 5): recall is bounded by stage 1's candidate list alone

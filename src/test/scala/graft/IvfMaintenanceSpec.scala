@@ -67,8 +67,10 @@ class IvfMaintenanceSpec extends SparkSpec {
   test("queries against the maintained (stale) codebook keep the q161 recall target") {
     graft.functions.NativeFunctions.register(spark)
     val q = LlmPipeline.ivfQuantizedVecs(spark, dir).localCheckpoint()
-    val shard = q.filter(col("vec_id") % 4 === 0 && col("vec_id") >= LlmPipeline.IvfCells)
-    val cbOld = LlmPipeline.trainIvfCodebook(q.exceptAll(shard), LlmPipeline.IvfCells)
+    // Trained at q161's SHIPPED k (16 since the r16 re-pin) so the law
+    // gates the operating point actually served.
+    val shard = q.filter(col("vec_id") % 4 === 0 && col("vec_id") >= LlmPipeline.IvfRecallK)
+    val cbOld = LlmPipeline.trainIvfCodebook(q.exceptAll(shard), LlmPipeline.IvfRecallK)
     val e = graft.sources.Tables.embeddings(spark, dir)
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("d"))
       .withColumn("nrm", expr("sqrt(dot_product(d, d))"))
@@ -82,10 +84,10 @@ class IvfMaintenanceSpec extends SparkSpec {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .select("p_id", "c_id").as[(Long, Long)].collect().toSet
-    // The q161 operating point (nprobe = 4) against the STALE codebook
-    // — i.e. searching an index whose newest quarter was admitted by
-    // assignment only. The recall target must hold through the
-    // admission window.
+    // The q161 operating point (k=16, nprobe=2 — the r16 re-pin)
+    // against the STALE codebook — i.e. searching an index whose
+    // newest quarter was admitted by assignment only. The recall
+    // target must hold through the admission window.
     val got = LlmPipeline.ivfAnnCfgWith(spark, dir,
         LlmPipeline.IvfRecallNprobe, cbOld)
       .select("p_id", "c_id").as[(Long, Long)].collect().toSet

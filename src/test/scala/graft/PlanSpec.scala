@@ -271,6 +271,31 @@ class PlanSpec extends SparkSpec {
       s"query terms not pushed into the post-delete postings scan:\n$plan")
   }
 
+  test("q197: proximity probe scans the positional leaf under a pushed In-filter; the window is a band residual on an equi join") {
+    val plan = formatted(LlmPipeline.proximityRetrieval(spark, sfDir))
+    assert(!plan.contains("documents.parquet"),
+      s"q197 proximity probe scans the corpus:\n$plan")
+    assert(plan.contains("graft_postings_"),
+      s"no positional-artifact scan in the plan:\n$plan")
+    assert(plan.contains("PushedFilters: [In(token"),
+      s"proximity terms not pushed into the positions scan:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"the window must ride the (query, doc) equi join as a residual:\n$plan")
+  }
+
+  test("q198: IVF-PQ candidate scoring reads stored codes, vectors only at re-rank") {
+    val plan = formatted(LlmPipeline.ivfPqAnn(spark, sfDir))
+    assert(plan.contains("graft_ivfpq_"),
+      s"no compressed-index scan in the plan:\n$plan")
+    // The codes and cells axes must both be scanned (ADC rides codes;
+    // candidates ride cells); raw embeddings appear only for the
+    // 10-probe side and the bounded re-rank joins.
+    assert(plan.contains("codes") && plan.contains("cells"),
+      s"ADC path does not read the codes/cells artifacts:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"candidate generation must stay equi-join shaped:\n$plan")
+  }
+
   test("q196: hybrid RRF reads both stored indexes — no corpus scan on either leg") {
     val plan = formatted(LlmPipeline.hybridRrf(spark, sfDir))
     assert(!plan.contains("documents.parquet"),
