@@ -3393,6 +3393,134 @@ object LlmPipeline extends QueryPack {
       |ORDER BY n DESC, pair
       |LIMIT 30""".stripMargin
 
+  /** BPE training rounds (q199). Six keeps the unrolled oracle CTE
+    * chain tractable while exercising multi-character merges (the
+    * fixture's top pairs chain into 3- and 4-char symbols by round 6).
+    */
+  private[graft] val BpeRounds = 6
+
+  /** Symbols surviving to the final-vocabulary report of q199. */
+  private[graft] val BpeVocabTop = 10
+
+  /** BPE vocabulary training loop (q199 — VERDICT r15 item 6): q128
+    * counts pairs ONCE; this ships the actual training iteration —
+    * argmax pair → greedy merge → recount, [[BpeRounds]] rounds — the
+    * loop every tokenizer build runs (Sennrich, Haddow & Birch,
+    * ACL'16). State is per-distinct-word: the corpus collapses to
+    * (word, count) first, so each round's cost tracks the VOCABULARY,
+    * not the corpus — the standard BPE trick and the reason training
+    * scales.
+    *
+    * Cross-engine exactness without float coordination: a word's
+    * symbol sequence is a `|`-delimited string (`|a|b|c|`); merging
+    * pair (x, y) is `replace(seq, '|x|y|', '|xy|')` — both engines'
+    * replace is left-to-right non-overlapping, which IS BPE's greedy
+    * merge semantics, and full delimiters on both sides make
+    * mid-symbol false matches impossible. Pair counts are integer
+    * sums of word counts over adjacent positions (overlapping
+    * positions counted, as in the reference implementation's
+    * get_stats); argmax is total-ordered by (n desc, x, y).
+    *
+    * The per-round argmax is ONE collected row — the q101/q151
+    * driver-bounded iteration discipline (the merge TABLE is the
+    * trained artifact; N rounds × 1 row of control plane), with
+    * localCheckpoint truncating each round's lineage. The oracle
+    * replays the identical recurrence as [[BpeRounds]] unrolled CTE
+    * rounds, recomputing every argmax itself — so a drifted count, a
+    * wrong tie-break, or a non-greedy merge flips hashed cells.
+    * Output: the merge table (round, x, y, n) + the final top-10
+    * symbol inventory (round = [[BpeRounds]] + 1).
+    */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w0 = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("wn"))
+    var seqs = w0.withColumn("seq",
+        concat(lit("|"), expr(
+          "array_join(transform(sequence(1, char_length(w)), i -> substring(w, i, 1)), '|')"),
+          lit("|")))
+      .select("wn", "seq").localCheckpoint()
+    def pairCounts(s: DataFrame): DataFrame = s
+      .select(col("wn"), expr("filter(split(seq, '[|]'), x -> x != '')").as("syms"))
+      .filter(size(col("syms")) >= 2)
+      .select(col("wn"), explode(expr(
+        "transform(sequence(1, size(syms) - 1), i -> struct(element_at(syms, i) AS x, element_at(syms, i + 1) AS y))"))
+        .as("p"))
+      .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+      .agg(sum("wn").as("n"))
+    val merges = scala.collection.mutable.ListBuffer[(Int, String, String, Long)]()
+    for (r <- 1 to BpeRounds) {
+      val top = pairCounts(seqs)
+        .orderBy(col("n").desc, col("x").asc, col("y").asc).limit(1)
+        .collect()
+      require(top.nonEmpty, s"BPE round $r found no pairs — corpus too small")
+      val (x, y, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      merges += ((r, x, y, n))
+      // Literal search/replace ride lit() columns — no SQL-string
+      // interpolation of corpus-derived tokens.
+      seqs = seqs
+        .withColumn("search", concat(lit("|"), lit(x), lit("|"), lit(y), lit("|")))
+        .withColumn("repl", concat(lit("|"), lit(x), lit(y), lit("|")))
+        .withColumn("seq", expr("replace(seq, search, repl)"))
+        .select("wn", "seq").localCheckpoint()
+    }
+    val vocab = seqs
+      .select(col("wn"), explode(expr("filter(split(seq, '[|]'), x -> x != '')")).as("x"))
+      .groupBy("x").agg(sum("wn").as("n"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("n").desc, col("x").asc)))
+      .filter(col("rk") <= BpeVocabTop)
+      .select(lit(BpeRounds + 1).as("round"), col("x"), lit("").as("y"), col("n"))
+    import spark.implicits._
+    merges.toSeq.toDF("round", "x", "y", "n")
+      .unionByName(vocab)
+      .orderBy("round", "x", "y")
+  }
+
+  private[graft] val bpeTrainSql = {
+    val rounds = (1 to BpeRounds).map { r =>
+      s"""p$r AS (
+      |  SELECT u.p.x AS x, u.p.y AS y, CAST(sum(wn) AS BIGINT) AS n
+      |  FROM (SELECT wn, list_filter(string_split(seq, '|'), s -> s <> '') AS syms
+      |        FROM s${r - 1}),
+      |    unnest([{'x': syms[i], 'y': syms[i + 1]} for i in range(1, len(syms))]) AS u(p)
+      |  GROUP BY u.p.x, u.p.y),
+      |m$r AS (
+      |  SELECT x, y, n FROM (
+      |    SELECT x, y, n, row_number() OVER (ORDER BY n DESC, x, y) AS rk
+      |    FROM p$r) WHERE rk = 1),
+      |s$r AS (
+      |  SELECT wn, replace(seq, '|' || m$r.x || '|' || m$r.y || '|',
+      |    '|' || m$r.x || m$r.y || '|') AS seq
+      |  FROM s${r - 1}, m$r)""".stripMargin
+    }.mkString(",\n")
+    val mergeRows = (1 to BpeRounds).map(r =>
+      s"SELECT $r AS round, x, y, n FROM m$r").mkString("\n  UNION ALL ")
+    s"""WITH w0 AS (
+      |  SELECT w, count(*) AS wn
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE w <> ''
+      |  GROUP BY w),
+      |s0 AS (
+      |  SELECT wn,
+      |    '|' || array_to_string([w[i] for i in range(1, strlen(w) + 1)], '|') || '|' AS seq
+      |  FROM w0),
+      |$rounds,
+      |vocab AS (
+      |  SELECT ${BpeRounds + 1} AS round, x, '' AS y, n FROM (
+      |    SELECT x, CAST(sum(wn) AS BIGINT) AS n,
+      |      row_number() OVER (ORDER BY sum(wn) DESC, x) AS rk
+      |    FROM (SELECT wn, unnest(list_filter(string_split(seq, '|'), s -> s <> '')) AS x
+      |          FROM s$BpeRounds)
+      |    GROUP BY x) WHERE rk <= $BpeVocabTop)
+      |SELECT round, x, y, n FROM (
+      |  $mergeRows
+      |  UNION ALL SELECT round, x, y, n FROM vocab)
+      |ORDER BY round, x, y""".stripMargin
+  }
+
   /** Deterministic corpus rebalancing to a uniform language mix (q129):
     * the data-mixing step of pretraining corpus assembly — downsample
     * every language to the size of the smallest one, choosing WHICH
@@ -5960,6 +6088,7 @@ object LlmPipeline extends QueryPack {
       prepare = Some(preparePostings _)),
     QueryDef("q198_ivfpq_ann", ivfPqAnn, Some(ivfPqAnnSql),
       prepare = Some(preparePqIndex _)),
+    QueryDef("q199_bpe_train", bpeTrain, Some(bpeTrainSql)),
     QueryDef("q196_hybrid_rrf", hybridRrf, Some(hybridRrfSql),
       prepare = Some((s: SparkSession, d: String) => {
         preparePostings(s, d); ensureMpAnnIndex(s, d); ()

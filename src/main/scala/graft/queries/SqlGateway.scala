@@ -843,6 +843,156 @@ object SqlGateway extends QueryPack {
       |  count(*) AS n_rows, round(CAST(sum(price) AS DOUBLE), 4) AS total_price
       |FROM fin""".stripMargin
 
+  // --- multi-table atomic commit: the single-manifest CAS (q200, r16) ---
+
+  /** Parse the MANIFEST committed as generation `gen`: one
+    * `key=catalogTable` line per logical table. A manifest is the
+    * multi-table generalization of [[occTableAt]]'s single pointer —
+    * the snapshot-format "one manifest commit" (Iceberg/Delta's
+    * atomic swap of the root metadata file): every logical table's
+    * current generation is named by ONE atomically-created file, so a
+    * reader that resolves all its tables from one manifest can never
+    * observe table A's new generation beside table B's old one.
+    */
+  private[graft] def occManifestAt(
+      logDir: java.nio.file.Path, gen: Long): Map[String, String] =
+    new String(java.nio.file.Files.readAllBytes(
+      logDir.resolve(f"commit-$gen%06d")), java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").iterator.filter(_.nonEmpty).map { l =>
+        val i = l.indexOf('=')
+        (l.substring(0, i), l.substring(i + 1))
+      }.toMap
+
+  /** CAS-commit a manifest binding every logical table at once — the
+    * same O_CREAT|O_EXCL race as [[occTryCommit]], so N tables cost
+    * exactly one contended object. A transaction that rewrote only
+    * SOME tables must still re-bind the others (carrying forward the
+    * base manifest's pointers) — the manifest is total by contract.
+    */
+  private[graft] def occTryCommitManifest(
+      logDir: java.nio.file.Path, expectedGen: Long,
+      bindings: Seq[(String, String)]): Boolean =
+    try {
+      java.nio.file.Files.write(
+        logDir.resolve(f"commit-${expectedGen + 1}%06d"),
+        bindings.map { case (k, v) => s"$k=$v" }.mkString("\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+      true
+    } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+
+  /** Multi-table atomic commit (q200 — VERDICT r15 item 7): q172's
+    * OCC CAS serializes writers on ONE table; real DML (delete from
+    * the FACT + keep its summary DIM consistent) must swing N
+    * generation pointers in one atomic step, or a reader can see the
+    * fact already rewritten while the dim still summarizes the old
+    * rows — the torn read every warehouse format exists to prevent.
+    * The mechanism: each transaction writes candidate generations for
+    * BOTH tables under writer-unique names, then CAS-creates ONE
+    * manifest file naming both ([[occTryCommitManifest]]); losers
+    * rebase on the committed manifest, drop their orphans, rewrite
+    * both candidates, retry.
+    *
+    * Scripted deterministically (the q172 convention — the oracle
+    * needs a reproducible outcome; OccSpec runs the REAL race with
+    * two threads, a live polling reader asserting the cross-table
+    * invariant at every observed generation, and commit-order replay
+    * convergence). Writer A removes the `% 10 = 3` stripe, writer B
+    * (basing on the same generation — the conflict) the `% 10 = 7`
+    * stripe; each rebuilds the dim FROM ITS OWN candidate fact. The
+    * output audits the protocol facts AND the invariant at every
+    * committed generation: `all_gens_consistent` is computed by
+    * resolving each manifest and comparing its dim row to a recount
+    * of its fact — a torn commit anywhere in the log flips it.
+    */
+  def multiTableCommit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Tables.registerAll(spark, dir)
+    val mtTables = Seq("mt_fact_0", "mt_dim_0", "mt_a1_fact", "mt_a1_dim",
+      "mt_b1_fact", "mt_b1_dim", "mt_b2_fact", "mt_b2_dim")
+    resetManagedLocations(spark, mtTables)
+    applyLog(spark, mtTables.map(t => s"DROP TABLE IF EXISTS $t") ++ Seq(
+      """CREATE TABLE mt_fact_0 USING PARQUET AS
+        |SELECT p_partkey, CAST(p_retailprice AS DECIMAL(12,2)) AS price
+        |FROM part""".stripMargin,
+      """CREATE TABLE mt_dim_0 USING PARQUET AS
+        |SELECT count(*) AS n_rows, CAST(sum(price) AS DECIMAL(18,2)) AS total
+        |FROM mt_fact_0""".stripMargin))
+    val logDir = java.nio.file.Files.createTempDirectory("graft-mtocc-")
+    try {
+      require(occTryCommitManifest(logDir, -1L,
+        Seq("fact" -> "mt_fact_0", "dim" -> "mt_dim_0")),
+        "bootstrap manifest must win an empty log")
+      def writeTxn(tag: String, baseFact: String, stripe: Int): Unit = {
+        spark.sql(s"""CREATE TABLE mt_${tag}_fact USING PARQUET AS
+          |SELECT * FROM $baseFact WHERE NOT (p_partkey % 10 = $stripe)""".stripMargin)
+        spark.sql(s"""CREATE TABLE mt_${tag}_dim USING PARQUET AS
+          |SELECT count(*) AS n_rows, CAST(sum(price) AS DECIMAL(18,2)) AS total
+          |FROM mt_${tag}_fact""".stripMargin)
+      }
+      // Both writers base on the same generation — the conflict.
+      val genA = occCurrentGen(logDir)
+      val genB = occCurrentGen(logDir)
+      writeTxn("a1", occManifestAt(logDir, genA)("fact"), 3)
+      writeTxn("b1", occManifestAt(logDir, genB)("fact"), 7)
+      val aWon = occTryCommitManifest(logDir, genA,
+        Seq("fact" -> "mt_a1_fact", "dim" -> "mt_a1_dim"))
+      val bFirst = occTryCommitManifest(logDir, genB,
+        Seq("fact" -> "mt_b1_fact", "dim" -> "mt_b1_dim"))
+      var lostRaces = 0
+      if (!bFirst) {
+        lostRaces += 1
+        spark.sql("DROP TABLE mt_b1_fact")
+        spark.sql("DROP TABLE mt_b1_dim")
+        val genB2 = occCurrentGen(logDir)
+        writeTxn("b2", occManifestAt(logDir, genB2)("fact"), 7)
+        require(occTryCommitManifest(logDir, genB2,
+          Seq("fact" -> "mt_b2_fact", "dim" -> "mt_b2_dim")),
+          "rebased retry must succeed unopposed")
+      }
+      val finalGen = occCurrentGen(logDir)
+      // The atomicity audit: at EVERY committed generation, the
+      // manifest's dim row must equal a recount of the manifest's
+      // fact — resolving both from one manifest is what makes this
+      // hold; a reader of per-table pointers could not assert it.
+      val consistent = (0L to finalGen).forall { g =>
+        val m = occManifestAt(logDir, g)
+        val recount = spark.table(m("fact"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("price")).cast("decimal(18,2)").as("total"))
+          .head()
+        spark.table(m("dim")).head() == recount
+      }
+      val orphanCleaned = !spark.catalog.tableExists("mt_b1_fact") &&
+        !spark.catalog.tableExists("mt_b1_dim")
+      val m = occManifestAt(logDir, finalGen)
+      spark.table(m("fact"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("price")).cast("double"), 4).as("total_price"))
+        .crossJoin(spark.table(m("dim"))
+          .select(col("n_rows").as("dim_n"),
+            round(col("total").cast("double"), 4).as("dim_total")))
+        .select(lit(aWon).as("a_won"), lit(finalGen).as("final_gen"),
+          lit(lostRaces.toLong).as("lost_races"),
+          lit(consistent).as("all_gens_consistent"),
+          lit(orphanCleaned).as("orphan_cleaned"),
+          col("n_rows"), col("total_price"), col("dim_n"), col("dim_total"))
+    } finally LlmPipeline.deleteRecursively(logDir)
+  }
+
+  private val multiTableCommitSql =
+    """WITH base AS (
+      |  SELECT p_partkey, CAST(p_retailprice AS DECIMAL(12,2)) AS price FROM part),
+      |fin AS (
+      |  SELECT * FROM base
+      |  WHERE NOT (p_partkey % 10 = 3) AND NOT (p_partkey % 10 = 7))
+      |SELECT TRUE AS a_won, CAST(2 AS BIGINT) AS final_gen,
+      |  CAST(1 AS BIGINT) AS lost_races, TRUE AS all_gens_consistent,
+      |  TRUE AS orphan_cleaned,
+      |  count(*) AS n_rows, round(CAST(sum(price) AS DOUBLE), 4) AS total_price,
+      |  count(*) AS dim_n, round(CAST(sum(price) AS DOUBLE), 4) AS dim_total
+      |FROM fin""".stripMargin
+
   /** Snapshot-compact the durable command log at `atSeq` (q178 — the
     * Raft §7 log-compaction analog the reference omits: its in-memory
     * `log []LogEntry`, src/raft/node.go:28, grows without bound and
@@ -1010,5 +1160,6 @@ object SqlGateway extends QueryPack {
       Some(generationTimeTravelSql)),
     QueryDef("q171_generation_vacuum", generationVacuum, Some(generationVacuumSql)),
     QueryDef("q172_occ_commit_race", occCommitRace, Some(occCommitRaceSql)),
+    QueryDef("q200_multitable_commit", multiTableCommit, Some(multiTableCommitSql)),
     QueryDef("q178_log_compaction", logCompaction, Some(logCompactionSql)))
 }
