@@ -167,6 +167,39 @@ object IndexScale {
         s"q192 degenerate at ${replicas}x")
       require(queries.LlmPipeline.phraseRetrieval(spark, bigDir).count() == 30,
         s"q191 degenerate at ${replicas}x")
+      // r16: index-side takedown (q193-class). A takedown notice is
+      // EXTERNAL and fixed-size — it names specific docs — so the
+      // first leg holds the notice constant while the corpus grows
+      // N×; the second sweeps the notice ~N× at the fixed big corpus.
+      // Cost model: the application is anti/semi joins over the
+      // postings leaf (ONE pass — the q188-fold cost class the purge
+      // amortizes into at compaction), never a corpus re-tokenize;
+      // the notice itself rides a broadcast, so notice size must be
+      // nearly free.
+      val noticeBase = docs
+        .filter(col("doc_id") % 4 =!= 0 && col("doc_id") % 17 === 3)
+        .select("doc_id")
+      val nNotice = noticeBase.count()
+      def takedownRead(d: String, rem: org.apache.spark.sql.DataFrame): Unit = {
+        val root = queries.LlmPipeline.ensurePostingsArtifact(spark, d)
+        val (idx, postings, _, _, stats) = queries.LlmPipeline.applyIndexTakedown(
+          spark, root, queries.LlmPipeline.ensureIndexArtifact(spark, d), rem)
+        noop(queries.LlmPipeline.bm25AgainstArtifacts(idx, postings, stats))
+      }
+      noop(queries.LlmPipeline.indexTakedown(spark, "/root/testdata/sf0.001")) // warm-up
+      val tdBase = time(takedownRead(baseDir, noticeBase))
+      val tdBig = time(takedownRead(bigDir, noticeBase))
+      println(f"| q193 takedown apply + post-delete ranking ($nNotice-doc notice) " +
+        f"| $tdBase%.1f | $tdBig%.1f | ${tdBig / tdBase}%.1f " +
+        "| ~one postings-leaf pass (df/head repair) — the q188-fold class; never re-tokenizes |")
+      val noticeBig = spark.read.parquet(s"$bigDir/documents.parquet")
+        .filter(col("doc_id") % 4 =!= 0 && col("doc_id") % 17 === 3)
+        .select("doc_id")
+      val nNoticeBig = noticeBig.count()
+      val tdBigWide = time(takedownRead(bigDir, noticeBig))
+      println(f"| q193 at ${replicas}x, notice $nNotice -> $nNoticeBig docs " +
+        f"| $tdBig%.1f | $tdBigWide%.1f | ${tdBigWide / tdBig}%.1f " +
+        "| ~flat (notice rides a broadcast; the leaf pass dominates) |")
       val ttvBase = time(noop(queries.SqlGateway.generationTimeTravel(spark, baseDir)))
       val ttvBig = time(noop(queries.SqlGateway.generationTimeTravel(spark, bigDir)))
       println(f"| q164 generation history build+read | $ttvBase%.1f | $ttvBig%.1f " +
@@ -344,6 +377,40 @@ object IndexScale {
     println(f"| q179 SHIPPED point (radius 2, budget ${queries.LlmPipeline.SemDedupProbeBudget}) " +
       f"| $sd2Base%.1f | $sd2Big%.1f " +
       f"| ${sd2Big / sd2Base}%.1f | ~linear (budget caps per-probe candidates) |")
+
+    // r16: IVF-PQ (q198) — the compressed ANN read at N×, next to the
+    // uncompressed IVF comparator at the same coarse nprobe. The claim
+    // under test: candidate scoring reads 4-bit CODES, not 256-byte
+    // vectors — so the stored-candidate bytes shrink ~an order of
+    // magnitude and the probe stays cell-fraction-bounded.
+    def dirBytes(p: String): Long = {
+      val root = java.nio.file.Paths.get(p)
+      if (!java.nio.file.Files.isDirectory(root)) 0L
+      else scala.util.Using.resource(java.nio.file.Files.walk(root)) { s =>
+        s.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum()
+      }
+    }
+    noop(queries.LlmPipeline.ivfPqAnn(spark, "/root/testdata/sf0.001")) // warm-up
+    queries.LlmPipeline.preparePqIndex(spark, baseDir)
+    val pqPrepBig = time(queries.LlmPipeline.preparePqIndex(spark, bigDirInc))
+    val pqBase = time(noop(queries.LlmPipeline.ivfPqAnn(spark, baseDir)))
+    val pqBig = time(noop(queries.LlmPipeline.ivfPqAnn(spark, bigDirInc)))
+    println(f"| q198 IVF-PQ probe (ADC over codes + exact re-rank) | $pqBase%.1f | $pqBig%.1f " +
+      f"| ${pqBig / pqBase}%.1f | ~linear in probed cells' CODE rows (4-byte codes, not vectors) |")
+    val unBase = time(noop(queries.LlmPipeline.ivfAnnCfg(
+      spark, baseDir, queries.LlmPipeline.PqNprobe)))
+    val unBig = time(noop(queries.LlmPipeline.ivfAnnCfg(
+      spark, bigDirInc, queries.LlmPipeline.PqNprobe)))
+    println(f"| uncompressed IVF comparator (same nprobe, full vectors) | $unBase%.1f | $unBig%.1f " +
+      f"| ${unBig / unBase}%.1f | the full-vector scan the codes replace |")
+    val pqRootBig = queries.LlmPipeline.ensurePqIndex(spark, bigDirInc)
+    val codeBytes = dirBytes(s"$pqRootBig/codes") + dirBytes(s"$pqRootBig/cells")
+    val vecBytes = dirBytes(s"$bigDirInc/embeddings.parquet")
+    println(f"q198 stored-candidate bytes at ${replicas}x: codes+cells " +
+      f"${codeBytes / 1e6}%.1f MB vs raw vectors ${vecBytes / 1e6}%.1f MB " +
+      f"(${vecBytes.toDouble / codeBytes}%.1fx smaller; PQ codebook training " +
+      f"off-clock with the nightly builds, $pqPrepBig%.1f s at ${replicas}x)")
 
     // q181 on the suffixed corpus: replica tokens are distinct, so the
     // top-6 query terms' Σ df does NOT grow with the corpus — this
