@@ -150,7 +150,7 @@ object RecallCurve {
     // approximation needs its exact re-rank headroom.
     println("\n| nprobe | rerank | hit rows | recall@3 |")
     println("|---|---|---|---|")
-    for (np <- Seq(2, 4, 8); rr <- Seq(10, 30, 60)) {
+    for (np <- Seq(2, 4, 8); rr <- Seq(10, 30, 60, 100, 150)) {
       val hits = queries.LlmPipeline.ivfPqAnnCfg(spark, dir, np, rr)
         .select("p_id", "c_id").join(exactTop3, Seq("p_id", "c_id"), "left_semi").count()
       println(f"| $np | $rr | $hits/$nTop | ${hits.toDouble / nTop}%.3f |")

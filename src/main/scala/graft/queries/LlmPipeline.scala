@@ -1955,16 +1955,22 @@ object LlmPipeline extends QueryPack {
   /** ADC candidates re-ranked exactly per probe — PQ distances are
     * approximations; the exact cosine re-rank of a bounded shortlist
     * restores ranking quality (the two-stage q126 discipline). Pinned
-    * at the swept knee (r16 sweep: rerank 30 → 0.60–0.73 recall@3,
-    * 60 → 0.80–0.87, 100 → 0.90–1.00 across fixtures at nprobe=4;
-    * nprobe beyond 4 HURTS at fixed rerank — more ADC candidates push
-    * true neighbors out of the fixed-size shortlist — so the rerank
-    * depth, not the probe width, is the binding dial on this
-    * near-isotropic fixture).
+    * at the swept knee over the k=[[PqCoarseK]] coarse codebook
+    * (r16 sweep at sf0.1: (np=4, rr=100) recall@3 0.833 probing 4/16
+    * cells; rr=30/60 fall to 0.60–0.70 — the 4-bit ADC ordering is
+    * noisy on this near-isotropic fixture, so RERANK DEPTH, not probe
+    * width, is the binding dial; sf0.001 gate measures 0.967).
     */
   private[graft] val PqRerank = 100
 
-  /** Coarse cells probed (over the k = [[IvfCells]] coarse codebook).
+  /** q198's coarse codebook width — the k=16 artifact the q161 re-pin
+    * ships (finer cells keep the probed fraction meaningful: nprobe
+    * cells of 16, not of 8 where a deep probe degenerates to scanning
+    * everything).
+    */
+  private[graft] val PqCoarseK = IvfRecallK
+
+  /** Coarse cells probed (over the k = [[PqCoarseK]] coarse codebook).
     * RecallCurve sweeps (nprobe, rerank); AnnRecallSpec gates the
     * shipped point's recall@3 ≥ 0.8.
     */
@@ -2043,7 +2049,7 @@ object LlmPipeline extends QueryPack {
         s"${Integer.toHexString(dir.hashCode)}"
       val root = Paths.get(sys.props("java.io.tmpdir"), s"graft_ivfpq_$tag")
       val q = ivfQuantizedVecs(spark, dir).localCheckpoint()
-      val coarse = spark.read.parquet(ensureIvfCodebook(spark, dir))
+      val coarse = spark.read.parquet(ensureIvfCodebookK(spark, dir, PqCoarseK))
       ivfAssign(q, coarse)
         .write.mode(SaveMode.Overwrite).parquet(s"$root/cells")
       val q8 = pqSubVecs(q).localCheckpoint()
@@ -2106,7 +2112,7 @@ object LlmPipeline extends QueryPack {
     val cells = spark.read.parquet(s"$root/cells")
     val codes = spark.read.parquet(s"$root/codes")
     val subcb = spark.read.parquet(s"$root/subcb")
-    val coarse = spark.read.parquet(ensureIvfCodebook(spark, dir))
+    val coarse = spark.read.parquet(ensureIvfCodebookK(spark, dir, PqCoarseK))
     val e = normed(spark, dir).select(col("vec_id"), col("d"), col("nrm"))
       .withColumn("qd", expr("transform(d, x -> cast(floor(x * 65536.0) as bigint))"))
     val probes = e.filter(col("vec_id") < 10)
@@ -2191,7 +2197,7 @@ object LlmPipeline extends QueryPack {
       |  SELECT vec_id,
       |    list_transform(d, x -> CAST(floor(x * 65536.0) AS BIGINT)) AS qd
       |  FROM n),
-      |c0 AS (SELECT CAST(vec_id AS BIGINT) AS cell, qd AS qc FROM q WHERE vec_id < $IvfCells),
+      |c0 AS (SELECT CAST(vec_id AS BIGINT) AS cell, qd AS qc FROM q WHERE vec_id < $PqCoarseK),
       |$coarseLloydRoundsSql,
       |dist AS (
       |  SELECT q.vec_id, c.cell,
