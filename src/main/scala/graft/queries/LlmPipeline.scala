@@ -5267,6 +5267,33 @@ object LlmPipeline extends QueryPack {
     (idx, postings, positions, docstats, stats)
   }
 
+  /** Apply a takedown set to the stored MinHash band-index plane
+    * (q144/q160's bands + shingles artifacts). The shingle table is
+    * uncapped — a shingle row is a pure per-doc function, so the
+    * anti-join IS the rebuild, exactly. The band index is CAPPED at
+    * write time ([[LshBucketCap]] smallest doc ids per bucket), which
+    * gives deletes one asymmetry: removing a doc from a bucket that
+    * was AT cap cannot resurrect the member the cap evicted (its band
+    * rows were never stored) — the maintained index is then a strict
+    * SUBSET of the rebuild for that bucket, serving fewer candidates
+    * until the nightly rebuild refills it. That is a recall device
+    * degrading gracefully, never a correctness hazard (dedup verify
+    * is exact on the uncapped shingles), and on buckets below cap —
+    * every fixture bucket; IndexDeleteSpec asserts it — the anti-join
+    * equals the rebuild outright.
+    */
+  private[graft] def applyBandTakedown(
+      spark: SparkSession, bandsPath: String, shinglesPath: String,
+      removed: DataFrame): (DataFrame, DataFrame) = {
+    val rem = removed.select("doc_id")
+    val bands0 = spark.read.parquet(bandsPath)
+    val sh0 = spark.read.parquet(shinglesPath)
+    (bands0.join(broadcast(rem), Seq("doc_id"), "left_anti")
+       .select(bands0.columns.map(col).toSeq: _*),
+      sh0.join(broadcast(rem), Seq("doc_id"), "left_anti")
+        .select(sh0.columns.map(col).toSeq: _*))
+  }
+
   /** Apply a takedown set to the stored multi-probe ANN artifacts
     * (q163/q174's keys/vecs planes — both UNCAPPED, so a key row is a
     * pure per-vector function and the anti-join IS the rebuild,

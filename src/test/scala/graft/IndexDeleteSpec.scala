@@ -77,6 +77,41 @@ class IndexDeleteSpec extends SparkSpec {
     assert(served == 0, s"post-takedown ranking still serves $served removed docs")
   }
 
+  test("band-index takedown: shingles anti-join == rebuild exactly; bands == re-band of maintained shingles below cap") {
+    val (bandsPath, shinglesPath) = LlmPipeline.ensureBandIndex(spark, sfDir)
+    val removed = LlmPipeline.takedownDocSet(spark, sfDir)
+    val (bands, sh) = LlmPipeline.applyBandTakedown(spark, bandsPath, shinglesPath, removed)
+    // Shingle plane: uncapped pure per-doc rows — anti-join IS the
+    // rebuild (stored shingles == per-doc function of text, so
+    // filtering docs == recomputing over survivors).
+    val shStored = spark.read.parquet(shinglesPath)
+    assert(rowsEqual(sh,
+      shStored.join(removed, Seq("doc_id"), "left_anti")
+        .select(shStored.columns.map(col).toSeq: _*)),
+      "maintained shingles != rebuild")
+    // Cap precondition: the equality law below needs every AFFECTED
+    // bucket (one that held a removed doc) below the write-time cap —
+    // at cap, the rebuild would admit the member the cap evicted,
+    // whose band rows the maintained index never stored. Assert the
+    // fixture satisfies it so the law is tested non-vacuously.
+    val storedBands = spark.read.parquet(bandsPath)
+    val affectedAtCap = storedBands
+      .join(storedBands.join(removed, Seq("doc_id"), "left_semi")
+        .select("band", "bsig").distinct(), Seq("band", "bsig"), "left_semi")
+      .groupBy("band", "bsig").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= LlmPipeline.LshBucketCap).count()
+    assert(affectedAtCap == 0,
+      s"$affectedAtCap affected buckets at cap — the equality law does not apply; " +
+        "below-cap fixture structure changed")
+    // Band plane: below cap, the maintained index equals the band
+    // index REBUILT from the maintained shingle table.
+    assert(rowsEqual(bands, LlmPipeline.cappedBandIndex(sh)),
+      "maintained band index != re-band of the maintained shingles")
+    // And it never serves a removed doc.
+    assert(bands.join(removed, Seq("doc_id"), "left_semi").count() == 0,
+      "band index still serves removed docs")
+  }
+
   test("ANN takedown: keys/vecs anti-join == rebuild over surviving embeddings; probe decisions preserved") {
     import spark.implicits._
     val (keysPath, vecsPath) = LlmPipeline.ensureMpAnnIndex(spark, sfDir)
