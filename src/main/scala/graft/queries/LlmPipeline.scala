@@ -2068,6 +2068,50 @@ object LlmPipeline extends QueryPack {
     ()
   }
 
+  /** Admit a vector shard into the stored PQ index WITHOUT retraining
+    * (the [[ivfAssign]] discipline on the compressed plane): the shard
+    * coarse-assigns against the stale coarse codebook and encodes
+    * against the stale sub-codebooks — two broadcast argmins, cost
+    * O(|shard| · (k + m·ks)), no ingest-path retrain. Returns the
+    * shard's (cells, codes) generations to append. The drift story is
+    * q161's (IvfMaintenanceSpec): codebooks are nightly artifacts; the
+    * admission window serves stale-codebook assignments, and the
+    * binding contract is RECALL against the maintained index, not
+    * codebook freshness.
+    */
+  private[graft] def pqAdmitShard(
+      spark: SparkSession, root: String, dir: String,
+      shard: DataFrame): (DataFrame, DataFrame) = {
+    val q = shard
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(floor(cast(x as double) * 65536.0) as bigint))")
+          .as("qd"))
+    val coarse = spark.read.parquet(ensureIvfCodebookK(spark, dir, PqCoarseK))
+    val subcb = spark.read.parquet(s"$root/subcb")
+    (ivfAssign(q, coarse),
+      pqAssign(pqSubVecs(q), subcb).withColumnRenamed("cell", "code"))
+  }
+
+  /** Apply a takedown set to the stored PQ index planes. Codes and
+    * cells are pure per-vector functions of the FIXED (nightly)
+    * codebooks, so the anti-join equals a re-encode of the survivors
+    * under the same codebooks, exactly — the honest law for an
+    * admission-window index (a survivors-RETRAIN would move codebooks
+    * and is the nightly build's job, exactly as for [[ivfAssign]]'s
+    * coarse plane; IvfMaintenanceSpec pins that drift story).
+    */
+  private[graft] def applyPqTakedown(
+      spark: SparkSession, root: String, removed: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val rem = removed.select("vec_id")
+    val cells0 = spark.read.parquet(s"$root/cells")
+    val codes0 = spark.read.parquet(s"$root/codes")
+    (cells0.join(broadcast(rem), Seq("vec_id"), "left_anti")
+       .select(cells0.columns.map(col).toSeq: _*),
+      codes0.join(broadcast(rem), Seq("vec_id"), "left_anti")
+        .select(codes0.columns.map(col).toSeq: _*))
+  }
+
   /** IVF-PQ compressed ANN (q198 — VERDICT r15 item 3): the q161 read
     * re-shaped for a corpus whose vectors no longer fit anywhere —
     * candidates are scored WITHOUT their vectors, by ASYMMETRIC
@@ -2106,9 +2150,17 @@ object LlmPipeline extends QueryPack {
     * entry for the two dials of the compressed read.
     */
   private[graft] def ivfPqAnnCfg(
-      spark: SparkSession, dir: String, nprobe: Int, rerank: Int): DataFrame = {
+      spark: SparkSession, dir: String, nprobe: Int, rerank: Int): DataFrame =
+    ivfPqAnnAgainst(spark, dir, ensurePqIndex(spark, dir), nprobe, rerank)
+
+  /** The compressed read against EXPLICIT index planes — the
+    * takedown/maintenance-law entry (IndexDeleteSpec runs it over
+    * post-delete planes).
+    */
+  private[graft] def ivfPqAnnAgainst(
+      spark: SparkSession, dir: String, root: String,
+      nprobe: Int = PqNprobe, rerank: Int = PqRerank): DataFrame = {
     graft.functions.NativeFunctions.register(spark)
-    val root = ensurePqIndex(spark, dir)
     val cells = spark.read.parquet(s"$root/cells")
     val codes = spark.read.parquet(s"$root/codes")
     val subcb = spark.read.parquet(s"$root/subcb")

@@ -112,6 +112,46 @@ class IndexDeleteSpec extends SparkSpec {
       "band index still serves removed docs")
   }
 
+  test("PQ takedown: cells/codes anti-join == re-encode of survivors under the fixed codebooks; reads stop serving removed vectors") {
+    import spark.implicits._
+    val root = LlmPipeline.ensurePqIndex(spark, sfDir)
+    val removed = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 9 === 2 && col("vec_id") >= 16)
+      .select("vec_id")
+    assert(removed.count() > 0, "fixture PQ removal set empty — law vacuous")
+    val (cells, codes) = LlmPipeline.applyPqTakedown(spark, root, removed)
+    // Codes/cells are pure per-vector functions of the FIXED nightly
+    // codebooks — the anti-join must equal re-encoding the survivors
+    // under the same codebooks (retraining is the nightly build's job,
+    // the q161 admission-window story).
+    val survivors = Tables.embeddings(spark, sfDir)
+      .join(removed, Seq("vec_id"), "left_anti")
+    val q = survivors.select(col("vec_id"), expr(
+      "transform(embedding, x -> cast(floor(cast(x as double) * 65536.0) as bigint))").as("qd"))
+    val coarse = spark.read.parquet(
+      LlmPipeline.ensureIvfCodebookK(spark, sfDir, LlmPipeline.PqCoarseK))
+    val subcb = spark.read.parquet(s"$root/subcb")
+    assert(rowsEqual(cells, LlmPipeline.ivfAssign(q, coarse)),
+      "maintained PQ cells != re-encode of survivors")
+    assert(rowsEqual(codes,
+      LlmPipeline.pqAssign(LlmPipeline.pqSubVecs(q), subcb)
+        .withColumnRenamed("cell", "code")),
+      "maintained PQ codes != re-encode of survivors")
+    // Read closure: the compressed query against the maintained planes
+    // equals the query against planes rebuilt from survivors, and it
+    // never surfaces a removed vector.
+    val t = java.nio.file.Files.createTempDirectory("graft_pqdel")
+    try {
+      cells.write.parquet(t.resolve("cells").toString)
+      codes.write.parquet(t.resolve("codes").toString)
+      copyDir(java.nio.file.Paths.get(root, "subcb"), t.resolve("subcb"))
+      val got = LlmPipeline.ivfPqAnnAgainst(spark, sfDir, t.toString)
+      assert(got.join(removed.withColumnRenamed("vec_id", "c_id"),
+        Seq("c_id"), "left_semi").count() == 0,
+        "post-takedown PQ read still serves removed vectors")
+    } finally LlmPipeline.deleteRecursively(t)
+  }
+
   test("ANN takedown: keys/vecs anti-join == rebuild over surviving embeddings; probe decisions preserved") {
     import spark.implicits._
     val (keysPath, vecsPath) = LlmPipeline.ensureMpAnnIndex(spark, sfDir)

@@ -98,6 +98,32 @@ class IvfMaintenanceSpec extends SparkSpec {
         "without retrain broke the search contract")
   }
 
+  test("PQ shard admission is a pure re-encode: admitted generations match the stored index bit-for-bit") {
+    // The compressed plane's ingest path (r16): a shard admits by two
+    // broadcast argmins against the STALE nightly codebooks — no
+    // retrain. Encoding is a pure function of (vector, codebooks), so
+    // admitting vectors the index already holds must reproduce their
+    // stored cells/codes exactly — the determinism that makes
+    // at-least-once admission idempotent and the admission window
+    // sound (the recall drift story is q161's, gated above).
+    val root = LlmPipeline.ensurePqIndex(spark, dir)
+    val shard = graft.sources.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 4 === 0)
+      .select("vec_id", "embedding")
+    assert(shard.count() > 0)
+    val (cells, codes) = LlmPipeline.pqAdmitShard(spark, root, dir, shard)
+    val storedCells = spark.read.parquet(s"$root/cells")
+      .join(shard.select("vec_id"), Seq("vec_id"), "left_semi")
+    val storedCodes = spark.read.parquet(s"$root/codes")
+      .join(shard.select("vec_id"), Seq("vec_id"), "left_semi")
+    def eq(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    assert(eq(cells, storedCells.select(cells.columns.map(col).toSeq: _*)),
+      "admitted coarse cells != stored index rows")
+    assert(eq(codes, storedCodes.select(codes.columns.map(col).toSeq: _*)),
+      "admitted PQ codes != stored index rows")
+  }
+
   test("the k dial: a k=16 codebook trains 16 live cells and assignment stays total") {
     val q = LlmPipeline.ivfQuantizedVecs(spark, dir).localCheckpoint()
     val cb16 = LlmPipeline.trainIvfCodebook(q, 16).localCheckpoint()
