@@ -4560,11 +4560,20 @@ object LlmPipeline extends QueryPack {
     * paths.
     */
   private def bm25ConjunctiveMatched(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val root = ensurePostingsArtifact(spark, dir)
-    val idx = spark.read.parquet(ensureIndexArtifact(spark, dir))
-    val postings = spark.read.parquet(s"$root/postings")
-    val stats = spark.read.parquet(s"$root/stats")
+    bm25ConjunctiveMatchedFrom(
+      spark.read.parquet(ensureIndexArtifact(spark, dir)),
+      spark.read.parquet(s"$root/postings"),
+      spark.read.parquet(s"$root/stats"))
+  }
+
+  /** [[bm25ConjunctiveMatched]] against EXPLICIT artifact relations —
+    * the takedown-law entry (IndexDeleteSpec runs the full pruned
+    * pipeline over post-delete planes).
+    */
+  private[graft] def bm25ConjunctiveMatchedFrom(
+      idx: DataFrame, postings: DataFrame, stats: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val top6 = idx.select(col("token"), col("df"))
       .orderBy(col("df").desc, col("token").asc).limit(6)
     val terms = top6
@@ -4695,9 +4704,15 @@ object LlmPipeline extends QueryPack {
   private[graft] val RankRoundSlack = 0.00005
 
   private[graft] def bm25ConjunctiveCfg(
-      spark: SparkSession, dir: String, prune: Boolean): DataFrame = {
+      spark: SparkSession, dir: String, prune: Boolean): DataFrame =
+    bm25ConjunctiveRank(bm25ConjunctiveMatched(spark, dir), prune)
+
+  /** The pruned conjunctive ranking from a matched relation — shared
+    * by the query path and the takedown read-closure law.
+    */
+  private[graft] def bm25ConjunctiveRank(
+      matched: DataFrame, prune: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val matched = bm25ConjunctiveMatched(spark, dir)
     val cand =
       if (prune) bm25ConjunctiveSurvivors(matched)
       else matched.filter(col("tr") === 3).select("query_id", "doc_id")

@@ -75,6 +75,26 @@ class IndexDeleteSpec extends SparkSpec {
     val served = LlmPipeline.indexTakedown(spark, sfDir)
       .join(removed, Seq("doc_id"), "left_semi").count()
     assert(served == 0, s"post-takedown ranking still serves $served removed docs")
+
+    // The PRUNED read path too (VERDICT r15 item 1 named q181 AND
+    // q190): the Block-Max-WAND conjunctive pipeline over the
+    // maintained artifacts equals the same pipeline over rebuilt-
+    // without-docs artifacts — pruning bounds, θ seeding and the pivot
+    // all survive the subtractive maintenance — and serves no removed
+    // doc.
+    val rIdxDf = kept
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val wandMaintained = LlmPipeline.bm25ConjunctiveRank(
+      LlmPipeline.bm25ConjunctiveMatchedFrom(idx, postings, stats))
+    val wandRebuilt = LlmPipeline.bm25ConjunctiveRank(
+      LlmPipeline.bm25ConjunctiveMatchedFrom(rIdxDf, rp, rs))
+    assert(rowsEqual(wandMaintained, wandRebuilt),
+      "post-takedown pruned conjunctive ranking != rebuilt-corpus ranking")
+    assert(wandMaintained.join(removed, Seq("doc_id"), "left_semi").count() == 0,
+      "post-takedown pruned ranking still serves removed docs")
   }
 
   test("band-index takedown: shingles anti-join == rebuild exactly; bands == re-band of maintained shingles below cap") {
