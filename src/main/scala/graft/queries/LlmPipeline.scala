@@ -2029,7 +2029,7 @@ object LlmPipeline extends QueryPack {
       .select(col("vec_id"), col("j"), col("a.cell").as("cell"))
 
   /** Stored IVF-PQ index artifact: `cells/` (vec_id, cell — the coarse
-    * k=[[IvfCells]] assignment), `codes/` (vec_id, j, code — the PQ
+    * k=[[PqCoarseK]] assignment), `codes/` (vec_id, j, code — the PQ
     * compression of every stored vector), `subcb/` (j, cell, qc — the
     * [[PqM]]×[[PqKs]] trained sub-codebooks, metadata-sized). Written
     * once by the bench-excluded prepare (the nightly index build);
@@ -2117,7 +2117,7 @@ object LlmPipeline extends QueryPack {
     * candidates are scored WITHOUT their vectors, by ASYMMETRIC
     * DISTANCE over stored codes:
     *
-    *   1. coarse probe: each query ranks the k=[[IvfCells]] coarse
+    *   1. coarse probe: each query ranks the k=[[PqCoarseK]] coarse
     *      centroids (integer L2) and probes its [[PqNprobe]] nearest
     *      cells' members — the q95/q161 IVF stage unchanged;
     *   2. distance tables: the query's [[PqM]] sub-vectors against the
@@ -2208,7 +2208,7 @@ object LlmPipeline extends QueryPack {
       .orderBy("p_id", "rk")
   }
 
-  /** q198's oracle: DuckDB retrains the coarse k=[[IvfCells]] codebook
+  /** q198's oracle: DuckDB retrains the coarse k=[[PqCoarseK]] codebook
     * AND all [[PqM]] sub-codebooks with the identical unrolled integer
     * recurrence, re-encodes every vector, rebuilds the per-probe ADC
     * tables, reproduces the integer shortlist, and re-ranks exactly —
@@ -3470,10 +3470,17 @@ object LlmPipeline extends QueryPack {
     * scales.
     *
     * Cross-engine exactness without float coordination: a word's
-    * symbol sequence is a `|`-delimited string (`|a|b|c|`); merging
-    * pair (x, y) is `replace(seq, '|x|y|', '|xy|')` — both engines'
-    * replace is left-to-right non-overlapping, which IS BPE's greedy
-    * merge semantics, and full delimiters on both sides make
+    * symbol sequence is a DOUBLE-delimited string (`||a||b||c||`);
+    * merging pair (x, y) is `replace(seq, '|x||y|', '|xy|')` — the
+    * search consumes one `|` of each OUTER boundary pair and the
+    * replacement restores it, so adjacent occurrences in a symbol run
+    * (`||a||a||a||a||`) don't share a consumed boundary and both
+    * merge, exactly as BPE's left-to-right greedy scan does. (The r16
+    * single-delimiter form `replace('|a|a|', ...)` consumed the shared
+    * `|` and merged only every OTHER pair of a run — not BPE; ADVICE
+    * r16. BpeTrainSpec pins the run case against an in-memory scan
+    * reference.) Both engines' replace is left-to-right
+    * non-overlapping, and full delimiters on both sides make
     * mid-symbol false matches impossible. Pair counts are integer
     * sums of word counts over adjacent positions (overlapping
     * positions counted, as in the reference implementation's
@@ -3489,17 +3496,50 @@ object LlmPipeline extends QueryPack {
     * Output: the merge table (round, x, y, n) + the final top-10
     * symbol inventory (round = [[BpeRounds]] + 1).
     */
-  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w0 = Tables.documents(spark, dir)
+  /** The corpus' (word, count) vocabulary — the state BOTH BPE halves
+    * (train q199, encode q203) run over.
+    */
+  private def bpeWordCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("wn"))
-    var seqs = w0.withColumn("seq",
-        concat(lit("|"), expr(
-          "array_join(transform(sequence(1, char_length(w)), i -> substring(w, i, 1)), '|')"),
-          lit("|")))
-      .select("wn", "seq").localCheckpoint()
+
+  /** A word's initial symbol sequence: one character per symbol,
+    * double-delimited (`||a||b||c||` — see [[bpeTrain]]'s run-safety
+    * note).
+    */
+  private def bpeInitialSeq: Column =
+    concat(lit("||"), expr(
+      "array_join(transform(sequence(1, char_length(w)), i -> substring(w, i, 1)), '||')"),
+      lit("||"))
+
+  /** One greedy merge of pair (x, y) over a symbol-sequence column —
+    * the run-safe replace: the search consumes one `|` of each outer
+    * `||` boundary and the replacement restores it, so adjacent
+    * occurrences in a run don't share a consumed delimiter and ALL
+    * left-to-right non-overlapping pairs merge (ADVICE r16). Literal
+    * search/replace ride lit() columns — no SQL-string interpolation
+    * of corpus-derived tokens.
+    */
+  private def bpeMergeSeq(df: DataFrame, x: String, y: String): DataFrame =
+    df.withColumn("search", concat(lit("|"), lit(x), lit("||"), lit(y), lit("|")))
+      .withColumn("repl", concat(lit("|"), lit(x), lit(y), lit("|")))
+      .withColumn("seq", expr("replace(seq, search, repl)"))
+      .drop("search", "repl")
+
+  /** The q199 training loop factored for reuse: `w0` is (w, wn);
+    * returns the merge table in training order and the final per-word
+    * sequences (with `w` kept — the encode half q203 and the vocab
+    * report both read them). Each round: pair-count the sequences
+    * (cost tracks the VOCABULARY, not the corpus), collect the ONE
+    * argmax row (driver-bounded control plane), merge greedily,
+    * localCheckpoint to truncate the per-round lineage.
+    */
+  private[graft] def bpeTrainMerges(
+      w0: DataFrame): (Seq[(Int, String, String, Long)], DataFrame) = {
+    var seqs = w0.withColumn("seq", bpeInitialSeq)
+      .select("w", "wn", "seq").localCheckpoint()
     def pairCounts(s: DataFrame): DataFrame = s
       .select(col("wn"), expr("filter(split(seq, '[|]'), x -> x != '')").as("syms"))
       .filter(size(col("syms")) >= 2)
@@ -3516,14 +3556,15 @@ object LlmPipeline extends QueryPack {
       require(top.nonEmpty, s"BPE round $r found no pairs — corpus too small")
       val (x, y, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
       merges += ((r, x, y, n))
-      // Literal search/replace ride lit() columns — no SQL-string
-      // interpolation of corpus-derived tokens.
-      seqs = seqs
-        .withColumn("search", concat(lit("|"), lit(x), lit("|"), lit(y), lit("|")))
-        .withColumn("repl", concat(lit("|"), lit(x), lit(y), lit("|")))
-        .withColumn("seq", expr("replace(seq, search, repl)"))
-        .select("wn", "seq").localCheckpoint()
+      seqs = bpeMergeSeq(seqs, x, y)
+        .select("w", "wn", "seq").localCheckpoint()
     }
+    (merges.toList, seqs)
+  }
+
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (merges, seqs) = bpeTrainMerges(bpeWordCounts(spark, dir))
     val vocab = seqs
       .select(col("wn"), explode(expr("filter(split(seq, '[|]'), x -> x != '')")).as("x"))
       .groupBy("x").agg(sum("wn").as("n"))
@@ -3532,7 +3573,7 @@ object LlmPipeline extends QueryPack {
       .filter(col("rk") <= BpeVocabTop)
       .select(lit(BpeRounds + 1).as("round"), col("x"), lit("").as("y"), col("n"))
     import spark.implicits._
-    merges.toSeq.toDF("round", "x", "y", "n")
+    merges.toDF("round", "x", "y", "n")
       .unionByName(vocab)
       .orderBy("round", "x", "y")
   }
@@ -3550,7 +3591,7 @@ object LlmPipeline extends QueryPack {
       |    SELECT x, y, n, row_number() OVER (ORDER BY n DESC, x, y) AS rk
       |    FROM p$r) WHERE rk = 1),
       |s$r AS (
-      |  SELECT wn, replace(seq, '|' || m$r.x || '|' || m$r.y || '|',
+      |  SELECT wn, replace(seq, '|' || m$r.x || '||' || m$r.y || '|',
       |    '|' || m$r.x || m$r.y || '|') AS seq
       |  FROM s${r - 1}, m$r)""".stripMargin
     }.mkString(",\n")
@@ -3563,7 +3604,7 @@ object LlmPipeline extends QueryPack {
       |  GROUP BY w),
       |s0 AS (
       |  SELECT wn,
-      |    '|' || array_to_string([w[i] for i in range(1, strlen(w) + 1)], '|') || '|' AS seq
+      |    '||' || array_to_string([w[i] for i in range(1, strlen(w) + 1)], '||') || '||' AS seq
       |  FROM w0),
       |$rounds,
       |vocab AS (
@@ -3577,6 +3618,108 @@ object LlmPipeline extends QueryPack {
       |  $mergeRows
       |  UNION ALL SELECT round, x, y, n FROM vocab)
       |ORDER BY round, x, y""".stripMargin
+  }
+
+  /** The BPE ENCODE half's inference kernel: apply an already-trained
+    * merge list, in training order, to a (w) word table — no counting,
+    * no argmax, pure data-parallel re-tokenization (the half every
+    * tokenizer build runs after training; q199 ships the other half).
+    * Sequential application in rank order IS the reference encoder's
+    * semantics (Sennrich et al.'s apply_bpe: lowest-rank applicable
+    * merge first, repeated — which over a fixed finite merge list
+    * collapses to one greedy left-to-right pass per merge in rank
+    * order, because a later merge's symbols can only be produced by
+    * earlier merges). The merge chain is a driver-bounded constant
+    * ([[BpeRounds]] literal replaces — one codegen'd projection, no
+    * joins, no shuffles); the words are the only distributed axis.
+    */
+  private[graft] def bpeApplyMerges(
+      words: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    merges.foldLeft(words.withColumn("seq", bpeInitialSeq)) {
+      case (df, (x, y)) => bpeMergeSeq(df, x, y)
+    }
+
+  /** BPE corpus encoding (q203 — VERDICT r16 item 5): re-tokenize the
+    * corpus WITH the q199-trained merge table — the inference half of
+    * the tokenizer-build loop (q128 counts pairs, q199 trains merges,
+    * this applies them; q155's vocab-encode is frequency-ranked whole
+    * words, not merges). The corpus first collapses to its (word,
+    * count) vocabulary, each DISTINCT word is encoded once
+    * ([[bpeApplyMerges]] — the memoized-word-encode trick every
+    * production BPE encoder uses; cost tracks the vocabulary), and
+    * per-doc stats come from joining the doc→word explode against the
+    * broadcast (word → token count) map. Output per document: word
+    * count, character count, encoded-token count, and the
+    * chars-per-token compression ratio — the quality signal a
+    * tokenizer build actually reports. Everything through n_tokens is
+    * integer; the ratio is derived from raw integer cells with one
+    * rounding at output (the FIXTURES.md discipline).
+    *
+    * The oracle replays the ENTIRE recurrence — retrains the 6 merges
+    * as unrolled CTE rounds, re-encodes every distinct word, joins
+    * back to the corpus — so a drifted merge, a non-greedy apply, or a
+    * mis-joined word count flips hashed cells.
+    */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val w0 = bpeWordCounts(spark, dir)
+    val (merges, _) = bpeTrainMerges(w0)
+    val enc = bpeApplyMerges(w0.select("w"), merges.map(m => (m._2, m._3)))
+      .select(col("w"),
+        expr("size(filter(split(seq, '[|]'), x -> x != ''))").cast("long").as("nsym"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .join(broadcast(enc), "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w")).cast("long")).as("n_chars"),
+        sum(col("nsym")).as("n_tokens"))
+      .withColumn("ratio_r",
+        round(col("n_chars").cast("double") / col("n_tokens").cast("double"), 4) + lit(0))
+      .orderBy("doc_id")
+  }
+
+  private[graft] val bpeEncodeSql = {
+    val rounds = (1 to BpeRounds).map { r =>
+      s"""p$r AS (
+      |  SELECT u.p.x AS x, u.p.y AS y, CAST(sum(wn) AS BIGINT) AS n
+      |  FROM (SELECT wn, list_filter(string_split(seq, '|'), s -> s <> '') AS syms
+      |        FROM s${r - 1}),
+      |    unnest([{'x': syms[i], 'y': syms[i + 1]} for i in range(1, len(syms))]) AS u(p)
+      |  GROUP BY u.p.x, u.p.y),
+      |m$r AS (
+      |  SELECT x, y, n FROM (
+      |    SELECT x, y, n, row_number() OVER (ORDER BY n DESC, x, y) AS rk
+      |    FROM p$r) WHERE rk = 1),
+      |s$r AS (
+      |  SELECT w, wn, replace(seq, '|' || m$r.x || '||' || m$r.y || '|',
+      |    '|' || m$r.x || m$r.y || '|') AS seq
+      |  FROM s${r - 1}, m$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH w0 AS (
+      |  SELECT w, count(*) AS wn
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE w <> ''
+      |  GROUP BY w),
+      |s0 AS (
+      |  SELECT w, wn,
+      |    '||' || array_to_string([w[i] for i in range(1, strlen(w) + 1)], '||') || '||' AS seq
+      |  FROM w0),
+      |$rounds,
+      |enc AS (
+      |  SELECT w, CAST(len(list_filter(string_split(seq, '|'), s -> s <> '')) AS BIGINT) AS nsym
+      |  FROM s$BpeRounds),
+      |dw AS (
+      |  SELECT doc_id, w
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE w <> '')
+      |SELECT doc_id, count(*) AS n_words,
+      |  CAST(sum(strlen(dw.w)) AS BIGINT) AS n_chars,
+      |  CAST(sum(nsym) AS BIGINT) AS n_tokens,
+      |  round(CAST(sum(strlen(dw.w)) AS DOUBLE) / CAST(sum(nsym) AS DOUBLE), 4) + 0 AS ratio_r
+      |FROM dw JOIN enc USING (w)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
   }
 
   /** Deterministic corpus rebalancing to a uniform language mix (q129):
@@ -4677,19 +4820,23 @@ object LlmPipeline extends QueryPack {
       .orderBy(col("score").desc, col("doc_id").asc)
     // θ is valid only when ≥ 10 seeds survive the conjunctive filter —
     // with fewer, no threshold exists and the query prunes nothing
-    // (correctness first; the seed is a heuristic).
+    // (correctness first; the seed is a heuristic). θ is the ROUNDED
+    // 10th-seed score — see the pruning comment below.
     val theta = bm25ConjunctiveExactScores(matched, seed)
       .withColumn("trk", row_number().over(wT))
       .filter(col("trk") <= 10)
       .groupBy("query_id")
-      .agg(min(col("score")).as("theta"), count(lit(1)).as("nseed"))
+      .agg(round(min(col("score")), 4).as("theta"), count(lit(1)).as("nseed"))
       .filter(col("nseed") === 10)
-    // Prune against θ minus the 4-decimal rounding slack: the final
-    // ranking orders by round(score, 4) with doc_id tie-break, so a
-    // doc whose exact score lies in [θ − 5e-5, θ) can still round-TIE
-    // the 10th seed and win the tie-break. The bound argument must
-    // cover the ROUNDED ordering, not the exact one — keep every
-    // candidate whose optimistic bound clears θ − 5e-5 (ADVICE r15).
+    // Prune against round(θ, 4) minus the 4-decimal rounding slack:
+    // the final ranking orders by round(score, 4) with doc_id
+    // tie-break, so a candidate can displace the 10th seed iff its
+    // ROUNDED score reaches the seed's ROUNDED score — i.e. iff its
+    // exact score ≥ round(θ, 4) − 5e-5 (half-up rounding). Subtracting
+    // the slack from the EXACT θ is not enough when θ itself rounds
+    // DOWN: a candidate in [round(θ) − 5e-5, θ − 5e-5) still round-
+    // ties and can win the doc_id tie-break, yet its bound would fail
+    // the exact-θ test (ADVICE r16); the rounded θ covers it.
     bounded.join(broadcast(theta), Seq("query_id"), "left")
       .filter(col("theta").isNull || col("bnd") >= col("theta") - lit(RankRoundSlack))
       .select("query_id", "doc_id")
@@ -4697,9 +4844,12 @@ object LlmPipeline extends QueryPack {
 
   /** Half a unit in the last place of the 4-decimal rounded score —
     * the slack both pruning passes (q190 WAND, q192 MAXSCORE) subtract
-    * from θ so their "provably outside the top 10" bound argument
-    * holds for the round(score, 4) + doc_id ordering the final rank
-    * actually uses.
+    * from the ROUNDED θ (= round(10th-seed score, 4)) so their
+    * "provably outside the top 10" bound argument holds for the
+    * round(score, 4) + doc_id ordering the final rank actually uses:
+    * round(c, 4) ≥ round(θ, 4) ⟺ c ≥ round(θ, 4) − 5e-5 under
+    * half-up rounding, so a bound below that line proves the candidate
+    * cannot even round-tie the seed (ADVICE r15 + r16).
     */
   private[graft] val RankRoundSlack = 0.00005
 
@@ -4845,11 +4995,15 @@ object LlmPipeline extends QueryPack {
       .select("query_id", "doc_id").distinct()
     val wT = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("doc_id").asc)
+    // θ is the ROUNDED 10th-seed score, for the same reason as the
+    // q190 pruning pass (see [[RankRoundSlack]] / ADVICE r16): the
+    // exclusion must survive the round(score, 4) ordering even when
+    // the exact θ rounds down.
     val theta = bm25DisjunctiveExactScores(matched, seed)
       .withColumn("trk", row_number().over(wT))
       .filter(col("trk") <= 10)
       .groupBy("query_id")
-      .agg(min(col("score")).as("theta"), count(lit(1)).as("nseed"))
+      .agg(round(min(col("score")), 4).as("theta"), count(lit(1)).as("nseed"))
       .filter(col("nseed") === 10)
       .collect().map(r => (r.getInt(0), r.getDouble(1))).toMap
     val ubs = matched.groupBy("query_id", "tr")
@@ -4881,9 +5035,20 @@ object LlmPipeline extends QueryPack {
   }
 
   private[graft] def bm25DisjunctiveCfg(
-      spark: SparkSession, dir: String, prune: Boolean): DataFrame = {
+      spark: SparkSession, dir: String, prune: Boolean): DataFrame =
+    bm25DisjunctiveRank(spark, bm25ConjunctiveMatched(spark, dir), prune)
+
+  /** The pruned disjunctive (MAXSCORE) ranking from a matched relation
+    * — shared by the query path and the takedown read-closure law
+    * (IndexDeleteSpec runs it over post-delete planes via
+    * [[bm25ConjunctiveMatchedFrom]], the factoring VERDICT r16 item 3
+    * asked for: the essential-list split's ubs and θ seed both shift
+    * under subtractive df/stats maintenance, so the law must exercise
+    * the PRUNED pipeline, not just the exact scores).
+    */
+  private[graft] def bm25DisjunctiveRank(
+      spark: SparkSession, matched: DataFrame, prune: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val matched = bm25ConjunctiveMatched(spark, dir)
     val cand =
       if (prune) bm25DisjunctiveSurvivors(spark, matched)
       else matched.select("query_id", "doc_id").distinct()
@@ -6189,6 +6354,7 @@ object LlmPipeline extends QueryPack {
     QueryDef("q198_ivfpq_ann", ivfPqAnn, Some(ivfPqAnnSql),
       prepare = Some(preparePqIndex _)),
     QueryDef("q199_bpe_train", bpeTrain, Some(bpeTrainSql)),
+    QueryDef("q203_bpe_encode", bpeEncode, Some(bpeEncodeSql)),
     QueryDef("q196_hybrid_rrf", hybridRrf, Some(hybridRrfSql),
       prepare = Some((s: SparkSession, d: String) => {
         preparePostings(s, d); ensureMpAnnIndex(s, d); ()

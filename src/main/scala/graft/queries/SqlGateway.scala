@@ -751,6 +751,30 @@ object SqlGateway extends QueryPack {
     new String(java.nio.file.Files.readAllBytes(
       logDir.resolve(f"commit-$gen%06d")), java.nio.charset.StandardCharsets.UTF_8)
 
+  /** Atomically create `target` with `bytes` FULLY PRESENT the instant
+    * the name becomes visible, failing (false) if the name already
+    * exists — the CAS primitive both commit paths ride. A plain
+    * Files.write(CREATE_NEW) is atomic in EXISTENCE only: the file is
+    * visible (empty) before its bytes land, so a concurrent reader —
+    * q200's live poller does occCurrentGen → occManifestAt — can
+    * observe a torn manifest, exactly the read the manifest exists to
+    * rule out (ADVICE r16). Instead the bytes land in a writer-private
+    * temp file first and link(2) publishes them: hard-link creation is
+    * atomic AND fails on an existing name, so CREATE_NEW's
+    * compare-and-swap semantics survive while content-before-
+    * visibility becomes structural.
+    */
+  private[graft] def casCreateFile(
+      target: java.nio.file.Path, bytes: Array[Byte]): Boolean = {
+    val tmp = java.nio.file.Files.createTempFile(
+      target.getParent, ".inflight-", ".tmp")
+    try {
+      java.nio.file.Files.write(tmp, bytes)
+      try { java.nio.file.Files.createLink(target, tmp); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } finally java.nio.file.Files.deleteIfExists(tmp)
+  }
+
   /** Attempt the pointer swap: commit `tableName` as generation
     * `expectedGen + 1`. Returns false iff another writer committed that
     * generation first (the lost race — caller re-reads the new current
@@ -758,13 +782,8 @@ object SqlGateway extends QueryPack {
     */
   private[graft] def occTryCommit(
       logDir: java.nio.file.Path, expectedGen: Long, tableName: String): Boolean =
-    try {
-      java.nio.file.Files.write(
-        logDir.resolve(f"commit-${expectedGen + 1}%06d"),
-        tableName.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-        java.nio.file.StandardOpenOption.CREATE_NEW)
-      true
-    } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    casCreateFile(logDir.resolve(f"commit-${expectedGen + 1}%06d"),
+      tableName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   /** Optimistic concurrency on the generation-pointer swap (q172 —
     * VERDICT r10 item 2): two writers race command batches against the
@@ -872,14 +891,9 @@ object SqlGateway extends QueryPack {
   private[graft] def occTryCommitManifest(
       logDir: java.nio.file.Path, expectedGen: Long,
       bindings: Seq[(String, String)]): Boolean =
-    try {
-      java.nio.file.Files.write(
-        logDir.resolve(f"commit-${expectedGen + 1}%06d"),
-        bindings.map { case (k, v) => s"$k=$v" }.mkString("\n")
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8),
-        java.nio.file.StandardOpenOption.CREATE_NEW)
-      true
-    } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    casCreateFile(logDir.resolve(f"commit-${expectedGen + 1}%06d"),
+      bindings.map { case (k, v) => s"$k=$v" }.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   /** Multi-table atomic commit (q200 — VERDICT r15 item 7): q172's
     * OCC CAS serializes writers on ONE table; real DML (delete from

@@ -61,4 +61,76 @@ class BpeTrainSpec extends SparkSpec {
     assert(got == expected,
       s"distributed BPE diverged from the in-memory recurrence:\n got=$got\n exp=$expected")
   }
+
+  /** ADVICE r16: the fixture corpus never hands the argmax a ≥4-symbol
+    * run, so the main parity test alone cannot distinguish greedy
+    * merge from the r16 delimiter-consuming replace (which merged only
+    * every OTHER pair of a run — |a|a|a|a| → [aa,a,a]). This fixture
+    * makes runs the ROUND-1 argmax on purpose and pins the training
+    * loop to the scan-greedy reference on them.
+    */
+  test("run-containing words train greedily: |a|a|a|a| merges to [aa,aa], not [aa,a,a]") {
+    import spark.implicits._
+    val words = Seq(("aaaa", 10L), ("aaa", 7L), ("baaab", 5L), ("ab", 4L))
+    val w0 = words.toDF("w", "wn")
+    var state: Vector[(Vector[String], Long)] =
+      words.toVector.map { case (w, n) => (w.map(_.toString).toVector, n) }
+    val expMerges = Vector.newBuilder[(Int, String, String, Long)]
+    for (r <- 1 to LlmPipeline.BpeRounds) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      state.foreach { case (syms, n) =>
+        syms.indices.dropRight(1).foreach { i =>
+          val k = (syms(i), syms(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + n
+        }
+      }
+      val ((x, y), n) = counts.toSeq
+        .sortBy { case ((a, b), c) => (-c, a, b) }.head
+      expMerges += ((r, x, y, n))
+      state = state.map { case (syms, wn) => (scanMerge(syms, x, y), wn) }
+    }
+    val expected = expMerges.result()
+    // Round 1's argmax MUST be (a, a) over a 4-run — otherwise this
+    // fixture no longer exercises the run case and needs rebuilding.
+    assert(expected.head._2 == "a" && expected.head._3 == "a",
+      s"fixture drifted: round-1 argmax is ${expected.head}, not (a, a)")
+    val (gotMerges, finalSeqs) = LlmPipeline.bpeTrainMerges(w0)
+    assert(gotMerges == expected,
+      s"run-fixture merge table diverged:\n got=$gotMerges\n exp=$expected")
+    // And the final symbol sequences equal the scan reference's — the
+    // run word "aaaa" must be [aa, aa] after round 1, not [aa, a, a].
+    val gotSeqs = finalSeqs
+      .select(col("w"), expr("filter(split(seq, '[|]'), x -> x != '')"))
+      .as[(String, Seq[String])].collect().toMap
+    state.zip(words).foreach { case ((syms, _), (w, _)) =>
+      assert(gotSeqs(w) == syms,
+        s"word '$w' encoded as ${gotSeqs(w)}, scan reference says $syms")
+    }
+  }
+
+  /** q203's inference half: applying the trained merge chain to words
+    * ([[LlmPipeline.bpeApplyMerges]]) equals replaying the scan-greedy
+    * reference merge-by-merge — on the run fixture (where the r16
+    * semantics would diverge) AND on the corpus vocabulary.
+    */
+  test("bpeApplyMerges == scan-greedy replay of the trained chain (encode parity)") {
+    import spark.implicits._
+    val w0 = graft.sources.Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("wn"))
+    val (merges, _) = LlmPipeline.bpeTrainMerges(w0)
+    val chain = merges.map(m => (m._2, m._3))
+    val extra = Seq("aaaa", "abab", "zzzz")
+    val vocab = w0.select("w").as[String].collect().toSeq ++ extra
+    val got = LlmPipeline.bpeApplyMerges(vocab.toDF("w"), chain)
+      .select(col("w"), expr("filter(split(seq, '[|]'), x -> x != '')"))
+      .as[(String, Seq[String])].collect().toMap
+    vocab.foreach { w =>
+      val exp = chain.foldLeft(w.map(_.toString).toVector) {
+        case (syms, (x, y)) => scanMerge(syms, x, y)
+      }
+      assert(got(w) == exp, s"encode of '$w' = ${got(w)}, reference = $exp")
+    }
+  }
 }

@@ -95,6 +95,22 @@ class IndexDeleteSpec extends SparkSpec {
       "post-takedown pruned conjunctive ranking != rebuilt-corpus ranking")
     assert(wandMaintained.join(removed, Seq("doc_id"), "left_semi").count() == 0,
       "post-takedown pruned ranking still serves removed docs")
+
+    // And the DISJUNCTIVE (MAXSCORE) read path (VERDICT r16 item 3):
+    // its pruning machinery — per-slot upper bounds, the θ seed, the
+    // greedy essential-list split — also shifts under subtractive
+    // df/stats maintenance, so the law must run the PRUNED q192
+    // pipeline, not just the exact scores: over the maintained
+    // artifacts it must equal the same pipeline over rebuilt-without-
+    // docs artifacts, and serve no removed doc.
+    val maxscoreMaintained = LlmPipeline.bm25DisjunctiveRank(
+      spark, LlmPipeline.bm25ConjunctiveMatchedFrom(idx, postings, stats))
+    val maxscoreRebuilt = LlmPipeline.bm25DisjunctiveRank(
+      spark, LlmPipeline.bm25ConjunctiveMatchedFrom(rIdxDf, rp, rs))
+    assert(rowsEqual(maxscoreMaintained, maxscoreRebuilt),
+      "post-takedown pruned disjunctive ranking != rebuilt-corpus ranking")
+    assert(maxscoreMaintained.join(removed, Seq("doc_id"), "left_semi").count() == 0,
+      "post-takedown pruned disjunctive ranking still serves removed docs")
   }
 
   test("band-index takedown: shingles anti-join == rebuild exactly; bands == re-band of maintained shingles below cap") {
