@@ -159,6 +159,24 @@ object RecallCurve {
       s"rerank=${queries.LlmPipeline.PqRerank}), m=${queries.LlmPipeline.PqM}, " +
       s"ks=${queries.LlmPipeline.PqKs} (4-bit codes; target recall@3 >= 0.8)")
 
+    // --- IVF-PQ under admission drift (r17 — VERDICT r16 item 7) ----------
+    // The mixed-index point: codebooks trained WITHOUT the newest
+    // quarter, every vector encoded under them (pqAdmitShard's pure
+    // re-encode path), read at the shipped (nprobe, rerank). This is
+    // the recall a reader sees between a shard admission and the next
+    // nightly retrain — IvfMaintenanceSpec gates it at >= 0.8.
+    {
+      val t = java.nio.file.Files.createTempDirectory("graft_pqstale_rc")
+      try {
+        val cbOld = queries.LlmPipeline.buildStalePqIndex(spark, dir, t.toString)
+        val hits = queries.LlmPipeline.ivfPqAnnAgainst(spark, dir, t.toString,
+            coarseOverride = Some(cbOld))
+          .select("p_id", "c_id").join(exactTop3, Seq("p_id", "c_id"), "left_semi").count()
+        println(f"\nq198 stale-codebook mixed index (admission drift), shipped point: " +
+          f"$hits/$nTop = ${hits.toDouble / nTop}%.3f recall@3")
+      } finally queries.LlmPipeline.deleteRecursively(t)
+    }
+
     // --- JL-projection ANN sweep (q126 — VERDICT r10 item 5) -------------
     // Ground truth: the exact quantized-space top-30 (the operator's own
     // contract — stage 2 re-ranks in exactly this space, so recall is

@@ -1985,6 +1985,36 @@ object LlmPipeline extends QueryPack {
       .as("e"))
       .select(col("vec_id"), col("e.j").as("j"), col("e.qd8").as("qd8"))
 
+  /** Pack a (vec_id, j, code) relation into the STORED layout — ONE
+    * 4-byte BinaryType column per vector (VERDICT r16 item 4): each
+    * code is a 4-bit nibble ([[PqKs]] = 16), [[PqM]] = 8 of them in
+    * sub-space order make 8 hex digits = 4 bytes. The r16 exploded-row
+    * parquet carried (vec_id, j, code) per sub-space — 6.6× smaller
+    * than raw vectors where the format admits ~64×; at 100 TB the gap
+    * is real storage money, and the scan that feeds ADC reads 4 bytes
+    * per candidate instead of 8 rows. Pack/unpack are hex-string HOFs
+    * — whole-stage-codegen'd, no UDFs — and lossless, so every
+    * downstream integer (ADC sums, shortlists) is bit-identical to the
+    * exploded layout and q198's retraining oracle needs no change.
+    */
+  private[graft] def packPqCodes(codes: DataFrame): DataFrame =
+    codes.groupBy("vec_id")
+      .agg(expr("transform(array_sort(collect_list(struct(j, code))), e -> e.code)")
+        .as("carr"))
+      .select(col("vec_id"),
+        expr("unhex(array_join(transform(carr, c -> hex(c)), ''))").as("codes"))
+
+  /** Unpack the stored 4-byte code column back to (vec_id, j, code) —
+    * the read-side inverse of [[packPqCodes]] (the ADC join keys on
+    * the sub-space id).
+    */
+  private[graft] def unpackPqCodes(packed: DataFrame): DataFrame =
+    packed.select(col("vec_id"), hex(col("codes")).as("h"))
+      .select(col("vec_id"), explode(expr(
+        s"transform(sequence(0, ${PqM - 1}), j -> struct(cast(j as int) AS j, cast(conv(substring(h, j + 1, 1), 16, 10) as bigint) AS code))"))
+        .as("e"))
+      .select(col("vec_id"), col("e.j").as("j"), col("e.code").as("code"))
+
   /** Per-sub-space k-means: [[trainIvfCodebook]]'s integer-exact Lloyd
     * recurrence with the sub-space id `j` joined into every key —
     * seeds are the first [[PqKs]] vectors' sub-slices, assignment is
@@ -2029,8 +2059,9 @@ object LlmPipeline extends QueryPack {
       .select(col("vec_id"), col("j"), col("a.cell").as("cell"))
 
   /** Stored IVF-PQ index artifact: `cells/` (vec_id, cell — the coarse
-    * k=[[PqCoarseK]] assignment), `codes/` (vec_id, j, code — the PQ
-    * compression of every stored vector), `subcb/` (j, cell, qc — the
+    * k=[[PqCoarseK]] assignment), `codes/` (vec_id, codes BINARY — the
+    * [[packPqCodes]] 4-byte compression of every stored vector, r17),
+    * `subcb/` (j, cell, qc — the
     * [[PqM]]×[[PqKs]] trained sub-codebooks, metadata-sized). Written
     * once by the bench-excluded prepare (the nightly index build);
     * the QUERY path reads codes and sub-codebooks — it touches raw
@@ -2055,8 +2086,7 @@ object LlmPipeline extends QueryPack {
       val q8 = pqSubVecs(q).localCheckpoint()
       val subcb = trainPqCodebooks(q8, PqKs)
       subcb.write.mode(SaveMode.Overwrite).parquet(s"$root/subcb")
-      pqAssign(q8, subcb)
-        .withColumnRenamed("cell", "code")
+      packPqCodes(pqAssign(q8, subcb).withColumnRenamed("cell", "code"))
         .write.mode(SaveMode.Overwrite).parquet(s"$root/codes")
       root
     }).toString
@@ -2089,7 +2119,36 @@ object LlmPipeline extends QueryPack {
     val coarse = spark.read.parquet(ensureIvfCodebookK(spark, dir, PqCoarseK))
     val subcb = spark.read.parquet(s"$root/subcb")
     (ivfAssign(q, coarse),
-      pqAssign(pqSubVecs(q), subcb).withColumnRenamed("cell", "code"))
+      packPqCodes(pqAssign(pqSubVecs(q), subcb).withColumnRenamed("cell", "code")))
+  }
+
+  /** Build the PQ drift-law mixed index under `root` (VERDICT r16 item
+    * 7's scenario): coarse + sub-codebooks trained WITHOUT the newest
+    * quarter (the stale nightly artifacts — the fixture's stored
+    * codebooks saw every vector, so staleness must be constructed),
+    * then EVERY vector — standing corpus and shard alike — encoded
+    * under them. The shard encode is [[pqAdmitShard]]'s path verbatim
+    * (two broadcast argmins against fixed codebooks; the purity law in
+    * IvfMaintenanceSpec pins admit == re-encode bit-for-bit), so reads
+    * against this root are exactly reads against a post-admission
+    * index whose nightly retrain hasn't run. Returns the stale coarse
+    * codebook for the probe side ([[ivfPqAnnAgainst]]'s
+    * coarseOverride — probes must rank the codebook the cells plane
+    * was assigned with).
+    */
+  private[graft] def buildStalePqIndex(
+      spark: SparkSession, dir: String, root: String): DataFrame = {
+    val q = ivfQuantizedVecs(spark, dir).localCheckpoint()
+    val seedMax = math.max(PqCoarseK, PqKs)
+    val shard = q.filter(col("vec_id") % 4 === 0 && col("vec_id") >= seedMax)
+    val corpus = q.exceptAll(shard).localCheckpoint()
+    val cbOld = trainIvfCodebook(corpus, PqCoarseK).localCheckpoint()
+    val subOld = trainPqCodebooks(pqSubVecs(corpus), PqKs).localCheckpoint()
+    ivfAssign(q, cbOld).write.mode(SaveMode.Overwrite).parquet(s"$root/cells")
+    subOld.write.mode(SaveMode.Overwrite).parquet(s"$root/subcb")
+    packPqCodes(pqAssign(pqSubVecs(q), subOld).withColumnRenamed("cell", "code"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/codes")
+    cbOld
   }
 
   /** Apply a takedown set to the stored PQ index planes. Codes and
@@ -2159,12 +2218,19 @@ object LlmPipeline extends QueryPack {
     */
   private[graft] def ivfPqAnnAgainst(
       spark: SparkSession, dir: String, root: String,
-      nprobe: Int = PqNprobe, rerank: Int = PqRerank): DataFrame = {
+      nprobe: Int = PqNprobe, rerank: Int = PqRerank,
+      coarseOverride: Option[DataFrame] = None): DataFrame = {
     graft.functions.NativeFunctions.register(spark)
     val cells = spark.read.parquet(s"$root/cells")
-    val codes = spark.read.parquet(s"$root/codes")
+    // The stored plane is the 4-byte packed layout; the ADC join keys
+    // on (j, code), so unpack rides the scan (codegen'd hex HOFs —
+    // the scan still reads 4 bytes/vector, the unpack is CPU only).
+    val codes = unpackPqCodes(spark.read.parquet(s"$root/codes"))
     val subcb = spark.read.parquet(s"$root/subcb")
-    val coarse = spark.read.parquet(ensureIvfCodebookK(spark, dir, PqCoarseK))
+    // The probe must rank the SAME coarse codebook the cells plane was
+    // assigned with — drift-law callers pass their stale codebook.
+    val coarse = coarseOverride.getOrElse(
+      spark.read.parquet(ensureIvfCodebookK(spark, dir, PqCoarseK)))
     val e = normed(spark, dir).select(col("vec_id"), col("d"), col("nrm"))
       .withColumn("qd", expr("transform(d, x -> cast(floor(x * 65536.0) as bigint))"))
     val probes = e.filter(col("vec_id") < 10)

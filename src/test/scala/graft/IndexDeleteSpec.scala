@@ -169,9 +169,12 @@ class IndexDeleteSpec extends SparkSpec {
     val subcb = spark.read.parquet(s"$root/subcb")
     assert(rowsEqual(cells, LlmPipeline.ivfAssign(q, coarse)),
       "maintained PQ cells != re-encode of survivors")
+    // The stored plane is the packed 4-byte layout (r17) — the law
+    // compares packed-to-packed, byte columns included.
     assert(rowsEqual(codes,
-      LlmPipeline.pqAssign(LlmPipeline.pqSubVecs(q), subcb)
-        .withColumnRenamed("cell", "code")),
+      LlmPipeline.packPqCodes(
+        LlmPipeline.pqAssign(LlmPipeline.pqSubVecs(q), subcb)
+          .withColumnRenamed("cell", "code"))),
       "maintained PQ codes != re-encode of survivors")
     // Read closure: the compressed query against the maintained planes
     // equals the query against planes rebuilt from survivors, and it

@@ -124,6 +124,61 @@ class IvfMaintenanceSpec extends SparkSpec {
       "admitted PQ codes != stored index rows")
   }
 
+  test("packed PQ codes roundtrip losslessly (the stored layout is 4 bytes/vector)") {
+    val root = LlmPipeline.ensurePqIndex(spark, dir)
+    val q8 = LlmPipeline.pqSubVecs(LlmPipeline.ivfQuantizedVecs(spark, dir))
+    val subcb = spark.read.parquet(s"$root/subcb")
+    val exploded = LlmPipeline.pqAssign(q8, subcb).withColumnRenamed("cell", "code")
+    val roundtrip = LlmPipeline.unpackPqCodes(LlmPipeline.packPqCodes(exploded))
+    def eq(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    assert(eq(roundtrip, exploded.select("vec_id", "j", "code")),
+      "unpack(pack(codes)) != codes — the binary layout is lossy")
+    // And the stored plane really is one 4-byte value per vector.
+    val stored = spark.read.parquet(s"$root/codes")
+    assert(stored.schema("codes").dataType ==
+      org.apache.spark.sql.types.BinaryType, "stored codes are not BinaryType")
+    val badLen = stored.filter(length(col("codes")) =!= LlmPipeline.PqM / 2).count()
+    assert(badLen == 0, s"$badLen stored code rows are not ${LlmPipeline.PqM / 2} bytes")
+  }
+
+  test("PQ reads against a stale-codebook mixed index keep the recall target (VERDICT r16 item 7)") {
+    // The PQ admission window's BINDING contract (the coarse plane's
+    // law two tests up, extended to the compressed read): a shard
+    // admitted via pqAdmitShard under STALE sub-codebooks serves q198
+    // queries from the mixed index, and recall@3 vs the exact answer
+    // must clear the shipped gate until the nightly retrain. Without
+    // this, the purity law would be the only PQ admission contract —
+    // determinism without a quality floor.
+    graft.functions.NativeFunctions.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val t = java.nio.file.Files.createTempDirectory("graft_pqstale")
+    try {
+      val cbOld = LlmPipeline.buildStalePqIndex(spark, dir, t.toString)
+      val e = graft.sources.Tables.embeddings(spark, dir)
+        .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("d"))
+        .withColumn("nrm", expr("sqrt(dot_product(d, d))"))
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("p_id"), col("d").as("pd"), col("nrm").as("pnrm"))
+      val w = Window.partitionBy("p_id").orderBy(col("sim").desc, col("c_id").asc)
+      val exactTop3 = e.select(col("vec_id").as("c_id"), col("d").as("cd"), col("nrm").as("cnrm"))
+        .crossJoin(broadcast(probes))
+        .filter(col("c_id") =!= col("p_id"))
+        .withColumn("sim", expr("dot_product(pd, cd)") / (col("pnrm") * col("cnrm")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("p_id", "c_id").as[(Long, Long)].collect().toSet
+      val got = LlmPipeline.ivfPqAnnAgainst(spark, dir, t.toString,
+          coarseOverride = Some(cbOld))
+        .select("p_id", "c_id").as[(Long, Long)].collect().toSet
+      val recall = (got & exactTop3).size.toDouble / exactTop3.size
+      info(s"stale-codebook PQ recall@3: ${(got & exactTop3).size}/${exactTop3.size} = $recall")
+      assert(recall >= 0.8,
+        s"PQ recall@3 under stale codebooks = $recall < 0.8 — the compressed " +
+          "admission window broke the search contract")
+    } finally LlmPipeline.deleteRecursively(t)
+  }
+
   test("the k dial: a k=16 codebook trains 16 live cells and assignment stays total") {
     val q = LlmPipeline.ivfQuantizedVecs(spark, dir).localCheckpoint()
     val cb16 = LlmPipeline.trainIvfCodebook(q, 16).localCheckpoint()
