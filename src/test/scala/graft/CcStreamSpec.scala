@@ -358,4 +358,51 @@ class CcStreamSpec extends SparkSpec {
       LlmPipeline.deleteRecursively(t2)
     }
   }
+
+  test("takedown on the streamed chain: coarsen-only revoked on the delete axis — re-label snapshot == rebuild over surviving edges") {
+    import spark.implicits._
+    val (bandsPath, shinglesPath) = LlmPipeline.ensureBandIndex(spark, sfDir)
+    val ccPath = LlmPipeline.ensureCcArtifact(spark, sfDir)
+    val newDocs = graft.sources.Tables.documents(spark, sfDir)
+      .filter("doc_id % 4 = 0").select("doc_id", "text")
+      .as[(Long, String)].collect()
+    val (_, t) = runStream(Seq(newDocs.toSeq), bandsPath, shinglesPath, ccPath)
+    try {
+      val labelsDir = t.resolve("labels").toString
+      // The population the chain labels is the FULL corpus (standing
+      // snapshot + ingested shard), so its pair graph is the full
+      // memoized leaf; the notice is the q165 closure UNRESTRICTED
+      // (streamed takedowns may name shard docs too).
+      val fullPairs = LlmPipeline.lshPairGraph(spark, sfDir)
+        .select("id1", "id2").localCheckpoint()
+      val removed = LlmPipeline.takedownSpread(spark, sfDir)
+        .select("doc_id").localCheckpoint()
+      val labeledBefore = readLabels(labelsDir)
+      val hit = removed.as[Long].collect().count(labeledBefore.contains)
+      assert(hit > 0, "notice touches no labeled doc -- law vacuous")
+      StreamingAdmission.ccTakedownSnapshot(
+        spark, labelsDir, fullPairs, removed, atGen = 0L)
+      // The delete axis could NOT ride the coarsen-only delta fold --
+      // it committed a re-labeled SNAPSHOT the chain continues from:
+      // deltas <= 0 truncated, resolve at 0 serves the new base.
+      assert(!Files.exists(Paths.get(labelsDir, "delta", "batch_id=0")),
+        "takedown snapshot did not subsume the delta tail")
+      assert(Files.exists(Paths.get(labelsDir, "snap", "batch_id=0", "_SUCCESS")),
+        "takedown snapshot not committed")
+      val got = readLabels(labelsDir)
+      // Rebuild: CC over the surviving full-graph edges.
+      val survPairs = fullPairs
+        .join(removed.select(col("doc_id").as("id1")), Seq("id1"), "left_anti")
+        .join(removed.select(col("doc_id").as("id2")), Seq("id2"), "left_anti")
+        .select("id1", "id2")
+      val expected = LlmPipeline.minLabelComponents(
+          survPairs.union(survPairs.select(col("id2").as("id1"), col("id1").as("id2"))))
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected,
+        s"streamed takedown labeling (${got.size} rows) != survivor rebuild (${expected.size})")
+      val removedSet = removed.as[Long].collect().toSet
+      assert(got.keySet.intersect(removedSet).isEmpty,
+        "streamed chain still labels removed docs after the takedown")
+    } finally LlmPipeline.deleteRecursively(t)
+  }
 }

@@ -191,6 +191,56 @@ class IndexDeleteSpec extends SparkSpec {
     } finally LlmPipeline.deleteRecursively(t)
   }
 
+  test("CC-plane takedown: maintained labeling == CC rebuilt from the survivor corpus (VERDICT r16 item 2)") {
+    graft.functions.NativeFunctions.register(spark)
+    val labels = spark.read.parquet(LlmPipeline.ensureCcArtifact(spark, sfDir))
+    val pairs = LlmPipeline.lshPairGraph(spark, sfDir).select("id1", "id2")
+      .filter(col("id1") % 4 =!= 0 && col("id2") % 4 =!= 0)
+    val removed = LlmPipeline.takedownDocSet(spark, sfDir)
+    // Non-vacuity: the notice must touch at least one stored component.
+    val affected = labels.join(removed.select(col("doc_id").as("id")),
+      Seq("id"), "left_semi").count()
+    assert(affected > 0, "takedown touches no clustered doc — law vacuous")
+    val maintained = LlmPipeline.applyCcTakedown(labels, pairs, removed)
+    // Rebuild: CC over the surviving-corpus edge set (an edge is a
+    // pure function of its endpoints, so filtering removed endpoints
+    // IS the survivor pair graph).
+    val survPairs = pairs
+      .join(removed.select(col("doc_id").as("id1")), Seq("id1"), "left_anti")
+      .join(removed.select(col("doc_id").as("id2")), Seq("id2"), "left_anti")
+      .select("id1", "id2")
+    val rebuilt = LlmPipeline.minLabelComponents(
+      survPairs.union(survPairs.select(col("id2").as("id1"), col("id1").as("id2"))))
+    assert(rowsEqual(maintained, rebuilt.select("id", "label")),
+      "maintained labeling != survivor-corpus CC rebuild")
+    assert(maintained.join(removed.select(col("doc_id").as("id")),
+      Seq("id"), "left_semi").count() == 0,
+      "maintained labeling still labels removed docs")
+  }
+
+  test("CC takedown semantics on a synthetic chain: split into fragments, min-label re-elected, singletons dropped, untouched kept") {
+    import spark.implicits._
+    // Chain 1-2-3-4-5 plus the untouched pair 6-7. The stored labeling
+    // is the min-label fixpoint: {1..5} -> 1, {6,7} -> 6.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (6L, 7L))
+      .toDF("id1", "id2")
+    val edges = pairs.union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+    val labels = LlmPipeline.minLabelComponents(edges).localCheckpoint()
+    def fold(rem: Seq[Long]): Map[Long, Long] =
+      LlmPipeline.applyCcTakedown(labels, pairs, rem.toDF("doc_id"))
+        .as[(Long, Long)].collect().toMap
+    // Remove the bridge 3: the component SPLITS into {1,2} and {4,5} —
+    // the second fragment needs a label (4) that never existed before,
+    // which no label rewrite of the old state could produce.
+    assert(fold(Seq(3L)) == Map(1L -> 1L, 2L -> 1L, 4L -> 4L, 5L -> 4L,
+      6L -> 6L, 7L -> 6L), "bridge removal must split the component")
+    // Remove the min-label 1 AND interior 4: {2,3} re-elects label 2;
+    // 5 loses its last edge and drops (a singleton is not a cluster
+    // member — matching the rebuild); {6,7} is untouched verbatim.
+    assert(fold(Seq(1L, 4L)) == Map(2L -> 2L, 3L -> 2L, 6L -> 6L, 7L -> 6L),
+      "min-label re-election / singleton drop diverged")
+  }
+
   test("ANN takedown: keys/vecs anti-join == rebuild over surviving embeddings; probe decisions preserved") {
     import spark.implicits._
     val (keysPath, vecsPath) = LlmPipeline.ensureMpAnnIndex(spark, sfDir)
