@@ -5360,6 +5360,254 @@ object LlmPipeline extends QueryPack {
       |WHERE rank <= 10
       |ORDER BY query_id, rank""".stripMargin
 
+  /** Proximity-boosted conjunctive ranking (q204 — VERDICT r16 item
+    * 6a): the standard production phrase-boost ranking — BM25 scores
+    * candidates, term PROXIMITY re-orders them (Elasticsearch's
+    * rescore window, Lucene's SpanNear boost, every web engine's
+    * "words near each other rank higher"). The q197 term batch (3
+    * queries, slots A and B from the top-6 df tokens); a candidate
+    * must match BOTH slots (the conjunctive contract, postings-axis);
+    * its base score is the two slots' BM25 contributions summed (one
+    * addition — no tree coordination at arity 2); its BOOST is an
+    * INTEGER bucket of the tightest A→B gap on the positional axis:
+    * [[ProximityWindow]] + 1 − min_gap inside the window, 0 outside —
+    * so adjacency earns 5, slop-5 earns 1, no-proximity earns 0.
+    * The fused ordering key is round(bm25, 4) + boost: a 4-decimal
+    * rounded double plus an exact small integer is ONE IEEE addition
+    * both engines perform on identical operands (the q196 RRF
+    * discipline), so no float coordination exists to get wrong.
+    *
+    * Scale shape: both axes read ONLY the 6 query tokens' rows (pushed
+    * In-filters into the token-keyed postings and positions leaves —
+    * the q181/q197 plan pins); the conjunctive pivot is the q190
+    * aggregate over ≤ Σ df matched rows; the proximity join is q197's
+    * per-doc tf_A·tf_B band join; the fuse is one (query, doc) left
+    * join of two bounded relations. Nothing scans the corpus.
+    */
+  def proximityBoostedRank(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val root = ensurePostingsArtifact(spark, dir)
+    val idx = spark.read.parquet(ensureIndexArtifact(spark, dir))
+    val positions = spark.read.parquet(s"$root/positions")
+    val postings = spark.read.parquet(s"$root/postings")
+    val stats = spark.read.parquet(s"$root/stats")
+    val top6 = idx.select(col("token"), col("df"))
+      .orderBy(col("df").desc, col("token").asc).limit(6)
+    val terms = top6
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("df").desc, col("token").asc)))
+      .withColumn("query_id", (((col("r") - 1) % 3) + 1).cast("int"))
+      .withColumn("is_a", col("r") <= 3)
+      .select("query_id", "token", "df", "is_a")
+    val termStrings = terms.select("token").collect().map(_.getString(0)).toSeq
+    val st = stats.select(col("nd"),
+      (col("toktot").cast("double") / col("ndl").cast("double")).as("avgl"))
+    val scored = postings.filter(col("token").isin(termStrings: _*))
+      .join(broadcast(terms), "token")
+      .crossJoin(broadcast(st))
+      .withColumn("contrib",
+        (col("nd") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) *
+          (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgl"))))
+      .groupBy("query_id", "doc_id")
+      .agg(max(when(col("is_a"), col("contrib"))).as("ca"),
+        max(when(!col("is_a"), col("contrib"))).as("cb"))
+      .filter(col("ca").isNotNull && col("cb").isNotNull)
+      .withColumn("score", col("ca") + col("cb"))
+    val matchedPos = positions.filter(col("token").isin(termStrings: _*))
+      .join(broadcast(terms.select("query_id", "token", "is_a")), "token")
+    val prox = matchedPos.filter(col("is_a"))
+      .select(col("query_id"), col("doc_id"), col("pos").as("apos"))
+      .join(matchedPos.filter(!col("is_a"))
+        .select(col("query_id"), col("doc_id"), col("pos").as("bpos")),
+        Seq("query_id", "doc_id"))
+      .filter(col("bpos") > col("apos") &&
+        col("bpos") - col("apos") <= ProximityWindow)
+      .groupBy("query_id", "doc_id")
+      .agg(min(col("bpos") - col("apos")).as("min_gap"))
+    scored.join(prox, Seq("query_id", "doc_id"), "left")
+      .withColumn("boost",
+        coalesce(lit(ProximityWindow + 1) - col("min_gap"), lit(0L)))
+      .withColumn("combo", round(col("score"), 4) + col("boost").cast("double"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("combo").desc, col("doc_id").asc)).cast("int"))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("boost"),
+        col("combo").as("combo_r"))
+      .orderBy("query_id", "rank")
+  }
+
+  private[graft] val proximityBoostedRankSql =
+    s"""WITH tok AS (
+      |  SELECT doc_id, u.t.token AS token, CAST(u.t.pos AS BIGINT) AS pos
+      |  FROM documents,
+      |       unnest(list_transform(string_split(text, ' '),
+      |         (x, i) -> {'token': x, 'pos': i})) AS u(t)
+      |  WHERE doc_id % 4 <> 0),
+      |t2 AS (SELECT doc_id, token, pos FROM tok WHERE token <> ''),
+      |dft AS (SELECT token, count(DISTINCT doc_id) AS df FROM t2 GROUP BY token),
+      |terms AS (
+      |  SELECT token, df, CAST((((r - 1) % 3) + 1) AS INTEGER) AS query_id, (r <= 3) AS is_a
+      |  FROM (SELECT token, df, row_number() OVER (ORDER BY df DESC, token) AS r
+      |        FROM dft)
+      |  WHERE r <= 6),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM t2 GROUP BY doc_id),
+      |stats AS (
+      |  SELECT (SELECT count(*) FROM documents WHERE doc_id % 4 <> 0) AS nd,
+      |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgl
+      |  FROM dl),
+      |tf AS (
+      |  SELECT q.query_id, q.is_a, q.df, t.doc_id, count(*) AS tf
+      |  FROM t2 t JOIN terms q ON t.token = q.token
+      |  GROUP BY q.query_id, q.is_a, q.df, t.doc_id),
+      |co AS (
+      |  SELECT query_id, tf.doc_id AS doc_id, is_a,
+      |    (nd - df + 0.5) / (df + 0.5) * (tf * 2.2)
+      |        / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgl)) AS contrib
+      |  FROM tf
+      |  CROSS JOIN stats
+      |  JOIN dl ON tf.doc_id = dl.doc_id),
+      |sc AS (
+      |  SELECT query_id, doc_id,
+      |    max(CASE WHEN is_a THEN contrib END) AS ca,
+      |    max(CASE WHEN NOT is_a THEN contrib END) AS cb
+      |  FROM co GROUP BY query_id, doc_id),
+      |conj AS (
+      |  SELECT query_id, doc_id, ca + cb AS score
+      |  FROM sc WHERE ca IS NOT NULL AND cb IS NOT NULL),
+      |prox AS (
+      |  SELECT a.query_id, a.doc_id, min(b.pos - a.pos) AS min_gap
+      |  FROM (SELECT q.query_id, t.doc_id, t.pos
+      |        FROM t2 t JOIN terms q ON t.token = q.token AND q.is_a) a
+      |  JOIN (SELECT q.query_id, t.doc_id, t.pos
+      |        FROM t2 t JOIN terms q ON t.token = q.token AND NOT q.is_a) b
+      |    ON a.query_id = b.query_id AND a.doc_id = b.doc_id
+      |   AND b.pos > a.pos AND b.pos - a.pos <= $ProximityWindow
+      |  GROUP BY a.query_id, a.doc_id)
+      |SELECT query_id, rank, doc_id, boost, combo AS combo_r
+      |FROM (
+      |  SELECT c.query_id, c.doc_id,
+      |    coalesce(${ProximityWindow + 1} - p.min_gap, 0) AS boost,
+      |    round(c.score, 4)
+      |      + CAST(coalesce(${ProximityWindow + 1} - p.min_gap, 0) AS DOUBLE) AS combo,
+      |    CAST(row_number() OVER (PARTITION BY c.query_id
+      |      ORDER BY round(c.score, 4)
+      |        + CAST(coalesce(${ProximityWindow + 1} - p.min_gap, 0) AS DOUBLE) DESC,
+      |        c.doc_id) AS INTEGER) AS rank
+      |  FROM conj c
+      |  LEFT JOIN prox p ON c.query_id = p.query_id AND c.doc_id = p.doc_id)
+      |WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** How many top-df tokens the q205 trigram-query derivation reads —
+    * the scale bound: the derivation's positional input is the pushed
+    * In-filter over these tokens' rows (Σ df of 20 terms), never the
+    * corpus' full positional axis.
+    */
+  private[graft] val Phrase3DeriveTokens = 20
+
+  /** Three-term phrase retrieval (q205 — VERDICT r16 item 6b): q191's
+    * positional adjacency extended to word TRIGRAMS by chaining the
+    * (pos+1, pos+2) equi-joins on the same positions leaf. The two
+    * phrase queries are DATA-DERIVED — the corpus' top-2 trigrams by
+    * occurrence ((n desc, words) total order), counted over the
+    * positional rows of the [[Phrase3DeriveTokens]] highest-df tokens
+    * — because fixed rank-grouped token triples (the q191 recipe at
+    * arity 3) are usually empty: real phrase workloads come from
+    * observed n-grams, and the derivation is itself index-shaped (a
+    * pushed In(token) filter bounds it by Σ df of 20 terms; the
+    * trigram count is two self-equi-joins on (doc, pos) within that
+    * slice). The retrieval then reads ONLY the ≤ 6 phrase tokens'
+    * positional rows and chains two equi-joins; top 10 docs per phrase
+    * by occurrence count, doc_id tie-break — all integer, no float
+    * coordination anywhere.
+    */
+  def phrase3Retrieval(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val root = ensurePostingsArtifact(spark, dir)
+    val idx = spark.read.parquet(ensureIndexArtifact(spark, dir))
+    val positions = spark.read.parquet(s"$root/positions")
+    val topTokens = idx.select(col("token"), col("df"))
+      .orderBy(col("df").desc, col("token").asc).limit(Phrase3DeriveTokens)
+      .select("token").collect().map(_.getString(0)).toSeq
+    val posTop = positions.filter(col("token").isin(topTokens: _*))
+      .select("token", "doc_id", "pos")
+    // Trigram-query derivation: two chained adjacency joins, top-2 by
+    // (count desc, words) — 2 collected driver rows of control plane.
+    val tri = posTop.select(col("token").as("t1"), col("doc_id"), col("pos"))
+      .join(posTop.select(col("token").as("t2"), col("doc_id"),
+        (col("pos") - 1).as("pos")), Seq("doc_id", "pos"))
+      .join(posTop.select(col("token").as("t3"), col("doc_id"),
+        (col("pos") - 2).as("pos")), Seq("doc_id", "pos"))
+      .groupBy("t1", "t2", "t3").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t1"), col("t2"), col("t3")).limit(2)
+      .collect()
+    val phrases = tri.zipWithIndex.map { case (r, i) =>
+      (i + 1, r.getString(0), r.getString(1), r.getString(2)) }
+    val phraseTokens = phrases.flatMap(p => Seq(p._2, p._3, p._4)).distinct.toSeq
+    import spark.implicits._
+    val pdf = phrases.toSeq.toDF("query_id", "w1", "w2", "w3")
+    val matched = positions.filter(col("token").isin(phraseTokens: _*))
+      .select("token", "doc_id", "pos")
+    val s1 = matched.join(broadcast(pdf.select(col("query_id"), col("w1").as("token"))), "token")
+      .select(col("query_id"), col("doc_id"), col("pos"))
+    val s2 = matched.join(broadcast(pdf.select(col("query_id"), col("w2").as("token"))), "token")
+      .select(col("query_id"), col("doc_id"), (col("pos") - 1).as("pos"))
+    val s3 = matched.join(broadcast(pdf.select(col("query_id"), col("w3").as("token"))), "token")
+      .select(col("query_id"), col("doc_id"), (col("pos") - 2).as("pos"))
+    s1.join(s2, Seq("query_id", "doc_id", "pos"))
+      .join(s3, Seq("query_id", "doc_id", "pos"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("occ"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("occ").desc, col("doc_id").asc)).cast("int"))
+      .filter(col("rank") <= 10)
+      .select("query_id", "rank", "doc_id", "occ")
+      .orderBy("query_id", "rank")
+  }
+
+  private[graft] val phrase3RetrievalSql =
+    s"""WITH tok AS (
+      |  SELECT doc_id, u.t.token AS token, CAST(u.t.pos AS BIGINT) AS pos
+      |  FROM documents,
+      |       unnest(list_transform(string_split(text, ' '),
+      |         (x, i) -> {'token': x, 'pos': i})) AS u(t)
+      |  WHERE doc_id % 4 <> 0),
+      |t2 AS (SELECT doc_id, token, pos FROM tok WHERE token <> ''),
+      |dft AS (SELECT token, count(DISTINCT doc_id) AS df FROM t2 GROUP BY token),
+      |toptok AS (
+      |  SELECT token
+      |  FROM (SELECT token, row_number() OVER (ORDER BY df DESC, token) AS r FROM dft)
+      |  WHERE r <= $Phrase3DeriveTokens),
+      |pt AS (SELECT t2.* FROM t2 JOIN toptok USING (token)),
+      |tri AS (
+      |  SELECT a.token AS w1, b.token AS w2, c.token AS w3, count(*) AS n
+      |  FROM pt a
+      |  JOIN pt b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      |  JOIN pt c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+      |  GROUP BY a.token, b.token, c.token),
+      |phr AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY n DESC, w1, w2, w3) AS INTEGER)
+      |    AS query_id, w1, w2, w3
+      |  FROM (SELECT * FROM tri ORDER BY n DESC, w1, w2, w3 LIMIT 2)),
+      |occ AS (
+      |  SELECT p.query_id, a.doc_id, count(*) AS occ
+      |  FROM phr p
+      |  JOIN t2 a ON a.token = p.w1
+      |  JOIN t2 b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 AND b.token = p.w2
+      |  JOIN t2 c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2 AND c.token = p.w3
+      |  GROUP BY p.query_id, a.doc_id)
+      |SELECT query_id, rank, doc_id, occ
+      |FROM (
+      |  SELECT query_id, doc_id, occ,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY occ DESC, doc_id) AS INTEGER) AS rank
+      |  FROM occ)
+      |WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
   /** Incremental inverted-index maintenance (q168): fold a newly
     * ingested shard (doc_id % 4 == 0) into the STORED q149 index
     * without touching the standing corpus's documents — the per-crawl
@@ -6755,6 +7003,10 @@ object LlmPipeline extends QueryPack {
     QueryDef("q202_cc_takedown", ccTakedown, Some(ccTakedownSql),
       prepare = Some(prepareIncrementalCc _)),
     QueryDef("q195_index_takedown_repair", indexTakedownRepair, Some(indexTakedownRepairSql),
+      prepare = Some(preparePostings _)),
+    QueryDef("q204_proximity_boosted_rank", proximityBoostedRank, Some(proximityBoostedRankSql),
+      prepare = Some(preparePostings _)),
+    QueryDef("q205_phrase3_retrieval", phrase3Retrieval, Some(phrase3RetrievalSql),
       prepare = Some(preparePostings _)),
     QueryDef("q197_proximity_retrieval", proximityRetrieval, Some(proximityRetrievalSql),
       prepare = Some(preparePostings _)),

@@ -283,6 +283,30 @@ class PlanSpec extends SparkSpec {
       s"the window must ride the (query, doc) equi join as a residual:\n$plan")
   }
 
+  test("q204: proximity-boosted ranking reads both index axes under pushed In-filters — no corpus scan") {
+    val plan = formatted(LlmPipeline.proximityBoostedRank(spark, sfDir))
+    assert(!plan.contains("documents.parquet"),
+      s"q204 fused ranking scans the corpus:\n$plan")
+    assert(plan.contains("graft_postings_"),
+      s"no stored-artifact scan in the plan:\n$plan")
+    assert(plan.contains("PushedFilters: [In(token"),
+      s"query terms not pushed into the artifact scans:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"both axes must stay equi-join shaped:\n$plan")
+  }
+
+  test("q205: trigram phrase retrieval scans the positional leaf under a pushed In-filter; the chain is equi joins") {
+    val plan = formatted(LlmPipeline.phrase3Retrieval(spark, sfDir))
+    assert(!plan.contains("documents.parquet"),
+      s"q205 phrase probe scans the corpus:\n$plan")
+    assert(plan.contains("graft_postings_"),
+      s"no positional-artifact scan in the plan:\n$plan")
+    assert(plan.contains("PushedFilters: [In(token"),
+      s"phrase terms not pushed into the positions scan:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"the trigram chain must be (query, doc, pos) equi joins:\n$plan")
+  }
+
   test("q198: IVF-PQ candidate scoring reads stored codes, vectors only at re-rank") {
     val plan = formatted(LlmPipeline.ivfPqAnn(spark, sfDir))
     assert(plan.contains("graft_ivfpq_"),
