@@ -446,6 +446,71 @@ object IndexScale {
     require(queries.LlmPipeline.bm25Disjunctive(spark, bigDirInc).count() == 20,
       s"q192 degenerate at ${replicas}x")
 
+    // --- r17: the atomic multi-plane takedown COMMIT (q201-class) --------
+    // The durable form of the q193 apply: stage all ELEVEN plane folds
+    // as candidate generations + ONE manifest CAS. Cost model: the
+    // plane writes dominate and track the ARTIFACT sizes (each fold is
+    // one anti-join/subtraction pass over its leaf — the nightly-fold
+    // cost class); the notice rides a broadcast; the commit itself is
+    // one 11-line file CAS regardless of N. Nightly builds (band/ANN/
+    // PQ indexes) are off-clock as everywhere else.
+    queries.LlmPipeline.ensureBandIndex(spark, baseDir)
+    queries.LlmPipeline.ensureBandIndex(spark, bigDirInc)
+    def commitLeg(d: String, bits: Int, rem: org.apache.spark.sql.DataFrame): Double = {
+      val root = queries.LlmPipeline.ensurePostingsArtifact(spark, d)
+      val idxPath = queries.LlmPipeline.ensureIndexArtifact(spark, d)
+      val (bandsPath, shinglesPath) = queries.LlmPipeline.ensureBandIndex(spark, d)
+      val (keysPath, vecsPath) = queries.LlmPipeline.ensureMpAnnIndex(spark, d, bits)
+      val pqRoot = queries.LlmPipeline.ensurePqIndex(spark, d)
+      val logDir = java.nio.file.Files.createTempDirectory("graft_is_tdlog")
+      val planes = java.nio.file.Files.createTempDirectory("graft_is_tdpl")
+      try {
+        require(queries.SqlGateway.occTryCommitManifest(logDir, -1L, Seq(
+          "index" -> idxPath, "postings" -> s"$root/postings",
+          "positions" -> s"$root/positions", "docstats" -> s"$root/docstats",
+          "stats" -> s"$root/stats", "bands" -> bandsPath,
+          "shingles" -> shinglesPath, "ann_keys" -> keysPath,
+          "ann_vecs" -> vecsPath, "pq_cells" -> s"$pqRoot/cells",
+          "pq_codes" -> s"$pqRoot/codes")))
+        time {
+          val (won, _) = queries.LlmPipeline.commitTakedownGeneration(
+            spark, planes.toString, logDir, rem, "t1")
+          require(won, "unopposed takedown commit lost")
+        }
+      } finally {
+        queries.LlmPipeline.deleteRecursively(logDir)
+        queries.LlmPipeline.deleteRecursively(planes)
+      }
+    }
+    val noticeInc = graft.sources.Tables.documents(spark, baseDir)
+      .filter(col("doc_id") % 4 =!= 0 && col("doc_id") % 17 === 3)
+      .select("doc_id").localCheckpoint()
+    val nNoticeInc = noticeInc.count()
+    val tcBase = commitLeg(baseDir, queries.LlmPipeline.MpBits, noticeInc)
+    val tcBig = commitLeg(bigDirInc, bitsBig, noticeInc)
+    println(f"| q201 multi-plane takedown commit ($nNoticeInc-doc notice, 11 planes + 1 CAS) " +
+      f"| $tcBase%.1f | $tcBig%.1f | ${tcBig / tcBase}%.1f " +
+      "| ~artifact-leaf passes + writes (the nightly-fold class); the CAS is one file |")
+
+    // --- r17: component-plane takedown (q202-class) ----------------------
+    // The re-label fold vs the full CC rebuild it replaces: untouched
+    // components keep stored rows (anti-join), affected components
+    // re-run min-label CC on surviving edges — work tracks the
+    // NOTICE'S components, so the leg must sit far below the q101
+    // rebuild measured above and grow sublinearly.
+    def ccTakedownLeg(d: String, rem: org.apache.spark.sql.DataFrame): Double = {
+      val labels = spark.read.parquet(queries.LlmPipeline.ensureCcArtifact(spark, d))
+      val pairs = queries.LlmPipeline.lshPairGraph(spark, d).select("id1", "id2")
+        .filter(col("id1") % 4 =!= 0 && col("id2") % 4 =!= 0)
+      time(noop(queries.LlmPipeline.applyCcTakedown(labels, pairs, rem)))
+    }
+    noop(queries.LlmPipeline.ccTakedown(spark, "/root/testdata/sf0.001")) // warm-up
+    val ccTdBase = ccTakedownLeg(baseDir, noticeInc)
+    val ccTdBig = ccTakedownLeg(bigDirInc, noticeInc)
+    println(f"| q202 CC-plane takedown (fixed notice; vs q101 rebuild row above) " +
+      f"| $ccTdBase%.1f | $ccTdBig%.1f | ${ccTdBig / ccTdBase}%.1f " +
+      "| ~affected components (notice-sized), never the corpus graph |")
+
     // --- contract requires at N× ------------------------------------------
     // q181: retrieval stays well-formed on the N× corpus.
     val bm = queries.LlmPipeline.bm25Retrieval(spark, bigDirInc).collect()
