@@ -6384,14 +6384,28 @@ object LlmPipeline extends QueryPack {
     * corpus.
     */
   def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val root = ensurePostingsArtifact(spark, dir)
-    val lex = bm25AgainstArtifacts(
+    val (keysPath, vecsPath) = ensureMpAnnIndex(spark, dir)
+    hybridRrfFrom(spark, dir,
       spark.read.parquet(ensureIndexArtifact(spark, dir)),
       spark.read.parquet(s"$root/postings"),
-      spark.read.parquet(s"$root/stats"))
+      spark.read.parquet(s"$root/stats"),
+      keysPath, vecsPath)
+  }
+
+  /** [[hybridRrf]] against EXPLICIT index planes — the takedown
+    * read-closure entry (IndexDeleteSpec runs the fused ranking over
+    * post-delete planes on BOTH legs: the lexical relations from
+    * [[applyIndexTakedown]], the ANN paths from [[applyAnnTakedown]]'s
+    * persisted output).
+    */
+  private[graft] def hybridRrfFrom(
+      spark: SparkSession, dir: String,
+      idx: DataFrame, postings: DataFrame, stats: DataFrame,
+      keysPath: String, vecsPath: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = bm25AgainstArtifacts(idx, postings, stats)
       .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
-    val (keysPath, vecsPath) = ensureMpAnnIndex(spark, dir)
     val probes = Tables.embeddings(spark, dir)
       .filter(col("vec_id") % 4 === 0)
       .orderBy("vec_id").limit(3)

@@ -603,8 +603,18 @@ object StreamingAdmission {
   private[graft] def ccTakedownSnapshot(
       spark: SparkSession, labelsDir: String, pairs: DataFrame,
       removed: DataFrame, atGen: Long): Unit = {
-    val labels = resolveLabels(spark, labelsDir, atGen)
+    // Materialize the resolved labeling EAGERLY before touching the
+    // snapshot directory: on a REPLAYED takedown (at-least-once
+    // notices — the snapshot at atGen is already committed),
+    // resolveLabels resolves FROM that very snapshot, and a lazy plan
+    // would scan the files the rewrite below deletes. The refold
+    // itself is idempotent — applying a takedown to an
+    // already-maintained labeling touches no component (the removal
+    // set no longer labels anything), so the replay rewrites identical
+    // bytes and converges (CcStreamSpec pins it).
+    val labels = resolveLabels(spark, labelsDir, atGen).localCheckpoint()
     val maintained = LlmPipeline.applyCcTakedown(labels, pairs, removed)
+      .localCheckpoint()
     val snapPath = java.nio.file.Paths.get(labelsDir, "snap", s"batch_id=$atGen")
     LlmPipeline.deleteRecursively(snapPath)
     maintained.select(col("id"), col("label"))

@@ -403,6 +403,16 @@ class CcStreamSpec extends SparkSpec {
       val removedSet = removed.as[Long].collect().toSet
       assert(got.keySet.intersect(removedSet).isEmpty,
         "streamed chain still labels removed docs after the takedown")
+      // Replay convergence (at-least-once notices): re-running the
+      // SAME takedown at the SAME generation resolves from the
+      // committed takedown snapshot itself, re-folds (a no-op — the
+      // removal set no longer labels anything), and rewrites identical
+      // state. This is exactly the path that would have scanned
+      // deleted files without the eager materialization.
+      StreamingAdmission.ccTakedownSnapshot(
+        spark, labelsDir, fullPairs, removed, atGen = 0L)
+      assert(readLabels(labelsDir) == expected,
+        "takedown replay diverged from the first application")
     } finally LlmPipeline.deleteRecursively(t)
   }
 }

@@ -191,6 +191,56 @@ class IndexDeleteSpec extends SparkSpec {
     } finally LlmPipeline.deleteRecursively(t)
   }
 
+  test("hybrid RRF read closure under takedown: fusion over maintained planes (both legs) == over rebuilt planes; no removed id served") {
+    // q196 composes BOTH index families, so its takedown closure needs
+    // BOTH legs maintained at once — a subtractive-maintenance bug on
+    // either side shifts a leg ranking and with it the fusion.
+    graft.functions.NativeFunctions.register(spark)
+    val root = LlmPipeline.ensurePostingsArtifact(spark, sfDir)
+    val removed = LlmPipeline.takedownDocSet(spark, sfDir).localCheckpoint()
+    val (idx, postings, _, _, stats) = LlmPipeline.applyIndexTakedown(
+      spark, root, LlmPipeline.ensureIndexArtifact(spark, sfDir), removed)
+    val (keysPath, vecsPath) = LlmPipeline.ensureMpAnnIndex(spark, sfDir)
+    val remVec = removed.select(col("doc_id").as("vec_id"))
+    val (keys, vecs) = LlmPipeline.applyAnnTakedown(spark, keysPath, vecsPath, remVec)
+    // Rebuilt-from-survivors relations for both legs.
+    val kept = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 4 =!= 0)
+      .join(removed, Seq("doc_id"), "left_anti")
+      .select("doc_id", "text")
+    val (rp, _, rs) = LlmPipeline.postingsFor(kept)
+    val rIdxDf = kept
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val survivors = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 4 =!= 0)
+      .join(remVec, Seq("vec_id"), "left_anti")
+    val rVecs = LlmPipeline.mpVecsFor(survivors)
+    val rKeys = LlmPipeline.mpKeysFor(rVecs, LlmPipeline.MpBits)
+    val t = java.nio.file.Files.createTempDirectory("graft_rrfdel")
+    try {
+      def dump(df: DataFrame, name: String): String = {
+        val p = t.resolve(name).toString
+        df.write.parquet(p); p
+      }
+      val fusedMaintained = LlmPipeline.hybridRrfFrom(spark, sfDir,
+        idx, postings, stats, dump(keys, "mk"), dump(vecs, "mv"))
+        .localCheckpoint()
+      val fusedRebuilt = LlmPipeline.hybridRrfFrom(spark, sfDir,
+        rIdxDf, rp, rs, dump(rKeys, "rk"), dump(rVecs, "rv"))
+      assert(rowsEqual(fusedMaintained, fusedRebuilt),
+        "post-takedown fused ranking != rebuilt-corpus fused ranking")
+      assert(fusedMaintained.join(removed, Seq("doc_id"), "left_semi").count() == 0,
+        "post-takedown fusion still serves removed docs")
+      // Non-vacuity: the takedown must actually have MOVED the fusion
+      // relative to the pre-delete stored planes.
+      assert(!rowsEqual(fusedMaintained, LlmPipeline.hybridRrf(spark, sfDir)),
+        "takedown changed no fused row — removal set too small to test the closure")
+    } finally LlmPipeline.deleteRecursively(t)
+  }
+
   test("CC-plane takedown: maintained labeling == CC rebuilt from the survivor corpus (VERDICT r16 item 2)") {
     graft.functions.NativeFunctions.register(spark)
     val labels = spark.read.parquet(LlmPipeline.ensureCcArtifact(spark, sfDir))
