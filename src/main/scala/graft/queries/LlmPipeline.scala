@@ -5764,9 +5764,10 @@ object LlmPipeline extends QueryPack {
     *     its own doc's text, so removing the doc's rows IS the rebuild
     *     (the q188 row-union law run backward).
     *   - stats: SUBTRACTION — the additive (nd, ndl, toktot) fold run
-    *     backward. nd subtracts the removal-set size (⊆-population
-    *     contract); ndl/toktot subtract the removed docs' docstats
-    *     cells (a doc absent from docstats contributed nothing).
+    *     backward, every cell keyed on the removed docs' PRESENT
+    *     docstats rows (the streamed tombstone discipline — a doc
+    *     absent from docstats contributed nothing, so a replayed
+    *     notice or a never-indexed id is a no-op, r17).
     *   - index (token, df, head_ids): df subtracts the removed docs'
     *     per-token posting-row counts; tokens whose df reaches 0 are
     *     dropped; AFFECTED tokens' heads are REFILLED from the
@@ -5809,13 +5810,22 @@ object LlmPipeline extends QueryPack {
       .select("token", "doc_id", "pos")
     val docstats0 = spark.read.parquet(docstatsPath)
     val docstats = docstats0.join(broadcast(rem), Seq("doc_id"), "left_anti")
+    // Every stats cell subtracts by the removed docs' PRESENT docstats
+    // rows — the streamed tombstone discipline (PostingsMaintenance):
+    // nd too, not just ndl/toktot. A blind |removal set| subtraction
+    // would double-subtract on a REPLAYED notice (at-least-once
+    // delivery) and under-count for never-indexed ids; keying on the
+    // sidecar makes re-application a no-op on every plane, which is
+    // what lets q201's replay law hold without applied/unapplied
+    // bookkeeping. (Equal to the blind form under the ⊆-indexed
+    // contract: a notice names docs that are served, and a served doc
+    // has ≥ 1 token, hence a docstats row.)
     val remDl = docstats0.join(broadcast(rem), Seq("doc_id"), "left_semi")
-      .agg(count(lit(1)).as("ndl_r"), coalesce(sum("dl"), lit(0L)).as("tok_r"))
-    val remN = rem.agg(count(lit(1)).as("nd_r"))
+      .agg(count(lit(1)).as("nd_r"), coalesce(sum("dl"), lit(0L)).as("tok_r"))
     val stats = spark.read.parquet(statsPath)
-      .crossJoin(broadcast(remN)).crossJoin(broadcast(remDl))
+      .crossJoin(broadcast(remDl))
       .select((col("nd") - col("nd_r")).as("nd"),
-        (col("ndl") - col("ndl_r")).as("ndl"),
+        (col("ndl") - col("nd_r")).as("ndl"),
         (col("toktot") - col("tok_r")).as("toktot"))
     // Index repair: subtractive df + head refill for affected tokens.
     val minK = udaf(new graft.functions.Udafs.MinKLongs(PostingsHeadCap))

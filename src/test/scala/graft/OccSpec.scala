@@ -473,6 +473,22 @@ class OccSpec extends SparkSpec {
           .join(broadcast(remVecAll), Seq("vec_id"), "left_semi").count() == 0,
           s"final plane $p still serves removed vectors")
       }
+
+      // Replay convergence (at-least-once notices): re-committing the
+      // FULL removal set as generation 3 folds the already-maintained
+      // generation-2 planes — every fold keys on presence (anti-joins;
+      // stats subtraction on the removed docs' PRESENT docstats rows),
+      // so the replay is a no-op on every plane: generation 3's eleven
+      // planes are row-identical to generation 2's, stats cells
+      // included (a blind |notice| subtraction would corrupt nd here).
+      val (wonR, _) = LlmPipeline.commitTakedownGeneration(
+        spark, planesRoot.toString, logDir, removedAll, "replay")
+      assert(wonR, "unopposed replay commit must win")
+      val mR = SqlGateway.occManifestAt(logDir, 3L)
+      LlmPipeline.TakedownPlanes.foreach { p =>
+        assert(rowsEqual(spark.read.parquet(mR(p)), spark.read.parquet(mF(p))),
+          s"replayed takedown changed plane $p — re-application is not a no-op")
+      }
     } finally {
       LlmPipeline.deleteRecursively(logDir)
       LlmPipeline.deleteRecursively(planesRoot)
