@@ -113,6 +113,55 @@ class BpeTrainSpec extends SparkSpec {
     * reference merge-by-merge — on the run fixture (where the r16
     * semantics would diverge) AND on the corpus vocabulary.
     */
+  /** q206's admission discipline: the stored merge artifact is the
+    * STANDING-corpus training (shard words must not leak into it), and
+    * shard words encode under that fixed chain exactly as the
+    * scan-greedy reference replays it — including words the standing
+    * vocabulary never saw.
+    */
+  test("stored merge artifact == standing-corpus training; shard encodes under the FIXED chain (q206)") {
+    import spark.implicits._
+    val stored = spark.read.parquet(LlmPipeline.ensureBpeMerges(spark, sfDir))
+      .orderBy("round")
+      .as[(Int, String, String, Long)].collect().toSeq
+    val standing = graft.sources.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 4 =!= 0)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("wn"))
+    val (expected, _) = LlmPipeline.bpeTrainMerges(standing)
+    assert(stored == expected,
+      "stored merge artifact != standing-corpus training (shard leak?)")
+    // And it genuinely differs from full-corpus training OR is pinned
+    // equal — either way record which, so a silent corpus-split drift
+    // is visible. (The fixture's shard shifts at least one argmax
+    // count; equality of the TABLES would make the artifact's
+    // standing-only contract untestable here.)
+    val (fullChain, _) = LlmPipeline.bpeTrainMerges(
+      graft.sources.Tables.documents(spark, sfDir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("wn")))
+    info(s"standing-trained == full-trained tables: ${stored == fullChain}")
+    // Shard encode parity vs the scan-greedy reference under the
+    // STANDING chain, on shard words (some unseen in training).
+    val chain = stored.map(m => (m._2, m._3))
+    val shardWords = graft.sources.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 4 === 0)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").distinct().as[String].collect().toSeq
+    assert(shardWords.nonEmpty, "shard vocabulary empty — law vacuous")
+    val got = LlmPipeline.bpeApplyMerges(shardWords.toDF("w"), chain)
+      .select(col("w"), expr("filter(split(seq, '[|]'), x -> x != '')"))
+      .as[(String, Seq[String])].collect().toMap
+    shardWords.foreach { w =>
+      val exp = chain.foldLeft(w.map(_.toString).toVector) {
+        case (syms, (x, y)) => scanMerge(syms, x, y)
+      }
+      assert(got(w) == exp, s"shard encode of '$w' = ${got(w)}, reference = $exp")
+    }
+  }
+
   test("bpeApplyMerges == scan-greedy replay of the trained chain (encode parity)") {
     import spark.implicits._
     val w0 = graft.sources.Tables.documents(spark, sfDir)
