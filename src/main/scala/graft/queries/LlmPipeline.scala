@@ -1997,12 +1997,22 @@ object LlmPipeline extends QueryPack {
     * downstream integer (ADC sums, shortlists) is bit-identical to the
     * exploded layout and q198's retraining oracle needs no change.
     */
-  private[graft] def packPqCodes(codes: DataFrame): DataFrame =
+  private[graft] def packPqCodes(codes: DataFrame): DataFrame = {
+    // The hex-nibble layout is only lossless while every code fits one
+    // hex digit and the digit count is byte-aligned; a constant bump
+    // past either line must fail HERE, loudly, not write a corrupted
+    // codes plane (hex(c) emitting two digits, or unhex returning null
+    // on an odd-length string) that every downstream ADC read trusts
+    // (ADVICE r17).
+    require(PqKs <= 16 && PqM % 2 == 0,
+      s"packed PQ layout requires PqKs <= 16 (one hex nibble per code, got $PqKs) " +
+        s"and even PqM (byte alignment, got $PqM) — widen packPqCodes before raising them")
     codes.groupBy("vec_id")
       .agg(expr("transform(array_sort(collect_list(struct(j, code))), e -> e.code)")
         .as("carr"))
       .select(col("vec_id"),
         expr("unhex(array_join(transform(carr, c -> hex(c)), ''))").as("codes"))
+  }
 
   /** Unpack the stored 4-byte code column back to (vec_id, j, code) —
     * the read-side inverse of [[packPqCodes]] (the ADC join keys on

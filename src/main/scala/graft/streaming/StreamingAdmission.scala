@@ -603,22 +603,39 @@ object StreamingAdmission {
   private[graft] def ccTakedownSnapshot(
       spark: SparkSession, labelsDir: String, pairs: DataFrame,
       removed: DataFrame, atGen: Long): Unit = {
-    // Materialize the resolved labeling EAGERLY before touching the
-    // snapshot directory: on a REPLAYED takedown (at-least-once
-    // notices — the snapshot at atGen is already committed),
-    // resolveLabels resolves FROM that very snapshot, and a lazy plan
-    // would scan the files the rewrite below deletes. The refold
-    // itself is idempotent — applying a takedown to an
-    // already-maintained labeling touches no component (the removal
-    // set no longer labels anything), so the replay rewrites identical
-    // bytes and converges (CcStreamSpec pins it).
-    val labels = resolveLabels(spark, labelsDir, atGen).localCheckpoint()
-    val maintained = LlmPipeline.applyCcTakedown(labels, pairs, removed)
-      .localCheckpoint()
     val snapPath = java.nio.file.Paths.get(labelsDir, "snap", s"batch_id=$atGen")
-    LlmPipeline.deleteRecursively(snapPath)
+    // The rewrite must never hold the chain's ONLY copy in memory
+    // (ADVICE r17): on a REPLAYED takedown the deltas ≤ atGen were
+    // already truncated, so the committed snapshot at atGen is the
+    // sole surviving labeling — a delete-then-rewrite-in-place loses
+    // it to a crash between the two steps. So the maintained labeling
+    // lands in a STAGING directory first (the old snapshot stays
+    // committed and readable throughout — no eager materialization
+    // needed), and only a completed staging write (_SUCCESS) swaps in
+    // via one atomic rename(2). The dotted staging name sits outside
+    // the `batch_id=` generation namespace, so no resolve or compaction
+    // ever reads it.
+    val staging = java.nio.file.Paths.get(labelsDir, "snap", s".staging-$atGen")
+    // Crash-mid-swap recovery: a COMPLETE staging beside a missing
+    // snapshot means a prior run died between its delete and its move —
+    // the staging copy is the chain; finish the swap before resolving.
+    if (Generations.isComplete(staging) && !Generations.isComplete(snapPath)) {
+      LlmPipeline.deleteRecursively(snapPath)
+      java.nio.file.Files.move(staging, snapPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    // The refold is idempotent — applying a takedown to an already-
+    // maintained labeling touches no component (the removal set no
+    // longer labels anything), so a replay stages identical bytes and
+    // converges (CcStreamSpec pins it).
+    val labels = resolveLabels(spark, labelsDir, atGen)
+    val maintained = LlmPipeline.applyCcTakedown(labels, pairs, removed)
+    LlmPipeline.deleteRecursively(staging)
     maintained.select(col("id"), col("label"))
-      .write.mode(SaveMode.Overwrite).parquet(snapPath.toString)
+      .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    LlmPipeline.deleteRecursively(snapPath)
+    java.nio.file.Files.move(staging, snapPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     genIds(java.nio.file.Paths.get(labelsDir, "delta")).filter(_ <= atGen)
       .foreach(b => LlmPipeline.deleteRecursively(
         java.nio.file.Paths.get(labelsDir, "delta", s"batch_id=$b")))

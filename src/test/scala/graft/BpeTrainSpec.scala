@@ -108,11 +108,6 @@ class BpeTrainSpec extends SparkSpec {
     }
   }
 
-  /** q203's inference half: applying the trained merge chain to words
-    * ([[LlmPipeline.bpeApplyMerges]]) equals replaying the scan-greedy
-    * reference merge-by-merge — on the run fixture (where the r16
-    * semantics would diverge) AND on the corpus vocabulary.
-    */
   /** q206's admission discipline: the stored merge artifact is the
     * STANDING-corpus training (shard words must not leak into it), and
     * shard words encode under that fixed chain exactly as the
@@ -162,6 +157,11 @@ class BpeTrainSpec extends SparkSpec {
     }
   }
 
+  /** q203's inference half: applying the trained merge chain to words
+    * ([[LlmPipeline.bpeApplyMerges]]) equals replaying the scan-greedy
+    * reference merge-by-merge — on the run fixture (where the r16
+    * semantics would diverge) AND on the corpus vocabulary.
+    */
   test("bpeApplyMerges == scan-greedy replay of the trained chain (encode parity)") {
     import spark.implicits._
     val w0 = graft.sources.Tables.documents(spark, sfDir)
