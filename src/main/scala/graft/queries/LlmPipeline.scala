@@ -67,6 +67,15 @@ object LlmPipeline extends QueryPack {
       .withColumn("sh", expr("shingle_hash64(word_shingles(text, 3))"))
   }
 
+  /** Hashed shingle sets for an explicit (doc_id, text) relation — the
+    * [[hashShingled]] kernel over a shard instead of the whole fixture
+    * table (the q207 admission fold shingles ONLY the shard; the
+    * standing corpus contributes its stored shingles plane).
+    */
+  private[graft] def shingledFor(docs: DataFrame): DataFrame =
+    docs.withColumn("sh", expr("shingle_hash64(word_shingles(text, 3))"))
+      .select("doc_id", "sh")
+
   /** embeddings as double vectors with precomputed L2 norms. */
   private def normed(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
@@ -2991,6 +3000,83 @@ object LlmPipeline extends QueryPack {
     ()
   }
 
+  /** The CLUSTERING planes of the transactional index manifest (q201
+    * planes 12–14 — VERDICT r17 item 2): the stored pair graph, the
+    * component labeling, and the per-cluster representatives, written
+    * once by the nightly build over the standing corpus. Until this
+    * round the labeling lived OUTSIDE the q201 manifest (maintained by
+    * the separate q202 fold), so a reader resolving labels right after
+    * the manifest CAS could still see removed docs — possibly as
+    * min-id labels — until the CC fold ran. Binding all three here
+    * closes that window: one CAS swings the text index, the dedup
+    * artifacts, the ANN planes AND the clustering.
+    *
+    *   - `pairs/` — (id1 < id2, jaccard), the verified near-dup edge
+    *     set over the standing corpus ([[lshPairGraph]] restricted to
+    *     corpus-internal endpoints). It must travel with the labels:
+    *     the takedown fold re-labels affected components from
+    *     SURVIVING EDGES, and under loser-rebase those edges must come
+    *     from the winner's committed generation, not a session memo.
+    *   - `labels/` — (id, label), [[minLabelComponents]] over the pairs
+    *     plane (the [[ensureCcArtifact]] labeling, co-located).
+    *   - `reps/` — (label, rep_id, cluster_size), one row per cluster.
+    *     Election is by the DOCSTATS plane's dl (largest token count,
+    *     id tie-break) rather than q127's n_chars: the transaction is
+    *     then CLOSED over its own planes — every fold input and every
+    *     cross-plane audit resolves from the same committed manifest,
+    *     no external table read at fold time.
+    */
+  private val ccPlanesCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.nio.file.Path]()
+
+  private[graft] def ensureCcPlanes(
+      spark: SparkSession, dir: String): (String, String, String) = {
+    evictStoppedArtifacts(ccPlanesCache)
+    val base = ccPlanesCache.computeIfAbsent((spark, dir), _ => {
+      artifactShutdownHook
+      graft.functions.NativeFunctions.register(spark)
+      val tag = s"${SourcesOps.sanitizedAppId(spark)}_" +
+        s"${Integer.toHexString(System.identityHashCode(spark))}_" +
+        s"${Integer.toHexString(dir.hashCode)}"
+      val b = Paths.get(sys.props("java.io.tmpdir"), s"graft_ccplanes_$tag")
+      lshPairGraph(spark, dir)
+        .filter(col("id1") % 4 =!= 0 && col("id2") % 4 =!= 0)
+        .select("id1", "id2", "jaccard")
+        .write.mode(SaveMode.Overwrite).parquet(s"$b/pairs")
+      val pairsLeaf = spark.read.parquet(s"$b/pairs").select("id1", "id2")
+      val edges = pairsLeaf.union(
+        pairsLeaf.select(col("id2").as("id1"), col("id1").as("id2")))
+      minLabelComponents(edges).select("id", "label")
+        .write.mode(SaveMode.Overwrite).parquet(s"$b/labels")
+      val dl = spark.read
+        .parquet(s"${ensurePostingsArtifact(spark, dir)}/docstats")
+        .select(col("doc_id").as("id"), col("dl"))
+      electRepresentatives(spark.read.parquet(s"$b/labels"), dl)
+        .write.mode(SaveMode.Overwrite).parquet(s"$b/reps")
+      b
+    })
+    (s"$base/pairs", s"$base/labels", s"$base/reps")
+  }
+
+  /** One (label, rep_id, cluster_size) row per cluster of `labels`,
+    * elected by dl (descending, id ascending tie-break) — the reps
+    * plane's one election rule, shared by the nightly build and both
+    * transactional folds so "fold == rebuild re-election" is a row
+    * equality.
+    */
+  private[graft] def electRepresentatives(
+      labels: DataFrame, dl: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    labels.join(dl, "id")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("label").orderBy(col("dl").desc, col("id").asc)))
+      .filter(col("rn") === 1)
+      .select(col("label"), col("id").as("rep_id"))
+      .join(sizes, "label")
+      .select("label", "rep_id", "cluster_size")
+  }
+
   /** Stored EMBEDDING-side component labeling over the standing corpus
     * (vec_id % 4 != 0) — the seed state for streaming ANN component
     * maintenance ([[graft.streaming.StreamingAdmission.startAnnCc]]),
@@ -4224,6 +4310,7 @@ object LlmPipeline extends QueryPack {
       mpAnnIndexCache.values().forEach(deleteRecursively(_))
       ccArtifactCache.values().forEach(deleteRecursively(_))
       annCcArtifactCache.values().forEach(deleteRecursively(_))
+      ccPlanesCache.values().forEach(deleteRecursively(_))
     }))
 
   private[graft] def ensureBandIndex(spark: SparkSession, dir: String): (String, String) = {
@@ -6047,6 +6134,20 @@ object LlmPipeline extends QueryPack {
     */
   private[graft] def applyCcTakedown(
       labels: DataFrame, pairs: DataFrame, removed: DataFrame): DataFrame = {
+    val (untouched, relabeled) = applyCcTakedownParts(labels, pairs, removed)
+    untouched.unionByName(relabeled)
+  }
+
+  /** [[applyCcTakedown]] with the two halves returned SEPARATELY —
+    * (untouched components' rows verbatim, affected components
+    * re-labeled from surviving edges) — because the representative
+    * plane's fold (q201's plane 14) needs exactly that split: rep rows
+    * of untouched components carry verbatim, while only the re-labeled
+    * fragment re-elects (cost stays notice-sized on both planes).
+    */
+  private[graft] def applyCcTakedownParts(
+      labels: DataFrame, pairs: DataFrame, removed: DataFrame)
+      : (DataFrame, DataFrame) = {
     val rem = removed.select(col("doc_id").as("id"))
     val affLabels = labels.join(broadcast(rem), Seq("id"), "left_semi")
       .select("label").distinct()
@@ -6063,7 +6164,7 @@ object LlmPipeline extends QueryPack {
       .select("id1", "id2")
     val edges = survivingAff.union(
       survivingAff.select(col("id2").as("id1"), col("id1").as("id2")))
-    untouched.unionByName(minLabelComponents(edges).select("id", "label"))
+    (untouched, minLabelComponents(edges).select("id", "label"))
   }
 
   /** Component/representative-plane takedown (q202): the stored q177
@@ -6253,19 +6354,24 @@ object LlmPipeline extends QueryPack {
 
   // ===== Atomic multi-plane takedown commit (r17 — VERDICT r16 item 1) =====
 
-  /** The eleven stored-index planes a takedown swings — every artifact
-    * family this engine serves reads from: the BM25 five (head index,
-    * full postings, positions, docstats, corpus stats), the MinHash
-    * band pair (bands, shingles), the multi-probe ANN pair (keys,
-    * vecs), and the compressed PQ pair (cells, packed codes).
+  /** The FOURTEEN stored-index planes the transactional manifest binds
+    * — every artifact family this engine serves reads from: the BM25
+    * five (head index, full postings, positions, docstats, corpus
+    * stats), the MinHash band pair (bands, shingles), the multi-probe
+    * ANN pair (keys, vecs), the compressed PQ pair (cells, packed
+    * codes), and — new in r18 (VERDICT r17 item 2) — the clustering
+    * triple (pair graph, component labels, representatives), which
+    * until now sat outside the q201 transaction and could serve
+    * removed docs (possibly as min-id labels) between the manifest CAS
+    * and the separate q202 fold.
     */
   private[graft] val TakedownPlanes = Seq("index", "postings", "positions",
     "docstats", "stats", "bands", "shingles", "ann_keys", "ann_vecs",
-    "pq_cells", "pq_codes")
+    "pq_cells", "pq_codes", "pairs", "labels", "reps")
 
   /** Compute one takedown transaction's folds FROM the current base
     * manifest, persist them as candidate generations, and attempt the
-    * ONE manifest CAS that swings all eleven planes at once (q201 —
+    * ONE manifest CAS that swings all fourteen planes at once (q201 —
     * the composition VERDICT r16 item 1 asked for: r16 left
     * [[applyIndexTakedown]] and its siblings returning un-persisted
     * relations, and persisting them behind per-plane pointers would
@@ -6284,7 +6390,7 @@ object LlmPipeline extends QueryPack {
     * Scale shape: the removal set is notice-sized and broadcast into
     * every fold; each plane's candidate write streams the maintained
     * relation (anti-join or subtraction — no shuffle beyond the folds'
-    * own, see the apply* docs); the commit itself is ONE 11-line file
+    * own, see the apply* docs); the commit itself is ONE 14-line file
     * CAS-created via link(2), so N planes cost one contended object
     * exactly as q200's two tables did.
     */
@@ -6319,11 +6425,37 @@ object LlmPipeline extends QueryPack {
       applyAnnTakedown(spark, m("ann_keys"), m("ann_vecs"), remVec)
     val (pqCells, pqCodes) =
       applyPqTakedownPaths(spark, m("pq_cells"), m("pq_codes"), remVec)
+    // Clustering planes 12–14 (r18): the pair graph is pure per-edge —
+    // anti-join on EITHER endpoint is the rebuilt edge set; the labels
+    // fold is q202's applyCcTakedown run against the MANIFEST's pairs
+    // plane (under loser-rebase the surviving edges must be the
+    // winner's committed ones); reps carry untouched components
+    // verbatim and re-elect only the re-labeled fragment, by the
+    // maintained docstats plane's dl.
+    val remId = removed.select(col("doc_id").as("id"))
+    val pairs0 = spark.read.parquet(m("pairs"))
+    val pairsM = pairs0
+      .join(broadcast(remId.select(col("id").as("id1"))), Seq("id1"), "left_anti")
+      .join(broadcast(remId.select(col("id").as("id2"))), Seq("id2"), "left_anti")
+      .select(pairs0.columns.map(col).toSeq: _*)
+    val labels0 = spark.read.parquet(m("labels"))
+    val (untouchedLab, relabeled) =
+      applyCcTakedownParts(labels0, pairs0, removed)
+    val labelsM = untouchedLab.unionByName(relabeled)
+    val affLabels = labels0.join(broadcast(remId), Seq("id"), "left_semi")
+      .select("label").distinct()
+    val reps0 = spark.read.parquet(m("reps"))
+    val untouchedReps = reps0
+      .join(broadcast(affLabels), Seq("label"), "left_anti")
+      .select(reps0.columns.map(col).toSeq: _*)
+    val repsM = untouchedReps.unionByName(electRepresentatives(
+      relabeled, docstats.select(col("doc_id").as("id"), col("dl"))))
     val outs: Seq[(String, DataFrame)] = Seq(
       "index" -> idx, "postings" -> postings, "positions" -> positions,
       "docstats" -> docstats, "stats" -> stats, "bands" -> bands,
       "shingles" -> shingles, "ann_keys" -> keys, "ann_vecs" -> vecs,
-      "pq_cells" -> pqCells, "pq_codes" -> pqCodes)
+      "pq_cells" -> pqCells, "pq_codes" -> pqCodes, "pairs" -> pairsM,
+      "labels" -> labelsM, "reps" -> repsM)
     val bindings = outs.map { case (p, df) =>
       val path = s"$planesRoot/$p/gen-$tag"
       df.write.mode(SaveMode.Overwrite).parquet(path)
@@ -6334,7 +6466,7 @@ object LlmPipeline extends QueryPack {
 
   /** Atomic multi-plane takedown commit (q201 — VERDICT r16 item 1,
     * the r17 flagship): the q193 takedown run as a DURABLE TRANSACTION
-    * — all eleven plane folds persisted as candidate generations and
+    * — all fourteen plane folds persisted as candidate generations and
     * made visible by ONE q200-style manifest CAS, then READ BACK
     * through the committed manifest. Scripted deterministically (the
     * q172/q200 convention — the oracle needs a reproducible outcome;
@@ -6352,27 +6484,86 @@ object LlmPipeline extends QueryPack {
     * docstats recount, the postings and docstats doc sets coincide,
     * and Σ df over the head index equals the postings row count (a
     * new-postings/old-index pairing fails it) — and `removed_served`
-    * counts removal-set rows still visible in ANY of the eleven
+    * counts removal-set rows still visible in ANY of the fourteen
     * committed planes (0: the takedown actually took down
     * everywhere).
     */
-  def takedownCommit(spark: SparkSession, dir: String): DataFrame = {
+  /** Compute every nightly-artifact path of the fourteen-plane family
+    * and CAS-commit the bootstrap manifest (generation 0) binding them
+    * — shared by q201, q207 and the OccSpec races.
+    */
+  private[graft] def bootstrapPlanesManifest(
+      spark: SparkSession, dir: String, logDir: java.nio.file.Path): Unit = {
     val root = ensurePostingsArtifact(spark, dir)
     val idxPath = ensureIndexArtifact(spark, dir)
     val (bandsPath, shinglesPath) = ensureBandIndex(spark, dir)
     val (keysPath, vecsPath) = ensureMpAnnIndex(spark, dir)
     val pqRoot = ensurePqIndex(spark, dir)
+    val (pairsPath, labelsPath, repsPath) = ensureCcPlanes(spark, dir)
+    require(SqlGateway.occTryCommitManifest(logDir, -1L, Seq(
+      "index" -> idxPath, "postings" -> s"$root/postings",
+      "positions" -> s"$root/positions", "docstats" -> s"$root/docstats",
+      "stats" -> s"$root/stats", "bands" -> bandsPath,
+      "shingles" -> shinglesPath, "ann_keys" -> keysPath,
+      "ann_vecs" -> vecsPath, "pq_cells" -> s"$pqRoot/cells",
+      "pq_codes" -> s"$pqRoot/codes", "pairs" -> pairsPath,
+      "labels" -> labelsPath, "reps" -> repsPath)),
+      "bootstrap manifest must win an empty log")
+  }
+
+  /** The cross-plane invariants a torn commit would break, audited at
+    * one committed generation — shared by q201's and q207's
+    * `all_gens_consistent` columns (and mirrored by OccSpec's live
+    * reader): (ndl, toktot) equal the docstats recount; the postings
+    * and docstats doc sets coincide; Σ df over the head index equals
+    * the postings row count; every label names a doc the docstats
+    * plane serves; every pair endpoint is labeled (an edge implies
+    * cluster membership); and the reps plane is exactly one row per
+    * cluster, naming a member, with cluster sizes summing to the
+    * labeling's row count.
+    */
+  private[graft] def manifestPlanesConsistent(
+      spark: SparkSession, logDir: java.nio.file.Path, g: Long): Boolean = {
+    val m = SqlGateway.occManifestAt(logDir, g)
+    val st = spark.read.parquet(m("stats"))
+      .select("ndl", "toktot").head()
+    val ds = spark.read.parquet(m("docstats"))
+    val rc = ds.agg(count(lit(1)).cast("long").as("ndl"),
+      coalesce(sum("dl"), lit(0L)).as("toktot")).head()
+    val po = spark.read.parquet(m("postings"))
+    val docSetsMatch = po.select("doc_id").distinct()
+      .join(ds.select("doc_id"), Seq("doc_id"), "left_anti").isEmpty &&
+      ds.select("doc_id")
+        .join(po.select("doc_id").distinct(), Seq("doc_id"), "left_anti").isEmpty
+    val dfSum = spark.read.parquet(m("index"))
+      .agg(coalesce(sum("df"), lit(0L))).head().getLong(0)
+    val labels = spark.read.parquet(m("labels"))
+    val pairs = spark.read.parquet(m("pairs"))
+    val reps = spark.read.parquet(m("reps"))
+    val labelsServed = labels.select(col("id").as("doc_id"))
+      .join(ds.select("doc_id"), Seq("doc_id"), "left_anti").isEmpty
+    val endpointsLabeled =
+      pairs.select(col("id1").as("id"))
+        .join(labels.select("id"), Seq("id"), "left_anti").isEmpty &&
+      pairs.select(col("id2").as("id"))
+        .join(labels.select("id"), Seq("id"), "left_anti").isEmpty
+    val repsConsistent =
+      reps.select(col("rep_id").as("id"), col("label"))
+        .join(labels, Seq("id", "label"), "left_anti").isEmpty &&
+      reps.groupBy("label").count().filter(col("count") > 1).isEmpty &&
+      labels.select("label").distinct()
+        .join(reps.select("label"), Seq("label"), "left_anti").isEmpty &&
+      reps.agg(coalesce(sum("cluster_size"), lit(0L))).head().getLong(0) ==
+        labels.count()
+    st == rc && docSetsMatch && dfSum == po.count() &&
+      labelsServed && endpointsLabeled && repsConsistent
+  }
+
+  def takedownCommit(spark: SparkSession, dir: String): DataFrame = {
     val logDir = java.nio.file.Files.createTempDirectory("graft-tdlog-")
     val planesRoot = java.nio.file.Files.createTempDirectory("graft-tdpl-")
     try {
-      require(SqlGateway.occTryCommitManifest(logDir, -1L, Seq(
-        "index" -> idxPath, "postings" -> s"$root/postings",
-        "positions" -> s"$root/positions", "docstats" -> s"$root/docstats",
-        "stats" -> s"$root/stats", "bands" -> bandsPath,
-        "shingles" -> shinglesPath, "ann_keys" -> keysPath,
-        "ann_vecs" -> vecsPath, "pq_cells" -> s"$pqRoot/cells",
-        "pq_codes" -> s"$pqRoot/codes")),
-        "bootstrap manifest must win an empty log")
+      bootstrapPlanesManifest(spark, dir, logDir)
       val removed = takedownDocSet(spark, dir).localCheckpoint()
       val (won, _) = commitTakedownGeneration(
         spark, planesRoot.toString, logDir, removed, "t1")
@@ -6380,23 +6571,11 @@ object LlmPipeline extends QueryPack {
       val finalGen = SqlGateway.occCurrentGen(logDir)
       // Cross-plane consistency at EVERY committed generation — the
       // invariant the single-CAS swing exists to provide.
-      val consistent = (0L to finalGen).forall { g =>
-        val m = SqlGateway.occManifestAt(logDir, g)
-        val st = spark.read.parquet(m("stats"))
-          .select("ndl", "toktot").head()
-        val ds = spark.read.parquet(m("docstats"))
-        val rc = ds.agg(count(lit(1)).cast("long").as("ndl"),
-          coalesce(sum("dl"), lit(0L)).as("toktot")).head()
-        val po = spark.read.parquet(m("postings"))
-        val docSetsMatch = po.select("doc_id").distinct()
-          .join(ds.select("doc_id"), Seq("doc_id"), "left_anti").isEmpty &&
-          ds.select("doc_id")
-            .join(po.select("doc_id").distinct(), Seq("doc_id"), "left_anti").isEmpty
-        val dfSum = spark.read.parquet(m("index"))
-          .agg(coalesce(sum("df"), lit(0L))).head().getLong(0)
-        st == rc && docSetsMatch && dfSum == po.count()
-      }
-      // No committed plane serves a removal-set row.
+      val consistent = (0L to finalGen).forall(
+        manifestPlanesConsistent(spark, logDir, _))
+      // No committed plane serves a removal-set row — the clustering
+      // planes included (a removed doc as a surviving label member, a
+      // pair endpoint, or an elected representative all count).
       val mF = SqlGateway.occManifestAt(logDir, finalGen)
       val remVec = removed.select(col("doc_id").as("vec_id"))
       def servedDoc(plane: String): Long =
@@ -6405,10 +6584,24 @@ object LlmPipeline extends QueryPack {
       def servedVec(plane: String): Long =
         spark.read.parquet(mF(plane))
           .join(broadcast(remVec), Seq("vec_id"), "left_semi").count()
+      val remId = removed.select(col("doc_id").as("id"))
+      val servedCluster =
+        spark.read.parquet(mF("labels"))
+          .join(broadcast(remId), Seq("id"), "left_semi").count() +
+        spark.read.parquet(mF("pairs"))
+          .join(broadcast(remId.select(col("id").as("id1"))), Seq("id1"), "left_semi")
+          .count() +
+        spark.read.parquet(mF("pairs"))
+          .join(broadcast(remId.select(col("id").as("id2"))), Seq("id2"), "left_semi")
+          .count() +
+        spark.read.parquet(mF("reps"))
+          .join(broadcast(remId.select(col("id").as("rep_id"))), Seq("rep_id"), "left_semi")
+          .count()
       val removedServed =
         Seq("postings", "positions", "docstats", "bands", "shingles")
           .map(servedDoc).sum +
-        Seq("ann_keys", "ann_vecs", "pq_cells", "pq_codes").map(servedVec).sum
+        Seq("ann_keys", "ann_vecs", "pq_cells", "pq_codes").map(servedVec).sum +
+        servedCluster
       // The read: q193's ranking, resolved from the committed manifest
       // — materialized EAGERLY (localCheckpoint) because the cleanup
       // below deletes the committed plane files this plan scans.
@@ -6439,6 +6632,7 @@ object LlmPipeline extends QueryPack {
     ensureBandIndex(spark, dir)
     ensureMpAnnIndex(spark, dir)
     ensurePqIndex(spark, dir)
+    ensureCcPlanes(spark, dir)
     ()
   }
 
@@ -6448,12 +6642,324 @@ object LlmPipeline extends QueryPack {
     */
   private[graft] val takedownCommitSql =
     s"""SELECT TRUE AS committed, CAST(1 AS BIGINT) AS final_gen,
-      |  CAST(11 AS BIGINT) AS n_planes, TRUE AS all_gens_consistent,
+      |  CAST(14 AS BIGINT) AS n_planes, TRUE AS all_gens_consistent,
       |  CAST(0 AS BIGINT) AS removed_served,
       |  t.query_id, t.rank, t.doc_id, t.score_r
       |FROM (
       |$indexTakedownSql
       |) t
+      |ORDER BY query_id, rank""".stripMargin
+
+  // ===== Transactional shard admission (r18 — VERDICT r17 item 1) =====
+
+  /** The PREPARE phase of a shard-admission transaction: fold a
+    * newly-crawled shard into ALL FOURTEEN planes FROM the base
+    * manifest's paths and persist the results as writer-tagged
+    * candidate generations — [[stageTakedownGeneration]] run on the
+    * ADD side. Ingest is the most frequent multi-plane write in the
+    * system: before this round each admission fold (q188 postings row
+    * union, q189 stat addition, q144 band append, q174 ANN append,
+    * pqAdmitShard) persisted independently, so a reader mid-admission
+    * could see new postings beside old stats — exactly the torn read
+    * q201 closed for takedowns. Per-plane folds:
+    *
+    *   - postings / positions / docstats: ROW UNION — a row is a pure
+    *     function of its own doc's text and the doc sets are disjoint
+    *     (the q188 law);
+    *   - stats: PURE ADDITION of the shard's (nd, ndl, toktot) (q189);
+    *   - index: the q168 head merge kept in plane form — df adds, the
+    *     merged head is the capped min-k of the two sides' heads
+    *     (lossless: each side holds its own cap smallest);
+    *   - bands: shard rows merged with a RE-CAP restricted to the
+    *     buckets the shard touches (cap-smallest of old-kept ∪ shard
+    *     equals cap-smallest of old-all ∪ shard because the stored
+    *     side kept its cap smallest — the head-merge argument on the
+    *     band axis); untouched buckets carry verbatim;
+    *   - shingles: row union (pure per-doc);
+    *   - ann_keys / ann_vecs: row union of the shard's exact bucket
+    *     keys and normed vectors (both planes uncapped, q174);
+    *   - pq_cells / pq_codes: row union of [[pqAdmitShard]]'s
+    *     stale-codebook encodes (no ingest-path retrain — the q161/
+    *     q198 drift discipline; codebooks are nightly artifacts, not
+    *     doc-keyed planes);
+    *   - pairs: union with the shard's DISCOVERED edges — the q144
+    *     probe run against the MANIFEST's band/shingle planes
+    *     (new-vs-old candidates by (band, bsig) equi-join, verified
+    *     Jaccard ≥ 0.5 against the stored shingles; shard-internal
+    *     pairs via the capped single-pass generator), canonicalized
+    *     id1 < id2;
+    *   - labels: [[mergeComponentLabels]] — the q177 quotient fold of
+    *     the discovered edges into the stored labeling;
+    *   - reps: representatives of clusters the delta TOUCHED (absorbed
+    *     labels and absorbing clusters) re-elected from the maintained
+    *     membership by the maintained docstats dl; all other rep rows
+    *     carry verbatim.
+    *
+    * Every fold reads the BASE MANIFEST's paths, so a loser that
+    * rebases re-folds the WINNER's committed generations — and because
+    * admission and takedown folds do NOT commute when the shard
+    * contains a noticed doc (admit-then-takedown removes it;
+    * takedown-then-admit serves it — the takedown was a presence-keyed
+    * no-op on a doc not yet indexed), the serializable outcome is
+    * "final state == ONE serial order", which OccSpec's
+    * admission-vs-takedown race pins with both orders enumerated.
+    *
+    * Scale shape: every fold input the shard side produces is
+    * shard-sized and rides broadcasts; the corpus-side planes stream
+    * through union/anti-join/carry with no corpus-keyed shuffle (the
+    * band re-cap shuffles only the touched buckets' rows; the CC
+    * quotient iterates over delta-sized graphs). At cluster scale the
+    * unions are file appends into the bucketed layouts; the commit
+    * stays ONE 14-line manifest CAS regardless of shard size.
+    */
+  private[graft] def stageAdmissionGeneration(
+      spark: SparkSession, planesRoot: String, logDir: java.nio.file.Path,
+      shardDocs: DataFrame, shardEmb: DataFrame, dir: String,
+      pqRoot: String, tag: String): (Long, Seq[(String, String)]) = {
+    graft.functions.NativeFunctions.register(spark)
+    val baseGen = SqlGateway.occCurrentGen(logDir)
+    val m = SqlGateway.occManifestAt(logDir, baseGen)
+    // --- text planes: postings family -----------------------------------
+    val (shardPostings, shardDl, shardStats) = postingsFor(shardDocs)
+    val postingsM = spark.read.parquet(m("postings")).unionByName(shardPostings)
+    val positionsM = spark.read.parquet(m("positions"))
+      .unionByName(positionalPostingsFor(shardDocs))
+    val docstatsM = spark.read.parquet(m("docstats")).unionByName(shardDl)
+    val statsM = spark.read.parquet(m("stats"))
+      .crossJoin(broadcast(shardStats.select(col("nd").as("nd_s"),
+        col("ndl").as("ndl_s"), col("toktot").as("tok_s"))))
+      .select((col("nd") + col("nd_s")).as("nd"),
+        (col("ndl") + col("ndl_s")).as("ndl"),
+        (col("toktot") + col("tok_s")).as("toktot"))
+    val minK = udaf(new graft.functions.Udafs.MinKLongs(PostingsHeadCap))
+    val idxDelta = shardDocs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .distinct()
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"), minK(col("doc_id")).as("head_ids"))
+    val emptyHead = expr("cast(array() as array<bigint>)")
+    val idxM = spark.read.parquet(m("index"))
+      .select(col("token"), col("df").as("df_old"), col("head_ids").as("h_old"))
+      .join(idxDelta.select(col("token"), col("df").as("df_new"),
+        col("head_ids").as("h_new")), Seq("token"), "full_outer")
+      .select(col("token"),
+        (coalesce(col("df_old"), lit(0L)) + coalesce(col("df_new"), lit(0L))).as("df"),
+        slice(array_sort(concat(coalesce(col("h_old"), emptyHead),
+          coalesce(col("h_new"), emptyHead))), 1, PostingsHeadCap).as("head_ids"))
+    // --- dedup planes: bands (re-cap touched buckets only) + shingles ---
+    val shardSh = shingledFor(shardDocs)
+    val shardBands = lshBands(shardSh)
+    val bands0 = spark.read.parquet(m("bands"))
+    val affBuckets = shardBands.select("band", "bsig").distinct()
+    val untouchedBands = bands0
+      .join(broadcast(affBuckets), Seq("band", "bsig"), "left_anti")
+      .select("doc_id", "band", "bsig")
+    val wBucket = Window.partitionBy("band", "bsig").orderBy("doc_id")
+    val mergedAffBands = bands0
+      .join(broadcast(affBuckets), Seq("band", "bsig"), "left_semi")
+      .select("doc_id", "band", "bsig")
+      .unionByName(shardBands.select("doc_id", "band", "bsig"))
+      .withColumn("brk", row_number().over(wBucket))
+      .filter(col("brk") <= LshBucketCap)
+      .drop("brk")
+    val bandsM = untouchedBands.unionByName(mergedAffBands)
+    val shinglesM = spark.read.parquet(m("shingles")).unionByName(shardSh)
+    // --- ANN planes ------------------------------------------------------
+    val shardVecs = mpVecsFor(shardEmb)
+    val keysM = spark.read.parquet(m("ann_keys"))
+      .unionByName(mpKeysFor(shardVecs, MpBits))
+    val vecsM = spark.read.parquet(m("ann_vecs")).unionByName(shardVecs)
+    val (shardCells, shardCodes) = pqAdmitShard(spark, pqRoot, dir, shardEmb)
+    val cellsM = spark.read.parquet(m("pq_cells")).unionByName(shardCells)
+    val codesM = spark.read.parquet(m("pq_codes")).unionByName(shardCodes)
+    // --- clustering planes: discovered edges + quotient merge ------------
+    val sh0 = spark.read.parquet(m("shingles"))
+    val candOldNew = shardBands
+      .select(col("doc_id").as("new_id"), col("band"), col("bsig"))
+      .join(bands0.select(col("doc_id").as("old_id"), col("band"), col("bsig")),
+        Seq("band", "bsig"))
+      .select("new_id", "old_id").distinct()
+    val verifiedOldNew = candOldNew
+      .join(broadcast(shardSh.select(col("doc_id").as("new_id"), col("sh").as("sh_n"))),
+        "new_id")
+      .join(sh0.select(col("doc_id").as("old_id"), col("sh").as("sh_o")), "old_id")
+      .withColumn("jaccard", expr("jaccard_sim(sh_n, sh_o)"))
+      .filter(col("jaccard") >= 0.5)
+      .select(least(col("new_id"), col("old_id")).as("id1"),
+        greatest(col("new_id"), col("old_id")).as("id2"), col("jaccard"))
+    val deltaPairs = verifiedOldNew
+      .unionByName(lshNearDupPairs(shardSh).select("id1", "id2", "jaccard"))
+      .localCheckpoint()
+    val pairs0 = spark.read.parquet(m("pairs"))
+    val pairsM = pairs0.unionByName(deltaPairs)
+    val labels0 = spark.read.parquet(m("labels"))
+    val deltaEdges = deltaPairs.select("id1", "id2")
+    val labelsM = mergeComponentLabels(labels0, deltaEdges)
+      .select(col("id"), col("cluster").as("label"))
+    // Rep rows go stale exactly where the quotient moved labels: the
+    // absorbed components' old labels (their rows moved) and the
+    // absorbing/new clusters (they gained members). Everything else
+    // carries verbatim; the re-election reads the MAINTAINED docstats
+    // (shard docs can win).
+    val deltas = mergeComponentDeltas(labels0, deltaEdges).localCheckpoint()
+    val affClusters = deltas.select(col("cluster").as("label")).distinct()
+    val staleLabels = labels0
+      .join(broadcast(deltas.select("id")), Seq("id"), "left_semi")
+      .select("label").unionByName(affClusters).distinct()
+    val reps0 = spark.read.parquet(m("reps"))
+    val untouchedReps = reps0
+      .join(broadcast(staleLabels), Seq("label"), "left_anti")
+      .select(reps0.columns.map(col).toSeq: _*)
+    val touchedMembers = labels0
+      .join(broadcast(affClusters), Seq("label"), "left_semi")
+      .select("id", "label")
+      .unionByName(deltas.select(col("id"), col("cluster").as("label")))
+    val repsM = untouchedReps.unionByName(electRepresentatives(
+      touchedMembers, docstatsM.select(col("doc_id").as("id"), col("dl"))))
+    val outs: Seq[(String, DataFrame)] = Seq(
+      "index" -> idxM, "postings" -> postingsM, "positions" -> positionsM,
+      "docstats" -> docstatsM, "stats" -> statsM, "bands" -> bandsM,
+      "shingles" -> shinglesM, "ann_keys" -> keysM, "ann_vecs" -> vecsM,
+      "pq_cells" -> cellsM, "pq_codes" -> codesM, "pairs" -> pairsM,
+      "labels" -> labelsM, "reps" -> repsM)
+    val bindings = outs.map { case (p, df) =>
+      val path = s"$planesRoot/$p/gen-$tag"
+      df.write.mode(SaveMode.Overwrite).parquet(path)
+      p -> path
+    }
+    (baseGen, bindings)
+  }
+
+  /** Stage + attempt one admission transaction's CAS — the
+    * [[commitTakedownGeneration]] twin on the add side. On a lost race
+    * the caller re-reads the log, re-folds from the winner's committed
+    * manifest, retries with a fresh tag.
+    */
+  private[graft] def commitAdmissionGeneration(
+      spark: SparkSession, planesRoot: String, logDir: java.nio.file.Path,
+      shardDocs: DataFrame, shardEmb: DataFrame, dir: String,
+      pqRoot: String, tag: String): (Boolean, Seq[(String, String)]) = {
+    val (baseGen, bindings) = stageAdmissionGeneration(
+      spark, planesRoot, logDir, shardDocs, shardEmb, dir, pqRoot, tag)
+    (SqlGateway.occTryCommitManifest(logDir, baseGen, bindings), bindings)
+  }
+
+  /** Transactional shard admission (q207 — VERDICT r17 item 1, the r18
+    * flagship): the q188/q144/q174/pqAdmitShard admission folds run as
+    * ONE DURABLE TRANSACTION through the q201 manifest machinery — all
+    * fourteen plane folds staged as writer-tagged candidate
+    * generations from the base manifest and made visible by one CAS,
+    * then READ BACK through the committed manifest. Scripted
+    * deterministically (the q172/q200/q201 convention; OccSpec races a
+    * real ADMISSION writer against a real TAKEDOWN writer whose notice
+    * names shard docs — the non-commuting pair — under a live
+    * torn-free polling reader, with both serial orders enumerated).
+    *
+    * Output: the q181 BM25 ranking resolved entirely from
+    * manifest(final_gen) — post-admission that population is the FULL
+    * corpus, so the oracle is the full-corpus rebuild (the q188 "merge
+    * == rebuild" law composed through committed generations and the
+    * ranking semantics). The audited facts ride as literals:
+    * `all_gens_consistent` checks the cross-plane invariants at every
+    * committed generation ([[manifestPlanesConsistent]] — clustering
+    * planes included), and `shard_missing` counts shard rows ABSENT
+    * from any committed plane that must serve them (0: the admission
+    * actually admitted everywhere — the dual of q201's
+    * `removed_served`).
+    */
+  def admissionCommit(spark: SparkSession, dir: String): DataFrame = {
+    val pqRoot = ensurePqIndex(spark, dir)
+    val logDir = java.nio.file.Files.createTempDirectory("graft-admlog-")
+    val planesRoot = java.nio.file.Files.createTempDirectory("graft-admpl-")
+    try {
+      bootstrapPlanesManifest(spark, dir, logDir)
+      val shardDocs = Tables.documents(spark, dir)
+        .filter(col("doc_id") % 4 === 0).select("doc_id", "text")
+        .localCheckpoint()
+      val shardEmb = Tables.embeddings(spark, dir)
+        .filter(col("vec_id") % 4 === 0).select("vec_id", "embedding")
+        .localCheckpoint()
+      val (won, _) = commitAdmissionGeneration(
+        spark, planesRoot.toString, logDir, shardDocs, shardEmb, dir,
+        pqRoot, "a1")
+      require(won, "unopposed admission commit must win")
+      val finalGen = SqlGateway.occCurrentGen(logDir)
+      val consistent = (0L to finalGen).forall(
+        manifestPlanesConsistent(spark, logDir, _))
+      val mF = SqlGateway.occManifestAt(logDir, finalGen)
+      def missingDoc(plane: String): Long =
+        shardDocs.select("doc_id")
+          .join(spark.read.parquet(mF(plane)).select("doc_id").distinct(),
+            Seq("doc_id"), "left_anti").count()
+      def missingVec(plane: String): Long =
+        shardEmb.select("vec_id")
+          .join(spark.read.parquet(mF(plane)).select("vec_id").distinct(),
+            Seq("vec_id"), "left_anti").count()
+      val shardMissing =
+        Seq("postings", "positions", "docstats", "bands", "shingles")
+          .map(missingDoc).sum +
+        Seq("ann_keys", "ann_vecs", "pq_cells", "pq_codes").map(missingVec).sum
+      bm25AgainstArtifacts(
+          spark.read.parquet(mF("index")),
+          spark.read.parquet(mF("postings")),
+          spark.read.parquet(mF("stats")))
+        .select(lit(won).as("committed"), lit(finalGen).as("final_gen"),
+          lit(TakedownPlanes.size.toLong).as("n_planes"),
+          lit(consistent).as("all_gens_consistent"),
+          lit(shardMissing).as("shard_missing"),
+          col("query_id"), col("rank"), col("doc_id"), col("score_r"))
+        .orderBy("query_id", "rank")
+        .localCheckpoint()
+    } finally {
+      deleteRecursively(logDir)
+      deleteRecursively(planesRoot)
+    }
+  }
+
+  /** q207's oracle: the full-corpus BM25 rebuild (the committed
+    * post-admission generation must read exactly as an index built
+    * over corpus + shard) plus the protocol facts as literals.
+    */
+  private[graft] val admissionCommitSql =
+    """WITH t2 AS (
+      |  SELECT doc_id, token
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |        FROM documents)
+      |  WHERE token <> ''),
+      |dft AS (SELECT token, count(DISTINCT doc_id) AS df FROM t2 GROUP BY token),
+      |terms AS (
+      |  SELECT token, df, CAST((((r - 1) % 3) + 1) AS INTEGER) AS query_id
+      |  FROM (SELECT token, df, row_number() OVER (ORDER BY df DESC, token) AS r
+      |        FROM dft)
+      |  WHERE r <= 6),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM t2 GROUP BY doc_id),
+      |stats AS (
+      |  SELECT (SELECT count(*) FROM documents) AS nd,
+      |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgl
+      |  FROM dl),
+      |tf AS (
+      |  SELECT q.query_id, q.token, q.df, t.doc_id, count(*) AS tf
+      |  FROM t2 t JOIN terms q ON t.token = q.token
+      |  GROUP BY q.query_id, q.token, q.df, t.doc_id),
+      |sc AS (
+      |  SELECT query_id, tf.doc_id AS doc_id,
+      |    sum((nd - df + 0.5) / (df + 0.5) * (tf * 2.2)
+      |        / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgl))) AS score
+      |  FROM tf
+      |  CROSS JOIN stats
+      |  JOIN dl ON tf.doc_id = dl.doc_id
+      |  GROUP BY query_id, tf.doc_id)
+      |SELECT TRUE AS committed, CAST(1 AS BIGINT) AS final_gen,
+      |  CAST(14 AS BIGINT) AS n_planes, TRUE AS all_gens_consistent,
+      |  CAST(0 AS BIGINT) AS shard_missing,
+      |  query_id, rank, doc_id, round(score, 4) AS score_r
+      |FROM (
+      |  SELECT query_id, doc_id, score,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY round(score, 4) DESC, doc_id) AS INTEGER) AS rank
+      |  FROM sc)
+      |WHERE rank <= 10
       |ORDER BY query_id, rank""".stripMargin
 
   // ===== Hybrid retrieval fusion (r16 — VERDICT r15 item 2) =====
@@ -7169,6 +7675,8 @@ object LlmPipeline extends QueryPack {
     QueryDef("q194_docstats_takedown", docStatsTakedown, Some(docStatsTakedownSql),
       prepare = Some(preparePostings _)),
     QueryDef("q201_takedown_commit", takedownCommit, Some(takedownCommitSql),
+      prepare = Some(prepareTakedownCommit _)),
+    QueryDef("q207_admission_commit", admissionCommit, Some(admissionCommitSql),
       prepare = Some(prepareTakedownCommit _)),
     QueryDef("q202_cc_takedown", ccTakedown, Some(ccTakedownSql),
       prepare = Some(prepareIncrementalCc _)),

