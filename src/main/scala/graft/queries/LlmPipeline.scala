@@ -6077,6 +6077,29 @@ object LlmPipeline extends QueryPack {
     (idx, postings, positions, docstats, stats)
   }
 
+  /** The docstats/stats half of [[applyIndexTakedownPaths]] on its own
+    * — q208's mini-manifest fold (the retention/vacuum law needs a
+    * cheap two-plane transaction, and these two are the
+    * SQL-expressible pair): sidecar by anti-join, stats by subtraction
+    * keyed on the removed docs' PRESENT rows (replay-safe, r17).
+    */
+  private[graft] def applyDocStatsTakedownPaths(
+      spark: SparkSession, docstatsPath: String, statsPath: String,
+      removed: DataFrame): (DataFrame, DataFrame) = {
+    val rem = removed.select("doc_id")
+    val docstats0 = spark.read.parquet(docstatsPath)
+    val docstats = docstats0.join(broadcast(rem), Seq("doc_id"), "left_anti")
+      .select(docstats0.columns.map(col).toSeq: _*)
+    val remDl = docstats0.join(broadcast(rem), Seq("doc_id"), "left_semi")
+      .agg(count(lit(1)).as("nd_r"), coalesce(sum("dl"), lit(0L)).as("tok_r"))
+    val stats = spark.read.parquet(statsPath)
+      .crossJoin(broadcast(remDl))
+      .select((col("nd") - col("nd_r")).as("nd"),
+        (col("ndl") - col("nd_r")).as("ndl"),
+        (col("toktot") - col("tok_r")).as("toktot"))
+    (docstats, stats)
+  }
+
   /** Apply a takedown set to the stored MinHash band-index plane
     * (q144/q160's bands + shingles artifacts). The shingle table is
     * uncapped — a shingle row is a pure per-doc function, so the

@@ -895,6 +895,185 @@ object SqlGateway extends QueryPack {
       bindings.map { case (k, v) => s"$k=$v" }.mkString("\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
+  /** Generation of the earliest manifest still on the log — after a
+    * vacuum this is the retention point; reads below it fail closed.
+    */
+  private[graft] def occEarliestGen(logDir: java.nio.file.Path): Long = {
+    val names = scala.util.Using.resource(java.nio.file.Files.list(logDir)) { s =>
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.map(_.getFileName.toString).toList
+    }
+    names.collect { case n if n.startsWith("commit-") => n.stripPrefix("commit-").toLong }
+      .minOption.getOrElse(0L)
+  }
+
+  /** [[occManifestAt]] with the q171 fail-closed error contract on the
+    * retention axis: resolving a generation the vacuum expired throws,
+    * NAMING the earliest retained generation — never a silent
+    * missing-file error three layers down a plane read.
+    */
+  private[graft] def occManifestAtRetained(
+      logDir: java.nio.file.Path, gen: Long): Map[String, String] = {
+    if (!java.nio.file.Files.exists(logDir.resolve(f"commit-$gen%06d")))
+      throw new IllegalStateException(
+        s"manifest generation $gen has been expired by retention; " +
+          s"earliest retained generation is ${occEarliestGen(logDir)}")
+    occManifestAt(logDir, gen)
+  }
+
+  /** Manifest-log retention + orphan-generation vacuum (q208 — VERDICT
+    * r17 item 4: q171's discipline applied to the q200/q201 manifest
+    * logs). Two growth sources exist at takedown/admission cadence:
+    * the commit log itself (one file per transaction, forever) and the
+    * plane roots' `gen-<tag>` directories — committed generations that
+    * ONLY expired manifests name, plus the orphans a CAS loser staged
+    * but never bound (q201's docstring promised these to "a retry or
+    * vacuum"; this is the vacuum). The reference's `node.go:28`
+    * unbounded in-memory log is this exact hole one level down.
+    *
+    * Semantics: retain manifests `retainFrom..current`; delete commit
+    * files below `retainFrom`; delete every `gen-*` directory under
+    * `planesRoot/<plane>/` whose path NO retained manifest binds.
+    * Safety is structural: retained bindings are collected FIRST, so a
+    * retained generation's directory can never be deleted; bootstrap
+    * bindings point outside `planesRoot` (the nightly artifacts) and
+    * are never touched; reads at-or-above `retainFrom` resolve
+    * identical bytes before and after (vacuum-then-read == read);
+    * reads below fail closed via [[occManifestAtRetained]]. Returns
+    * (manifests expired, orphan directories deleted).
+    *
+    * Scale shape: driver-side metadata work — one log listing, one
+    * directory listing per plane, deletions proportional to garbage;
+    * no Spark job, no data read.
+    */
+  private[graft] def vacuumManifestLog(
+      logDir: java.nio.file.Path, planesRoot: java.nio.file.Path,
+      retainFrom: Long): (Long, Long) = {
+    val cur = occCurrentGen(logDir)
+    require(retainFrom <= cur,
+      s"retention point $retainFrom is past the current generation $cur")
+    val retained = (math.max(0L, retainFrom) to cur).flatMap(g =>
+      occManifestAt(logDir, g).values.map(v =>
+        java.nio.file.Paths.get(v).toAbsolutePath.normalize)).toSet
+    val gens = scala.util.Using.resource(java.nio.file.Files.list(logDir)) { s =>
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.map(_.getFileName.toString).toList
+    }.collect { case n if n.startsWith("commit-") => n.stripPrefix("commit-").toLong }
+    var expired = 0L
+    gens.filter(_ < retainFrom).sorted.foreach { g =>
+      java.nio.file.Files.delete(logDir.resolve(f"commit-$g%06d"))
+      expired += 1
+    }
+    var orphans = 0L
+    if (java.nio.file.Files.isDirectory(planesRoot)) {
+      val planes = scala.util.Using.resource(java.nio.file.Files.list(planesRoot)) { s =>
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(java.nio.file.Files.isDirectory(_)).toList
+      }
+      planes.foreach { plane =>
+        val gensDirs = scala.util.Using.resource(java.nio.file.Files.list(plane)) { s =>
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala
+            .filter(p => p.getFileName.toString.startsWith("gen-")).toList
+        }
+        gensDirs.foreach { d =>
+          if (!retained.contains(d.toAbsolutePath.normalize)) {
+            LlmPipeline.deleteRecursively(d)
+            orphans += 1
+          }
+        }
+      }
+    }
+    (expired, orphans)
+  }
+
+  /** Manifest retention + vacuum as an oracle-gated query (q208): a
+    * two-plane manifest (docstats + stats — the SQL-expressible pair)
+    * carries two takedown transactions (the q193 notice closure, then
+    * the `% 23 = 5` stripe) plus one CAS loser's staged-but-never-bound
+    * generation; the vacuum then retains only the head manifest.
+    * Audited facts ride as literals: 2 manifests expired (gens 0–1's
+    * commit files), 4 orphan directories deleted (the superseded gen-1
+    * generation's two planes + the loser's two), and a read below the
+    * retention point fails closed with the named-earliest error. The
+    * output rows are the post-vacuum head read — the oracle recomputes
+    * the doc-stats of the survivor corpus from raw data, so
+    * vacuum-then-read == read is hash-verified cross-engine (a vacuum
+    * that deleted a retained byte would flip cells; one that missed
+    * garbage would flip the literals).
+    */
+  def manifestVacuum(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = LlmPipeline.ensurePostingsArtifact(spark, dir)
+    val logDir = java.nio.file.Files.createTempDirectory("graft-vaclog-")
+    val planesRoot = java.nio.file.Files.createTempDirectory("graft-vacpl-")
+    try {
+      require(occTryCommitManifest(logDir, -1L, Seq(
+        "docstats" -> s"$root/docstats", "stats" -> s"$root/stats")),
+        "bootstrap manifest must win an empty log")
+      val remA = LlmPipeline.takedownDocSet(spark, dir).localCheckpoint()
+      val remB = graft.sources.Tables.documents(spark, dir)
+        .filter(col("doc_id") % 4 =!= 0 && col("doc_id") % 23 === 5)
+        .select("doc_id").localCheckpoint()
+      def stage(rem: org.apache.spark.sql.DataFrame, tag: String)
+          : (Long, Seq[(String, String)]) = {
+        val baseGen = occCurrentGen(logDir)
+        val m = occManifestAt(logDir, baseGen)
+        val (ds, st) = LlmPipeline.applyDocStatsTakedownPaths(
+          spark, m("docstats"), m("stats"), rem)
+        (baseGen, Seq("docstats" -> ds, "stats" -> st).map { case (p, df) =>
+          val path = s"$planesRoot/$p/gen-$tag"
+          df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+          p -> path
+        })
+      }
+      val (g1, b1) = stage(remA, "t1")
+      require(occTryCommitManifest(logDir, g1, b1), "t1 commit must win")
+      // A loser that staged against the committed head and crashed
+      // before its CAS: two orphaned directories, never manifest-bound.
+      stage(remB, "loser")
+      val (g2, b2) = stage(remB, "t2")
+      require(occTryCommitManifest(logDir, g2, b2), "t2 commit must win")
+      val (expired, orphans) = vacuumManifestLog(logDir, planesRoot, 2L)
+      val belowFailsClosed =
+        try { occManifestAtRetained(logDir, 1L); false }
+        catch { case _: IllegalStateException => true }
+      val mF = occManifestAtRetained(logDir, occCurrentGen(logDir))
+      spark.read.parquet(mF("docstats"))
+        .crossJoin(broadcast(spark.read.parquet(mF("stats"))))
+        .select(lit(2L).as("final_gen"), lit(expired).as("manifests_expired"),
+          lit(orphans).as("orphans_deleted"),
+          lit(belowFailsClosed).as("below_retention_fails_closed"),
+          col("doc_id"), col("dl"), col("nd"), col("ndl"), col("toktot"),
+          (round(col("toktot").cast("double") / col("ndl").cast("double"), 4) + lit(0))
+            .as("avgl_r"))
+        .orderBy("doc_id")
+        .localCheckpoint()
+    } finally {
+      LlmPipeline.deleteRecursively(logDir)
+      LlmPipeline.deleteRecursively(planesRoot)
+    }
+  }
+
+  private[graft] val manifestVacuumSql =
+    s"""WITH ${LlmPipeline.takedownClosureCtes},
+      |tdocs AS (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE doc_id % 4 <> 0 AND doc_id NOT IN (SELECT id FROM r2)
+      |    AND doc_id % 23 <> 5),
+      |t AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM tdocs),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM t WHERE token <> '' GROUP BY doc_id),
+      |st AS (SELECT (SELECT count(*) FROM tdocs) AS nd,
+      |              count(*) AS ndl, CAST(sum(dl) AS BIGINT) AS toktot
+      |       FROM dl)
+      |SELECT CAST(2 AS BIGINT) AS final_gen, CAST(2 AS BIGINT) AS manifests_expired,
+      |  CAST(4 AS BIGINT) AS orphans_deleted, TRUE AS below_retention_fails_closed,
+      |  doc_id, dl, nd, ndl, toktot,
+      |  round(CAST(toktot AS DOUBLE) / ndl, 4) + 0 AS avgl_r
+      |FROM dl, st
+      |ORDER BY doc_id""".stripMargin
+
   /** Multi-table atomic commit (q200 — VERDICT r15 item 7): q172's
     * OCC CAS serializes writers on ONE table; real DML (delete from
     * the FACT + keep its summary DIM consistent) must swing N
@@ -1175,5 +1354,9 @@ object SqlGateway extends QueryPack {
     QueryDef("q171_generation_vacuum", generationVacuum, Some(generationVacuumSql)),
     QueryDef("q172_occ_commit_race", occCommitRace, Some(occCommitRaceSql)),
     QueryDef("q200_multitable_commit", multiTableCommit, Some(multiTableCommitSql)),
+    QueryDef("q208_manifest_vacuum", manifestVacuum, Some(manifestVacuumSql),
+      prepare = Some((s: SparkSession, d: String) => {
+        LlmPipeline.ensurePostingsArtifact(s, d); ()
+      })),
     QueryDef("q178_log_compaction", logCompaction, Some(logCompactionSql)))
 }

@@ -638,6 +638,29 @@ class OccSpec extends SparkSpec {
         .join(broadcast(noticedShard), Seq("doc_id"), "left_semi").count()
       assert(servedFinal == (if (admFirst) 0L else servedTA),
         "final state matched the wrong serial order on the noticed shard docs")
+
+      // Vacuum composition on the full fourteen-plane log (VERDICT r17
+      // item 4): retain only the head manifest — the superseded gen-1
+      // generation's 14 directories and the loser's 14 never-bound
+      // attempt-1 orphans are deleted (28 total), commit files 0–1
+      // expire, every retained binding survives on disk, the head read
+      // is byte-identical (re-checked row-equal vs the serial
+      // reference), and a below-retention resolve fails closed naming
+      // the earliest retained generation.
+      val (expired, orphans) =
+        SqlGateway.vacuumManifestLog(logDir, planesRoot, 2L)
+      assert(expired == 2L, s"expected 2 expired manifests, got $expired")
+      assert(orphans == 28L, s"expected 28 orphan directories deleted, got $orphans")
+      SqlGateway.occManifestAt(logDir, 2L).values.foreach(p =>
+        assert(java.nio.file.Files.exists(java.nio.file.Paths.get(p)),
+          s"vacuum deleted a retained binding: $p"))
+      assert(rowsEqual(spark.read.parquet(mF("postings")),
+        spark.read.parquet(refMatch("postings"))),
+        "vacuum-then-read != read on the retained head manifest")
+      val err = intercept[IllegalStateException](
+        SqlGateway.occManifestAtRetained(logDir, 1L))
+      assert(err.getMessage.contains("earliest retained generation is 2"),
+        s"fail-closed error must name the retention point, got: ${err.getMessage}")
     } finally {
       LlmPipeline.deleteRecursively(logDir)
       LlmPipeline.deleteRecursively(planesRoot)
