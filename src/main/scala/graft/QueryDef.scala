@@ -22,7 +22,18 @@ final case class QueryDef(
       * measured join misrepresents the operator). `fn` must still be
       * self-contained without it: prepare is an idempotent memo hit.
       */
-    prepare: Option[(SparkSession, String) => Unit] = None)
+    prepare: Option[(SparkSession, String) => Unit] = None,
+    /** Plan-audit surrogate (VERDICT r17 item 7): for transaction
+      * queries whose `fn` does its work in side-effecting staged
+      * writes and returns a localCheckpoint'ed read-back (q201/q207),
+      * the physical plan of `fn`'s result says nothing about the
+      * transaction — PlanAudit would record an all-zeros row. This
+      * relation is the SAME fold-plus-read composition as ONE
+      * declarative plan (built by the identical fold helpers the stage
+      * path runs), so PLANS.md and the PlanSpec corpus-scan-free pins
+      * cover the transaction path.
+      */
+    planAudit: Option[(SparkSession, String) => DataFrame] = None)
 
 /** A themed group of queries (one per SURVEY.md §2.2 area). */
 trait QueryPack {

@@ -6735,20 +6735,22 @@ object LlmPipeline extends QueryPack {
     * unions are file appends into the bucketed layouts; the commit
     * stays ONE 14-line manifest CAS regardless of shard size.
     */
-  private[graft] def stageAdmissionGeneration(
-      spark: SparkSession, planesRoot: String, logDir: java.nio.file.Path,
-      shardDocs: DataFrame, shardEmb: DataFrame, dir: String,
-      pqRoot: String, tag: String): (Long, Seq[(String, String)]) = {
-    graft.functions.NativeFunctions.register(spark)
-    val baseGen = SqlGateway.occCurrentGen(logDir)
-    val m = SqlGateway.occManifestAt(logDir, baseGen)
-    // --- text planes: postings family -----------------------------------
-    val (shardPostings, shardDl, shardStats) = postingsFor(shardDocs)
-    val postingsM = spark.read.parquet(m("postings")).unionByName(shardPostings)
-    val positionsM = spark.read.parquet(m("positions"))
-      .unionByName(positionalPostingsFor(shardDocs))
-    val docstatsM = spark.read.parquet(m("docstats")).unionByName(shardDl)
-    val statsM = spark.read.parquet(m("stats"))
+  /** The admission fold on the three BM25-read planes (head index,
+    * full postings, corpus stats) from EXPLICIT base relations: the
+    * postings/stats row-union-plus-addition and the head-index min-k
+    * merge. Shared by [[stageAdmissionGeneration]] (which folds FROM
+    * the base manifest's paths) and q207's plan-audit surrogate
+    * [[admissionCommitAudit]] (which folds from the nightly artifacts
+    * and composes [[bm25AgainstArtifacts]] on top, so PLANS.md and the
+    * PlanSpec pin see the stage+read path as one declarative plan —
+    * VERDICT r17 item 7).
+    */
+  private[graft] def admissionBm25Folds(
+      idx0: DataFrame, postings0: DataFrame, stats0: DataFrame,
+      shardDocs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val (shardPostings, _, shardStats) = postingsFor(shardDocs)
+    val postingsM = postings0.unionByName(shardPostings)
+    val statsM = stats0
       .crossJoin(broadcast(shardStats.select(col("nd").as("nd_s"),
         col("ndl").as("ndl_s"), col("toktot").as("tok_s"))))
       .select((col("nd") + col("nd_s")).as("nd"),
@@ -6762,7 +6764,7 @@ object LlmPipeline extends QueryPack {
       .groupBy("token")
       .agg(count(lit(1)).as("df"), minK(col("doc_id")).as("head_ids"))
     val emptyHead = expr("cast(array() as array<bigint>)")
-    val idxM = spark.read.parquet(m("index"))
+    val idxM = idx0
       .select(col("token"), col("df").as("df_old"), col("head_ids").as("h_old"))
       .join(idxDelta.select(col("token"), col("df").as("df_new"),
         col("head_ids").as("h_new")), Seq("token"), "full_outer")
@@ -6770,6 +6772,62 @@ object LlmPipeline extends QueryPack {
         (coalesce(col("df_old"), lit(0L)) + coalesce(col("df_new"), lit(0L))).as("df"),
         slice(array_sort(concat(coalesce(col("h_old"), emptyHead),
           coalesce(col("h_new"), emptyHead))), 1, PostingsHeadCap).as("head_ids"))
+    (idxM, postingsM, statsM)
+  }
+
+  /** q201's plan-audit surrogate (VERDICT r17 item 7): the takedown
+    * transaction's stage-plus-read path as ONE declarative plan — the
+    * identical [[applyIndexTakedown]] folds the staged candidate
+    * generations are written from (same notice, same base artifacts),
+    * composed with [[bm25AgainstArtifacts]] in place of the persisted
+    * candidate directory. The staged path differs only by the parquet
+    * write between fold and read, so the corpus-scan-free property
+    * PLANS.md records here is the transaction's.
+    */
+  private[graft] def takedownCommitAudit(
+      spark: SparkSession, dir: String): DataFrame = {
+    val root = ensurePostingsArtifact(spark, dir)
+    // The notice is a checkpointed LEAF exactly as in [[takedownCommit]]
+    // (computed once, broadcast into every fold) — the audited plan is
+    // the fold+read, not the q165 closure derivation.
+    val removed = takedownDocSet(spark, dir).localCheckpoint()
+    val (idx, postings, _, _, stats) = applyIndexTakedown(
+      spark, root, ensureIndexArtifact(spark, dir), removed)
+    bm25AgainstArtifacts(idx, postings, stats)
+  }
+
+  /** q207's plan-audit surrogate: the admission fold on the BM25-read
+    * planes ([[admissionBm25Folds]] — the same helper the staged path
+    * runs) composed with [[bm25AgainstArtifacts]].
+    */
+  private[graft] def admissionCommitAudit(
+      spark: SparkSession, dir: String): DataFrame = {
+    val root = ensurePostingsArtifact(spark, dir)
+    val shardDocs = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 4 === 0).select("doc_id", "text")
+      .localCheckpoint()
+    val (idxM, postingsM, statsM) = admissionBm25Folds(
+      spark.read.parquet(ensureIndexArtifact(spark, dir)),
+      spark.read.parquet(s"$root/postings"),
+      spark.read.parquet(s"$root/stats"), shardDocs)
+    bm25AgainstArtifacts(idxM, postingsM, statsM)
+  }
+
+  private[graft] def stageAdmissionGeneration(
+      spark: SparkSession, planesRoot: String, logDir: java.nio.file.Path,
+      shardDocs: DataFrame, shardEmb: DataFrame, dir: String,
+      pqRoot: String, tag: String): (Long, Seq[(String, String)]) = {
+    graft.functions.NativeFunctions.register(spark)
+    val baseGen = SqlGateway.occCurrentGen(logDir)
+    val m = SqlGateway.occManifestAt(logDir, baseGen)
+    // --- text planes: postings family -----------------------------------
+    val (_, shardDl, _) = postingsFor(shardDocs)
+    val (idxM, postingsM, statsM) = admissionBm25Folds(
+      spark.read.parquet(m("index")), spark.read.parquet(m("postings")),
+      spark.read.parquet(m("stats")), shardDocs)
+    val positionsM = spark.read.parquet(m("positions"))
+      .unionByName(positionalPostingsFor(shardDocs))
+    val docstatsM = spark.read.parquet(m("docstats")).unionByName(shardDl)
     // --- dedup planes: bands (re-cap touched buckets only) + shingles ---
     val shardSh = shingledFor(shardDocs)
     val shardBands = lshBands(shardSh)
@@ -7698,9 +7756,11 @@ object LlmPipeline extends QueryPack {
     QueryDef("q194_docstats_takedown", docStatsTakedown, Some(docStatsTakedownSql),
       prepare = Some(preparePostings _)),
     QueryDef("q201_takedown_commit", takedownCommit, Some(takedownCommitSql),
-      prepare = Some(prepareTakedownCommit _)),
+      prepare = Some(prepareTakedownCommit _),
+      planAudit = Some(takedownCommitAudit _)),
     QueryDef("q207_admission_commit", admissionCommit, Some(admissionCommitSql),
-      prepare = Some(prepareTakedownCommit _)),
+      prepare = Some(prepareTakedownCommit _),
+      planAudit = Some(admissionCommitAudit _)),
     QueryDef("q202_cc_takedown", ccTakedown, Some(ccTakedownSql),
       prepare = Some(prepareIncrementalCc _)),
     QueryDef("q195_index_takedown_repair", indexTakedownRepair, Some(indexTakedownRepairSql),

@@ -271,6 +271,65 @@ class PlanSpec extends SparkSpec {
       s"query terms not pushed into the post-delete postings scan:\n$plan")
   }
 
+  test("q201 surrogate: takedown-transaction folds + manifest read are corpus-scan-free; terms pushed") {
+    // The transaction query's own physical plan is a localCheckpoint
+    // read-back (its work happens in staged side-effecting writes), so
+    // PLANS.md audits this SURROGATE: the identical applyIndexTakedown
+    // folds composed with the bm25 read as one declarative plan
+    // (VERDICT r17 item 7). The notice is a checkpointed leaf exactly
+    // as in takedownCommit — the pin covers the fold+read, with the
+    // q165 closure derivation (which reads the pair graph by design)
+    // outside the audited plan.
+    val plan = formatted(LlmPipeline.takedownCommitAudit(spark, sfDir))
+    assert(!plan.contains("documents.parquet"),
+      s"q201 fold+read path scans the corpus:\n$plan")
+    assert(plan.contains("graft_postings_"),
+      s"no postings-artifact scan in the plan:\n$plan")
+    assert(plan.contains("PushedFilters: [In(token"),
+      s"query terms not pushed into the post-delete postings scan:\n$plan")
+  }
+
+  test("q207 surrogate: admission folds + read scan stored planes and the checkpointed shard only; terms pushed") {
+    // The admission twin: the same admissionBm25Folds helper the staged
+    // path runs (postings/stats row-union-plus-addition, head-index
+    // min-k merge), composed with the bm25 read. The shard is a
+    // checkpointed leaf exactly as in admissionCommit — it arrives as
+    // input data, so a corpus scan in this plan would mean the FOLD
+    // re-derives corpus state it must only read from the stored planes.
+    val plan = formatted(LlmPipeline.admissionCommitAudit(spark, sfDir))
+    assert(!plan.contains("documents.parquet"),
+      s"q207 fold+read path scans the corpus:\n$plan")
+    assert(plan.contains("graft_postings_"),
+      s"no postings-artifact scan in the plan:\n$plan")
+    assert(plan.contains("PushedFilters: [In(token"),
+      s"query terms not pushed into the post-admission postings scan:\n$plan")
+  }
+
+  test("q203/q206: BPE encode chain collapses to ONE projection — no joins, no exchanges") {
+    // The encode half's kernel (bpeApplyMerges) must stay a constant
+    // replace chain over the words relation: a join or exchange here
+    // would mean the merge table leaked into the distributed axis, and
+    // BpeRounds stacked projections (instead of one Catalyst-collapsed
+    // projection carrying the nested replace expression) would re-walk
+    // each word per round (VERDICT r17 item 7 asked for this pin).
+    val merges = spark.read.parquet(LlmPipeline.ensureBpeMerges(spark, sfDir))
+      .orderBy("round")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges.size == LlmPipeline.BpeRounds)
+    val words = graft.sources.Tables.documents(spark, sfDir)
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val plan = simple(LlmPipeline.bpeApplyMerges(words, merges))
+    assert(!plan.contains("Exchange"),
+      s"BPE encode chain shuffles:\n$plan")
+    assert(!plan.contains("Join"),
+      s"BPE encode chain joins:\n$plan")
+    assert("(?m)^\\S*\\s*\\*?\\(?\\d*\\)?\\s*Project".r.findAllIn(plan).size <= 2 &&
+      plan.contains("replace(" * LlmPipeline.BpeRounds),
+      s"BPE replace chain did not collapse to one nested projection:\n$plan")
+  }
+
   test("q197: proximity probe scans the positional leaf under a pushed In-filter; the window is a band residual on an equi join") {
     val plan = formatted(LlmPipeline.proximityRetrieval(spark, sfDir))
     assert(!plan.contains("documents.parquet"),
