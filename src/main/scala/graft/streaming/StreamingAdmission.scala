@@ -921,4 +921,107 @@ object StreamingAdmission {
           batch, batchId, bits)
       }
       .start()
+
+  // --- embedding-side streamed takedown (r18 — VERDICT r17 item 5) ------
+
+  /** Rewrite one COMMITTED generation directory through `transform`
+    * under the staged-write/atomic-swap discipline
+    * [[ccTakedownSnapshot]] uses (ADVICE r17): the committed directory
+    * stays readable until a COMPLETE staging (_SUCCESS) swaps in via
+    * one rename(2); a crash between the delete and the move is
+    * recovered on the next call (a complete staging beside a missing
+    * target is the prior run's finished rewrite — finish the swap,
+    * then re-apply, so `transform` must be idempotent — every caller
+    * here is a notice anti-join, which is). The dotted staging name
+    * sits outside the generation namespace, so no resolve, fold, or
+    * compaction ever reads it. An uncommitted (markerless) directory
+    * is a crashed partial write a stream replay rewrites wholesale —
+    * left untouched.
+    */
+  private def rewriteGenerationStaged(
+      spark: SparkSession, dir: java.nio.file.Path)
+      (transform: DataFrame => DataFrame): Unit = {
+    val staging = dir.resolveSibling(s".staging-${dir.getFileName}")
+    if (Generations.isComplete(staging) && !Generations.isComplete(dir)) {
+      LlmPipeline.deleteRecursively(dir)
+      java.nio.file.Files.move(staging, dir,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    if (Generations.isComplete(dir)) {
+      val maintained = transform(spark.read.parquet(dir.toString))
+      LlmPipeline.deleteRecursively(staging)
+      maintained.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+      LlmPipeline.deleteRecursively(dir)
+      java.nio.file.Files.move(staging, dir,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+
+  /** Purge removed vec_ids from EVERY committed generation of the
+    * embedding stream's own state — key/vec deltas and compacted bases
+    * — by a notice-sized broadcast anti-join per generation. Without
+    * this, the next batch's history probe re-discovers pairs to the
+    * removed vectors and the quotient fold re-introduces removed ids
+    * into the labeling — the takedown would silently undo itself.
+    * `removed` is (doc_id), the notice convention every takedown fold
+    * shares. Idempotent: a replayed purge anti-joins rows that are
+    * already gone.
+    */
+  private[graft] def purgeAnnStreamState(
+      spark: SparkSession, streamDir: String, removed: DataFrame): Unit = {
+    val remVec = removed.select(col("doc_id").as("vec_id")).localCheckpoint()
+    def purge(sub: String, prefix: String): Unit = {
+      val root = java.nio.file.Paths.get(streamDir, sub)
+      // A crash between a prior purge's delete and its publish rename
+      // leaves the generation present ONLY as its complete staging —
+      // invisible to the committed-id enumeration. Enumerate staging
+      // ids too so rewriteGenerationStaged's recovery branch finds and
+      // republishes them (then re-applies — idempotent anti-join).
+      val staged =
+        if (!java.nio.file.Files.isDirectory(root)) Seq.empty[Long]
+        else scala.util.Using.resource(java.nio.file.Files.list(root)) { st =>
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala.map(_.getFileName.toString)
+            .filter(_.startsWith(s".staging-$prefix"))
+            .map(_.stripPrefix(s".staging-$prefix").toLong).toSeq
+        }
+      (Generations.completeGenIds(root, prefix) ++ staged).distinct.sorted
+        .foreach { g =>
+          rewriteGenerationStaged(spark, root.resolve(s"$prefix$g"))(
+            _.join(broadcast(remVec), Seq("vec_id"), "left_anti"))
+        }
+    }
+    purge("keys", "batch_id=")
+    purge("vecs", "batch_id=")
+    purge("keys_base", "gen=")
+    purge("vecs_base", "gen=")
+  }
+
+  /** Takedown on the embedding-side streamed chain (r18 — VERDICT r17
+    * item 5): [[ccTakedownSnapshot]]'s re-label discipline — the label
+    * chain is label-generic, so the snapshot/truncate/fail-closed
+    * machinery is REUSED verbatim, coarsen-only revoked on the delete
+    * axis for the same edge-set reason — plus the one obligation the
+    * ANN axis adds: the stream's OWN key/vector history must stop
+    * serving the removed vectors ([[purgeAnnStreamState]]), or the
+    * next batch's history probe re-discovers edges to them and the
+    * quotient fold re-introduces removed ids into the labeling.
+    *
+    * The STORED corpus index (keysPath/vecsPath) is deliberately not
+    * touched here: it is a plane of the q201 takedown transaction —
+    * a production notice naming corpus vectors swings it through the
+    * manifest CAS, after which the batch×corpus probe cannot see them
+    * either; a notice naming only streamed vectors (the admission
+    * window this chain owns) never had them in the stored index at
+    * all. Purge-then-relabel ordering makes a replayed takedown
+    * converge: both halves are idempotent and a crash between them
+    * leaves the purge committed and the labels one call behind —
+    * exactly what the replay re-runs.
+    */
+  private[graft] def annCcTakedownSnapshot(
+      spark: SparkSession, streamDir: String, labelsDir: String,
+      pairs: DataFrame, removed: DataFrame, atGen: Long): Unit = {
+    purgeAnnStreamState(spark, streamDir, removed)
+    ccTakedownSnapshot(spark, labelsDir, pairs, removed, atGen)
+  }
 }

@@ -222,4 +222,127 @@ class AnnCcStreamSpec extends SparkSpec {
       LlmPipeline.deleteRecursively(t2)
     }
   }
+
+  /** Streamed ANN-CC takedown (r18 — VERDICT r17 item 5): the text
+    * chain's ccTakedownSnapshot laws on the embedding axis, plus the
+    * obligation the ANN axis adds — the stream's own key/vector
+    * history must stop serving removed vectors, or the next batch's
+    * history probe re-links them. Laws: (1) mid-stream takedown
+    * re-labels to the survivor rebuild and purges every committed
+    * key/vec generation (deltas AND compacted bases); (2) the delta
+    * chain CONTINUES — a post-takedown batch folds in and the final
+    * labeling equals the full survivor rebuild over every discovered
+    * pair, with no removed id ever reappearing; (3) both halves replay
+    * idempotently (at-least-once notices and batches); (4) a crash
+    * between the purge's delete and its atomic swap is recovered on
+    * the next call.
+    */
+  test("streamed ANN takedown: re-label + history purge; delta chain continues on survivors; replay + crash-swap converge") {
+    import spark.implicits._
+    val (keysPath, vecsPath) = LlmPipeline.ensureMpAnnIndex(spark, sfDir)
+    val ccPath = LlmPipeline.ensureAnnCcArtifact(spark, sfDir)
+    val newVecs = graft.sources.Tables.embeddings(spark, sfDir)
+      .filter("vec_id % 4 = 0").select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect()
+      .sortBy { case (id, _) => (id % 7, id) }
+    val chunks = newVecs.grouped(math.max(newVecs.length / 3, 1)).toSeq
+      .map(_.toSeq)
+    require(chunks.size >= 3, "fixture must yield >= 3 chunks")
+    // Stream the first two chunks with cadence compaction so the purge
+    // sees BOTH state shapes: a live delta (batch 1) and a folded base
+    // (gen 0).
+    val (_, t) = runStream(chunks.init, keysPath, vecsPath, ccPath,
+      compactEvery = 1)
+    try {
+      val hist = t.resolve("hist").toString
+      val labelsDir = t.resolve("labels").toString
+      // Batches 0..nb-1 streamed; cadence compacted last at nb-2, so the
+      // state is one folded base (gen = nb-2) + one live delta (nb-1).
+      val nb = chunks.init.size
+      val lastB = (nb - 1).toLong
+      val labeledBefore = readLabels(labelsDir)
+      val streamed12 = chunks.init.flatten.map(_._1).toSet
+      val labeledStreamed = labeledBefore.keySet.intersect(streamed12).toSeq.sorted
+      assert(labeledStreamed.nonEmpty,
+        "no streamed vec is labeled after two chunks — law vacuous")
+      // Remove up to four labeled streamed vectors, preferring a
+      // min-id LABEL itself (the case no label rewrite can patch).
+      val minLabelHit = labeledStreamed.filter(id => labeledBefore(id) == id)
+      val removedIds = (minLabelHit.take(1) ++ labeledStreamed.take(3)).distinct
+      info(s"notice: ${removedIds.size} vecs, ${minLabelHit.take(1).size} of them min-id labels")
+      val removed = removedIds.toDF("doc_id").localCheckpoint()
+      val removedSet = removedIds.toSet
+      // The pair graph over the population the chain labels SO FAR
+      // (corpus + chunks 1–2) — chunk 3's ids must not leak into the
+      // re-label.
+      def inPop12(c: org.apache.spark.sql.Column) =
+        (c % 4 =!= 0) || c.isin(streamed12.toSeq: _*)
+      val pairs12 = LlmPipeline.multiProbeVerifiedPairs(spark, sfDir)
+        .filter(inPop12(col("id1")) && inPop12(col("id2")))
+        .select("id1", "id2").localCheckpoint()
+      StreamingAdmission.annCcTakedownSnapshot(
+        spark, hist, labelsDir, pairs12, removed, atGen = lastB)
+      // -- law 1: snapshot committed, deltas subsumed, purge complete --
+      assert(Files.exists(Paths.get(labelsDir, "snap", s"batch_id=$lastB", "_SUCCESS")),
+        "takedown snapshot not committed")
+      assert(!Files.exists(Paths.get(labelsDir, "delta", s"batch_id=$lastB")),
+        "takedown snapshot did not subsume the delta tail")
+      val stateDirs = Seq(
+        Paths.get(hist, "keys", s"batch_id=$lastB"),
+        Paths.get(hist, "vecs", s"batch_id=$lastB"),
+        Paths.get(hist, "keys_base", s"gen=${nb - 2}"),
+        Paths.get(hist, "vecs_base", s"gen=${nb - 2}"))
+      stateDirs.foreach { d =>
+        assert(Files.exists(d.resolve("_SUCCESS")), s"purged generation $d lost its commit marker")
+        val served = spark.read.parquet(d.toString)
+          .filter(col("vec_id").isin(removedSet.toSeq: _*)).count()
+        assert(served == 0, s"$d still serves $served removed vec rows after the purge")
+      }
+      val mid = readLabels(labelsDir)
+      assert(mid.keySet.intersect(removedSet).isEmpty,
+        "chain still labels removed vecs after the takedown")
+      val surv12 = pairs12
+        .filter(!col("id1").isin(removedSet.toSeq: _*) &&
+          !col("id2").isin(removedSet.toSeq: _*))
+      val expectedMid = LlmPipeline.minLabelComponents(
+          surv12.union(surv12.select(col("id2").as("id1"), col("id1").as("id2"))))
+        .as[(Long, Long)].collect().toMap
+      assert(mid == expectedMid,
+        s"takedown labeling (${mid.size} rows) != survivor rebuild (${expectedMid.size})")
+      // -- law 2: the delta chain continues; final == survivor rebuild --
+      StreamingAdmission.commitAnnCcBatch(spark, keysPath, vecsPath,
+        hist, labelsDir, chunks.last.toDF("vec_id", "embedding"), batchId = nb.toLong)
+      val fin = readLabels(labelsDir)
+      assert(fin.keySet.intersect(removedSet).isEmpty,
+        "a post-takedown batch re-introduced a removed vec into the labeling")
+      val survAll = LlmPipeline.multiProbeVerifiedPairs(spark, sfDir)
+        .filter(!col("id1").isin(removedSet.toSeq: _*) &&
+          !col("id2").isin(removedSet.toSeq: _*))
+        .select("id1", "id2").localCheckpoint()
+      val expectedFin = LlmPipeline.minLabelComponents(
+          survAll.union(survAll.select(col("id2").as("id1"), col("id1").as("id2"))))
+        .as[(Long, Long)].collect().toMap
+      assert(fin == expectedFin,
+        s"continued chain (${fin.size} rows) != full survivor rebuild (${expectedFin.size})")
+      // -- law 3: replay idempotence on both halves ----------------------
+      StreamingAdmission.annCcTakedownSnapshot(
+        spark, hist, labelsDir, pairs12, removed, atGen = lastB)
+      StreamingAdmission.commitAnnCcBatch(spark, keysPath, vecsPath,
+        hist, labelsDir, chunks.last.toDF("vec_id", "embedding"), batchId = nb.toLong)
+      assert(readLabels(labelsDir) == expectedFin,
+        "takedown/batch replay diverged from the first application")
+      // -- law 4: crash between the purge's delete and its swap ---------
+      val gen = Paths.get(hist, "keys", s"batch_id=$lastB")
+      val before = spark.read.parquet(gen.toString).collect().map(_.toString).toSet
+      val staging = gen.resolveSibling(s".staging-${gen.getFileName}")
+      Files.move(gen, staging) // the crash state: staging complete, target gone
+      StreamingAdmission.purgeAnnStreamState(spark, hist, removed)
+      assert(Files.exists(gen.resolve("_SUCCESS")) && !Files.exists(staging),
+        "crash-swap recovery did not republish the purged generation")
+      assert(spark.read.parquet(gen.toString).collect().map(_.toString).toSet == before,
+        "crash-swap recovery changed the purged generation's rows")
+    } finally {
+      LlmPipeline.deleteRecursively(t)
+    }
+  }
 }
