@@ -157,6 +157,130 @@ class BpeTrainSpec extends SparkSpec {
     }
   }
 
+  /** Tokenizer-plane drift law under takedown (r18 — VERDICT r17 item
+    * 3): every other trained artifact carries a staleness contract
+    * (IVF coarse ≥ 0.9, PQ stale-codebook ≥ 0.8 recall gates); this is
+    * the stored merge table's. THE RETRAIN POLICY: after a takedown
+    * the artifact is regenerated by the NIGHTLY training run over the
+    * survivor corpus — the q206 admission story run backward, so
+    * history re-tokenization is an explicit nightly event, never an
+    * ingest-path side effect — and until it runs the STALE chain keeps
+    * serving. The laws that make "stale keeps serving" safe and the
+    * retrain principled:
+    *
+    *   1. VALIDITY is chain-independent: any chain's encoding of any
+    *      word concatenates back to the word — a stale tokenizer can
+    *      drift in granularity, never corrupt text.
+    *   2. Divergence is a PREFIX property: greedy training is an
+    *      argmax chain, so stale and retrained agree exactly up to the
+    *      first round where the removal shifts the argmax.
+    *   3. Parity where untouched: a surviving word that NO
+    *      post-divergence merge of either chain touches encodes
+    *      identically under both — drift is local to the diverging
+    *      suffix, telemetered as the re-tokenized vocabulary fraction.
+    *   4. The retrain is deterministic: regeneration reproduces the
+    *      scan-greedy reference on survivor counts exactly.
+    *
+    * Two legs: the REAL fixture notice (telemetry on whatever the data
+    * gives), and an adversarial removal built to flip the round-1
+    * argmax (the divergence machinery exercised non-vacuously).
+    */
+  test("tokenizer drift under takedown: stale chain stays valid, divergence is prefix-local, retrain == nightly regeneration") {
+    import spark.implicits._
+    def encodeAll(vocab: Seq[String], chain: Seq[(String, String)]): Map[String, Seq[String]] =
+      LlmPipeline.bpeApplyMerges(vocab.toDF("w"), chain)
+        .select(col("w"), expr("filter(split(seq, '[|]'), x -> x != '')"))
+        .as[(String, Seq[String])].collect().toMap
+    def driftLaws(
+        vocab: Seq[String], stale: Seq[(String, String)],
+        retrained: Seq[(String, String)], leg: String): Int = {
+      val prefixLen = stale.zip(retrained).takeWhile { case (a, b) => a == b }.size
+      val se = encodeAll(vocab, stale)
+      val re = encodeAll(vocab, retrained)
+      val pe = encodeAll(vocab, stale.take(prefixLen))
+      vocab.foreach { w =>
+        assert(se(w).mkString == w && re(w).mkString == w,
+          s"$leg: chain encoding of '$w' is not a valid segmentation")
+      }
+      val drifted = vocab.filter(w => se(w) != re(w))
+      // Law 3 as an inclusion: every drifted word was touched by some
+      // post-divergence merge — a word both suffixes leave alone
+      // (its encoding is still the common-prefix encoding under BOTH
+      // chains) has exact parity.
+      drifted.foreach { w =>
+        assert(se(w) != pe(w) || re(w) != pe(w),
+          s"$leg: '$w' drifted although no post-divergence merge touched it")
+      }
+      if (prefixLen == stale.size && retrained.size == stale.size)
+        assert(drifted.isEmpty,
+          s"$leg: untouched argmax chain must encode identically (${drifted.size} drifted)")
+      info(f"$leg: chains agree on $prefixLen/${stale.size} merges; " +
+        f"${drifted.size}/${vocab.size} surviving words re-tokenize " +
+        f"(${100.0 * drifted.size / math.max(vocab.size, 1)}%.1f%%)")
+      prefixLen
+    }
+
+    // --- leg 1: the real fixture notice over the standing corpus -------
+    val standing = graft.sources.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 4 =!= 0)
+    val removedSet = LlmPipeline.takedownDocSet(spark, sfDir)
+      .as[Long].collect().toSet
+    assert(removedSet.nonEmpty, "fixture notice empty — law vacuous")
+    val survivors = standing.filter(!col("doc_id").isin(removedSet.toSeq: _*))
+    def wc(docs: org.apache.spark.sql.DataFrame) = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("wn"))
+    val stale = spark.read.parquet(LlmPipeline.ensureBpeMerges(spark, sfDir))
+      .orderBy("round")
+      .as[(Int, String, String, Long)].collect().map(m => (m._2, m._3)).toSeq
+    val (retrained0, _) = LlmPipeline.bpeTrainMerges(wc(survivors))
+    val retrained = retrained0.map(m => (m._2, m._3))
+    val survivorVocab = wc(survivors).select("w").as[String].collect().toSeq
+    driftLaws(survivorVocab, stale, retrained, "real-notice")
+
+    // --- leg 2: adversarial removal flips the round-1 argmax -----------
+    // Full counts make (a, b) the round-1 argmax (20 pairs from abab);
+    // removing 8 of the 10 abab occurrences hands round 1 to (c, d) —
+    // divergence at round 1, so EVERY law above runs on the non-trivial
+    // side. Words are 4-symbol so six rounds stay well-fed.
+    val fullCounts = Seq(("abab", 10L), ("cdcd", 9L), ("efef", 8L),
+      ("ghgh", 7L), ("ijij", 6L), ("klkl", 5L), ("mnmn", 4L), ("opop", 3L))
+    val survCounts = fullCounts.map { case (w, n) =>
+      (w, if (w == "abab") 2L else n)
+    }
+    val (advStale0, _) = LlmPipeline.bpeTrainMerges(fullCounts.toDF("w", "wn"))
+    val (advRe0, _) = LlmPipeline.bpeTrainMerges(survCounts.toDF("w", "wn"))
+    val advStale = advStale0.map(m => (m._2, m._3))
+    val advRe = advRe0.map(m => (m._2, m._3))
+    val advPrefix = driftLaws(fullCounts.map(_._1), advStale, advRe, "adversarial")
+    assert(advPrefix < LlmPipeline.BpeRounds,
+      "adversarial removal failed to diverge the chain — fixture needs rebuilding")
+    // Law 4: the nightly regeneration reproduces the scan-greedy
+    // reference on the survivor counts exactly (and is deterministic).
+    var state: Vector[(Vector[String], Long)] =
+      survCounts.toVector.map { case (w, n) => (w.map(_.toString).toVector, n) }
+    val expMerges = Vector.newBuilder[(String, String)]
+    for (_ <- 1 to LlmPipeline.BpeRounds) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      state.foreach { case (syms, n) =>
+        syms.indices.dropRight(1).foreach { i =>
+          val k = (syms(i), syms(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + n
+        }
+      }
+      val ((x, y), _) = counts.toSeq
+        .sortBy { case ((a, b), c) => (-c, a, b) }.head
+      expMerges += ((x, y))
+      state = state.map { case (syms, wn) => (scanMerge(syms, x, y), wn) }
+    }
+    assert(advRe == expMerges.result(),
+      "survivor retrain diverged from the scan-greedy reference")
+    val (advRe2, _) = LlmPipeline.bpeTrainMerges(survCounts.toDF("w", "wn"))
+    assert(advRe2.map(m => (m._2, m._3)) == advRe,
+      "retrain is not deterministic — the nightly regeneration contract breaks")
+  }
+
   /** q203's inference half: applying the trained merge chain to words
     * ([[LlmPipeline.bpeApplyMerges]]) equals replaying the scan-greedy
     * reference merge-by-merge — on the run fixture (where the r16
