@@ -5733,6 +5733,180 @@ object LlmPipeline extends QueryPack {
       |WHERE rank <= 10
       |ORDER BY query_id, rank""".stripMargin
 
+  /** Proximity-boosted conjunctive ranking with Block-Max WAND pruning
+    * (q209 — VERDICT r17 item 6): q204 rescores ALL conjunctive
+    * candidates; this composes it with q190's pruning pass. The bound
+    * argument SURVIVES the fusion because the boost is bounded by the
+    * bucket table: the fused ordering key is
+    * combo(d) = round(score_d, 4) + boost_d with
+    * boost_d ≤ [[ProximityWindow]], and score_d ≤ bnd_d (the q190
+    * block-max, length-aware upper bound driven from the rarer B
+    * slot's exact contribution), so
+    * combo(d) ≤ bnd_d + [[RankRoundSlack]] + [[ProximityWindow]] —
+    * a candidate with bnd < θ − ProximityWindow − RankRoundSlack can
+    * neither beat NOR round-tie the fused 10th seed. θ is the 10th-best
+    * EXACT fused combo among the [[Bm25SeedSize]] bound-ordered seeds
+    * (valid only when all 10 exist — otherwise the query prunes
+    * nothing, correctness first). LOSSLESS: ≥ 10 seeds have exact
+    * combo ≥ θ, every true top-10 doc has combo ≥ θ, and its bound
+    * dominates its combo minus the boost/rounding slack — it survives.
+    *
+    * The payoff is on the POSITIONAL axis: only seeds and survivors
+    * reach the min-gap pair join (q204's per-doc tf_A·tf_B band join —
+    * the expensive leg), so pruning shrinks proximity work, not just
+    * scoring. Everything runs downstream of the pushed term In-filters
+    * on both stored leaves, as q204 (the plan pin is shared); the
+    * oracle is q204's UNPRUNED SQL verbatim, so the hash-checked law
+    * is "pruned fused ranking == exact fused ranking".
+    */
+  def proximityWandRank(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (matched, fusedScores) = proximityWandParts(spark, dir)
+    val survivors = proximityWandSurvivors(matched, fusedScores)
+    fusedScores(survivors)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("combo").desc, col("doc_id").asc)).cast("int"))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("boost"),
+        col("combo").as("combo_r"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** q209's shared construction: the In-filtered, slot-tagged,
+    * contribution-scored posting rows and the exact-fused-scores
+    * closure (BM25 pivot + positional min-gap join + fused combo, all
+    * restricted to a broadcast candidate set).
+    */
+  private def proximityWandParts(
+      spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame => DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val root = ensurePostingsArtifact(spark, dir)
+    val idx = spark.read.parquet(ensureIndexArtifact(spark, dir))
+    val positions = spark.read.parquet(s"$root/positions")
+    val postings = spark.read.parquet(s"$root/postings")
+    val stats = spark.read.parquet(s"$root/stats")
+    val top6 = idx.select(col("token"), col("df"))
+      .orderBy(col("df").desc, col("token").asc).limit(6)
+    val terms = top6
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("df").desc, col("token").asc)))
+      .withColumn("query_id", (((col("r") - 1) % 3) + 1).cast("int"))
+      .withColumn("is_a", col("r") <= 3)
+      .select("query_id", "token", "df", "is_a")
+    val termStrings = terms.select("token").collect().map(_.getString(0)).toSeq
+    val st = stats.select(col("nd"),
+      (col("toktot").cast("double") / col("ndl").cast("double")).as("avgl"))
+    val matched = postings.filter(col("token").isin(termStrings: _*))
+      .join(broadcast(terms), "token")
+      .crossJoin(broadcast(st))
+      .withColumn("contrib",
+        (col("nd") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) *
+          (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgl"))))
+      .select("query_id", "is_a", "doc_id", "tf", "dl", "df", "nd", "avgl",
+        "contrib")
+    val matchedPos = positions.filter(col("token").isin(termStrings: _*))
+      .join(broadcast(terms.select("query_id", "token", "is_a")), "token")
+    def fusedScores(cand: DataFrame): DataFrame = {
+      val m = matched
+        .join(broadcast(cand), Seq("query_id", "doc_id"), "left_semi")
+        .groupBy("query_id", "doc_id")
+        .agg(max(when(col("is_a"), col("contrib"))).as("ca"),
+          max(when(!col("is_a"), col("contrib"))).as("cb"))
+        .filter(col("ca").isNotNull && col("cb").isNotNull)
+        .withColumn("score", col("ca") + col("cb"))
+      val candPos = matchedPos
+        .join(broadcast(cand), Seq("query_id", "doc_id"), "left_semi")
+      val prox = candPos.filter(col("is_a"))
+        .select(col("query_id"), col("doc_id"), col("pos").as("apos"))
+        .join(candPos.filter(!col("is_a"))
+          .select(col("query_id"), col("doc_id"), col("pos").as("bpos")),
+          Seq("query_id", "doc_id"))
+        .filter(col("bpos") > col("apos") &&
+          col("bpos") - col("apos") <= ProximityWindow)
+        .groupBy("query_id", "doc_id")
+        .agg(min(col("bpos") - col("apos")).as("min_gap"))
+      m.join(prox, Seq("query_id", "doc_id"), "left")
+        .withColumn("boost",
+          coalesce(lit(ProximityWindow + 1) - col("min_gap"), lit(0L)))
+        .withColumn("combo", round(col("score"), 4) + col("boost").cast("double"))
+    }
+    (matched, fusedScores)
+  }
+
+  /** q209's pruning pass: candidates driven from the rarer B slot with
+    * exact cb, block-max length-aware upper bound for the A slot
+    * (q190's bound at arity 1 — each query has exactly one A term),
+    * seeds in bound order, fused θ from the seeds' exact combos, prune
+    * at θ − ProximityWindow − RankRoundSlack.
+    */
+  private def proximityWandSurvivors(
+      matched: DataFrame, fusedScores: DataFrame => DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bSide = matched.filter(!col("is_a"))
+      .select(col("query_id"), col("doc_id"), col("dl"),
+        col("contrib").as("cb"))
+      .withColumn("blk", expr(s"doc_id div $Bm25BlockSize"))
+    val bmax = matched.filter(col("is_a"))
+      .withColumn("blk", expr(s"doc_id div $Bm25BlockSize"))
+      .groupBy("query_id", "blk")
+      .agg(max("tf").as("tfmaxb"), first("df").as("dft"),
+        first("nd").as("nd"), first("avgl").as("avgl"))
+      .withColumn("idf",
+        (col("nd") - col("dft") + lit(0.5)) / (col("dft") + lit(0.5)))
+      .select("query_id", "blk", "tfmaxb", "idf", "avgl")
+    // The inner block join doubles as the conjunctive reject, as in
+    // q190: no A postings in the candidate's block ⇒ the doc misses A.
+    val bounded = bSide.join(broadcast(bmax), Seq("query_id", "blk"))
+      .withColumn("uba",
+        col("idf") * (col("tfmaxb") * lit(2.2)) /
+          (col("tfmaxb") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgl"))))
+      .select(col("query_id"), col("doc_id"), (col("cb") + col("uba")).as("bnd"))
+    val wSeed = Window.partitionBy("query_id")
+      .orderBy(col("bnd").desc, col("doc_id").asc)
+    val seed = bounded.withColumn("srk", row_number().over(wSeed))
+      .filter(col("srk") <= Bm25SeedSize).select("query_id", "doc_id")
+    val wT = Window.partitionBy("query_id")
+      .orderBy(col("combo").desc, col("doc_id").asc)
+    // θ needs all 10 fused seeds; combo is already round(score,4)+int,
+    // so no further rounding — equality IS the round-tie. θ is
+    // MATERIALIZED eagerly (≤ 3 rows — the q192 driver-side-θ
+    // convention: a dynamic-pruning threshold is metadata by nature):
+    // referencing the seed-scoring subtree lazily from both the
+    // survivor filter and the final scoring would re-expand the
+    // matched leaf ~28× in one plan; as a leaf it appears ~5×, q190's
+    // shape.
+    val theta = fusedScores(seed)
+      .withColumn("trk", row_number().over(wT))
+      .filter(col("trk") <= 10)
+      .groupBy("query_id")
+      .agg(min(col("combo")).as("theta"), count(lit(1)).as("nseed"))
+      .filter(col("nseed") === 10)
+      .localCheckpoint()
+    bounded.join(broadcast(theta), Seq("query_id"), "left")
+      .filter(col("theta").isNull ||
+        col("bnd") >= col("theta") - lit(ProximityWindow.toDouble) - lit(RankRoundSlack))
+      .select("query_id", "doc_id")
+  }
+
+  /** (candidate driver set, pruned survivors) — the spec hook for
+    * q209's non-trivial-pruning assertion, the q190 convention: `all`
+    * is the rarer B slot's postings, the document-at-a-time candidate
+    * set the pruning pass iterates (every true conjunctive match is in
+    * it). At fixture scale the boost-dominant fused key makes the θ
+    * line conservative, so most of the drop comes from the block-level
+    * conjunctive reject (the BMW metadata skip) — both are parts of
+    * the one pruning pass whose losslessness the q209 oracle hashes.
+    */
+  private[graft] def proximityWandCandidates(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val (matched, fusedScores) = proximityWandParts(spark, dir)
+    val all = matched.filter(!col("is_a")).select("query_id", "doc_id")
+    (all, proximityWandSurvivors(matched, fusedScores))
+  }
+
   /** How many top-df tokens the q205 trigram-query derivation reads —
     * the scale bound: the derivation's positional input is the pushed
     * In-filter over these tokens' rows (Σ df of 20 terms), never the
@@ -7766,6 +7940,8 @@ object LlmPipeline extends QueryPack {
     QueryDef("q195_index_takedown_repair", indexTakedownRepair, Some(indexTakedownRepairSql),
       prepare = Some(preparePostings _)),
     QueryDef("q204_proximity_boosted_rank", proximityBoostedRank, Some(proximityBoostedRankSql),
+      prepare = Some(preparePostings _)),
+    QueryDef("q209_proximity_wand_rank", proximityWandRank, Some(proximityBoostedRankSql),
       prepare = Some(preparePostings _)),
     QueryDef("q205_phrase3_retrieval", phrase3Retrieval, Some(phrase3RetrievalSql),
       prepare = Some(preparePostings _)),

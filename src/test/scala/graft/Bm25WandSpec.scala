@@ -72,4 +72,27 @@ class Bm25WandSpec extends SparkSpec {
         s"doc $d in query $q's top-10 misses a conjunctive term")
     }
   }
+
+  /** q209 (r18 — VERDICT r17 item 6): the q190 pruning composed with
+    * q204's fused round(bm25, 4) + integer-boost key. The bound
+    * argument survives fusion because the boost is bounded by the
+    * bucket table (≤ ProximityWindow), so the prune line is
+    * θ − ProximityWindow − RankRoundSlack.
+    */
+  test("q209: WAND-pruned fused proximity ranking == unpruned q204; pruning drops candidates") {
+    val pruned = LlmPipeline.proximityWandRank(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    val exact = LlmPipeline.proximityBoostedRank(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    assert(pruned == exact,
+      s"fused-key pruning changed the proximity-boosted ranking " +
+        s"(${pruned.size} vs ${exact.size} rows)")
+    assert(pruned.nonEmpty, "fused retrieval returned no rows — fixture degenerate")
+    val (all, survivors) = LlmPipeline.proximityWandCandidates(spark, sfDir)
+    val nAll = all.count(); val nSurv = survivors.count()
+    assert(nSurv < nAll,
+      s"fused upper-bound pruning dropped nothing ($nSurv of $nAll candidates kept)")
+    assert(nSurv >= 10,
+      s"pruning kept fewer candidates than a top-10 needs ($nSurv)")
+  }
 }

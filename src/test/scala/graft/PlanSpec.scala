@@ -354,6 +354,18 @@ class PlanSpec extends SparkSpec {
       s"both axes must stay equi-join shaped:\n$plan")
   }
 
+  test("q209: WAND-pruned fused ranking keeps q204's plan shape — pushed In-filters, no corpus scan") {
+    val plan = formatted(LlmPipeline.proximityWandRank(spark, sfDir))
+    assert(!plan.contains("documents.parquet"),
+      s"q209 pruned fused ranking scans the corpus:\n$plan")
+    assert(plan.contains("graft_postings_"),
+      s"no stored-artifact scan in the plan:\n$plan")
+    assert(plan.contains("PushedFilters: [In(token"),
+      s"query terms not pushed into the artifact scans:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"both axes must stay equi-join shaped:\n$plan")
+  }
+
   test("q205: trigram phrase retrieval scans the positional leaf under a pushed In-filter; the chain is equi joins") {
     val plan = formatted(LlmPipeline.phrase3Retrieval(spark, sfDir))
     assert(!plan.contains("documents.parquet"),
