@@ -462,6 +462,7 @@ object IndexScale {
       val (bandsPath, shinglesPath) = queries.LlmPipeline.ensureBandIndex(spark, d)
       val (keysPath, vecsPath) = queries.LlmPipeline.ensureMpAnnIndex(spark, d, bits)
       val pqRoot = queries.LlmPipeline.ensurePqIndex(spark, d)
+      val (pairsPath, labelsPath, repsPath) = queries.LlmPipeline.ensureCcPlanes(spark, d)
       val logDir = java.nio.file.Files.createTempDirectory("graft_is_tdlog")
       val planes = java.nio.file.Files.createTempDirectory("graft_is_tdpl")
       try {
@@ -471,7 +472,8 @@ object IndexScale {
           "stats" -> s"$root/stats", "bands" -> bandsPath,
           "shingles" -> shinglesPath, "ann_keys" -> keysPath,
           "ann_vecs" -> vecsPath, "pq_cells" -> s"$pqRoot/cells",
-          "pq_codes" -> s"$pqRoot/codes")))
+          "pq_codes" -> s"$pqRoot/codes", "pairs" -> pairsPath,
+          "labels" -> labelsPath, "reps" -> repsPath)))
         time {
           val (won, _) = queries.LlmPipeline.commitTakedownGeneration(
             spark, planes.toString, logDir, rem, "t1")
@@ -488,7 +490,7 @@ object IndexScale {
     val nNoticeInc = noticeInc.count()
     val tcBase = commitLeg(baseDir, queries.LlmPipeline.MpBits, noticeInc)
     val tcBig = commitLeg(bigDirInc, bitsBig, noticeInc)
-    println(f"| q201 multi-plane takedown commit ($nNoticeInc-doc notice, 11 planes + 1 CAS) " +
+    println(f"| q201 multi-plane takedown commit ($nNoticeInc-doc notice, 14 planes + 1 CAS) " +
       f"| $tcBase%.1f | $tcBig%.1f | ${tcBig / tcBase}%.1f " +
       "| ~artifact-leaf passes + writes (the nightly-fold class); the CAS is one file |")
 
@@ -510,6 +512,70 @@ object IndexScale {
     println(f"| q202 CC-plane takedown (fixed notice; vs q101 rebuild row above) " +
       f"| $ccTdBase%.1f | $ccTdBig%.1f | ${ccTdBig / ccTdBase}%.1f " +
       "| ~affected components (notice-sized), never the corpus graph |")
+
+    // --- r18: transactional shard ADMISSION (q207-class) + retention -----
+    // --- vacuum (q208-class) ----------------------------------------------
+    // Admission cost model: each text plane is REWRITTEN as a new
+    // generation (the generation-rewrite convention — postings/
+    // positions/docstats row union is corpus-sized, the nightly-fold
+    // class, expected ~linear); the shard-derived folds, the quotient
+    // label merge, and the CAS stay shard-sized. The q208 row is
+    // STORAGE: commit a takedown ON TOP of the admission, vacuum at
+    // the head, and measure the superseded admission generation + the
+    // expired manifests actually reclaimed — the bytes that without
+    // q208 accrete on every commit, forever.
+    def admissionVacuumLeg(d: String): (Double, Long, Double) = {
+      val pqRoot = queries.LlmPipeline.ensurePqIndex(spark, d)
+      val logDir = java.nio.file.Files.createTempDirectory("graft_is_adlog")
+      val planes = java.nio.file.Files.createTempDirectory("graft_is_adpl")
+      try {
+        queries.LlmPipeline.bootstrapPlanesManifest(spark, d, logDir)
+        val shardDocs = graft.sources.Tables.documents(spark, d)
+          .filter(col("doc_id") % 4 === 0).select("doc_id", "text")
+          .localCheckpoint()
+        val shardEmb = graft.sources.Tables.embeddings(spark, d)
+          .filter(col("vec_id") % 4 === 0).select("vec_id", "embedding")
+          .localCheckpoint()
+        val tAdmit = time {
+          val (won, _) = queries.LlmPipeline.commitAdmissionGeneration(
+            spark, planes.toString, logDir, shardDocs, shardEmb, d, pqRoot, "a1")
+          require(won, "unopposed admission commit lost")
+        }
+        // A takedown commit on top (folds FROM the admission's
+        // committed planes) supersedes the a1 generation entirely.
+        val (won2, _) = queries.LlmPipeline.commitTakedownGeneration(
+          spark, planes.toString, logDir, noticeInc, "t1")
+        require(won2, "unopposed takedown commit lost")
+        val before = dirBytes(planes.toString)
+        var expired = 0L; var orphans = 0L
+        val tVac = time {
+          val (e, o) = queries.SqlGateway.vacuumManifestLog(
+            logDir, planes, retainFrom = 2L)
+          expired = e; orphans = o
+        }
+        require(expired == 2 && orphans == 14,
+          s"vacuum reclaimed ($expired manifests, $orphans dirs) — expected (2, 14)")
+        // The head must still read consistently from retained planes.
+        require(queries.LlmPipeline.manifestPlanesConsistent(spark, logDir, 2L),
+          "post-vacuum head read inconsistent")
+        (tAdmit, before - dirBytes(planes.toString), tVac)
+      } finally {
+        queries.LlmPipeline.deleteRecursively(logDir)
+        queries.LlmPipeline.deleteRecursively(planes)
+      }
+    }
+    val (adBase, vbBase, tvBase) = admissionVacuumLeg(baseDir)
+    val (adBig, vbBig, tvBig) = admissionVacuumLeg(bigDirInc)
+    println(f"| q207 admission commit (fixed shard, 14 planes + 1 CAS) " +
+      f"| $adBase%.1f | $adBig%.1f | ${adBig / adBase}%.1f " +
+      "| ~plane rewrites (the generation-rewrite convention's nightly-fold class); shard folds + CAS stay shard-sized |")
+    println(f"| q208 manifest vacuum at head (2 expired manifests, 14 superseded dirs) " +
+      f"| $tvBase%.2f | $tvBig%.2f | ${tvBig / tvBase}%.1f " +
+      "| driver-side file ops — independent of plane bytes |")
+    println(f"q208 storage reclaimed at head retention: " +
+      f"${vbBase / 1048576.0}%.1f MB at sf0.1 -> ${vbBig / 1048576.0}%.1f MB at ${replicas}x " +
+      "(the superseded admission generation — accretes per commit without the vacuum); " +
+      "post-vacuum head read consistent at both scales")
 
     // --- contract requires at N× ------------------------------------------
     // q181: retrieval stays well-formed on the N× corpus.

@@ -15,7 +15,9 @@ class PlansFileSpec extends SparkSpec {
   test("committed PLANS.md rows equal the registered query surface") {
     val path = Paths.get("PLANS.md")
     assert(Files.exists(path), "PLANS.md missing — run `sbt \"runMain graft.PlanAudit\"`")
-    val rowName = """^\|\s*(q\d+\w*)\s*\|""".r
+    // A trailing `*` marks a transaction query audited via its plan
+    // surrogate (QueryDef.planAudit — r18); the name is still the row.
+    val rowName = """^\|\s*(q\d+\w*)\*?\s*\|""".r
     val audited = Files.readAllLines(path).asScala
       .flatMap(l => rowName.findFirstMatchIn(l).map(_.group(1))).toSet
     val registered = SparkEntry.queries.keySet
