@@ -6767,7 +6767,11 @@ object LlmPipeline extends QueryPack {
       require(won, "unopposed takedown commit must win")
       val finalGen = SqlGateway.occCurrentGen(logDir)
       // Cross-plane consistency at EVERY committed generation — the
-      // invariant the single-CAS swing exists to provide.
+      // invariant the single-CAS swing exists to provide. This is the
+      // CONTRACT QUERY's audit (two generations here): a production
+      // reader audits only the ONE generation it resolved — per-read
+      // cost is one generation's invariants regardless of how many
+      // manifests the log retains (q208 bounds the retained set).
       val consistent = (0L to finalGen).forall(
         manifestPlanesConsistent(spark, logDir, _))
       // No committed plane serves a removal-set row — the clustering

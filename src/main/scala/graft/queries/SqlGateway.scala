@@ -1055,6 +1055,32 @@ object SqlGateway extends QueryPack {
     }
   }
 
+  /** q208's plan-audit surrogate (the QueryDef.planAudit convention —
+    * VERDICT r17 item 7): the vacuum itself is driver-side file ops
+    * with no dataflow to audit, so the audited plan is the
+    * transaction dataflow AROUND it — the docstats/stats takedown fold
+    * composed with the head read, with the two notices folded as one
+    * union (fold(fold(X, A), B) == fold(X, A ∪ B): the anti-join /
+    * subtraction algebra is associative, the q201 rebase argument).
+    */
+  private[graft] def manifestVacuumAudit(
+      spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = LlmPipeline.ensurePostingsArtifact(spark, dir)
+    val remA = LlmPipeline.takedownDocSet(spark, dir)
+    val remB = graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id") % 4 =!= 0 && col("doc_id") % 23 === 5)
+      .select("doc_id")
+    val rem = remA.unionByName(remB).distinct().localCheckpoint()
+    val (ds, st) = LlmPipeline.applyDocStatsTakedownPaths(
+      spark, s"$root/docstats", s"$root/stats", rem)
+    ds.crossJoin(broadcast(st))
+      .select(col("doc_id"), col("dl"), col("nd"), col("ndl"), col("toktot"),
+        (round(col("toktot").cast("double") / col("ndl").cast("double"), 4) + lit(0))
+          .as("avgl_r"))
+      .orderBy("doc_id")
+  }
+
   private[graft] val manifestVacuumSql =
     s"""WITH ${LlmPipeline.takedownClosureCtes},
       |tdocs AS (
@@ -1355,6 +1381,7 @@ object SqlGateway extends QueryPack {
     QueryDef("q172_occ_commit_race", occCommitRace, Some(occCommitRaceSql)),
     QueryDef("q200_multitable_commit", multiTableCommit, Some(multiTableCommitSql)),
     QueryDef("q208_manifest_vacuum", manifestVacuum, Some(manifestVacuumSql),
+      planAudit = Some(manifestVacuumAudit _),
       prepare = Some((s: SparkSession, d: String) => {
         LlmPipeline.ensurePostingsArtifact(s, d); ()
       })),
