@@ -341,6 +341,19 @@ class AnnCcStreamSpec extends SparkSpec {
         "crash-swap recovery did not republish the purged generation")
       assert(spark.read.parquet(gen.toString).collect().map(_.toString).toSet == before,
         "crash-swap recovery changed the purged generation's rows")
+      // The OTHER crash window: a PARTIAL staging (no _SUCCESS — died
+      // mid-write) beside the still-committed target. The replay must
+      // discard the partial and rewrite from the committed copy — a
+      // Files.exists-style "staging present ⇒ swap" would publish a
+      // half-written file set over a good generation (the ADVICE r13
+      // labeling hazard, on the purge axis).
+      Files.createDirectories(staging)
+      Files.writeString(staging.resolve("part-00000.parquet"), "torn")
+      StreamingAdmission.purgeAnnStreamState(spark, hist, removed)
+      assert(Files.exists(gen.resolve("_SUCCESS")) && !Files.exists(staging),
+        "partial-staging recovery left the torn staging behind")
+      assert(spark.read.parquet(gen.toString).collect().map(_.toString).toSet == before,
+        "partial-staging recovery corrupted the committed generation")
     } finally {
       LlmPipeline.deleteRecursively(t)
     }
