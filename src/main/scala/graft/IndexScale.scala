@@ -553,8 +553,13 @@ object IndexScale {
             logDir, planes, retainFrom = 2L)
           expired = e; orphans = o
         }
-        require(expired == 2 && orphans == 14,
-          s"vacuum reclaimed ($expired manifests, $orphans dirs) — expected (2, 14)")
+        // Expected orphan count derives from the plane family size
+        // (ADVICE r18 — a hard-coded 14 breaks silently on the next
+        // plane addition): the vacuum reclaims exactly the superseded
+        // a1 admission generation, one directory per bound plane.
+        val nPlanes = queries.LlmPipeline.TakedownPlanes.size.toLong
+        require(expired == 2 && orphans == nPlanes,
+          s"vacuum reclaimed ($expired manifests, $orphans dirs) — expected (2, $nPlanes)")
         // The head must still read consistently from retained planes.
         require(queries.LlmPipeline.manifestPlanesConsistent(spark, logDir, 2L),
           "post-vacuum head read inconsistent")

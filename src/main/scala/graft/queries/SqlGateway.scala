@@ -952,9 +952,15 @@ object SqlGateway extends QueryPack {
     val cur = occCurrentGen(logDir)
     require(retainFrom <= cur,
       s"retention point $retainFrom is past the current generation $cur")
+    // Chain-aware (r19): a binding value may be a delta CHAIN
+    // ([[PlaneChains]]); EVERY generation it names — base, deltas,
+    // tombstones, overrides — is live for that manifest's readers and
+    // must be retained. Parsing only the first path would let the
+    // vacuum delete a retained chain's delta generations.
     val retained = (math.max(0L, retainFrom) to cur).flatMap(g =>
-      occManifestAt(logDir, g).values.map(v =>
-        java.nio.file.Paths.get(v).toAbsolutePath.normalize)).toSet
+      occManifestAt(logDir, g).values.flatMap(v =>
+        PlaneChains.paths(v).map(p =>
+          java.nio.file.Paths.get(p).toAbsolutePath.normalize))).toSet
     val gens = scala.util.Using.resource(java.nio.file.Files.list(logDir)) { s =>
       import scala.jdk.CollectionConverters._
       s.iterator().asScala.map(_.getFileName.toString).toList

@@ -925,18 +925,22 @@ object StreamingAdmission {
   // --- embedding-side streamed takedown (r18 — VERDICT r17 item 5) ------
 
   /** Rewrite one COMMITTED generation directory through `transform`
-    * under the staged-write/atomic-swap discipline
-    * [[ccTakedownSnapshot]] uses (ADVICE r17): the committed directory
-    * stays readable until a COMPLETE staging (_SUCCESS) swaps in via
-    * one rename(2); a crash between the delete and the move is
-    * recovered on the next call (a complete staging beside a missing
-    * target is the prior run's finished rewrite — finish the swap,
-    * then re-apply, so `transform` must be idempotent — every caller
-    * here is a notice anti-join, which is). The dotted staging name
-    * sits outside the generation namespace, so no resolve, fold, or
-    * compaction ever reads it. An uncommitted (markerless) directory
-    * is a crashed partial write a stream replay rewrites wholesale —
-    * left untouched.
+    * under the staged-write discipline [[ccTakedownSnapshot]] uses
+    * (ADVICE r17): the committed directory stays readable while the
+    * staging is WRITTEN (the expensive part); publishing is then a
+    * delete of the target followed by one rename(2) — NOT a single
+    * atomic swap (ADVICE r18): a concurrent reader has a window where
+    * the generation is absent. That window is benign here by the
+    * single-driver maintenance contract (purges run from the one
+    * maintenance thread, never concurrent with stream batches or
+    * readers of the stream's own state), and it is CRASH-recovered: a
+    * complete staging beside a missing target is the prior run's
+    * finished rewrite — finish the swap, then re-apply, so `transform`
+    * must be idempotent — every caller here is a notice anti-join,
+    * which is. The dotted staging name sits outside the generation
+    * namespace, so no resolve, fold, or compaction ever reads it. An
+    * uncommitted (markerless) directory is a crashed partial write a
+    * stream replay rewrites wholesale — left untouched.
     */
   private def rewriteGenerationStaged(
       spark: SparkSession, dir: java.nio.file.Path)
@@ -983,7 +987,11 @@ object StreamingAdmission {
           import scala.jdk.CollectionConverters._
           st.iterator().asScala.map(_.getFileName.toString)
             .filter(_.startsWith(s".staging-$prefix"))
-            .map(_.stripPrefix(s".staging-$prefix").toLong).toSeq
+            .map(_.stripPrefix(s".staging-$prefix"))
+            // Tolerate foreign entries (the Generations.genIds
+            // discipline, ADVICE r18): a stray non-numeric suffix must
+            // not abort the whole purge with NumberFormatException.
+            .filter(_.matches("\\d+")).map(_.toLong).toSeq
         }
       (Generations.completeGenIds(root, prefix) ++ staged).distinct.sorted
         .foreach { g =>

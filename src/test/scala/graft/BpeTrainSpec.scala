@@ -203,13 +203,25 @@ class BpeTrainSpec extends SparkSpec {
           s"$leg: chain encoding of '$w' is not a valid segmentation")
       }
       val drifted = vocab.filter(w => se(w) != re(w))
-      // Law 3 as an inclusion: every drifted word was touched by some
-      // post-divergence merge — a word both suffixes leave alone
-      // (its encoding is still the common-prefix encoding under BOTH
-      // chains) has exact parity.
-      drifted.foreach { w =>
-        assert(se(w) != pe(w) || re(w) != pe(w),
-          s"$leg: '$w' drifted although no post-divergence merge touched it")
+      // Law 3 (prefix-locality), asserted via its contrapositive on a
+      // STRUCTURAL touch test (ADVICE r18: the earlier encoding-based
+      // form was a tautology): a word is untouched when NO
+      // post-divergence merge of EITHER chain applies to its
+      // common-prefix encoding — no suffix merge pair occurs adjacent
+      // in pe(w), so the first suffix application has nothing to fire
+      // on and the encoding is a fixed point of both suffixes. Every
+      // such word must have exact parity: se(w) == pe(w) == re(w).
+      val suffixPairs =
+        (stale.drop(prefixLen) ++ retrained.drop(prefixLen)).toSet
+      val untouched = vocab.filter { w =>
+        val toks = pe(w)
+        !toks.zip(toks.drop(1)).exists(suffixPairs.contains)
+      }
+      assert(untouched.nonEmpty || prefixLen == stale.size,
+        s"$leg: no structurally-untouched word — prefix-locality law vacuous")
+      untouched.foreach { w =>
+        assert(se(w) == pe(w) && re(w) == pe(w),
+          s"$leg: '$w' drifted although no post-divergence merge applies to it")
       }
       if (prefixLen == stale.size && retrained.size == stale.size)
         assert(drifted.isEmpty,

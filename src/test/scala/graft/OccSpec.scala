@@ -671,6 +671,329 @@ class OccSpec extends SparkSpec {
     }
   }
 
+  test("delta admission races tombstone takedown: torn-free polling reader, final resolved state equals exactly the commit-order serial composition") {
+    // The q207 non-commuting race re-run through the r19 DELTA path
+    // (q210/q212 — VERDICT r18 items 1+3): an admission that stages
+    // shard-sized `u:`/`a:`/`m:`/`o:` elements races a takedown that
+    // stages notice-sized tombstones, the notice naming shard docs —
+    // admit-then-takedown removes them, takedown-then-admit serves
+    // them (the chain fold preserves element ORDER, PlaneChainsSpec's
+    // ordering law). Both serial orders are enumerated in reference
+    // logs via the same delta stagers; the final resolved postings
+    // must equal the commit-order composition and differ from the
+    // other order on the noticed shard docs.
+    import org.apache.spark.sql.functions._
+    import graft.queries.PlaneChains
+    val logDir = Files.createTempDirectory("graft-dadrace-log-")
+    val planesRoot = Files.createTempDirectory("graft-dadrace-pl-")
+    val refDirs = Seq("at", "ta").map(o =>
+      o -> (Files.createTempDirectory(s"graft-dadref-$o-log-"),
+        Files.createTempDirectory(s"graft-dadref-$o-pl-"))).toMap
+    try {
+      LlmPipeline.bootstrapPlanesManifest(spark, sfDir, logDir)
+      val pqRoot = LlmPipeline.ensurePqIndex(spark, sfDir)
+      val shardDocs = graft.sources.Tables.documents(spark, sfDir)
+        .filter(col("doc_id") % 4 === 0).select("doc_id", "text")
+        .localCheckpoint()
+      val shardEmb = graft.sources.Tables.embeddings(spark, sfDir)
+        .filter(col("vec_id") % 4 === 0).select("vec_id", "embedding")
+        .localCheckpoint()
+      val noticedShard = shardDocs.select("doc_id")
+        .filter(col("doc_id") % 8 === 0)
+      val removed = LlmPipeline.takedownDocSet(spark, sfDir)
+        .unionByName(noticedShard).distinct().localCheckpoint()
+      assert(noticedShard.count() > 0, "no shard docs noticed — race commutes")
+
+      val barrier = new CyclicBarrier(2)
+      def admWriter(): Long = {
+        var committed = -1L; var attempt = 0
+        while (committed < 0 && attempt < 5) {
+          attempt += 1
+          val (baseGen, bindings) = LlmPipeline.stageAdmissionDeltas(
+            spark, planesRoot.toString, logDir, shardDocs, shardEmb, sfDir,
+            pqRoot, s"adm_$attempt")
+          if (attempt == 1) barrier.await()
+          if (SqlGateway.occTryCommitManifest(logDir, baseGen, bindings))
+            committed = baseGen + 1
+        }
+        assert(committed > 0, "admission writer never committed"); committed
+      }
+      def tdWriter(): Long = {
+        var committed = -1L; var attempt = 0
+        while (committed < 0 && attempt < 5) {
+          attempt += 1
+          val (baseGen, bindings) = LlmPipeline.stageTakedownTombstones(
+            spark, planesRoot.toString, logDir, removed, s"td_$attempt")
+          if (attempt == 1) barrier.await()
+          if (SqlGateway.occTryCommitManifest(logDir, baseGen, bindings))
+            committed = baseGen + 1
+        }
+        assert(committed > 0, "takedown writer never committed"); committed
+      }
+      @volatile var writersDone = false
+      var readerObs = 0
+      var readerErr: Throwable = null
+      val reader = new Thread(() =>
+        try {
+          while (!writersDone) {
+            val g = SqlGateway.occCurrentGen(logDir)
+            assert(LlmPipeline.manifestPlanesConsistent(spark, logDir, g),
+              s"TORN READ at chain-manifest generation $g")
+            readerObs += 1
+          }
+        } catch { case t: Throwable => readerErr = t })
+      var gAdm = -1L; var gTd = -1L
+      var errA: Throwable = null; var errT: Throwable = null
+      val tA = new Thread(() => try gAdm = admWriter() catch { case t: Throwable => errA = t })
+      val tT = new Thread(() => try gTd = tdWriter() catch { case t: Throwable => errT = t })
+      reader.start(); tA.start(); tT.start()
+      tA.join(240000); tT.join(240000)
+      writersDone = true
+      reader.join(120000)
+      assert(errA == null, s"admission writer failed: $errA")
+      assert(errT == null, s"takedown writer failed: $errT")
+      assert(readerErr == null, s"reader failed: $readerErr")
+      assert(readerObs > 0, "reader made no observations")
+      info(s"reader made $readerObs torn-free observations")
+      assert(Set(gAdm, gTd) == Set(1L, 2L), s"got adm=$gAdm td=$gTd")
+      val admFirst = gAdm == 1L
+
+      // Enumerate both serial orders through the SAME delta stagers.
+      def serialResolved(order: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.Row) = {
+        val (l, p) = refDirs(order)
+        LlmPipeline.bootstrapPlanesManifest(spark, sfDir, l)
+        def adm(): Unit = {
+          val (won, _) = LlmPipeline.commitAdmissionDeltas(
+            spark, p.toString, l, shardDocs, shardEmb, sfDir, pqRoot, "a")
+          assert(won)
+        }
+        def td(): Unit = {
+          val (won, _) = LlmPipeline.commitTakedownTombstones(
+            spark, p.toString, l, removed, "t")
+          assert(won)
+        }
+        if (order == "at") { adm(); td() } else { td(); adm() }
+        val m = SqlGateway.occManifestAt(l, 2L)
+        (PlaneChains.resolve(spark, "postings", m("postings")).localCheckpoint(),
+          PlaneChains.resolve(spark, "stats", m("stats")).head())
+      }
+      val (postAt, statsAt) = serialResolved("at")
+      val (postTa, statsTa) = serialResolved("ta")
+      // The orders genuinely differ: noticed shard docs served only
+      // under takedown-then-admit.
+      assert(postTa.join(broadcast(noticedShard), Seq("doc_id"), "left_semi")
+        .count() > 0, "takedown-then-admit must serve the noticed shard docs")
+      assert(postAt.join(broadcast(noticedShard), Seq("doc_id"), "left_semi")
+        .count() == 0, "admit-then-takedown must not serve them")
+      val mF = SqlGateway.occManifestAt(logDir, 2L)
+      val finalPost = PlaneChains.resolve(spark, "postings", mF("postings"))
+      val finalStats = PlaneChains.resolve(spark, "stats", mF("stats")).head()
+      def rowsEqual(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+        a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+      val (expPost, expStats) = if (admFirst) (postAt, statsAt) else (postTa, statsTa)
+      val (othPost, _) = if (admFirst) (postTa, statsTa) else (postAt, statsAt)
+      assert(rowsEqual(finalPost, expPost),
+        "final resolved postings != commit-order serial composition")
+      assert(finalStats == expStats,
+        "final resolved stats != commit-order serial composition")
+      assert(!rowsEqual(finalPost, othPost),
+        "serial orders indistinguishable — the race law is vacuous")
+    } finally {
+      LlmPipeline.deleteRecursively(logDir)
+      LlmPipeline.deleteRecursively(planesRoot)
+      refDirs.values.foreach { case (l, p) =>
+        LlmPipeline.deleteRecursively(l)
+        LlmPipeline.deleteRecursively(p)
+      }
+    }
+  }
+
+  test("four concurrent delta-admission writers all commit through rebases; final resolved planes equal the full-corpus rebuild") {
+    // VERDICT r18 item 4: multi-writer admission throughput. Under the
+    // r18 rewrite convention a CAS loser re-staged ALL fourteen
+    // corpus-sized planes per retry; with delta bindings a rebase
+    // restages shard-sized deltas against the winner's chain. Four
+    // real writers with disjoint shards race one manifest: all four
+    // must commit, the polling reader stays torn-free, and the final
+    // resolved planes equal the one-shot rebuild over the FULL corpus
+    // (the four shards partition doc_id % 4 == 0, so base + all four
+    // == every document) — fold composition across writers is exact in
+    // every commit order.
+    import org.apache.spark.sql.functions._
+    import graft.queries.PlaneChains
+    val logDir = Files.createTempDirectory("graft-4w-log-")
+    val planesRoot = Files.createTempDirectory("graft-4w-pl-")
+    try {
+      LlmPipeline.bootstrapPlanesManifest(spark, sfDir, logDir)
+      val pqRoot = LlmPipeline.ensurePqIndex(spark, sfDir)
+      val docs = graft.sources.Tables.documents(spark, sfDir)
+      val embs = graft.sources.Tables.embeddings(spark, sfDir)
+      val shards = (0 until 4).map { i =>
+        (docs.filter(col("doc_id") % 4 === 0 && (col("doc_id") / 4) % 4 === i)
+           .select("doc_id", "text").localCheckpoint(),
+         embs.filter(col("vec_id") % 4 === 0 && (col("vec_id") / 4) % 4 === i)
+           .select("vec_id", "embedding").localCheckpoint())
+      }
+      assert(shards.forall(_._1.count() > 0), "an empty shard — race vacuous")
+      val barrier = new CyclicBarrier(4)
+      val lostTotal = new java.util.concurrent.atomic.AtomicInteger(0)
+      def writer(i: Int): Long = {
+        val (sd, se) = shards(i)
+        var committed = -1L; var attempt = 0
+        while (committed < 0 && attempt < 12) {
+          attempt += 1
+          val (baseGen, bindings) = LlmPipeline.stageAdmissionDeltas(
+            spark, planesRoot.toString, logDir, sd, se, sfDir,
+            pqRoot, s"w${i}_$attempt")
+          if (attempt == 1) barrier.await()
+          if (SqlGateway.occTryCommitManifest(logDir, baseGen, bindings))
+            committed = baseGen + 1
+          else lostTotal.incrementAndGet()
+        }
+        assert(committed > 0, s"writer $i never committed"); committed
+      }
+      @volatile var writersDone = false
+      var readerObs = 0
+      var readerErr: Throwable = null
+      val reader = new Thread(() =>
+        try {
+          while (!writersDone) {
+            val g = SqlGateway.occCurrentGen(logDir)
+            assert(LlmPipeline.manifestPlanesConsistent(spark, logDir, g),
+              s"TORN READ at generation $g")
+            readerObs += 1
+          }
+        } catch { case t: Throwable => readerErr = t })
+      val results = new Array[Long](4)
+      val errs = new Array[Throwable](4)
+      val t0 = System.nanoTime()
+      val threads = (0 until 4).map(i => new Thread(() =>
+        try results(i) = writer(i) catch { case t: Throwable => errs(i) = t }))
+      reader.start(); threads.foreach(_.start())
+      threads.foreach(_.join(480000))
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      writersDone = true
+      reader.join(120000)
+      (0 until 4).foreach(i => assert(errs(i) == null, s"writer $i failed: ${errs(i)}"))
+      assert(readerErr == null, s"reader failed: $readerErr")
+      assert(readerObs > 0, "reader made no observations")
+      assert(results.toSet == Set(1L, 2L, 3L, 4L),
+        s"writers must land on generations 1..4, got ${results.toSeq}")
+      assert(lostTotal.get() >= 3,
+        s"four contended writers must lose at least three races, got $lostTotal")
+      info(f"4 writers committed in $elapsed%.1f s " +
+        f"(${4 * 60.0 / elapsed}%.1f commits/min, ${lostTotal.get()} lost races, " +
+        f"$readerObs torn-free observations)")
+      (0L to 4L).foreach(g => assert(
+        LlmPipeline.manifestPlanesConsistent(spark, logDir, g),
+        s"generation $g inconsistent"))
+      // Final == one-shot rebuild over the full corpus.
+      val mF = SqlGateway.occManifestAt(logDir, 4L)
+      val (rp, rdl, rs) = LlmPipeline.postingsFor(
+        docs.select("doc_id", "text"))
+      def rowsEqual(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+        a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+      assert(rowsEqual(PlaneChains.resolve(spark, "postings", mF("postings")), rp),
+        "final resolved postings != full-corpus rebuild")
+      assert(rowsEqual(PlaneChains.resolve(spark, "docstats", mF("docstats")), rdl),
+        "final resolved docstats != full-corpus rebuild")
+      assert(PlaneChains.resolve(spark, "stats", mF("stats")).head() == rs.head(),
+        "final resolved stats != full-corpus recount")
+    } finally {
+      LlmPipeline.deleteRecursively(logDir)
+      LlmPipeline.deleteRecursively(planesRoot)
+    }
+  }
+
+  test("compaction transaction racing a delta admission serializes; compaction is content-neutral at its committed generation") {
+    // VERDICT r18 item 2's race law: the fold that turns a delta chain
+    // back into single-generation bases is itself a manifest CAS, so
+    // an admission landing mid-fold costs the compactor its race, and
+    // the retry folds the WINNER's chain. Whatever the order: both
+    // commit, every generation is consistent, the compaction's
+    // committed generation resolves row-identically to its
+    // predecessor (compaction-then-read == read), and the final state
+    // serves base + both shards.
+    import org.apache.spark.sql.functions._
+    import graft.queries.PlaneChains
+    val logDir = Files.createTempDirectory("graft-cmprace-log-")
+    val planesRoot = Files.createTempDirectory("graft-cmprace-pl-")
+    try {
+      LlmPipeline.bootstrapPlanesManifest(spark, sfDir, logDir)
+      val pqRoot = LlmPipeline.ensurePqIndex(spark, sfDir)
+      val docs = graft.sources.Tables.documents(spark, sfDir)
+      val embs = graft.sources.Tables.embeddings(spark, sfDir)
+      def shard(i: Int) =
+        (docs.filter(col("doc_id") % 4 === 0 && (col("doc_id") / 4) % 2 === i)
+           .select("doc_id", "text").localCheckpoint(),
+         embs.filter(col("vec_id") % 4 === 0 && (col("vec_id") / 4) % 2 === i)
+           .select("vec_id", "embedding").localCheckpoint())
+      val (sdA, seA) = shard(0)
+      val (sdB, seB) = shard(1)
+      // Unopposed first admission: every chain now has two elements.
+      val (won0, _) = LlmPipeline.commitAdmissionDeltas(
+        spark, planesRoot.toString, logDir, sdA, seA, sfDir, pqRoot, "a0")
+      assert(won0)
+      val barrier = new CyclicBarrier(2)
+      def compactor(): Long = {
+        var committed = -1L; var attempt = 0
+        while (committed < 0 && attempt < 5) {
+          attempt += 1
+          // compactManifest stages its folds then CASes internally and
+          // reports the generation it targeted; the barrier
+          // synchronizes the FIRST attempt's stage with the admission's.
+          if (attempt == 1) barrier.await()
+          val (won, _, gen) = LlmPipeline.compactManifest(
+            spark, planesRoot.toString, logDir, s"c$attempt")
+          if (won) committed = gen
+        }
+        assert(committed > 0, "compactor never committed"); committed
+      }
+      def admitter(): Long = {
+        var committed = -1L; var attempt = 0
+        while (committed < 0 && attempt < 5) {
+          attempt += 1
+          val (baseGen, bindings) = LlmPipeline.stageAdmissionDeltas(
+            spark, planesRoot.toString, logDir, sdB, seB, sfDir, pqRoot,
+            s"b$attempt")
+          if (attempt == 1) barrier.await()
+          if (SqlGateway.occTryCommitManifest(logDir, baseGen, bindings))
+            committed = baseGen + 1
+        }
+        assert(committed > 0, "admitter never committed"); committed
+      }
+      var gC = -1L; var gA = -1L
+      var errC: Throwable = null; var errA2: Throwable = null
+      val tC = new Thread(() => try gC = compactor() catch { case t: Throwable => errC = t })
+      val tA2 = new Thread(() => try gA = admitter() catch { case t: Throwable => errA2 = t })
+      tC.start(); tA2.start()
+      tC.join(240000); tA2.join(240000)
+      assert(errC == null, s"compactor failed: $errC")
+      assert(errA2 == null, s"admitter failed: $errA2")
+      assert(Set(gC, gA) == Set(2L, 3L), s"got compactor=$gC admitter=$gA")
+      (0L to 3L).foreach(g => assert(
+        LlmPipeline.manifestPlanesConsistent(spark, logDir, g),
+        s"generation $g inconsistent"))
+      def resolvedPostings(g: Long) = PlaneChains.resolve(spark, "postings",
+        SqlGateway.occManifestAt(logDir, g)("postings"))
+      def rowsEqual(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+        a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+      // Compaction is content-neutral at its own generation.
+      assert(rowsEqual(resolvedPostings(gC), resolvedPostings(gC - 1)),
+        "compaction changed the resolved postings")
+      // Final state serves base + both shards == the full corpus.
+      val (rp, _, rs) = LlmPipeline.postingsFor(docs.select("doc_id", "text"))
+      assert(rowsEqual(resolvedPostings(3L), rp),
+        "final resolved postings != full-corpus rebuild")
+      assert(PlaneChains.resolve(spark, "stats",
+        SqlGateway.occManifestAt(logDir, 3L)("stats")).head() == rs.head(),
+        "final resolved stats != full-corpus recount")
+    } finally {
+      LlmPipeline.deleteRecursively(logDir)
+      LlmPipeline.deleteRecursively(planesRoot)
+    }
+  }
+
   test("the commit CAS is first-writer-wins at the file level") {
     val logDir = Files.createTempDirectory("graft-occ-cas-")
     try {

@@ -1,0 +1,180 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.queries.{LlmPipeline, PlaneChains, SqlGateway}
+
+/** The delta-binding chain algebra (r19 — VERDICT r18 items 1-3):
+  * chain resolution must be EXACTLY the rewrite convention's fold —
+  * q210/q212's oracles prove it through the BM25 read; this suite
+  * proves it PER PLANE against the r18 rewrite stagers, plus the
+  * grammar laws and the ordering semantics the manifest relies on.
+  */
+class PlaneChainsSpec extends SparkSpec {
+
+  private def rowsEqual(a: DataFrame, b: DataFrame): Boolean =
+    a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+
+  /** Compare two head-index relations (token, df, head_ids) — arrays
+    * compared element-wise after a token join, so a single stale head
+    * or df fails loudly.
+    */
+  private def indexEqual(a: DataFrame, b: DataFrame): Boolean = {
+    val j = a.select(col("token"), col("df").as("df_a"), col("head_ids").as("h_a"))
+      .join(b.select(col("token"), col("df").as("df_b"), col("head_ids").as("h_b")),
+        Seq("token"), "full_outer")
+    j.filter(col("df_a").isNull || col("df_b").isNull ||
+      col("df_a") =!= col("df_b") || col("h_a") =!= col("h_b")).isEmpty
+  }
+
+  test("grammar: bare paths parse as base chains, encode round-trips, paths() names every generation") {
+    import PlaneChains._
+    assert(parse("postings", "/tmp/x/gen-a") == Seq(Elem(U, "/tmp/x/gen-a")))
+    assert(parse("stats", "/tmp/x/gen-a") == Seq(Elem(A, "/tmp/x/gen-a")))
+    assert(parse("index", "/tmp/x/gen-a") == Seq(Elem(M, "/tmp/x/gen-a")))
+    assert(parse("labels", "/tmp/x/gen-a") == Seq(Elem(O, "/tmp/x/gen-a")))
+    val chain = Seq(Elem(U, "/a/b"), Elem(T, "/c/d"), Elem(U, "/e/f"))
+    assert(parse("postings", encode(chain)) == chain)
+    val appended = append("/base/gen-0", Elem(T, "/t/gen-1"))
+    assert(parse("docstats", appended) ==
+      Seq(Elem(U, "/base/gen-0"), Elem(T, "/t/gen-1")))
+    assert(paths(appended) == Seq("/base/gen-0", "/t/gen-1"))
+  }
+
+  test("admission: chain resolution equals the r18 rewrite fold on every plane") {
+    val logA = Files.createTempDirectory("graft-pc-admA-")
+    val logB = Files.createTempDirectory("graft-pc-admB-")
+    val plA = Files.createTempDirectory("graft-pc-admApl-")
+    val plB = Files.createTempDirectory("graft-pc-admBpl-")
+    try {
+      LlmPipeline.bootstrapPlanesManifest(spark, sfDir, logA)
+      LlmPipeline.bootstrapPlanesManifest(spark, sfDir, logB)
+      val pqRoot = LlmPipeline.ensurePqIndex(spark, sfDir)
+      val shardDocs = graft.sources.Tables.documents(spark, sfDir)
+        .filter(col("doc_id") % 4 === 0).select("doc_id", "text")
+        .localCheckpoint()
+      val shardEmb = graft.sources.Tables.embeddings(spark, sfDir)
+        .filter(col("vec_id") % 4 === 0).select("vec_id", "embedding")
+        .localCheckpoint()
+      val (wonD, _) = LlmPipeline.commitAdmissionDeltas(
+        spark, plA.toString, logA, shardDocs, shardEmb, sfDir, pqRoot, "a1")
+      val (wonR, _) = LlmPipeline.commitAdmissionGeneration(
+        spark, plB.toString, logB, shardDocs, shardEmb, sfDir, pqRoot, "a1")
+      assert(wonD && wonR)
+      val mD = SqlGateway.occManifestAt(logA, 1L)
+      val mR = SqlGateway.occManifestAt(logB, 1L)
+      def resD(p: String) = PlaneChains.resolve(spark, p, mD(p))
+      def rewr(p: String) = spark.read.parquet(mR(p))
+      Seq("postings", "positions", "docstats", "shingles", "bands",
+          "ann_keys", "ann_vecs", "pq_cells", "pq_codes", "pairs",
+          "labels", "reps").foreach { p =>
+        assert(rowsEqual(resD(p), rewr(p)),
+          s"admission chain resolve != rewrite fold on plane $p")
+      }
+      assert(resD("stats").head() == rewr("stats").head(),
+        "admission chain stats != rewrite stats")
+      assert(indexEqual(resD("index"), rewr("index")),
+        "admission chain index merge != rewrite head merge")
+    } finally Seq(logA, logB, plA, plB).foreach(LlmPipeline.deleteRecursively)
+  }
+
+  test("takedown: tombstone-chain resolution equals the r18 rewrite fold on every plane; replay is a resolved no-op") {
+    val logA = Files.createTempDirectory("graft-pc-tdA-")
+    val logB = Files.createTempDirectory("graft-pc-tdB-")
+    val plA = Files.createTempDirectory("graft-pc-tdApl-")
+    val plB = Files.createTempDirectory("graft-pc-tdBpl-")
+    try {
+      LlmPipeline.bootstrapPlanesManifest(spark, sfDir, logA)
+      LlmPipeline.bootstrapPlanesManifest(spark, sfDir, logB)
+      val removed = LlmPipeline.takedownDocSet(spark, sfDir).localCheckpoint()
+      assert(removed.count() > 0, "fixture notice empty — law vacuous")
+      val (wonT, _) = LlmPipeline.commitTakedownTombstones(
+        spark, plA.toString, logA, removed, "t1")
+      val (wonR, _) = LlmPipeline.commitTakedownGeneration(
+        spark, plB.toString, logB, removed, "t1")
+      assert(wonT && wonR)
+      val mD = SqlGateway.occManifestAt(logA, 1L)
+      val mR = SqlGateway.occManifestAt(logB, 1L)
+      def resD(p: String) = PlaneChains.resolve(spark, p, mD(p))
+      def rewr(p: String) = spark.read.parquet(mR(p))
+      Seq("postings", "positions", "docstats", "shingles", "bands",
+          "ann_keys", "ann_vecs", "pq_cells", "pq_codes", "pairs",
+          "labels", "reps").foreach { p =>
+        assert(rowsEqual(resD(p), rewr(p)),
+          s"takedown chain resolve != rewrite fold on plane $p")
+      }
+      assert(resD("stats").head() == rewr("stats").head(),
+        "takedown chain stats != rewrite stats")
+      assert(indexEqual(resD("index"), rewr("index")),
+        "takedown chain index override != rewrite repair")
+      // Replay (at-least-once notices): committing the SAME notice
+      // again appends presence-keyed elements that resolve to nothing
+      // — every resolved plane is row-identical to generation 1's.
+      val (wonRe, _) = LlmPipeline.commitTakedownTombstones(
+        spark, plA.toString, logA, removed, "t2")
+      assert(wonRe, "unopposed replay commit must win")
+      val mRe = SqlGateway.occManifestAt(logA, 2L)
+      LlmPipeline.TakedownPlanes.filterNot(p => p == "stats" || p == "index")
+        .foreach { p =>
+          assert(rowsEqual(PlaneChains.resolve(spark, p, mRe(p)), resD(p)),
+            s"replayed tombstone changed resolved plane $p")
+        }
+      assert(PlaneChains.resolve(spark, "stats", mRe("stats")).head() ==
+        resD("stats").head(), "replayed tombstone changed resolved stats")
+      assert(indexEqual(PlaneChains.resolve(spark, "index", mRe("index")),
+        resD("index")), "replayed tombstone changed resolved index")
+    } finally Seq(logA, logB, plA, plB).foreach(LlmPipeline.deleteRecursively)
+  }
+
+  test("ordering: t-then-u serves a re-added doc, u-then-t does not (the non-commuting pair the fold preserves)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-pc-ord-")
+    try {
+      val base = Seq((1L, "a", 2L, 4L), (2L, "b", 1L, 3L))
+        .toDF("doc_id", "token", "tf", "dl")
+      val readd = Seq((1L, "a", 2L, 4L)).toDF("doc_id", "token", "tf", "dl")
+      val tomb = Seq(Tuple1(1L)).toDF("doc_id")
+      base.write.parquet(s"$root/g0")
+      readd.write.parquet(s"$root/g1")
+      tomb.write.parquet(s"$root/t0")
+      val tu = s"$root/g0;t:$root/t0;u:$root/g1" // takedown then re-admit
+      val ut = s"$root/g0;u:$root/g1;t:$root/t0" // admit then takedown
+      val rTu = PlaneChains.resolve(spark, "postings", tu)
+      val rUt = PlaneChains.resolve(spark, "postings", ut)
+      assert(rTu.filter(col("doc_id") === 1L).count() == 1,
+        "takedown-then-admit must serve the re-added doc")
+      assert(rUt.filter(col("doc_id") === 1L).count() == 0,
+        "admit-then-takedown must not serve the doc")
+    } finally LlmPipeline.deleteRecursively(root)
+  }
+
+  test("vacuum retains every chain element: an uncompacted delta generation survives, orphans do not") {
+    import spark.implicits._
+    val logDir = Files.createTempDirectory("graft-pc-vac-log-")
+    val planes = Files.createTempDirectory("graft-pc-vac-pl-")
+    try {
+      val d0 = Seq((1L, 10L)).toDF("doc_id", "dl")
+      val d1 = Seq((2L, 20L)).toDF("doc_id", "dl")
+      d0.write.parquet(s"$planes/docstats/gen-base")
+      d1.write.parquet(s"$planes/docstats/gen-delta")
+      // An orphan a loser staged but never bound:
+      d1.write.parquet(s"$planes/docstats/gen-orphan")
+      assert(SqlGateway.occTryCommitManifest(logDir, -1L,
+        Seq("docstats" -> s"$planes/docstats/gen-base")))
+      assert(SqlGateway.occTryCommitManifest(logDir, 0L, Seq("docstats" ->
+        s"$planes/docstats/gen-base;u:$planes/docstats/gen-delta")))
+      val (expired, orphans) =
+        SqlGateway.vacuumManifestLog(logDir, planes, retainFrom = 1L)
+      assert(expired == 1 && orphans == 1,
+        s"expected (1 manifest, 1 orphan), got ($expired, $orphans)")
+      assert(java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(s"$planes/docstats/gen-delta")),
+        "vacuum deleted a retained chain's delta generation")
+      val m = SqlGateway.occManifestAt(logDir, 1L)
+      assert(PlaneChains.resolve(spark, "docstats", m("docstats")).count() == 2)
+    } finally Seq(logDir, planes).foreach(LlmPipeline.deleteRecursively)
+  }
+}
