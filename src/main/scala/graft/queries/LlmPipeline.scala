@@ -7823,6 +7823,115 @@ object LlmPipeline extends QueryPack {
       |WHERE rank <= 10
       |ORDER BY query_id, rank""".stripMargin
 
+  // ===== External-terms retrieval with an OOV slot (r19 — item 7) =====
+
+  /** External query batch (q213): (query_id, tr, token) — terms that
+    * arrive WITH THE REQUEST instead of being derived from the stored
+    * index (every other retrieval query's batch is data-derived by the
+    * determinism convention, so no earlier query could hit the
+    * real-request edge this one exists for): query 3's second slot is
+    * OUT-OF-VOCABULARY — no index row, df = 0 — the slot a production
+    * front-end sends constantly and a data-derived batch can never
+    * produce.
+    */
+  private[graft] val ExternalQueryTerms: Seq[(Int, Int, String)] = Seq(
+    (1, 1, "scan"), (1, 2, "merge"),
+    (2, 1, "customer"), (2, 2, "window"),
+    (3, 1, "data"), (3, 2, "zzqxv"))
+
+  /** The matched relation ([[bm25ConjunctiveMatchedFrom]]'s shape) for
+    * the EXTERNAL batch: df is LOOKED UP from the stored head index
+    * with a left join — an OOV token resolves to df = 0, matches no
+    * posting row, and therefore contributes a zero slot and a zero
+    * MAXSCORE bound, never an error. Plan shape unchanged: pushed
+    * In(token) filter on the postings scan, terms + stats broadcast.
+    */
+  private[graft] def externalMatchedFrom(
+      spark: SparkSession, idx: DataFrame, postings: DataFrame,
+      stats: DataFrame): DataFrame = {
+    val terms = spark.createDataFrame(ExternalQueryTerms)
+      .toDF("query_id", "tr", "token")
+      .join(idx.select("token", "df"), Seq("token"), "left")
+      .select(col("query_id"), col("tr"), col("token"),
+        coalesce(col("df"), lit(0L)).as("df"))
+    val termStrings = ExternalQueryTerms.map(_._3)
+    val st = stats.select(col("nd"),
+      (col("toktot").cast("double") / col("ndl").cast("double")).as("avgl"))
+    postings.filter(col("token").isin(termStrings: _*))
+      .join(broadcast(terms), "token")
+      .crossJoin(broadcast(st))
+      .withColumn("contrib",
+        (col("nd") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) *
+          (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgl"))))
+      .select("query_id", "tr", "doc_id", "tf", "dl", "df", "nd", "avgl", "contrib")
+  }
+
+  /** Disjunctive MAXSCORE retrieval for an EXTERNAL query batch with
+    * an OOV term (q213 — VERDICT r18 item 7): the q192 pruned pipeline
+    * run on request-supplied terms. The OOV slot exercises the df = 0
+    * edge in the bound machinery — it has no upper-bound row (nothing
+    * matched), so the essential-list split sees one slot, and the
+    * pruning stays lossless (the oracle is the UNPRUNED rebuild;
+    * Bm25WandSpec pins pruned == unpruned with the OOV slot present).
+    * Scale shape: q192's — O(Σ df of the in-vocabulary terms) behind
+    * the pushed In(token) filter; the OOV term costs nothing by
+    * construction.
+    */
+  def externalTermsRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    val root = ensurePostingsArtifact(spark, dir)
+    bm25DisjunctiveRank(spark, externalMatchedFrom(spark,
+      spark.read.parquet(ensureIndexArtifact(spark, dir)),
+      spark.read.parquet(s"$root/postings"),
+      spark.read.parquet(s"$root/stats")), prune = true)
+  }
+
+  private[graft] val externalTermsRetrievalSql =
+    """WITH t2 AS (
+      |  SELECT doc_id, token
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |        FROM documents WHERE doc_id % 4 <> 0)
+      |  WHERE token <> ''),
+      |dft AS (SELECT token, count(DISTINCT doc_id) AS df FROM t2 GROUP BY token),
+      |terms AS (
+      |  SELECT q.query_id, q.tr, q.token, coalesce(d.df, 0) AS df
+      |  FROM (VALUES (1, 1, 'scan'), (1, 2, 'merge'), (2, 1, 'customer'),
+      |               (2, 2, 'window'), (3, 1, 'data'), (3, 2, 'zzqxv'))
+      |       AS q(query_id, tr, token)
+      |  LEFT JOIN dft d ON d.token = q.token),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM t2 GROUP BY doc_id),
+      |stats AS (
+      |  SELECT (SELECT count(*) FROM documents WHERE doc_id % 4 <> 0) AS nd,
+      |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgl
+      |  FROM dl),
+      |tf AS (
+      |  SELECT q.query_id, q.tr, q.df, t.doc_id, count(*) AS tf
+      |  FROM t2 t JOIN terms q ON t.token = q.token
+      |  GROUP BY q.query_id, q.tr, q.df, t.doc_id),
+      |co AS (
+      |  SELECT query_id, tf.doc_id AS doc_id, tr,
+      |    (nd - df + 0.5) / (df + 0.5) * (tf * 2.2)
+      |        / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgl)) AS contrib
+      |  FROM tf
+      |  CROSS JOIN stats
+      |  JOIN dl ON tf.doc_id = dl.doc_id),
+      |sc AS (
+      |  SELECT query_id, doc_id,
+      |    max(CASE WHEN tr = 1 THEN contrib END) AS c1,
+      |    max(CASE WHEN tr = 2 THEN contrib END) AS c2,
+      |    max(CASE WHEN tr = 3 THEN contrib END) AS c3
+      |  FROM co GROUP BY query_id, doc_id)
+      |SELECT query_id, rank, doc_id, round(score, 4) AS score_r
+      |FROM (
+      |  SELECT query_id, doc_id, score,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY round(score, 4) DESC, doc_id) AS INTEGER) AS rank
+      |  FROM (SELECT query_id, doc_id,
+      |          (coalesce(c1, 0) + coalesce(c2, 0)) + coalesce(c3, 0) AS score
+      |        FROM sc))
+      |WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
   // ===== Hybrid retrieval fusion (r16 — VERDICT r15 item 2) =====
 
   /** RRF's rank-damping constant — 60, the value from Cormack, Clarke
@@ -8556,6 +8665,9 @@ object LlmPipeline extends QueryPack {
       Some(takedownTombstoneCommitSql),
       prepare = Some(prepareTakedownCommit _),
       planAudit = Some(takedownCommitAudit _)),
+    QueryDef("q213_external_terms_retrieval", externalTermsRetrieval,
+      Some(externalTermsRetrievalSql),
+      prepare = Some(preparePostings _)),
     QueryDef("q202_cc_takedown", ccTakedown, Some(ccTakedownSql),
       prepare = Some(prepareIncrementalCc _)),
     QueryDef("q195_index_takedown_repair", indexTakedownRepair, Some(indexTakedownRepairSql),

@@ -109,15 +109,46 @@ object SketchMaintenance {
   def start(
       spark: SparkSession, input: DataFrame,
       sketchDir: String, checkpointDir: String,
-      compactEvery: Int = 0): StreamingQuery =
+      compactEvery: Int = 0,
+      manifestLog: Option[java.nio.file.Path] = None): StreamingQuery =
     input.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
           compactSketches(spark, sketchDir, batchId - 1)
         commitSketchBatch(spark, batch, sketchDir, batchId)
+        // Frontier manifest (r19 — VERDICT r18 item 3): one CAS binds
+        // base + tail at one instant, so a reader can never see the
+        // compaction's base/tail listing race (new base counted beside
+        // a tail the fold already subsumed, or neither).
+        manifestLog.foreach(commitSketchManifest(sketchDir, _))
       }
       .start()
+
+  /** CAS-commit a manifest binding the sketch plane's complete
+    * base + tail frontier ([[StreamManifest]]). */
+  private[graft] def commitSketchManifest(
+      sketchDir: String, logDir: java.nio.file.Path): Unit = {
+    val baseGen = Generations.completeGenIds(
+      java.nio.file.Paths.get(sketchDir, "base"), "gen=").maxOption
+    val tail = Generations.completeGenIds(java.nio.file.Paths.get(sketchDir))
+      .filter(b => baseGen.forall(b > _)).sorted
+    StreamManifest.commit(logDir, Seq("sketches" ->
+      (baseGen.map(g => s"$sketchDir/base/gen=$g").toSeq ++
+        tail.map(b => s"$sketchDir/batch_id=$b")).mkString(";")))
+  }
+
+  /** The merged one-row sketch state resolved from the latest
+    * committed stream manifest — same union-fold as the listing-based
+    * read, but over the ONE frontier a single batch commit published.
+    */
+  private[graft] def mergedSketchesAt(
+      spark: SparkSession, logDir: java.nio.file.Path): DataFrame = {
+    val dirs = graft.queries.PlaneChains.paths(
+      StreamManifest.current(logDir)("sketches"))
+    require(dirs.nonEmpty, "stream manifest binds no sketch generations")
+    unionAgg(dirs.map(spark.read.parquet(_)).reduce(_ unionByName _))
+  }
 
   /** The read side: latest base generation (if any) + every per-batch
     * generation PAST it, unioned late into one row of merged sketches +

@@ -560,7 +560,8 @@ object StreamingAdmission {
   def startCc(
       spark: SparkSession, bandsPath: String, shinglesPath: String,
       input: DataFrame, streamDir: String, labelsDir: String,
-      checkpointDir: String, compactEvery: Int = 0): StreamingQuery =
+      checkpointDir: String, compactEvery: Int = 0,
+      manifestLog: Option[java.nio.file.Path] = None): StreamingQuery =
     input.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -568,8 +569,86 @@ object StreamingAdmission {
           compactCc(spark, streamDir, labelsDir, batchId - 1)
         commitCcBatch(spark, bandsPath, shinglesPath, streamDir, labelsDir,
           batch, batchId)
+        // Cross-plane manifest (r19 — VERDICT r18 item 3): bind the
+        // band/shingle history frontier AND the label chain in one CAS
+        // so a reader never composes a label delta with a history
+        // frontier that predates its batch.
+        manifestLog.foreach(commitChainManifest(streamDir, labelsDir,
+          "bands", "shingles", _))
       }
       .start()
+
+  /** CAS-commit a manifest binding one streamed chain's two history
+    * axes + the label chain to their complete-generation frontier at
+    * one instant ([[StreamManifest]] — the q200 discipline at batch
+    * cadence). `axis1`/`axis2` are the history twins ("bands"/
+    * "shingles" for [[startCc]], "keys"/"vecs" for [[startAnnCc]]);
+    * both use the `<axis>_base/gen=` + `<axis>/batch_id=` layout. The
+    * label chain binds as (snapshot, ordered delta list).
+    */
+  private[graft] def commitChainManifest(
+      streamDir: String, labelsDir: String, axis1: String, axis2: String,
+      logDir: java.nio.file.Path): Unit = {
+    val bases = Generations.completeGenIds(
+        java.nio.file.Paths.get(streamDir, s"${axis1}_base"), "gen=")
+      .filter(g => Generations.isComplete(
+        java.nio.file.Paths.get(streamDir, s"${axis2}_base", s"gen=$g")))
+    val baseGen = bases.maxOption
+    val tailIds = Generations.completeGenIds(
+        java.nio.file.Paths.get(streamDir, axis1))
+      .filter(b => Generations.isComplete(
+        java.nio.file.Paths.get(streamDir, axis2, s"batch_id=$b")))
+      .filter(b => baseGen.forall(b > _)).sorted
+    def chain(axis: String): String =
+      (baseGen.map(g => s"$streamDir/${axis}_base/gen=$g").toSeq ++
+        tailIds.map(b => s"$streamDir/$axis/batch_id=$b")).mkString(";")
+    val snaps = Generations.completeGenIds(
+      java.nio.file.Paths.get(labelsDir, "snap"))
+    require(snaps.nonEmpty, "label chain has no snapshot — init* not run")
+    val s = snaps.max
+    val deltas = Generations.completeGenIds(
+      java.nio.file.Paths.get(labelsDir, "delta")).filter(_ > s).sorted
+    StreamManifest.commit(logDir, Seq(
+      axis1 -> chain(axis1), axis2 -> chain(axis2),
+      "labels_snap" -> s"$labelsDir/snap/batch_id=$s",
+      "labels_delta" ->
+        deltas.map(b => s"$labelsDir/delta/batch_id=$b").mkString(";")))
+  }
+
+  /** Resolve one streamed chain's state from the latest committed
+    * stream manifest: (axis1 rows, axis2 rows, labels) — every plane
+    * from the ONE frontier a single batch commit published, so a
+    * label row can never be observed beside a history frontier that
+    * predates its batch (StreamManifestSpec's polling law). The label
+    * overlay is [[resolveLabels]]'s algebra over the BOUND snapshot +
+    * delta list.
+    */
+  private[graft] def chainStateAt(
+      spark: SparkSession, axis1: String, axis2: String,
+      logDir: java.nio.file.Path): (DataFrame, DataFrame, DataFrame) = {
+    val m = StreamManifest.current(logDir)
+    def unioned(key: String): DataFrame = {
+      val dirs = graft.queries.PlaneChains.paths(m(key))
+      require(dirs.nonEmpty, s"stream manifest binds no $key generations")
+      dirs.map(spark.read.parquet(_)).reduce(_ unionByName _)
+    }
+    val base = spark.read.parquet(m("labels_snap")).select("id", "label")
+    val deltaDirs = graft.queries.PlaneChains.paths(m.getOrElse("labels_delta", ""))
+    val labels =
+      if (deltaDirs.isEmpty) base
+      else {
+        val basePath = java.nio.file.Paths.get(deltaDirs.head)
+          .getParent.toString
+        val latest = spark.read.option("basePath", basePath)
+          .parquet(deltaDirs: _*)
+          .select(col("id"), col("label"), col("batch_id").cast("long").as("gen"))
+          .groupBy("id").agg(expr("max_by(label, gen)").as("label"))
+        base.join(latest.select(col("id"), col("label").as("nl")), Seq("id"), "left")
+          .select(col("id"), coalesce(col("nl"), col("label")).as("label"))
+          .unionByName(latest.join(base.select("id"), Seq("id"), "left_anti"))
+      }
+    (unioned(axis1), unioned(axis2), labels)
+  }
 
   /** Takedown on the streamed label chain (r17 — VERDICT r16 item 2's
     * streamed form). COARSEN-ONLY IS REVOKED ON THE DELETE AXIS, by
@@ -911,7 +990,8 @@ object StreamingAdmission {
       spark: SparkSession, keysPath: String, vecsPath: String,
       input: DataFrame, streamDir: String, labelsDir: String,
       checkpointDir: String, compactEvery: Int = 0,
-      bits: Int = LlmPipeline.MpBits): StreamingQuery =
+      bits: Int = LlmPipeline.MpBits,
+      manifestLog: Option[java.nio.file.Path] = None): StreamingQuery =
     input.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -919,6 +999,11 @@ object StreamingAdmission {
           compactAnnCc(spark, streamDir, labelsDir, batchId - 1)
         commitAnnCcBatch(spark, keysPath, vecsPath, streamDir, labelsDir,
           batch, batchId, bits)
+        // Cross-plane manifest (r19): keys/vecs history + label chain
+        // bound in one CAS per batch — the [[startCc]] discipline on
+        // the embedding axis.
+        manifestLog.foreach(commitChainManifest(streamDir, labelsDir,
+          "keys", "vecs", _))
       }
       .start()
 

@@ -48,6 +48,36 @@ class Bm25WandSpec extends SparkSpec {
     assert(nSurv >= 10, s"pruning kept fewer candidates than a top-10 needs ($nSurv)")
   }
 
+  test("q213: external batch with an OOV term — df=0 slot contributes nothing, pruning stays lossless, in-vocab slot still ranks") {
+    // The real-request edge (VERDICT r18 item 7): every other
+    // retrieval batch derives its terms from the stored index, so no
+    // df=0 slot can occur; q213's query 3 carries 'zzqxv'.
+    val root = LlmPipeline.ensurePostingsArtifact(spark, sfDir)
+    val matched = LlmPipeline.externalMatchedFrom(spark,
+      spark.read.parquet(LlmPipeline.ensureIndexArtifact(spark, sfDir)),
+      spark.read.parquet(s"$root/postings"),
+      spark.read.parquet(s"$root/stats"))
+    import org.apache.spark.sql.functions.col
+    // The OOV slot matches NOTHING: no posting row, no ub row, no
+    // contribution — by construction, not by accident.
+    assert(matched.filter(col("query_id") === 3 && col("tr") === 2).isEmpty,
+      "OOV slot produced matched rows")
+    assert(matched.filter(col("df") === 0).isEmpty,
+      "a df=0 term leaked into the matched relation")
+    // Pruning with a boundless slot absent from the ub census stays
+    // lossless — the MAXSCORE split must not crash or over-prune.
+    val pruned = LlmPipeline.bm25DisjunctiveRank(spark, matched, prune = true)
+      .collect().map(_.toString).toSeq
+    val exact = LlmPipeline.bm25DisjunctiveRank(spark, matched, prune = false)
+      .collect().map(_.toString).toSeq
+    assert(pruned == exact,
+      s"MAXSCORE pruning changed the OOV-batch ranking (${pruned.size} vs ${exact.size})")
+    // Query 3 still ranks on its in-vocabulary slot alone.
+    val q3 = LlmPipeline.externalTermsRetrieval(spark, sfDir)
+      .filter(col("query_id") === 3)
+    assert(q3.count() == 10, "OOV query lost its in-vocab slot's results")
+  }
+
   test("q190: every result doc matches all three of its query's terms (conjunctive semantics)") {
     import org.apache.spark.sql.functions._
     val res = LlmPipeline.bm25Conjunctive(spark, sfDir)
