@@ -53,10 +53,13 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: resolution is declarative — unions concatenate file
   * scans (no shuffle), tombstones are notice-sized broadcast
-  * anti-joins, the `m`/`o` folds group only the element rows (shard-
-  * and notice-sized deltas against the base scan). Chains stay short
-  * because compaction folds them on cadence; the only chain-length
-  * cost a reader pays is plan width, never extra corpus passes.
+  * anti-joins, the `m` fold is one vocabulary-sized groupBy, and the
+  * `o` folds anti-join delta-sized key sets against the base scan.
+  * Chains stay short because compaction folds them on cadence. The
+  * one chain-length cost beyond plan width: a multi-element `bands`
+  * chain re-applies its per-bucket cap as a (band, bsig) window — a
+  * well-distributed shuffle key, paid only between compactions and
+  * folded away by them (single-element chains skip it entirely).
   */
 private[graft] object PlaneChains {
 
