@@ -129,6 +129,78 @@ class PlaneChainsSpec extends SparkSpec {
     } finally Seq(logA, logB, plA, plB).foreach(LlmPipeline.deleteRecursively)
   }
 
+  test("three-transaction composition: admit -> takedown -> admit through chains equals the rewrite-convention composition on every plane") {
+    // The induction step the per-transaction laws above license, made
+    // airtight end-to-end: a 4-element chain (base; u/m/o shard A;
+    // t/a/o notice; u/m/o shard B) must resolve exactly as the r18
+    // rewrite stagers applied in the same order — including the stages
+    // READING THROUGH the partially-built chains (admission B probes
+    // a band chain that already carries a delta AND a tombstone).
+    import org.apache.spark.sql.functions._
+    val logA = Files.createTempDirectory("graft-pc-cmpA-") // delta chains
+    val logB = Files.createTempDirectory("graft-pc-cmpB-") // rewrites
+    val plA = Files.createTempDirectory("graft-pc-cmpApl-")
+    val plB = Files.createTempDirectory("graft-pc-cmpBpl-")
+    try {
+      LlmPipeline.bootstrapPlanesManifest(spark, sfDir, logA)
+      LlmPipeline.bootstrapPlanesManifest(spark, sfDir, logB)
+      val pqRoot = LlmPipeline.ensurePqIndex(spark, sfDir)
+      val docs = graft.sources.Tables.documents(spark, sfDir)
+      val embs = graft.sources.Tables.embeddings(spark, sfDir)
+      def shard(i: Int) = (
+        docs.filter(col("doc_id") % 4 === 0 && (col("doc_id") / 4) % 2 === i)
+          .select("doc_id", "text").localCheckpoint(),
+        embs.filter(col("vec_id") % 4 === 0 && (col("vec_id") / 4) % 2 === i)
+          .select("vec_id", "embedding").localCheckpoint())
+      val (sdA, seA) = shard(0)
+      val (sdB, seB) = shard(1)
+      // Notice names standing docs AND shard-A docs — non-commuting
+      // with the surrounding admissions, so order genuinely matters.
+      val removed = LlmPipeline.takedownDocSet(spark, sfDir)
+        .unionByName(sdA.select("doc_id").filter(col("doc_id") % 8 === 0))
+        .distinct().localCheckpoint()
+      assert(removed.join(sdA, Seq("doc_id"), "left_semi").count() > 0,
+        "notice names no shard-A docs — composition commutes, law weak")
+      // Delta path.
+      assert(LlmPipeline.commitAdmissionDeltas(
+        spark, plA.toString, logA, sdA, seA, sfDir, pqRoot, "a")._1)
+      assert(LlmPipeline.commitTakedownTombstones(
+        spark, plA.toString, logA, removed, "t")._1)
+      assert(LlmPipeline.commitAdmissionDeltas(
+        spark, plA.toString, logA, sdB, seB, sfDir, pqRoot, "b")._1)
+      // Rewrite path, same order.
+      assert(LlmPipeline.commitAdmissionGeneration(
+        spark, plB.toString, logB, sdA, seA, sfDir, pqRoot, "a")._1)
+      assert(LlmPipeline.commitTakedownGeneration(
+        spark, plB.toString, logB, removed, "t")._1)
+      assert(LlmPipeline.commitAdmissionGeneration(
+        spark, plB.toString, logB, sdB, seB, sfDir, pqRoot, "b")._1)
+      val mD = SqlGateway.occManifestAt(logA, 3L)
+      val mR = SqlGateway.occManifestAt(logB, 3L)
+      def resD(p: String) = PlaneChains.resolve(spark, p, mD(p))
+      def rewr(p: String) = spark.read.parquet(mR(p))
+      Seq("postings", "positions", "docstats", "shingles", "bands",
+          "ann_keys", "ann_vecs", "pq_cells", "pq_codes", "pairs",
+          "labels", "reps").foreach { p =>
+        assert(rowsEqual(resD(p), rewr(p)),
+          s"3-transaction chain resolve != rewrite composition on plane $p")
+      }
+      assert(resD("stats").head() == rewr("stats").head(),
+        "3-transaction chain stats != rewrite composition")
+      assert(indexEqual(resD("index"), rewr("index")),
+        "3-transaction chain index != rewrite composition")
+      // And compacting the 4-element chains is content-neutral.
+      val (wonC, folded, genC) = LlmPipeline.compactManifest(
+        spark, plA.toString, logA, "c")
+      assert(wonC && folded == LlmPipeline.TakedownPlanes.size && genC == 4L)
+      val mC = SqlGateway.occManifestAt(logA, 4L)
+      Seq("postings", "labels", "reps").foreach { p =>
+        assert(rowsEqual(PlaneChains.resolve(spark, p, mC(p)), resD(p)),
+          s"compaction changed the resolved plane $p")
+      }
+    } finally Seq(logA, logB, plA, plB).foreach(LlmPipeline.deleteRecursively)
+  }
+
   test("ordering: t-then-u serves a re-added doc, u-then-t does not (the non-commuting pair the fold preserves)") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-pc-ord-")
