@@ -97,7 +97,13 @@ private[graft] object PlaneChains {
   def encode(chain: Seq[Elem]): String =
     chain.map(e => s"${e.kind.tag}:${e.path}").mkString(";")
 
-  /** Parse a binding value; a bare path is a one-element base chain. */
+  /** Parse a binding value; a bare path is a one-element base chain.
+    * An element that LOOKS like a kind prefix (`<letter>:`) but names
+    * no known kind is rejected here with the offending element named —
+    * never silently treated as a bare path that would only fail later
+    * as an opaque parquet path-not-found three layers down a plane
+    * read (ADVICE r19).
+    */
   def parse(plane: String, value: String): Seq[Elem] =
     value.split(";").iterator.filter(_.nonEmpty).map { el =>
       el.splitAt(2) match {
@@ -106,7 +112,11 @@ private[graft] object PlaneChains {
         case ("a:", p) => Elem(A, p)
         case ("m:", p) => Elem(M, p)
         case ("o:", p) => Elem(O, p)
-        case _         => Elem(baseKind(plane), el)
+        case (k, _) if k.length == 2 && k(1) == ':' && k(0).isLetter &&
+            k(0).isLower =>
+          throw new IllegalArgumentException(
+            s"unknown chain-element kind '$k' in plane $plane element '$el'")
+        case _ => Elem(baseKind(plane), el)
       }
     }.toSeq
 
@@ -120,6 +130,13 @@ private[graft] object PlaneChains {
     value.split(";").iterator.filter(_.nonEmpty).map { el =>
       el.splitAt(2) match {
         case (k, p) if Set("u:", "t:", "a:", "m:", "o:").contains(k) => p
+        case (k, _) if k.length == 2 && k(1) == ':' && k(0).isLetter &&
+            k(0).isLower =>
+          // Same strictness as [[parse]]: a vacuum that silently read a
+          // typo'd kind as a bare path would compute the wrong retained
+          // set.
+          throw new IllegalArgumentException(
+            s"unknown chain-element kind '$k' in element '$el'")
         case _ => el
       }
     }.toSeq
