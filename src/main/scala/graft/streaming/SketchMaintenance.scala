@@ -114,8 +114,11 @@ object SketchMaintenance {
     input.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
           compactSketches(spark, sketchDir, batchId - 1)
+          // Bind the fresh base immediately (ADVICE r19).
+          manifestLog.foreach(commitSketchManifest(sketchDir, _))
+        }
         commitSketchBatch(spark, batch, sketchDir, batchId)
         // Frontier manifest (r19 — VERDICT r18 item 3): one CAS binds
         // base + tail at one instant, so a reader can never see the

@@ -47,18 +47,46 @@ private[graft] object StreamManifest {
   /** Latest committed manifest of a stream log.
     *
     * Reader contract (the Delta/Iceberg vacuum discipline): a manifest
-    * generation is immutable, but the stream's COMPACTION deletes the
-    * folded input directories immediately after its base commits — so
-    * a reader whose lazy scan loses that race observes a
-    * FileNotFoundException and must RE-RESOLVE from the head manifest
-    * (bounded staleness: the head always binds live directories; the
-    * retry is one manifest read, not a recompute). Production deploys
-    * would give the compaction a retention delay exactly as the q208
-    * vacuum gives the batch logs one; locally the race is real and
-    * StreamManifestSpec's polling readers exercise the retry.
+    * generation is immutable. The POSTINGS chain's compaction runs
+    * with a retention window (r20 — VERDICT r19 item 7): folded inputs
+    * bound by the last [[RetainDepth]]+1 manifests survive the fold
+    * and are reclaimed only by a LATER compaction, so a reader pinned
+    * to the head or the previous manifest always resolves — no retry
+    * needed on that chain (StreamManifestSpec's pinned-reader law).
+    * The CC/ANN-CC/sketch chains still delete folded inputs
+    * immediately after the fold's base commits; each chain CAS-commits
+    * a fresh manifest right after its compaction (ADVICE r19), which
+    * shrinks — but does not close — the window in which the head
+    * binds a just-deleted directory: a reader whose lazy scan loses
+    * that race observes a missing-file error ([[isVacuumRace]]) and
+    * must RE-RESOLVE from the head manifest (bounded staleness: one
+    * manifest read, not a recompute). StreamManifestSpec's polling
+    * readers exercise both contracts.
     */
   def current(logDir: java.nio.file.Path): Map[String, String] =
     SqlGateway.occManifestAt(logDir, SqlGateway.occCurrentGen(logDir))
+
+  /** How many manifest generations BELOW the head stay fully readable:
+    * a compaction must not delete any directory a manifest in
+    * [head − RetainDepth, head] binds. Depth 1 is the q208 "previous
+    * generation" discipline — a reader that resolved the head an
+    * instant before the fold still reads.
+    */
+  val RetainDepth = 1
+
+  /** Every directory the last [[RetainDepth]]+1 committed manifests
+    * bind — the set a compaction's cleanup must NOT delete. Empty when
+    * the log has no commits yet.
+    */
+  def retainedPaths(logDir: java.nio.file.Path): Set[java.nio.file.Path] = {
+    if (!java.nio.file.Files.exists(logDir.resolve(f"commit-${0L}%06d")))
+      return Set.empty
+    val cur = SqlGateway.occCurrentGen(logDir)
+    (math.max(0L, cur - RetainDepth) to cur).flatMap(g =>
+      SqlGateway.occManifestAt(logDir, g).values.flatMap(v =>
+        graft.queries.PlaneChains.paths(v).map(p =>
+          java.nio.file.Paths.get(p).toAbsolutePath.normalize))).toSet
+  }
 
   /** True iff `t`'s cause chain carries a missing-file/-path error —
     * the vacuum-race signature the reader contract above retries on.

@@ -565,8 +565,14 @@ object StreamingAdmission {
     input.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
           compactCc(spark, streamDir, labelsDir, batchId - 1)
+          // Bind the fresh base immediately (ADVICE r19): the head
+          // manifest must not spend the batch-write window naming the
+          // folded-away frontier.
+          manifestLog.foreach(commitChainManifest(streamDir, labelsDir,
+            "bands", "shingles", _))
+        }
         commitCcBatch(spark, bandsPath, shinglesPath, streamDir, labelsDir,
           batch, batchId)
         // Cross-plane manifest (r19 — VERDICT r18 item 3): bind the
@@ -995,8 +1001,12 @@ object StreamingAdmission {
     input.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
           compactAnnCc(spark, streamDir, labelsDir, batchId - 1)
+          // Bind the fresh base immediately (ADVICE r19).
+          manifestLog.foreach(commitChainManifest(streamDir, labelsDir,
+            "keys", "vecs", _))
+        }
         commitAnnCcBatch(spark, keysPath, vecsPath, streamDir, labelsDir,
           batch, batchId, bits)
         // Cross-plane manifest (r19): keys/vecs history + label chain

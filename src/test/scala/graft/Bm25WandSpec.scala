@@ -78,6 +78,64 @@ class Bm25WandSpec extends SparkSpec {
     assert(q3.count() == 10, "OOV query lost its in-vocab slot's results")
   }
 
+  test("q216: OOV slot in an AND query makes the conjunction provably empty; pruning on the in-vocab query stays lossless") {
+    // VERDICT r19 item 4: the df=0 edge in the BMW bound machinery. An
+    // AND query with a term no doc contains can match nothing — the
+    // rarest-slot candidate list is empty by construction — while the
+    // all-in-vocab query must still rank a full top-10 under pruning.
+    import org.apache.spark.sql.functions.col
+    val root = LlmPipeline.ensurePostingsArtifact(spark, sfDir)
+    val matched = LlmPipeline.externalMatchedFrom(spark,
+      spark.read.parquet(LlmPipeline.ensureIndexArtifact(spark, sfDir)),
+      spark.read.parquet(s"$root/postings"),
+      spark.read.parquet(s"$root/stats"), LlmPipeline.ExternalConjTerms)
+    assert(matched.filter(col("query_id") === 2 && col("tr") === 3).isEmpty,
+      "the OOV slot produced matched rows")
+    val pruned = LlmPipeline.bm25ConjunctiveRank(matched, prune = true)
+      .collect().map(_.toString).toSeq
+    val exact = LlmPipeline.bm25ConjunctiveRank(matched, prune = false)
+      .collect().map(_.toString).toSeq
+    assert(pruned == exact,
+      s"pruning changed the external conjunctive ranking (${pruned.size} vs ${exact.size})")
+    val res = LlmPipeline.externalConjunctiveRetrieval(spark, sfDir)
+    assert(res.filter(col("query_id") === 2).isEmpty,
+      "a conjunction containing an OOV term served results")
+    assert(res.filter(col("query_id") === 1).count() == 10,
+      "the in-vocab conjunction lost its top-10")
+    assert(res.select("oov_conjunction_empty").head().getBoolean(0))
+  }
+
+  test("q217/q218: an OOV word empties its phrase and its fused query; in-vocab queries rank normally") {
+    import org.apache.spark.sql.functions.col
+    val ph = LlmPipeline.externalPhraseRetrieval(spark, sfDir)
+    assert(ph.filter(col("query_id") === 3).isEmpty,
+      "a phrase containing an OOV word matched documents")
+    assert(ph.filter(col("query_id") === 1).count() > 0 &&
+      ph.filter(col("query_id") === 2).count() > 0,
+      "in-vocab external phrases matched nothing — fixture degenerate")
+    val fr = LlmPipeline.externalFusedRank(spark, sfDir)
+    assert(fr.filter(col("query_id") === 3).isEmpty,
+      "a fused conjunctive query with an OOV slot served results")
+    assert(fr.filter(col("query_id") === 1).count() == 10 &&
+      fr.filter(col("query_id") === 2).count() == 10,
+      "in-vocab fused queries lost their top-10")
+  }
+
+  test("q219: hybrid fusion degrades per-leg under an OOV lexical term — the ANN leg still fills the fused top-10") {
+    import org.apache.spark.sql.functions.col
+    val res = LlmPipeline.externalHybridRrf(spark, sfDir)
+    val q3 = res.filter(col("query_id") === 3)
+    assert(q3.count() == 10,
+      "the OOV lexical term must not shrink the fused top-10")
+    // Query 3's lexical leg ranks on its in-vocab slot alone — it still
+    // contributes (some fused row carries a non-zero lex_rank), and the
+    // ANN leg is untouched (some row carries a non-zero ann_rank).
+    assert(q3.filter(col("lex_rank") > 0).count() > 0,
+      "query 3's in-vocab lexical slot contributed nothing")
+    assert(q3.filter(col("ann_rank") > 0).count() > 0,
+      "query 3's ANN leg contributed nothing")
+  }
+
   test("q190: every result doc matches all three of its query's terms (conjunctive semantics)") {
     import org.apache.spark.sql.functions._
     val res = LlmPipeline.bm25Conjunctive(spark, sfDir)

@@ -15,10 +15,10 @@ class EntrySpec extends SparkSpec {
   test("registry regression guard: every pack stays registered") {
     // Round 1's worst defect was silently-unregistered packs. Exact
     // counts force any change here to be deliberate.
-    assert(SparkEntry.defs.size == 203,
-      s"query count ${SparkEntry.defs.size} != 203 — update this guard deliberately")
-    assert(SparkEntry.oracleSql.size == 202,
-      s"oracle count ${SparkEntry.oracleSql.size} != 202 — update this guard deliberately")
+    assert(SparkEntry.defs.size == 211,
+      s"query count ${SparkEntry.defs.size} != 211 — update this guard deliberately")
+    assert(SparkEntry.oracleSql.size == 210,
+      s"oracle count ${SparkEntry.oracleSql.size} != 210 — update this guard deliberately")
     // One representative per pack must be present.
     val reps = Seq("q01_", "q10_", "q20_", "q26_", "q30_", "q40_", "q50_", "q60_", "q65_", "q70_", "q80_", "q91_", "q114_", "q117_", "q121_")
     val names = SparkEntry.defs.map(_.name)

@@ -994,6 +994,241 @@ class OccSpec extends SparkSpec {
     }
   }
 
+  test("doc-only admission races embedding-only admission: disjoint partial commits commute — final state equals one full admission, untouched bindings carry verbatim") {
+    // VERDICT r19 item 5's race law: crawls and embedding jobs run on
+    // different cadences, so the common contention is a doc-only
+    // writer against an embedding-only writer. Their plane sets are
+    // DISJOINT, so unlike the admission-vs-takedown race the
+    // composition commutes: whichever CAS order the race resolves to,
+    // the final resolved state must equal the ONE full admission, and
+    // each partial commit must carry the other side's bindings
+    // byte-verbatim.
+    import org.apache.spark.sql.functions._
+    import graft.queries.PlaneChains
+    val logDir = Files.createTempDirectory("graft-prace-log-")
+    val planesRoot = Files.createTempDirectory("graft-prace-pl-")
+    val refLog = Files.createTempDirectory("graft-pref-log-")
+    val refPl = Files.createTempDirectory("graft-pref-pl-")
+    try {
+      LlmPipeline.bootstrapPlanesManifest(spark, sfDir, logDir)
+      LlmPipeline.bootstrapPlanesManifest(spark, sfDir, refLog)
+      val pqRoot = LlmPipeline.ensurePqIndex(spark, sfDir)
+      val shardDocs = graft.sources.Tables.documents(spark, sfDir)
+        .filter(col("doc_id") % 4 === 0).select("doc_id", "text")
+        .localCheckpoint()
+      val shardEmb = graft.sources.Tables.embeddings(spark, sfDir)
+        .filter(col("vec_id") % 4 === 0).select("vec_id", "embedding")
+        .localCheckpoint()
+      val barrier = new CyclicBarrier(2)
+      def writer(docSide: Boolean): Long = {
+        var committed = -1L; var attempt = 0
+        while (committed < 0 && attempt < 5) {
+          attempt += 1
+          val (baseGen, bindings) = LlmPipeline.stageAdmissionDeltasPartial(
+            spark, planesRoot.toString, logDir,
+            if (docSide) Some(shardDocs) else None,
+            if (docSide) None else Some(shardEmb),
+            sfDir, pqRoot, s"${if (docSide) "d" else "e"}$attempt")
+          if (attempt == 1) barrier.await()
+          if (SqlGateway.occTryCommitManifest(logDir, baseGen, bindings))
+            committed = baseGen + 1
+        }
+        assert(committed > 0, "partial writer never committed"); committed
+      }
+      var gD = -1L; var gE = -1L
+      var errD: Throwable = null; var errE: Throwable = null
+      val tD = new Thread(() => try gD = writer(true) catch { case t: Throwable => errD = t })
+      val tE = new Thread(() => try gE = writer(false) catch { case t: Throwable => errE = t })
+      tD.start(); tE.start()
+      tD.join(240000); tE.join(240000)
+      assert(errD == null, s"doc-only writer failed: $errD")
+      assert(errE == null, s"embedding-only writer failed: $errE")
+      assert(Set(gD, gE) == Set(1L, 2L), s"got doc=$gD emb=$gE")
+      (0L to 2L).foreach(g => assert(
+        LlmPipeline.manifestPlanesConsistent(spark, logDir, g),
+        s"generation $g inconsistent"))
+      // Each partial commit carried the OTHER side's bindings verbatim.
+      val m0 = SqlGateway.occManifestAt(logDir, 0L)
+      val m1 = SqlGateway.occManifestAt(logDir, 1L)
+      val m2 = SqlGateway.occManifestAt(logDir, 2L)
+      val (firstDocs, carriedAt1) =
+        if (gD == 1L) (true, LlmPipeline.EmbeddingPlanes)
+        else (false, LlmPipeline.TextPlanes)
+      carriedAt1.foreach(p => assert(m1(p) == m0(p),
+        s"generation 1 (${if (firstDocs) "doc" else "emb"}-only) rewrote untouched plane $p"))
+      val carriedAt2 =
+        if (firstDocs) LlmPipeline.TextPlanes else LlmPipeline.EmbeddingPlanes
+      carriedAt2.foreach(p => assert(m2(p) == m1(p),
+        s"generation 2 rewrote untouched plane $p"))
+      // Final resolved state == ONE full admission (the commuting law).
+      val (wonRef, _) = LlmPipeline.commitAdmissionDeltas(
+        spark, refPl.toString, refLog, shardDocs, shardEmb, sfDir, pqRoot, "f")
+      assert(wonRef)
+      val mRef = SqlGateway.occManifestAt(refLog, 1L)
+      def rowsEqual(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+        a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+      Seq("postings", "docstats", "ann_keys", "pq_codes", "labels").foreach { p =>
+        assert(rowsEqual(PlaneChains.resolve(spark, p, m2(p)),
+          PlaneChains.resolve(spark, p, mRef(p))),
+          s"racing partial commits != one full admission on plane $p")
+      }
+      assert(PlaneChains.resolve(spark, "stats", m2("stats")).head() ==
+        PlaneChains.resolve(spark, "stats", mRef("stats")).head(),
+        "racing partial commits != one full admission on stats")
+    } finally {
+      Seq(logDir, planesRoot, refLog, refPl)
+        .foreach(LlmPipeline.deleteRecursively)
+    }
+  }
+
+  test("three-way mixed race: delta admission + tombstone takedown + compaction all commit; final resolved state equals the commit-log-order composition; reader torn-free throughout") {
+    // VERDICT r19 item 6: the transaction kinds raced pairwise until
+    // now run all at once. Setup gives the compactor a chain to fold
+    // (one unopposed shard-A admission), then three REAL writers race:
+    // an admitter (shard B), a takedowner (notice naming standing AND
+    // shard-B docs — non-commuting with the admission), and a
+    // compactor. All three must commit through rebases, the polling
+    // reader must stay torn-free, and the final resolved state must
+    // equal replaying the three transactions SERIALLY in the exact
+    // commit-log order the race produced.
+    import org.apache.spark.sql.functions._
+    import graft.queries.PlaneChains
+    val logDir = Files.createTempDirectory("graft-3way-log-")
+    val planesRoot = Files.createTempDirectory("graft-3way-pl-")
+    val refLog = Files.createTempDirectory("graft-3ref-log-")
+    val refPl = Files.createTempDirectory("graft-3ref-pl-")
+    try {
+      LlmPipeline.bootstrapPlanesManifest(spark, sfDir, logDir)
+      LlmPipeline.bootstrapPlanesManifest(spark, sfDir, refLog)
+      val pqRoot = LlmPipeline.ensurePqIndex(spark, sfDir)
+      val docs = graft.sources.Tables.documents(spark, sfDir)
+      val embs = graft.sources.Tables.embeddings(spark, sfDir)
+      def shard(i: Int) =
+        (docs.filter(col("doc_id") % 4 === 0 && (col("doc_id") / 4) % 2 === i)
+           .select("doc_id", "text").localCheckpoint(),
+         embs.filter(col("vec_id") % 4 === 0 && (col("vec_id") / 4) % 2 === i)
+           .select("vec_id", "embedding").localCheckpoint())
+      val (sdA, seA) = shard(0)
+      val (sdB, seB) = shard(1)
+      val removed = LlmPipeline.takedownDocSet(spark, sfDir)
+        .unionByName(sdB.select("doc_id").filter(col("doc_id") % 8 === 4))
+        .distinct().localCheckpoint()
+      assert(removed.join(sdB, Seq("doc_id"), "left_semi").count() > 0,
+        "notice names no shard-B docs — the admission/takedown pair commutes")
+      val (won0, _) = LlmPipeline.commitAdmissionDeltas(
+        spark, planesRoot.toString, logDir, sdA, seA, sfDir, pqRoot, "a0")
+      assert(won0)
+      val barrier = new CyclicBarrier(3)
+      def admitter(): Long = {
+        var committed = -1L; var attempt = 0
+        while (committed < 0 && attempt < 6) {
+          attempt += 1
+          val (baseGen, bindings) = LlmPipeline.stageAdmissionDeltas(
+            spark, planesRoot.toString, logDir, sdB, seB, sfDir, pqRoot,
+            s"adm$attempt")
+          if (attempt == 1) barrier.await()
+          if (SqlGateway.occTryCommitManifest(logDir, baseGen, bindings))
+            committed = baseGen + 1
+        }
+        assert(committed > 0, "admitter never committed"); committed
+      }
+      def takedowner(): Long = {
+        var committed = -1L; var attempt = 0
+        while (committed < 0 && attempt < 6) {
+          attempt += 1
+          val (baseGen, bindings) = LlmPipeline.stageTakedownTombstones(
+            spark, planesRoot.toString, logDir, removed, s"td$attempt")
+          if (attempt == 1) barrier.await()
+          if (SqlGateway.occTryCommitManifest(logDir, baseGen, bindings))
+            committed = baseGen + 1
+        }
+        assert(committed > 0, "takedowner never committed"); committed
+      }
+      def compactor(): Long = {
+        var committed = -1L; var attempt = 0
+        while (committed < 0 && attempt < 6) {
+          attempt += 1
+          if (attempt == 1) barrier.await()
+          val (won, _, gen) = LlmPipeline.compactManifest(
+            spark, planesRoot.toString, logDir, s"c$attempt")
+          if (won) committed = gen
+        }
+        assert(committed > 0, "compactor never committed"); committed
+      }
+      @volatile var writersDone = false
+      var readerObs = 0
+      var readerErr: Throwable = null
+      val reader = new Thread(() =>
+        try {
+          while (!writersDone) {
+            val g = SqlGateway.occCurrentGen(logDir)
+            assert(LlmPipeline.manifestPlanesConsistent(spark, logDir, g),
+              s"TORN READ at generation $g")
+            readerObs += 1
+          }
+        } catch { case t: Throwable => readerErr = t })
+      var gAdm = -1L; var gTd = -1L; var gC = -1L
+      val errs = new Array[Throwable](3)
+      val tA = new Thread(() => try gAdm = admitter() catch { case t: Throwable => errs(0) = t })
+      val tT = new Thread(() => try gTd = takedowner() catch { case t: Throwable => errs(1) = t })
+      val tC = new Thread(() => try gC = compactor() catch { case t: Throwable => errs(2) = t })
+      reader.start(); tA.start(); tT.start(); tC.start()
+      tA.join(480000); tT.join(480000); tC.join(480000)
+      writersDone = true
+      reader.join(120000)
+      errs.zip(Seq("admitter", "takedowner", "compactor")).foreach {
+        case (e, who) => assert(e == null, s"$who failed: $e") }
+      assert(readerErr == null, s"reader failed: $readerErr")
+      assert(readerObs > 0, "reader made no observations")
+      assert(Set(gAdm, gTd, gC) == Set(2L, 3L, 4L),
+        s"got adm=$gAdm td=$gTd compact=$gC")
+      info(s"commit order: adm=$gAdm td=$gTd compact=$gC, " +
+        s"$readerObs torn-free observations")
+      (0L to 4L).foreach(g => assert(
+        LlmPipeline.manifestPlanesConsistent(spark, logDir, g),
+        s"generation $g inconsistent"))
+      // Compaction is content-neutral at its own generation.
+      def resolvedAt(g: Long, p: String) = PlaneChains.resolve(spark, p,
+        SqlGateway.occManifestAt(logDir, g)(p))
+      def rowsEqual(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+        a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+      assert(rowsEqual(resolvedAt(gC, "postings"), resolvedAt(gC - 1, "postings")),
+        "compaction changed the resolved postings")
+      // Replay the three transactions serially in the COMMIT-LOG order.
+      LlmPipeline.commitAdmissionDeltas(
+        spark, refPl.toString, refLog, sdA, seA, sfDir, pqRoot, "a0") match {
+        case (won, _) => assert(won)
+      }
+      Seq(gAdm -> "adm", gTd -> "td", gC -> "c").sortBy(_._1).foreach {
+        case (_, "adm") =>
+          val (won, _) = LlmPipeline.commitAdmissionDeltas(
+            spark, refPl.toString, refLog, sdB, seB, sfDir, pqRoot, "radm")
+          assert(won)
+        case (_, "td") =>
+          val (won, _) = LlmPipeline.commitTakedownTombstones(
+            spark, refPl.toString, refLog, removed, "rtd")
+          assert(won)
+        case (_, _) =>
+          val (won, _, _) = LlmPipeline.compactManifest(
+            spark, refPl.toString, refLog, "rc")
+          assert(won)
+      }
+      val mF = SqlGateway.occManifestAt(logDir, 4L)
+      val mR = SqlGateway.occManifestAt(refLog, 4L)
+      Seq("postings", "docstats", "labels", "reps", "ann_keys").foreach { p =>
+        assert(rowsEqual(PlaneChains.resolve(spark, p, mF(p)),
+          PlaneChains.resolve(spark, p, mR(p))),
+          s"three-way race != commit-log-order composition on plane $p")
+      }
+      assert(PlaneChains.resolve(spark, "stats", mF("stats")).head() ==
+        PlaneChains.resolve(spark, "stats", mR("stats")).head(),
+        "three-way race != commit-log-order composition on stats")
+    } finally {
+      Seq(logDir, planesRoot, refLog, refPl)
+        .foreach(LlmPipeline.deleteRecursively)
+    }
+  }
+
   test("the commit CAS is first-writer-wins at the file level") {
     val logDir = Files.createTempDirectory("graft-occ-cas-")
     try {

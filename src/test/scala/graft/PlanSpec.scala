@@ -305,6 +305,46 @@ class PlanSpec extends SparkSpec {
       s"query terms not pushed into the post-admission postings scan:\n$plan")
   }
 
+  test("q214/q215: pushed In(token) survives a single-element chain and degrades only to the chain union on multi-element chains") {
+    // The manifest-read seam (VERDICT r19 item 1): a compacted (bare)
+    // binding must resolve to the plain artifact scan — the q181 plan
+    // pin verbatim — and an uncompacted chain must put the pushed term
+    // filter on EVERY element's scan, with the tombstone applied as a
+    // broadcast anti-join, never a corpus re-scan.
+    import spark.implicits._
+    import graft.queries.PlaneChains
+    val root = LlmPipeline.ensurePostingsArtifact(spark, sfDir)
+    val terms = Seq("the", "a")
+    def matchedOver(chain: String): DataFrame =
+      PlaneChains.resolve(spark, "postings", chain)
+        .filter(col("token").isin(terms: _*))
+    // Single-element (v1 / post-compaction) chain: one pushed scan.
+    val single = formatted(matchedOver(s"$root/postings"))
+    assert(single.contains("PushedFilters: [In(token"),
+      s"single-element chain lost the pushed term filter:\n$single")
+    assert(!single.contains("documents.parquet"), "chain read scans the corpus")
+    // Multi-element chain (delta + tombstone): every element's scan
+    // keeps the pushed filter; the tombstone is a broadcast anti-join.
+    val extra = java.nio.file.Files.createTempDirectory("graft-ps-chain-")
+    try {
+      Seq((terms.head, 999999L, 1L, 3L))
+        .toDF("token", "doc_id", "tf", "dl")
+        .write.parquet(s"$extra/delta")
+      Seq(Tuple1(999999L)).toDF("doc_id").write.parquet(s"$extra/tomb")
+      val multi = formatted(matchedOver(
+        s"$root/postings;u:$extra/delta;t:$extra/tomb"))
+      val pushedScans = "PushedFilters: \\[In\\(token".r
+        .findAllIn(multi).size
+      assert(pushedScans >= 2,
+        s"multi-element chain must push the term filter into every element's scan (saw $pushedScans):\n$multi")
+      assert(multi.contains("Union"),
+        s"multi-element chain must resolve as a union of element scans:\n$multi")
+      assert(multi.contains("BroadcastHashJoin") && multi.contains("LeftAnti"),
+        s"tombstone must apply as a broadcast anti-join:\n$multi")
+      assert(!multi.contains("documents.parquet"), "chain read scans the corpus")
+    } finally LlmPipeline.deleteRecursively(extra)
+  }
+
   test("q203/q206: BPE encode chain collapses to ONE projection — no joins, no exchanges") {
     // The encode half's kernel (bpeApplyMerges) must stay a constant
     // replace chain over the words relation: a join or exchange here

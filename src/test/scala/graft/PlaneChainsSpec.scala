@@ -44,6 +44,49 @@ class PlaneChainsSpec extends SparkSpec {
     assert(paths(appended) == Seq("/base/gen-0", "/t/gen-1"))
   }
 
+  test("grammar: a typo'd kind prefix is rejected loudly, not read as a bare path (ADVICE r19)") {
+    import PlaneChains._
+    val exP = intercept[IllegalArgumentException](parse("postings", "x:/tmp/p"))
+    assert(exP.getMessage.contains("x:") && exP.getMessage.contains("x:/tmp/p"),
+      s"error must name the offending element: ${exP.getMessage}")
+    val exV = intercept[IllegalArgumentException](
+      paths("/base/gen-0;z:/tmp/q"))
+    assert(exV.getMessage.contains("z:"), exV.getMessage)
+    // Bare absolute paths (and the five known kinds) still parse.
+    assert(parse("postings", "/tmp/x;u:/tmp/y").size == 2)
+  }
+
+  test("bands over-cap bucket: resolved chain never exceeds the cap, never serves a removed doc, refills from chain survivors (ADVICE r19)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-pc-cap-")
+    try {
+      val cap = LlmPipeline.LshBucketCap // 512
+      def bucketRows(ids: Seq[Long]) =
+        ids.map(id => (id, 1, 7L)).toDF("doc_id", "band", "bsig")
+      // Base: a FULL bucket (the rewrite convention stores cap-smallest).
+      bucketRows(1L to cap.toLong).write.parquet(s"$root/base")
+      // Delta admits 100 more docs into the same bucket; tombstone
+      // removes docs 1-10.
+      bucketRows(601L to 700L).write.parquet(s"$root/delta")
+      Seq(1L to 10L: _*).toDF("doc_id").write.parquet(s"$root/tomb")
+      val resolved = PlaneChains.resolve(spark, "bands",
+        s"$root/base;u:$root/delta;t:$root/tomb")
+      val ids = resolved.select("doc_id").as[Long].collect().sorted.toSeq
+      // Survivors = (1..512 u 601..700) \ 1..10 = 602 docs; the end-cap
+      // keeps the cap-smallest 512 of THEM: 11..512 u 601..610.
+      val expected = ((11L to cap.toLong) ++ (601L to 610L)).sorted
+      assert(ids.size == cap, s"bucket resolved above cap: ${ids.size}")
+      assert(ids.intersect(1L to 10L).isEmpty, "resolved a removed doc")
+      assert(ids == expected,
+        "end-cap must keep the cap-smallest chain survivors (refill allowed)")
+      // Single-element (v1) chains skip the re-cap: the base reads
+      // unchanged even when over cap — the documented back-compat.
+      bucketRows(1L to (cap + 50L)).write.parquet(s"$root/over")
+      assert(PlaneChains.resolve(spark, "bands", s"$root/over").count() ==
+        cap + 50L, "v1 single-element base must read unchanged")
+    } finally LlmPipeline.deleteRecursively(root)
+  }
+
   test("admission: chain resolution equals the r18 rewrite fold on every plane") {
     val logA = Files.createTempDirectory("graft-pc-admA-")
     val logB = Files.createTempDirectory("graft-pc-admB-")
@@ -199,6 +242,48 @@ class PlaneChainsSpec extends SparkSpec {
           s"compaction changed the resolved plane $p")
       }
     } finally Seq(logA, logB, plA, plB).foreach(LlmPipeline.deleteRecursively)
+  }
+
+  test("chain-length policy: the threshold commit inlines one compaction; post-trigger read equals pre-trigger read (r20 — VERDICT r19 item 3)") {
+    import org.apache.spark.sql.functions._
+    val logDir = Files.createTempDirectory("graft-pc-auto-log-")
+    val planes = Files.createTempDirectory("graft-pc-auto-pl-")
+    try {
+      LlmPipeline.bootstrapPlanesManifest(spark, sfDir, logDir)
+      val removed = LlmPipeline.takedownDocSet(spark, sfDir).localCheckpoint()
+      val n = LlmPipeline.ChainCompactThreshold // commit k leaves k+1 elements
+      // Commits 1..n-1: chains stay at or below the threshold — no
+      // trigger, one generation per commit.
+      (1 until n).foreach { k =>
+        val (won, _) = LlmPipeline.commitTakedownTombstones(
+          spark, planes.toString, logDir, removed, s"t$k")
+        assert(won)
+        assert(SqlGateway.occCurrentGen(logDir) == k.toLong,
+          s"auto-compaction fired below the threshold at commit $k")
+      }
+      val mPre = SqlGateway.occManifestAt(logDir, (n - 1).toLong)
+      assert(PlaneChains.parse("postings", mPre("postings")).size == n,
+        "chain length drifted from one element per commit")
+      val pre = PlaneChains.resolve(spark, "postings", mPre("postings"))
+        .localCheckpoint()
+      // Commit n: the resulting chain exceeds the threshold — the
+      // commit itself lands as generation n and the inlined compaction
+      // as generation n+1, folding every chain to one element.
+      val (won, _) = LlmPipeline.commitTakedownTombstones(
+        spark, planes.toString, logDir, removed, s"t$n")
+      assert(won)
+      assert(SqlGateway.occCurrentGen(logDir) == (n + 1).toLong,
+        "threshold commit did not inline a compaction")
+      val mPost = SqlGateway.occManifestAt(logDir, (n + 1).toLong)
+      LlmPipeline.TakedownPlanes.foreach(p =>
+        assert(PlaneChains.parse(p, mPost(p)).size == 1,
+          s"auto-compaction left plane $p unfolded"))
+      // Read-equivalence across the trigger: the replayed notice is a
+      // resolved no-op, so pre-trigger == post-trigger reads.
+      val post = PlaneChains.resolve(spark, "postings", mPost("postings"))
+      assert(pre.exceptAll(post).isEmpty && post.exceptAll(pre).isEmpty,
+        "post-trigger read != pre-trigger read")
+    } finally Seq(logDir, planes).foreach(LlmPipeline.deleteRecursively)
   }
 
   test("ordering: t-then-u serves a re-added doc, u-then-t does not (the non-commuting pair the fold preserves)") {

@@ -110,6 +110,159 @@ class StreamManifestSpec extends SparkSpec {
     } finally LlmPipeline.deleteRecursively(tmp)
   }
 
+  test("postings chain retention: a reader pinned to the pre-compaction manifest still resolves; a later compaction reclaims below retention (r20 — VERDICT r19 item 7)") {
+    import spark.implicits._
+    import graft.queries.{PlaneChains, SqlGateway}
+    val docs = standingDocs.as[(Long, String)].collect().sortBy(_._1)
+    val chunks = docs.grouped(math.max(docs.length / 5, 1)).toSeq.map(_.toSeq)
+    require(chunks.size >= 5, "fixture must yield >= 5 chunks")
+    val tmp = Files.createTempDirectory("graft_smret")
+    val dir = tmp.resolve("index").toString
+    val logDir = tmp.resolve("mlog")
+    Files.createDirectories(logDir)
+    try {
+      def feed(b: Int): Unit = {
+        PostingsMaintenance.commitPostingsBatch(spark,
+          chunks(b).toDF("doc_id", "text"), dir, b.toLong)
+        PostingsMaintenance.commitIndexManifest(dir, logDir)
+      }
+      // Batches 0-2 land (manifest generations 0-2).
+      (0 to 2).foreach(feed)
+      val gPin = graft.queries.SqlGateway.occCurrentGen(logDir)
+      val mPin = SqlGateway.occManifestAt(logDir, gPin)
+      // First compaction under retention, fresh manifest right after
+      // (the foreachBatch wiring, driven deterministically).
+      PostingsMaintenance.compactPostings(spark, dir, 2L,
+        graft.streaming.StreamManifest.retainedPaths(logDir))
+      PostingsMaintenance.commitIndexManifest(dir, logDir)
+      // The pinned reader law: every directory manifest gPin binds is
+      // STILL on disk and readable — no FileNotFoundException retry.
+      val pinnedDirs = PlaneChains.paths(mPin("postings"))
+      pinnedDirs.foreach(p => assert(
+        java.nio.file.Files.isDirectory(java.nio.file.Paths.get(p)),
+        s"compaction deleted $p, bound by retained manifest $gPin"))
+      val pinned = spark.read.parquet(pinnedDirs: _*)
+      val expect02 = LlmPipeline.postingsFor(
+        chunks.take(3).flatten.toDF("doc_id", "text"))._1
+      assert(rowsEqual(pinned, expect02),
+        "pinned pre-compaction manifest no longer resolves its postings")
+      // Batches 3-4 land, then a second compaction: the manifests have
+      // advanced past the old batch directories — reclaimed below
+      // retention — while directories recent manifests bind survive.
+      (3 to 4).foreach(feed)
+      PostingsMaintenance.compactPostings(spark, dir, 4L,
+        graft.streaming.StreamManifest.retainedPaths(logDir))
+      PostingsMaintenance.commitIndexManifest(dir, logDir)
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, "postings", "batch_id=0")),
+        "second compaction failed to reclaim a directory below retention")
+      assert(java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(dir, "postings", "batch_id=3")),
+        "second compaction deleted a directory recent manifests bind")
+      // Head read == one-shot build of everything fed.
+      val (p, _, s, _) = PostingsMaintenance.mergedIndexAt(spark, logDir)
+      val (pB, _, sB) = LlmPipeline.postingsFor(standingDocs)
+      assert(rowsEqual(p, pB), "head read != one-shot build")
+      assert(s.head() == sB.head(), "head stats != one-shot recount")
+    } finally LlmPipeline.deleteRecursively(tmp)
+  }
+
+  test("unified log: streamed batches and a tombstone takedown serialize on ONE manifest; polling reader composes streamed and batch planes torn-free (r20 — VERDICT r19 item 2)") {
+    import spark.implicits._
+    import graft.queries.{PlaneChains, SqlGateway}
+    implicit val ctx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft_smuni")
+    val planesRoot = tmp.resolve("planes").toString
+    val ckpt = tmp.resolve("ckpt").toString
+    val logDir = tmp.resolve("log")
+    Files.createDirectories(logDir)
+    try {
+      LlmPipeline.bootstrapPlanesManifest(spark, sfDir, logDir)
+      val shard = graft.sources.Tables.documents(spark, sfDir)
+        .filter(col("doc_id") % 4 === 0).select("doc_id", "text")
+      // Noticed streamed docs are all in the FIRST batch (doc_id % 8
+      // == 0 implies doc_id/4 even), so the final state is independent
+      // of how the takedown interleaves with the later batches.
+      val b0 = shard.filter((col("doc_id") / 4) % 2 === 0)
+        .as[(Long, String)].collect().toSeq
+      val rest = shard.filter((col("doc_id") / 4) % 2 === 1)
+        .as[(Long, String)].collect().sortBy(_._1)
+      val later = rest.grouped(math.max(rest.size / 2, 1)).toSeq.map(_.toSeq)
+      require(b0.nonEmpty && later.size >= 2, "fixture too small")
+      val removed = LlmPipeline.takedownDocSet(spark, sfDir)
+        .unionByName(shard.select("doc_id").filter(col("doc_id") % 8 === 0))
+        .distinct().localCheckpoint()
+      assert(removed.count() > b0.size / 64, "notice empty — law weak")
+      val input = MemoryStream[(Long, String)]
+      val q = graft.streaming.UnifiedIngest.start(spark,
+        input.toDS().toDF("doc_id", "text"), planesRoot, logDir, ckpt)
+      @volatile var done = false
+      var readerObs = 0
+      var readerErr: Throwable = null
+      val reader = new Thread(() =>
+        try {
+          while (!done) {
+            // ONE manifest resolves streamed chains (postings/stats)
+            // BESIDE batch planes (labels/pairs/reps) — the full
+            // cross-plane invariant set per observation.
+            val g = SqlGateway.occCurrentGen(logDir)
+            assert(LlmPipeline.manifestPlanesConsistent(spark, logDir, g),
+              s"TORN READ at unified-log generation $g")
+            readerObs += 1
+          }
+        } catch { case t: Throwable => readerErr = t })
+      var tdGen = -1L
+      var tdErr: Throwable = null
+      val tdThread = new Thread(() =>
+        try {
+          var won = false; var attempt = 0
+          while (!won && attempt < 8) {
+            attempt += 1
+            val (w, _) = LlmPipeline.commitTakedownTombstones(
+              spark, planesRoot, logDir, removed, s"td$attempt")
+            won = w
+          }
+          assert(won, "takedown writer never committed")
+          tdGen = SqlGateway.occCurrentGen(logDir)
+        } catch { case t: Throwable => tdErr = t })
+      reader.start()
+      try {
+        input.addData(b0); q.processAllAvailable() // generation 1
+        tdThread.start() // races the remaining stream batches
+        later.foreach { c => input.addData(c); q.processAllAvailable() }
+        tdThread.join(240000)
+      } finally {
+        q.stop()
+        done = true
+        reader.join(120000)
+      }
+      assert(tdErr == null, s"takedown writer failed: $tdErr")
+      assert(readerErr == null, s"unified reader failed: $readerErr")
+      assert(readerObs > 0, "unified reader made no observations")
+      info(s"unified reader made $readerObs torn-free observations; " +
+        s"takedown landed at generation $tdGen of ${SqlGateway.occCurrentGen(logDir)}")
+      val finalGen = SqlGateway.occCurrentGen(logDir)
+      assert(finalGen == 4L, s"expected 4 commits past bootstrap, got $finalGen")
+      (0L to finalGen).foreach(g => assert(
+        LlmPipeline.manifestPlanesConsistent(spark, logDir, g),
+        s"generation $g inconsistent"))
+      // Final resolved state: (standing u all streamed) - notice, with
+      // the takedown's tombstones binding the STREAMED rows too.
+      val mF = SqlGateway.occManifestAt(logDir, finalGen)
+      val post = PlaneChains.resolve(spark, "postings", mF("postings"))
+      assert(post.join(broadcast(removed), Seq("doc_id"), "left_semi").isEmpty,
+        "a noticed doc (streamed or standing) is still served")
+      val corpus = graft.sources.Tables.documents(spark, sfDir)
+        .select("doc_id", "text")
+        .join(broadcast(removed), Seq("doc_id"), "left_anti")
+      val (pB, _, sB) = LlmPipeline.postingsFor(corpus)
+      assert(rowsEqual(post, pB),
+        "unified final postings != rebuild over (standing u streamed) - notice")
+      assert(PlaneChains.resolve(spark, "stats", mF("stats")).head() == sB.head(),
+        "unified final stats != survivor recount")
+    } finally LlmPipeline.deleteRecursively(tmp)
+  }
+
   test("CC chain: label deltas never outrun their history twin under the manifest; final labels == listing read") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
