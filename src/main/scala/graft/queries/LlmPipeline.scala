@@ -6663,11 +6663,14 @@ object LlmPipeline extends QueryPack {
       "shingles" -> shingles, "ann_keys" -> keys, "ann_vecs" -> vecs,
       "pq_cells" -> pqCells, "pq_codes" -> pqCodes, "pairs" -> pairsM,
       "labels" -> labelsM, "reps" -> repsM)
-    val bindings = outs.map { case (p, df) =>
+    // Fourteen independent candidate writes to distinct writer-tagged
+    // paths — submitted concurrently (guide §2.6; sequential they
+    // serialize 14 job+commit round-trips).
+    val bindings = graft.Par.run(outs.map { case (p, df) => () =>
       val path = s"$planesRoot/$p/gen-$tag"
       df.write.mode(SaveMode.Overwrite).parquet(path)
       p -> path
-    }
+    })
     (baseGen, bindings)
   }
 
@@ -6747,38 +6750,50 @@ object LlmPipeline extends QueryPack {
     // plain parquet scan), so the SAME invariant set audits rewrite
     // generations (q201/q207) and delta/tombstone chains (q210/q212).
     def res(p: String): DataFrame = PlaneChains.resolve(spark, p, m(p))
-    val st = res("stats").select("ndl", "toktot").head()
     val ds = res("docstats")
-    val rc = ds.agg(count(lit(1)).cast("long").as("ndl"),
-      coalesce(sum("dl"), lit(0L)).as("toktot")).head()
     val po = res("postings")
-    val docSetsMatch = po.select("doc_id").distinct()
-      .join(ds.select("doc_id"), Seq("doc_id"), "left_anti").isEmpty &&
-      ds.select("doc_id")
-        .join(po.select("doc_id").distinct(), Seq("doc_id"), "left_anti").isEmpty
-    val dfSum = res("index")
-      .agg(coalesce(sum("df"), lit(0L))).head().getLong(0)
     val labels = res("labels")
     val pairs = res("pairs")
     val reps = res("reps")
-    val labelsServed = labels.select(col("id").as("doc_id"))
-      .join(ds.select("doc_id"), Seq("doc_id"), "left_anti").isEmpty
-    val endpointsLabeled =
-      pairs.select(col("id1").as("id"))
-        .join(labels.select("id"), Seq("id"), "left_anti").isEmpty &&
-      pairs.select(col("id2").as("id"))
-        .join(labels.select("id"), Seq("id"), "left_anti").isEmpty
-    val repsConsistent =
-      reps.select(col("rep_id").as("id"), col("label"))
-        .join(labels, Seq("id", "label"), "left_anti").isEmpty &&
-      reps.groupBy("label").count().filter(col("count") > 1).isEmpty &&
-      labels.select("label").distinct()
-        .join(reps.select("label"), Seq("label"), "left_anti").isEmpty &&
-      reps.agg(coalesce(sum("cluster_size"), lit(0L))).head().getLong(0) ==
-        labels.count()
-    st == rc && docSetsMatch && dfSum == po.count() &&
-      labelsServed && endpointsLabeled && repsConsistent
+    // The twelve invariant actions are independent read-only jobs over
+    // the resolved chains; issued sequentially they serialize ~12 job
+    // round-trips per generation (r21 ProbeR21: 1.8-2.4 s/generation at
+    // sf0.1 with executors mostly idle). Par overlaps them (guide §2.6).
+    graft.Par.forallPar(Seq(
+      () => res("stats").select("ndl", "toktot").head() ==
+        ds.agg(count(lit(1)).cast("long").as("ndl"),
+          coalesce(sum("dl"), lit(0L)).as("toktot")).head(),
+      () => po.select("doc_id").distinct()
+        .join(ds.select("doc_id"), Seq("doc_id"), "left_anti").isEmpty,
+      () => ds.select("doc_id")
+        .join(po.select("doc_id").distinct(), Seq("doc_id"), "left_anti").isEmpty,
+      () => res("index").agg(coalesce(sum("df"), lit(0L))).head().getLong(0) ==
+        po.count(),
+      () => labels.select(col("id").as("doc_id"))
+        .join(ds.select("doc_id"), Seq("doc_id"), "left_anti").isEmpty,
+      () => pairs.select(col("id1").as("id"))
+        .join(labels.select("id"), Seq("id"), "left_anti").isEmpty,
+      () => pairs.select(col("id2").as("id"))
+        .join(labels.select("id"), Seq("id"), "left_anti").isEmpty,
+      () => reps.select(col("rep_id").as("id"), col("label"))
+        .join(labels, Seq("id", "label"), "left_anti").isEmpty,
+      () => reps.groupBy("label").count().filter(col("count") > 1).isEmpty,
+      () => labels.select("label").distinct()
+        .join(reps.select("label"), Seq("label"), "left_anti").isEmpty,
+      () => reps.agg(coalesce(sum("cluster_size"), lit(0L))).head().getLong(0) ==
+        labels.count()))
   }
+
+  /** [[manifestPlanesConsistent]] at EVERY generation 0..finalGen — the
+    * contract queries' `all_gens_consistent` audit. Generations are
+    * independent committed manifests, so the audits run concurrently
+    * (guide §2.6; sequentially they cost ~2 s x (finalGen+1) each).
+    */
+  private[graft] def allGensConsistent(
+      spark: SparkSession, logDir: java.nio.file.Path,
+      finalGen: Long): Boolean =
+    graft.Par.forallPar((0L to finalGen).map(g =>
+      () => manifestPlanesConsistent(spark, logDir, g)))
 
   def takedownCommit(spark: SparkSession, dir: String): DataFrame = {
     val logDir = java.nio.file.Files.createTempDirectory("graft-tdlog-")
@@ -6796,8 +6811,7 @@ object LlmPipeline extends QueryPack {
       // reader audits only the ONE generation it resolved — per-read
       // cost is one generation's invariants regardless of how many
       // manifests the log retains (q208 bounds the retained set).
-      val consistent = (0L to finalGen).forall(
-        manifestPlanesConsistent(spark, logDir, _))
+      val consistent = allGensConsistent(spark, logDir, finalGen)
       // No committed plane serves a removal-set row — the clustering
       // planes included (a removed doc as a surviving label member, a
       // pair endpoint, or an elected representative all count).
@@ -6810,23 +6824,24 @@ object LlmPipeline extends QueryPack {
         spark.read.parquet(mF(plane))
           .join(broadcast(remVec), Seq("vec_id"), "left_semi").count()
       val remId = removed.select(col("doc_id").as("id"))
-      val servedCluster =
-        spark.read.parquet(mF("labels"))
-          .join(broadcast(remId), Seq("id"), "left_semi").count() +
-        spark.read.parquet(mF("pairs"))
-          .join(broadcast(remId.select(col("id").as("id1"))), Seq("id1"), "left_semi")
-          .count() +
-        spark.read.parquet(mF("pairs"))
-          .join(broadcast(remId.select(col("id").as("id2"))), Seq("id2"), "left_semi")
-          .count() +
-        spark.read.parquet(mF("reps"))
-          .join(broadcast(remId.select(col("id").as("rep_id"))), Seq("rep_id"), "left_semi")
-          .count()
-      val removedServed =
+      // Thirteen independent audit counts — concurrent (guide §2.6).
+      val removedServed = graft.Par.run[Long](
         Seq("postings", "positions", "docstats", "bands", "shingles")
-          .map(servedDoc).sum +
-        Seq("ann_keys", "ann_vecs", "pq_cells", "pq_codes").map(servedVec).sum +
-        servedCluster
+          .map(p => () => servedDoc(p)) ++
+        Seq("ann_keys", "ann_vecs", "pq_cells", "pq_codes")
+          .map(p => () => servedVec(p)) ++
+        Seq[() => Long](
+          () => spark.read.parquet(mF("labels"))
+            .join(broadcast(remId), Seq("id"), "left_semi").count(),
+          () => spark.read.parquet(mF("pairs"))
+            .join(broadcast(remId.select(col("id").as("id1"))), Seq("id1"), "left_semi")
+            .count(),
+          () => spark.read.parquet(mF("pairs"))
+            .join(broadcast(remId.select(col("id").as("id2"))), Seq("id2"), "left_semi")
+            .count(),
+          () => spark.read.parquet(mF("reps"))
+            .join(broadcast(remId.select(col("id").as("rep_id"))), Seq("rep_id"), "left_semi")
+            .count())).sum
       // The read: q193's ranking, resolved from the committed manifest
       // — materialized EAGERLY (localCheckpoint) because the cleanup
       // below deletes the committed plane files this plan scans.
@@ -7118,11 +7133,13 @@ object LlmPipeline extends QueryPack {
       "shingles" -> shinglesM, "ann_keys" -> keysM, "ann_vecs" -> vecsM,
       "pq_cells" -> cellsM, "pq_codes" -> codesM, "pairs" -> pairsM,
       "labels" -> labelsM, "reps" -> repsM)
-    val bindings = outs.map { case (p, df) =>
+    // Independent candidate writes to distinct paths — concurrent
+    // (guide §2.6), same as the delta-staging path.
+    val bindings = graft.Par.run(outs.map { case (p, df) => () =>
       val path = s"$planesRoot/$p/gen-$tag"
       df.write.mode(SaveMode.Overwrite).parquet(path)
       p -> path
-    }
+    })
     (baseGen, bindings)
   }
 
@@ -7193,8 +7210,7 @@ object LlmPipeline extends QueryPack {
         pqRoot, "a1")
       require(won, "unopposed admission commit must win")
       val finalGen = SqlGateway.occCurrentGen(logDir)
-      val consistent = (0L to finalGen).forall(
-        manifestPlanesConsistent(spark, logDir, _))
+      val consistent = allGensConsistent(spark, logDir, finalGen)
       val mF = SqlGateway.occManifestAt(logDir, finalGen)
       def missingDoc(plane: String): Long =
         shardDocs.select("doc_id")
@@ -7204,10 +7220,12 @@ object LlmPipeline extends QueryPack {
         shardEmb.select("vec_id")
           .join(spark.read.parquet(mF(plane)).select("vec_id").distinct(),
             Seq("vec_id"), "left_anti").count()
-      val shardMissing =
+      // Nine independent audit counts — concurrent (guide §2.6).
+      val shardMissing = graft.Par.run[Long](
         Seq("postings", "positions", "docstats", "bands", "shingles")
-          .map(missingDoc).sum +
-        Seq("ann_keys", "ann_vecs", "pq_cells", "pq_codes").map(missingVec).sum
+          .map(p => () => missingDoc(p)) ++
+        Seq("ann_keys", "ann_vecs", "pq_cells", "pq_codes")
+          .map(p => () => missingVec(p))).sum
       bm25AgainstArtifacts(
           spark.read.parquet(mF("index")),
           spark.read.parquet(mF("postings")),
@@ -7422,11 +7440,15 @@ object LlmPipeline extends QueryPack {
           Seq(("ann_keys", U, keysD), ("ann_vecs", U, shardVecs),
             ("pq_cells", U, cellsD), ("pq_codes", U, codesD))
       }
-    val staged = (textOuts ++ annOuts).map { case (p, k, df) =>
-      val path = s"$planesRoot/$p/gen-$tag"
-      df.write.mode(SaveMode.Overwrite).parquet(path)
-      p -> PlaneChains.append(m(p), Elem(k, path))
-    }.toMap
+    // Independent delta writes to distinct paths — concurrent
+    // (guide §2.6; ProbeR21 measured the sequential loop at ~4.5 s of
+    // serialized job latency for well under 1 s of executor compute).
+    val staged = graft.Par.run((textOuts ++ annOuts).map {
+      case (p, k, df) => () =>
+        val path = s"$planesRoot/$p/gen-$tag"
+        df.write.mode(SaveMode.Overwrite).parquet(path)
+        p -> PlaneChains.append(m(p), Elem(k, path))
+    }).toMap
     // Untouched planes carry their base bindings verbatim — the
     // manifest is total by contract.
     val bindings = TakedownPlanes.map(p => p -> staged.getOrElse(p, m(p)))
@@ -7582,11 +7604,13 @@ object LlmPipeline extends QueryPack {
       ("ann_vecs", T, remVec), ("pq_cells", T, remVec),
       ("pq_codes", T, remVec), ("pairs", T, remId),
       ("labels", O, labelsD), ("reps", O, repsD))
-    val bindings = outs.map { case (p, k, df) =>
+    // Independent tombstone/override writes to distinct paths —
+    // concurrent (guide §2.6).
+    val bindings = graft.Par.run(outs.map { case (p, k, df) => () =>
       val path = s"$planesRoot/$p/gen-$tag"
       df.write.mode(SaveMode.Overwrite).parquet(path)
       p -> PlaneChains.append(m(p), Elem(k, path))
-    }
+    })
     (baseGen, bindings)
   }
 
@@ -7628,18 +7652,22 @@ object LlmPipeline extends QueryPack {
       tag: String): (Boolean, Long, Long) = {
     val baseGen = SqlGateway.occCurrentGen(logDir)
     val m = SqlGateway.occManifestAt(logDir, baseGen)
-    var folded = 0L
-    val bindings = TakedownPlanes.map { p =>
+    // Per-plane folds are independent resolve+write jobs to distinct
+    // paths — concurrent (guide §2.6; the fold is the one
+    // corpus-proportional write, so overlapping the 14 planes' jobs is
+    // where the compaction transaction's wall-clock goes).
+    val foldedBindings = graft.Par.run(TakedownPlanes.map { p => () =>
       val chain = PlaneChains.parse(p, m(p))
-      if (chain.size <= 1) p -> m(p)
+      if (chain.size <= 1) (p -> m(p), 0L)
       else {
         val path = s"$planesRoot/$p/gen-$tag"
         PlaneChains.resolve(spark, p, m(p))
           .write.mode(SaveMode.Overwrite).parquet(path)
-        folded += 1
-        p -> path
+        (p -> path, 1L)
       }
-    }
+    })
+    val bindings = foldedBindings.map(_._1)
+    val folded = foldedBindings.map(_._2).sum
     (SqlGateway.occTryCommitManifest(logDir, baseGen, bindings), folded,
       baseGen + 1)
   }
@@ -7674,8 +7702,7 @@ object LlmPipeline extends QueryPack {
         pqRoot, "a1")
       require(won, "unopposed delta-admission commit must win")
       val finalGen = SqlGateway.occCurrentGen(logDir)
-      val consistent = (0L to finalGen).forall(
-        manifestPlanesConsistent(spark, logDir, _))
+      val consistent = allGensConsistent(spark, logDir, finalGen)
       val mF = SqlGateway.occManifestAt(logDir, finalGen)
       def resF(p: String): DataFrame = PlaneChains.resolve(spark, p, mF(p))
       def missingDoc(plane: String): Long =
@@ -7686,10 +7713,12 @@ object LlmPipeline extends QueryPack {
         shardEmb.select("vec_id")
           .join(resF(plane).select("vec_id").distinct(),
             Seq("vec_id"), "left_anti").count()
-      val shardMissing =
+      // Nine independent audit counts — concurrent (guide §2.6).
+      val shardMissing = graft.Par.run[Long](
         Seq("postings", "positions", "docstats", "bands", "shingles")
-          .map(missingDoc).sum +
-        Seq("ann_keys", "ann_vecs", "pq_cells", "pq_codes").map(missingVec).sum
+          .map(p => () => missingDoc(p)) ++
+        Seq("ann_keys", "ann_vecs", "pq_cells", "pq_codes")
+          .map(p => () => missingVec(p))).sum
       // The write-amplification gate: delta bytes vs base plane bytes.
       val stagedBytes = PlaneChains.dirBytes(planesRoot)
       val m0 = SqlGateway.occManifestAt(logDir, 0L)
@@ -7774,8 +7803,7 @@ object LlmPipeline extends QueryPack {
         spark, planesRoot.toString, logDir, removed, "t1")
       require(won, "unopposed tombstone commit must win")
       val finalGen = SqlGateway.occCurrentGen(logDir)
-      val consistent = (0L to finalGen).forall(
-        manifestPlanesConsistent(spark, logDir, _))
+      val consistent = allGensConsistent(spark, logDir, finalGen)
       val mF = SqlGateway.occManifestAt(logDir, finalGen)
       def resF(p: String): DataFrame = PlaneChains.resolve(spark, p, mF(p))
       val remVec = removed.select(col("doc_id").as("vec_id"))
@@ -7784,22 +7812,24 @@ object LlmPipeline extends QueryPack {
         resF(plane).join(broadcast(removed), Seq("doc_id"), "left_semi").count()
       def servedVec(plane: String): Long =
         resF(plane).join(broadcast(remVec), Seq("vec_id"), "left_semi").count()
-      val servedCluster =
-        resF("labels").join(broadcast(remId), Seq("id"), "left_semi").count() +
-        resF("pairs")
-          .join(broadcast(remId.select(col("id").as("id1"))), Seq("id1"), "left_semi")
-          .count() +
-        resF("pairs")
-          .join(broadcast(remId.select(col("id").as("id2"))), Seq("id2"), "left_semi")
-          .count() +
-        resF("reps")
-          .join(broadcast(remId.select(col("id").as("rep_id"))), Seq("rep_id"), "left_semi")
-          .count()
-      val removedServed =
+      // Thirteen independent audit counts — concurrent (guide §2.6).
+      val removedServed = graft.Par.run[Long](
         Seq("postings", "positions", "docstats", "bands", "shingles")
-          .map(servedDoc).sum +
-        Seq("ann_keys", "ann_vecs", "pq_cells", "pq_codes").map(servedVec).sum +
-        servedCluster
+          .map(p => () => servedDoc(p)) ++
+        Seq("ann_keys", "ann_vecs", "pq_cells", "pq_codes")
+          .map(p => () => servedVec(p)) ++
+        Seq[() => Long](
+          () => resF("labels")
+            .join(broadcast(remId), Seq("id"), "left_semi").count(),
+          () => resF("pairs")
+            .join(broadcast(remId.select(col("id").as("id1"))), Seq("id1"), "left_semi")
+            .count(),
+          () => resF("pairs")
+            .join(broadcast(remId.select(col("id").as("id2"))), Seq("id2"), "left_semi")
+            .count(),
+          () => resF("reps")
+            .join(broadcast(remId.select(col("id").as("rep_id"))), Seq("rep_id"), "left_semi")
+            .count())).sum
       val stagedBytes = PlaneChains.dirBytes(planesRoot)
       val m0 = SqlGateway.occManifestAt(logDir, 0L)
       val baseBytes = TakedownPlanes.map(p => PlaneChains.paths(m0(p))
@@ -7873,8 +7903,7 @@ object LlmPipeline extends QueryPack {
         spark, planesRoot.toString, logDir, "c1")
       require(won2, "unopposed compaction commit must win")
       val finalGen = SqlGateway.occCurrentGen(logDir)
-      val consistent = (0L to finalGen).forall(
-        manifestPlanesConsistent(spark, logDir, _))
+      val consistent = allGensConsistent(spark, logDir, finalGen)
       val mF = SqlGateway.occManifestAt(logDir, finalGen)
       def resF(p: String): DataFrame = PlaneChains.resolve(spark, p, mF(p))
       val post = bm25AgainstArtifacts(resF("index"), resF("postings"),
@@ -8008,8 +8037,7 @@ object LlmPipeline extends QueryPack {
       val carried = EmbeddingPlanes.forall(p => m1(p) == m0(p)) &&
         TextPlanes.forall(p => m2(p) == m1(p))
       val finalGen = SqlGateway.occCurrentGen(logDir)
-      val consistent = (0L to finalGen).forall(
-        manifestPlanesConsistent(spark, logDir, _))
+      val consistent = allGensConsistent(spark, logDir, finalGen)
       def resF(p: String): DataFrame = PlaneChains.resolve(spark, p, m2(p))
       def missingDoc(plane: String): Long =
         shardDocs.select("doc_id")
@@ -8019,9 +8047,11 @@ object LlmPipeline extends QueryPack {
         shardEmb.select("vec_id")
           .join(resF(plane).select("vec_id").distinct(),
             Seq("vec_id"), "left_anti").count()
-      val shardMissing =
+      // Nine independent audit counts — concurrent (guide §2.6).
+      val shardMissing = graft.Par.run[Long](
         Seq("postings", "positions", "docstats", "bands", "shingles")
-          .map(missingDoc).sum + EmbeddingPlanes.map(missingVec).sum
+          .map(p => () => missingDoc(p)) ++
+        EmbeddingPlanes.map(p => () => missingVec(p))).sum
       bm25AgainstArtifacts(resF("index"), resF("postings"), resF("stats"))
         .select(lit(won1 && won2).as("committed"),
           lit(finalGen).as("final_gen"),
@@ -8129,14 +8159,12 @@ object LlmPipeline extends QueryPack {
         spark, b1, planesRoot.toString, logDir, 1L)
       require(g3 == 3L, s"stream batch 1 landed at generation $g3")
       val finalGen = SqlGateway.occCurrentGen(logDir)
-      val consistent = (0L to finalGen).forall(
-        manifestPlanesConsistent(spark, logDir, _))
+      val consistent = allGensConsistent(spark, logDir, finalGen)
       val mF = SqlGateway.occManifestAt(logDir, finalGen)
       def resF(p: String): DataFrame = PlaneChains.resolve(spark, p, mF(p))
-      val removedServed =
-        Seq("postings", "positions", "docstats")
-          .map(p => resF(p)
-            .join(broadcast(removed), Seq("doc_id"), "left_semi").count()).sum
+      val removedServed = graft.Par.sumLong(
+        Seq("postings", "positions", "docstats"))(p => resF(p)
+          .join(broadcast(removed), Seq("doc_id"), "left_semi").count())
       bm25AgainstArtifacts(resF("index"), resF("postings"), resF("stats"))
         .select(lit(wonT).as("committed"), lit(finalGen).as("final_gen"),
           lit(consistent).as("all_gens_consistent"),

@@ -98,11 +98,13 @@ object UnifiedIngest {
       "postings" -> postings, "docstats" -> dl, "stats" -> stats,
       "positions" -> LlmPipeline.positionalPostingsFor(batch),
       "index" -> LlmPipeline.admissionIdxDelta(batch))
-    val paths = outs.map { case (p, df) =>
+    // Five independent batch-sized writes to distinct paths —
+    // concurrent (guide §2.6), same as the batch staging paths.
+    val paths = graft.Par.run(outs.map { case (p, df) => () =>
       val path = s"$planesRoot/$p/gen-stream-$batchId"
       df.write.mode(SaveMode.Overwrite).parquet(path)
       p -> path
-    }.toMap
+    }).toMap
     appendChainElems(logDir, BatchPlanes.map { case (p, k) =>
       p -> PlaneChains.Elem(k, paths(p)) })
   }
