@@ -6646,29 +6646,33 @@ object LlmPipeline extends QueryPack {
       .join(broadcast(remId.select(col("id").as("id2"))), Seq("id2"), "left_anti")
       .select(pairs0.columns.map(col).toSeq: _*)
     val labels0 = spark.read.parquet(m("labels"))
-    val (untouchedLab, relabeled) =
-      applyCcTakedownParts(labels0, pairs0, removed)
-    val labelsM = untouchedLab.unionByName(relabeled)
+    // The relabel fold runs an iterative CC loop (eager per-round
+    // checkpoints) that only the labels/reps planes consume — lazy so
+    // it computes inside the concurrent write fan-out (guide §2.6).
+    lazy val ccParts = applyCcTakedownParts(labels0, pairs0, removed)
+    def labelsM = ccParts._1.unionByName(ccParts._2)
     val affLabels = labels0.join(broadcast(remId), Seq("id"), "left_semi")
       .select("label").distinct()
     val reps0 = spark.read.parquet(m("reps"))
     val untouchedReps = reps0
       .join(broadcast(affLabels), Seq("label"), "left_anti")
       .select(reps0.columns.map(col).toSeq: _*)
-    val repsM = untouchedReps.unionByName(electRepresentatives(
-      relabeled, docstats.select(col("doc_id").as("id"), col("dl"))))
-    val outs: Seq[(String, DataFrame)] = Seq(
-      "index" -> idx, "postings" -> postings, "positions" -> positions,
-      "docstats" -> docstats, "stats" -> stats, "bands" -> bands,
-      "shingles" -> shingles, "ann_keys" -> keys, "ann_vecs" -> vecs,
-      "pq_cells" -> pqCells, "pq_codes" -> pqCodes, "pairs" -> pairsM,
-      "labels" -> labelsM, "reps" -> repsM)
+    def repsM = untouchedReps.unionByName(electRepresentatives(
+      ccParts._2, docstats.select(col("doc_id").as("id"), col("dl"))))
+    val outs: Seq[(String, () => DataFrame)] = Seq(
+      "index" -> (() => idx), "postings" -> (() => postings),
+      "positions" -> (() => positions), "docstats" -> (() => docstats),
+      "stats" -> (() => stats), "bands" -> (() => bands),
+      "shingles" -> (() => shingles), "ann_keys" -> (() => keys),
+      "ann_vecs" -> (() => vecs), "pq_cells" -> (() => pqCells),
+      "pq_codes" -> (() => pqCodes), "pairs" -> (() => pairsM),
+      "labels" -> (() => labelsM), "reps" -> (() => repsM))
     // Fourteen independent candidate writes to distinct writer-tagged
     // paths — submitted concurrently (guide §2.6; sequential they
     // serialize 14 job+commit round-trips).
-    val bindings = graft.Par.run(outs.map { case (p, df) => () =>
+    val bindings = graft.Par.run(outs.map { case (p, mkDf) => () =>
       val path = s"$planesRoot/$p/gen-$tag"
-      df.write.mode(SaveMode.Overwrite).parquet(path)
+      mkDf().write.mode(SaveMode.Overwrite).parquet(path)
       p -> path
     })
     (baseGen, bindings)
@@ -7098,46 +7102,60 @@ object LlmPipeline extends QueryPack {
       .filter(col("jaccard") >= 0.5)
       .select(least(col("new_id"), col("old_id")).as("id1"),
         greatest(col("new_id"), col("old_id")).as("id2"), col("jaccard"))
-    val deltaPairs = verifiedOldNew
+    // The clustering chain (deltaPairs -> quotient CC -> election)
+    // feeds only the pairs/labels/reps planes — lazy so it computes
+    // inside the concurrent write fan-out (guide §2.6). ONE quotient CC
+    // run serves both planes: the full merged labeling equals the
+    // stored labeling OVERLAID with [[mergeComponentDeltas]]'s changed/
+    // fresh rows (the CcStreamSpec overlay law), so the previous second
+    // identical CC loop inside [[mergeComponentLabels]] is gone.
+    lazy val deltaPairs = verifiedOldNew
       .unionByName(lshNearDupPairs(shardSh).select("id1", "id2", "jaccard"))
       .localCheckpoint()
     val pairs0 = spark.read.parquet(m("pairs"))
-    val pairsM = pairs0.unionByName(deltaPairs)
+    def pairsM = pairs0.unionByName(deltaPairs)
     val labels0 = spark.read.parquet(m("labels"))
-    val deltaEdges = deltaPairs.select("id1", "id2")
-    val labelsM = mergeComponentLabels(labels0, deltaEdges)
-      .select(col("id"), col("cluster").as("label"))
+    lazy val deltas =
+      mergeComponentDeltas(labels0, deltaPairs.select("id1", "id2"))
+        .localCheckpoint()
+    def labelsM = labels0
+      .join(broadcast(deltas.select("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("label"))
+      .unionByName(deltas.select(col("id"), col("cluster").as("label")))
     // Rep rows go stale exactly where the quotient moved labels: the
     // absorbed components' old labels (their rows moved) and the
     // absorbing/new clusters (they gained members). Everything else
     // carries verbatim; the re-election reads the MAINTAINED docstats
     // (shard docs can win).
-    val deltas = mergeComponentDeltas(labels0, deltaEdges).localCheckpoint()
-    val affClusters = deltas.select(col("cluster").as("label")).distinct()
-    val staleLabels = labels0
-      .join(broadcast(deltas.select("id")), Seq("id"), "left_semi")
-      .select("label").unionByName(affClusters).distinct()
     val reps0 = spark.read.parquet(m("reps"))
-    val untouchedReps = reps0
-      .join(broadcast(staleLabels), Seq("label"), "left_anti")
-      .select(reps0.columns.map(col).toSeq: _*)
-    val touchedMembers = labels0
-      .join(broadcast(affClusters), Seq("label"), "left_semi")
-      .select("id", "label")
-      .unionByName(deltas.select(col("id"), col("cluster").as("label")))
-    val repsM = untouchedReps.unionByName(electRepresentatives(
-      touchedMembers, docstatsM.select(col("doc_id").as("id"), col("dl"))))
-    val outs: Seq[(String, DataFrame)] = Seq(
-      "index" -> idxM, "postings" -> postingsM, "positions" -> positionsM,
-      "docstats" -> docstatsM, "stats" -> statsM, "bands" -> bandsM,
-      "shingles" -> shinglesM, "ann_keys" -> keysM, "ann_vecs" -> vecsM,
-      "pq_cells" -> cellsM, "pq_codes" -> codesM, "pairs" -> pairsM,
-      "labels" -> labelsM, "reps" -> repsM)
+    def repsM = {
+      val affClusters = deltas.select(col("cluster").as("label")).distinct()
+      val staleLabels = labels0
+        .join(broadcast(deltas.select("id")), Seq("id"), "left_semi")
+        .select("label").unionByName(affClusters).distinct()
+      val untouchedReps = reps0
+        .join(broadcast(staleLabels), Seq("label"), "left_anti")
+        .select(reps0.columns.map(col).toSeq: _*)
+      val touchedMembers = labels0
+        .join(broadcast(affClusters), Seq("label"), "left_semi")
+        .select("id", "label")
+        .unionByName(deltas.select(col("id"), col("cluster").as("label")))
+      untouchedReps.unionByName(electRepresentatives(
+        touchedMembers, docstatsM.select(col("doc_id").as("id"), col("dl"))))
+    }
+    val outs: Seq[(String, () => DataFrame)] = Seq(
+      "index" -> (() => idxM), "postings" -> (() => postingsM),
+      "positions" -> (() => positionsM), "docstats" -> (() => docstatsM),
+      "stats" -> (() => statsM), "bands" -> (() => bandsM),
+      "shingles" -> (() => shinglesM), "ann_keys" -> (() => keysM),
+      "ann_vecs" -> (() => vecsM), "pq_cells" -> (() => cellsM),
+      "pq_codes" -> (() => codesM), "pairs" -> (() => pairsM),
+      "labels" -> (() => labelsM), "reps" -> (() => repsM))
     // Independent candidate writes to distinct paths — concurrent
     // (guide §2.6), same as the delta-staging path.
-    val bindings = graft.Par.run(outs.map { case (p, df) => () =>
+    val bindings = graft.Par.run(outs.map { case (p, mkDf) => () =>
       val path = s"$planesRoot/$p/gen-$tag"
-      df.write.mode(SaveMode.Overwrite).parquet(path)
+      mkDf().write.mode(SaveMode.Overwrite).parquet(path)
       p -> path
     })
     (baseGen, bindings)
@@ -7371,7 +7389,15 @@ object LlmPipeline extends QueryPack {
     def res(p: String): DataFrame = PlaneChains.resolve(spark, p, m(p))
     import PlaneChains.{Elem, U, A, M, O}
     // --- text planes: the shard's own postings family + clustering -----
-    val textOuts: Seq[(String, PlaneChains.Kind, DataFrame)] =
+    // Plane relations are THUNKED: the three clustering planes share a
+    // sequential checkpoint chain (deltaPairs -> labelDeltas ->
+    // electRows, ~3 s at sf0.1) that the other eleven planes do not
+    // depend on — as lazy vals forced inside the concurrent write
+    // fan-out below, the chain computes WHILE the independent writes
+    // run instead of serializing ahead of them (guide §2.6). The chain
+    // is linear, so its nested LazyRef locks acquire in one global
+    // order from every writer task — no deadlock.
+    val textOuts: Seq[(String, PlaneChains.Kind, () => DataFrame)] =
       shardDocs match {
         case None => Seq.empty
         case Some(sd) =>
@@ -7396,57 +7422,64 @@ object LlmPipeline extends QueryPack {
             .filter(col("jaccard") >= 0.5)
             .select(least(col("new_id"), col("old_id")).as("id1"),
               greatest(col("new_id"), col("old_id")).as("id2"), col("jaccard"))
-          val deltaPairs = verifiedOldNew
+          lazy val deltaPairs = verifiedOldNew
             .unionByName(lshNearDupPairs(shardSh).select("id1", "id2", "jaccard"))
             .localCheckpoint()
           val labels0 = res("labels")
-          val deltaEdges = deltaPairs.select("id1", "id2")
-          val labelDeltas = mergeComponentDeltas(labels0, deltaEdges).localCheckpoint()
-          val labelsD = labelDeltas.select(col("id"), col("cluster").as("label"))
+          lazy val labelDeltas =
+            mergeComponentDeltas(labels0, deltaPairs.select("id1", "id2"))
+              .localCheckpoint()
+          lazy val affClusters =
+            labelDeltas.select(col("cluster").as("label")).distinct()
+          lazy val electRows = {
+            val touchedMembers = labels0
+              .join(broadcast(affClusters), Seq("label"), "left_semi")
+              .select("id", "label")
+              .unionByName(labelDeltas.select(col("id"), col("cluster").as("label")))
+            val docstatsM = res("docstats").unionByName(shardDl)
+            electRepresentatives(
+              touchedMembers, docstatsM.select(col("doc_id").as("id"), col("dl")))
+              .localCheckpoint()
+          }
+          def labelsD = labelDeltas.select(col("id"), col("cluster").as("label"))
             .withColumn("retract", lit(false))
-          val affClusters = labelDeltas.select(col("cluster").as("label")).distinct()
-          val staleLabels = labels0
-            .join(broadcast(labelDeltas.select("id")), Seq("id"), "left_semi")
-            .select("label").unionByName(affClusters).distinct()
-          val touchedMembers = labels0
-            .join(broadcast(affClusters), Seq("label"), "left_semi")
-            .select("id", "label")
-            .unionByName(labelDeltas.select(col("id"), col("cluster").as("label")))
-          val docstatsM = res("docstats").unionByName(shardDl)
-          val electRows = electRepresentatives(
-            touchedMembers, docstatsM.select(col("doc_id").as("id"), col("dl")))
-            .localCheckpoint()
-          val repsD = electRows.withColumn("retract", lit(false))
-            .unionByName(staleLabels
-              .join(electRows.select("label"), Seq("label"), "left_anti")
-              .select(col("label"), lit(null).cast("long").as("rep_id"),
-                lit(null).cast("long").as("cluster_size"), lit(true).as("retract")))
+          def repsD = {
+            val staleLabels = labels0
+              .join(broadcast(labelDeltas.select("id")), Seq("id"), "left_semi")
+              .select("label").unionByName(affClusters).distinct()
+            electRows.withColumn("retract", lit(false))
+              .unionByName(staleLabels
+                .join(electRows.select("label"), Seq("label"), "left_anti")
+                .select(col("label"), lit(null).cast("long").as("rep_id"),
+                  lit(null).cast("long").as("cluster_size"), lit(true).as("retract")))
+          }
           Seq(
-            ("index", M, idxD), ("postings", U, shardPostings),
-            ("positions", U, positionsD), ("docstats", U, shardDl),
-            ("stats", A, shardStats),
-            ("bands", U, shardBands.select("doc_id", "band", "bsig")),
-            ("shingles", U, shardSh), ("pairs", U, deltaPairs),
-            ("labels", O, labelsD), ("reps", O, repsD))
+            ("index", M, () => idxD), ("postings", U, () => shardPostings),
+            ("positions", U, () => positionsD), ("docstats", U, () => shardDl),
+            ("stats", A, () => shardStats),
+            ("bands", U, () => shardBands.select("doc_id", "band", "bsig")),
+            ("shingles", U, () => shardSh), ("pairs", U, () => deltaPairs),
+            ("labels", O, () => labelsD), ("reps", O, () => repsD))
       }
     // --- ANN planes -----------------------------------------------------
-    val annOuts: Seq[(String, PlaneChains.Kind, DataFrame)] =
+    val annOuts: Seq[(String, PlaneChains.Kind, () => DataFrame)] =
       shardEmb match {
         case None => Seq.empty
         case Some(se) =>
           val shardVecs = mpVecsFor(se)
           val keysD = mpKeysFor(shardVecs, MpBits)
-          val (cellsD, codesD) = pqAdmitShard(spark, pqRoot, dir, se)
-          Seq(("ann_keys", U, keysD), ("ann_vecs", U, shardVecs),
-            ("pq_cells", U, cellsD), ("pq_codes", U, codesD))
+          lazy val cellsCodes = pqAdmitShard(spark, pqRoot, dir, se)
+          Seq(("ann_keys", U, () => keysD), ("ann_vecs", U, () => shardVecs),
+            ("pq_cells", U, () => cellsCodes._1),
+            ("pq_codes", U, () => cellsCodes._2))
       }
     // Independent delta writes to distinct paths — concurrent
     // (guide §2.6; ProbeR21 measured the sequential loop at ~4.5 s of
     // serialized job latency for well under 1 s of executor compute).
     val staged = graft.Par.run((textOuts ++ annOuts).map {
-      case (p, k, df) => () =>
+      case (p, k, mkDf) => () =>
         val path = s"$planesRoot/$p/gen-$tag"
-        df.write.mode(SaveMode.Overwrite).parquet(path)
+        mkDf().write.mode(SaveMode.Overwrite).parquet(path)
         p -> PlaneChains.append(m(p), Elem(k, path))
     }).toMap
     // Untouched planes carry their base bindings verbatim — the
@@ -7576,39 +7609,50 @@ object LlmPipeline extends QueryPack {
           expr("cast(array() as array<bigint>)")).as("head_ids"))
       .withColumn("retract", col("df") <= 0)
     // Clustering overrides: the q202 fold against the resolved chains.
+    // The relabel/re-elect chain (an iterative CC loop + an election,
+    // each localCheckpoint'ed) feeds ONLY the labels/reps planes — lazy
+    // so it computes inside the concurrent write fan-out, overlapping
+    // the twelve independent tombstone writes (guide §2.6).
     val labels0 = res("labels")
     val pairs0 = res("pairs")
-    val (_, relabeled0) = applyCcTakedownParts(labels0, pairs0, removed)
-    val relabeled = relabeled0.localCheckpoint()
+    lazy val relabeled = {
+      val (_, relabeled0) = applyCcTakedownParts(labels0, pairs0, removed)
+      relabeled0.localCheckpoint()
+    }
     val affLabels = labels0.join(broadcast(remId), Seq("id"), "left_semi")
       .select("label").distinct()
-    val affIds = labels0.join(broadcast(affLabels), Seq("label"), "left_semi")
-      .select("id")
-    val dropped = affIds.join(relabeled.select("id"), Seq("id"), "left_anti")
-    val labelsD = relabeled.withColumn("retract", lit(false))
-      .unionByName(dropped.select(col("id"),
-        lit(null).cast("long").as("label"), lit(true).as("retract")))
-    val dsM = ds0.join(broadcast(rem), Seq("doc_id"), "left_anti")
-    val electRows = electRepresentatives(relabeled,
-      dsM.select(col("doc_id").as("id"), col("dl"))).localCheckpoint()
-    val repsD = electRows.withColumn("retract", lit(false))
+    def labelsD = {
+      val affIds = labels0.join(broadcast(affLabels), Seq("label"), "left_semi")
+        .select("id")
+      val dropped = affIds.join(relabeled.select("id"), Seq("id"), "left_anti")
+      relabeled.withColumn("retract", lit(false))
+        .unionByName(dropped.select(col("id"),
+          lit(null).cast("long").as("label"), lit(true).as("retract")))
+    }
+    lazy val electRows = {
+      val dsM = ds0.join(broadcast(rem), Seq("doc_id"), "left_anti")
+      electRepresentatives(relabeled,
+        dsM.select(col("doc_id").as("id"), col("dl"))).localCheckpoint()
+    }
+    def repsD = electRows.withColumn("retract", lit(false))
       .unionByName(affLabels
         .join(electRows.select("label"), Seq("label"), "left_anti")
         .select(col("label"), lit(null).cast("long").as("rep_id"),
           lit(null).cast("long").as("cluster_size"), lit(true).as("retract")))
     import PlaneChains.{Elem, T, A, O}
-    val outs: Seq[(String, PlaneChains.Kind, DataFrame)] = Seq(
-      ("index", O, idxD), ("postings", T, rem), ("positions", T, rem),
-      ("docstats", T, rem), ("stats", A, statsNeg), ("bands", T, rem),
-      ("shingles", T, rem), ("ann_keys", T, remVec),
-      ("ann_vecs", T, remVec), ("pq_cells", T, remVec),
-      ("pq_codes", T, remVec), ("pairs", T, remId),
-      ("labels", O, labelsD), ("reps", O, repsD))
+    val outs: Seq[(String, PlaneChains.Kind, () => DataFrame)] = Seq(
+      ("index", O, () => idxD), ("postings", T, () => rem),
+      ("positions", T, () => rem), ("docstats", T, () => rem),
+      ("stats", A, () => statsNeg), ("bands", T, () => rem),
+      ("shingles", T, () => rem), ("ann_keys", T, () => remVec),
+      ("ann_vecs", T, () => remVec), ("pq_cells", T, () => remVec),
+      ("pq_codes", T, () => remVec), ("pairs", T, () => remId),
+      ("labels", O, () => labelsD), ("reps", O, () => repsD))
     // Independent tombstone/override writes to distinct paths —
     // concurrent (guide §2.6).
-    val bindings = graft.Par.run(outs.map { case (p, k, df) => () =>
+    val bindings = graft.Par.run(outs.map { case (p, k, mkDf) => () =>
       val path = s"$planesRoot/$p/gen-$tag"
-      df.write.mode(SaveMode.Overwrite).parquet(path)
+      mkDf().write.mode(SaveMode.Overwrite).parquet(path)
       p -> PlaneChains.append(m(p), Elem(k, path))
     })
     (baseGen, bindings)
