@@ -33,6 +33,62 @@ object ProbeR21 {
     LlmPipeline.prepareTakedownCommit(spark, sfDir)
     val pqRoot = LlmPipeline.ensurePqIndex(spark, sfDir)
 
+    if (sys.env.get("PROBE_Q179").contains("1")) {
+      (1 to 2).foreach { round =>
+        println(s"--- q179 phase split, round $round ---")
+        val pairs = t("multiProbeVerifiedPairs noop") {
+          val p = LlmPipeline.multiProbeVerifiedPairs(spark, sfDir,
+            LlmPipeline.MpBits, LlmPipeline.SemDedupProbeHamming,
+            LlmPipeline.SemDedupProbeBudget).select("id1", "id2")
+          p.write.format("noop").mode("overwrite").save()
+          p
+        }
+        val edges = pairs.union(
+          pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+        val labels = t("minLabelComponents") {
+          LlmPipeline.minLabelComponents(edges)
+        }
+        // Instrumented copy of the loop: per-round timing + round count.
+        t("CC loop instrumented") {
+          val e2 = edges.persist()
+          var labs = e2.select(col("id1").as("id")).distinct()
+            .withColumn("label", col("id"))
+            .localCheckpoint()
+          def labelSum(df: org.apache.spark.sql.DataFrame) =
+            df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+          var prevSum = labelSum(labs)
+          var converged = false
+          var rounds = 0
+          while (!converged && rounds < 64) {
+            val t0 = System.nanoTime()
+            val prop = e2.join(labs, e2("id1") === labs("id"))
+              .select(col("id2").as("id"), col("label"))
+            val next = labs.select("id", "label").union(prop)
+              .groupBy("id").agg(min("label").as("label"))
+              .localCheckpoint()
+            val nextSum = labelSum(next)
+            labs = next
+            converged = nextSum.compareTo(prevSum) == 0
+            prevSum = nextSum
+            rounds += 1
+            println(f"PROBE   cc round $rounds ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+          }
+          e2.unpersist()
+          rounds
+        }
+        t("sizes + join + orderBy noop") {
+          val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+          labels.join(sizes, "label")
+            .select(col("id").as("vec_id"), col("label").as("cluster"),
+              col("cluster_size"), (col("id") === col("label")).as("kept"))
+            .orderBy("vec_id")
+            .write.format("noop").mode("overwrite").save()
+        }
+      }
+      spark.stop()
+      return
+    }
+
     (1 to 2).foreach { round =>
       println(s"--- q210 phase split, round $round ---")
       val logDir = java.nio.file.Files.createTempDirectory("graft-probe-log-")

