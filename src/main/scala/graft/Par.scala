@@ -65,4 +65,17 @@ private[graft] object Par {
     */
   def forallPar(checks: Seq[() => Boolean]): Boolean =
     run(checks).forall(identity)
+
+  /** Two / three independent heterogeneous tasks (the contract-query
+    * tails: generation audits ∥ per-plane counts ∥ ranked read-back).
+    */
+  def par2[A, B](fa: () => A, fb: () => B): (A, B) = {
+    val r = run(Seq[() => Any](fa, fb))
+    (r(0).asInstanceOf[A], r(1).asInstanceOf[B])
+  }
+
+  def par3[A, B, C](fa: () => A, fb: () => B, fc: () => C): (A, B, C) = {
+    val r = run(Seq[() => Any](fa, fb, fc))
+    (r(0).asInstanceOf[A], r(1).asInstanceOf[B], r(2).asInstanceOf[C])
+  }
 }

@@ -6829,7 +6829,6 @@ object LlmPipeline extends QueryPack {
       // reader audits only the ONE generation it resolved — per-read
       // cost is one generation's invariants regardless of how many
       // manifests the log retains (q208 bounds the retained set).
-      val consistent = allGensConsistent(spark, logDir, finalGen)
       // No committed plane serves a removal-set row — the clustering
       // planes included (a removed doc as a surviving label member, a
       // pair endpoint, or an elected representative all count).
@@ -6842,38 +6841,41 @@ object LlmPipeline extends QueryPack {
         spark.read.parquet(mF(plane))
           .join(broadcast(remVec), Seq("vec_id"), "left_semi").count()
       val remId = removed.select(col("doc_id").as("id"))
-      // Thirteen independent audit counts — concurrent (guide §2.6).
-      val removedServed = graft.Par.run[Long](
-        Seq("postings", "positions", "docstats", "bands", "shingles")
-          .map(p => () => servedDoc(p)) ++
-        Seq("ann_keys", "ann_vecs", "pq_cells", "pq_codes")
-          .map(p => () => servedVec(p)) ++
-        Seq[() => Long](
-          () => spark.read.parquet(mF("labels"))
-            .join(broadcast(remId), Seq("id"), "left_semi").count(),
-          () => spark.read.parquet(mF("pairs"))
-            .join(broadcast(remId.select(col("id").as("id1"))), Seq("id1"), "left_semi")
-            .count(),
-          () => spark.read.parquet(mF("pairs"))
-            .join(broadcast(remId.select(col("id").as("id2"))), Seq("id2"), "left_semi")
-            .count(),
-          () => spark.read.parquet(mF("reps"))
-            .join(broadcast(remId.select(col("id").as("rep_id"))), Seq("rep_id"), "left_semi")
-            .count())).sum
-      // The read: q193's ranking, resolved from the committed manifest
-      // — materialized EAGERLY (localCheckpoint) because the cleanup
-      // below deletes the committed plane files this plan scans.
-      bm25AgainstArtifacts(
-          spark.read.parquet(mF("index")),
-          spark.read.parquet(mF("postings")),
-          spark.read.parquet(mF("stats")))
+      // The generation audits, the thirteen per-plane counts, and the
+      // ranked read-back (materialized eagerly — the cleanup below
+      // deletes the committed plane files its plan scans) are mutually
+      // independent — one concurrent tail (guide §2.6).
+      val (consistent, removedServed, ranked) = graft.Par.par3(
+        () => allGensConsistent(spark, logDir, finalGen),
+        () => graft.Par.run[Long](
+          Seq("postings", "positions", "docstats", "bands", "shingles")
+            .map(p => () => servedDoc(p)) ++
+          Seq("ann_keys", "ann_vecs", "pq_cells", "pq_codes")
+            .map(p => () => servedVec(p)) ++
+          Seq[() => Long](
+            () => spark.read.parquet(mF("labels"))
+              .join(broadcast(remId), Seq("id"), "left_semi").count(),
+            () => spark.read.parquet(mF("pairs"))
+              .join(broadcast(remId.select(col("id").as("id1"))), Seq("id1"), "left_semi")
+              .count(),
+            () => spark.read.parquet(mF("pairs"))
+              .join(broadcast(remId.select(col("id").as("id2"))), Seq("id2"), "left_semi")
+              .count(),
+            () => spark.read.parquet(mF("reps"))
+              .join(broadcast(remId.select(col("id").as("rep_id"))), Seq("rep_id"), "left_semi")
+              .count())).sum,
+        () => bm25AgainstArtifacts(
+            spark.read.parquet(mF("index")),
+            spark.read.parquet(mF("postings")),
+            spark.read.parquet(mF("stats")))
+          .localCheckpoint())
+      ranked
         .select(lit(won).as("committed"), lit(finalGen).as("final_gen"),
           lit(TakedownPlanes.size.toLong).as("n_planes"),
           lit(consistent).as("all_gens_consistent"),
           lit(removedServed).as("removed_served"),
           col("query_id"), col("rank"), col("doc_id"), col("score_r"))
         .orderBy("query_id", "rank")
-        .localCheckpoint()
     } finally {
       deleteRecursively(logDir)
       deleteRecursively(planesRoot)
@@ -7242,7 +7244,6 @@ object LlmPipeline extends QueryPack {
         pqRoot, "a1")
       require(won, "unopposed admission commit must win")
       val finalGen = SqlGateway.occCurrentGen(logDir)
-      val consistent = allGensConsistent(spark, logDir, finalGen)
       val mF = SqlGateway.occManifestAt(logDir, finalGen)
       def missingDoc(plane: String): Long =
         shardDocs.select("doc_id")
@@ -7252,23 +7253,28 @@ object LlmPipeline extends QueryPack {
         shardEmb.select("vec_id")
           .join(spark.read.parquet(mF(plane)).select("vec_id").distinct(),
             Seq("vec_id"), "left_anti").count()
-      // Nine independent audit counts — concurrent (guide §2.6).
-      val shardMissing = graft.Par.run[Long](
-        Seq("postings", "positions", "docstats", "bands", "shingles")
-          .map(p => () => missingDoc(p)) ++
-        Seq("ann_keys", "ann_vecs", "pq_cells", "pq_codes")
-          .map(p => () => missingVec(p))).sum
-      bm25AgainstArtifacts(
-          spark.read.parquet(mF("index")),
-          spark.read.parquet(mF("postings")),
-          spark.read.parquet(mF("stats")))
+      // The generation audits, the nine per-plane counts, and the
+      // ranked read-back are mutually independent — one concurrent
+      // tail (guide §2.6).
+      val (consistent, shardMissing, ranked) = graft.Par.par3(
+        () => allGensConsistent(spark, logDir, finalGen),
+        () => graft.Par.run[Long](
+          Seq("postings", "positions", "docstats", "bands", "shingles")
+            .map(p => () => missingDoc(p)) ++
+          Seq("ann_keys", "ann_vecs", "pq_cells", "pq_codes")
+            .map(p => () => missingVec(p))).sum,
+        () => bm25AgainstArtifacts(
+            spark.read.parquet(mF("index")),
+            spark.read.parquet(mF("postings")),
+            spark.read.parquet(mF("stats")))
+          .localCheckpoint())
+      ranked
         .select(lit(won).as("committed"), lit(finalGen).as("final_gen"),
           lit(TakedownPlanes.size.toLong).as("n_planes"),
           lit(consistent).as("all_gens_consistent"),
           lit(shardMissing).as("shard_missing"),
           col("query_id"), col("rank"), col("doc_id"), col("score_r"))
         .orderBy("query_id", "rank")
-        .localCheckpoint()
     } finally {
       deleteRecursively(logDir)
       deleteRecursively(planesRoot)
@@ -7760,7 +7766,6 @@ object LlmPipeline extends QueryPack {
         pqRoot, "a1")
       require(won, "unopposed delta-admission commit must win")
       val finalGen = SqlGateway.occCurrentGen(logDir)
-      val consistent = allGensConsistent(spark, logDir, finalGen)
       val mF = SqlGateway.occManifestAt(logDir, finalGen)
       def resF(p: String): DataFrame = PlaneChains.resolve(spark, p, mF(p))
       def missingDoc(plane: String): Long =
@@ -7771,19 +7776,26 @@ object LlmPipeline extends QueryPack {
         shardEmb.select("vec_id")
           .join(resF(plane).select("vec_id").distinct(),
             Seq("vec_id"), "left_anti").count()
-      // Nine independent audit counts — concurrent (guide §2.6).
-      val shardMissing = graft.Par.run[Long](
-        Seq("postings", "positions", "docstats", "bands", "shingles")
-          .map(p => () => missingDoc(p)) ++
-        Seq("ann_keys", "ann_vecs", "pq_cells", "pq_codes")
-          .map(p => () => missingVec(p))).sum
+      // The generation audits, the nine per-plane counts, and the
+      // ranked read-back are mutually independent — one concurrent
+      // tail (guide §2.6). The ranking materializes (localCheckpoint)
+      // inside the tail; the literal columns join it afterwards.
+      val (consistent, shardMissing, ranked) = graft.Par.par3(
+        () => allGensConsistent(spark, logDir, finalGen),
+        () => graft.Par.run[Long](
+          Seq("postings", "positions", "docstats", "bands", "shingles")
+            .map(p => () => missingDoc(p)) ++
+          Seq("ann_keys", "ann_vecs", "pq_cells", "pq_codes")
+            .map(p => () => missingVec(p))).sum,
+        () => bm25AgainstArtifacts(resF("index"), resF("postings"),
+          resF("stats")).localCheckpoint())
       // The write-amplification gate: delta bytes vs base plane bytes.
       val stagedBytes = PlaneChains.dirBytes(planesRoot)
       val m0 = SqlGateway.occManifestAt(logDir, 0L)
       val baseBytes = TakedownPlanes.map(p => PlaneChains.paths(m0(p))
         .map(pp => PlaneChains.dirBytes(java.nio.file.Paths.get(pp))).sum).sum
       val deltaShardSized = stagedBytes * 2 < baseBytes
-      bm25AgainstArtifacts(resF("index"), resF("postings"), resF("stats"))
+      ranked
         .select(lit(won).as("committed"), lit(finalGen).as("final_gen"),
           lit(TakedownPlanes.size.toLong).as("n_planes"),
           lit(consistent).as("all_gens_consistent"),
@@ -7791,7 +7803,6 @@ object LlmPipeline extends QueryPack {
           lit(deltaShardSized).as("delta_shard_sized"),
           col("query_id"), col("rank"), col("doc_id"), col("score_r"))
         .orderBy("query_id", "rank")
-        .localCheckpoint()
     } finally {
       deleteRecursively(logDir)
       deleteRecursively(planesRoot)
@@ -7861,7 +7872,6 @@ object LlmPipeline extends QueryPack {
         spark, planesRoot.toString, logDir, removed, "t1")
       require(won, "unopposed tombstone commit must win")
       val finalGen = SqlGateway.occCurrentGen(logDir)
-      val consistent = allGensConsistent(spark, logDir, finalGen)
       val mF = SqlGateway.occManifestAt(logDir, finalGen)
       def resF(p: String): DataFrame = PlaneChains.resolve(spark, p, mF(p))
       val remVec = removed.select(col("doc_id").as("vec_id"))
@@ -7870,30 +7880,36 @@ object LlmPipeline extends QueryPack {
         resF(plane).join(broadcast(removed), Seq("doc_id"), "left_semi").count()
       def servedVec(plane: String): Long =
         resF(plane).join(broadcast(remVec), Seq("vec_id"), "left_semi").count()
-      // Thirteen independent audit counts — concurrent (guide §2.6).
-      val removedServed = graft.Par.run[Long](
-        Seq("postings", "positions", "docstats", "bands", "shingles")
-          .map(p => () => servedDoc(p)) ++
-        Seq("ann_keys", "ann_vecs", "pq_cells", "pq_codes")
-          .map(p => () => servedVec(p)) ++
-        Seq[() => Long](
-          () => resF("labels")
-            .join(broadcast(remId), Seq("id"), "left_semi").count(),
-          () => resF("pairs")
-            .join(broadcast(remId.select(col("id").as("id1"))), Seq("id1"), "left_semi")
-            .count(),
-          () => resF("pairs")
-            .join(broadcast(remId.select(col("id").as("id2"))), Seq("id2"), "left_semi")
-            .count(),
-          () => resF("reps")
-            .join(broadcast(remId.select(col("id").as("rep_id"))), Seq("rep_id"), "left_semi")
-            .count())).sum
+      // The generation audits, the thirteen per-plane counts, and the
+      // ranked read-back are mutually independent — one concurrent
+      // tail (guide §2.6).
+      val (consistent, removedServed, ranked) = graft.Par.par3(
+        () => allGensConsistent(spark, logDir, finalGen),
+        () => graft.Par.run[Long](
+          Seq("postings", "positions", "docstats", "bands", "shingles")
+            .map(p => () => servedDoc(p)) ++
+          Seq("ann_keys", "ann_vecs", "pq_cells", "pq_codes")
+            .map(p => () => servedVec(p)) ++
+          Seq[() => Long](
+            () => resF("labels")
+              .join(broadcast(remId), Seq("id"), "left_semi").count(),
+            () => resF("pairs")
+              .join(broadcast(remId.select(col("id").as("id1"))), Seq("id1"), "left_semi")
+              .count(),
+            () => resF("pairs")
+              .join(broadcast(remId.select(col("id").as("id2"))), Seq("id2"), "left_semi")
+              .count(),
+            () => resF("reps")
+              .join(broadcast(remId.select(col("id").as("rep_id"))), Seq("rep_id"), "left_semi")
+              .count())).sum,
+        () => bm25AgainstArtifacts(resF("index"), resF("postings"),
+          resF("stats")).localCheckpoint())
       val stagedBytes = PlaneChains.dirBytes(planesRoot)
       val m0 = SqlGateway.occManifestAt(logDir, 0L)
       val baseBytes = TakedownPlanes.map(p => PlaneChains.paths(m0(p))
         .map(pp => PlaneChains.dirBytes(java.nio.file.Paths.get(pp))).sum).sum
       val noticeSized = stagedBytes * 10 < baseBytes
-      bm25AgainstArtifacts(resF("index"), resF("postings"), resF("stats"))
+      ranked
         .select(lit(won).as("committed"), lit(finalGen).as("final_gen"),
           lit(TakedownPlanes.size.toLong).as("n_planes"),
           lit(consistent).as("all_gens_consistent"),
@@ -7901,7 +7917,6 @@ object LlmPipeline extends QueryPack {
           lit(noticeSized).as("tombstone_notice_sized"),
           col("query_id"), col("rank"), col("doc_id"), col("score_r"))
         .orderBy("query_id", "rank")
-        .localCheckpoint()
     } finally {
       deleteRecursively(logDir)
       deleteRecursively(planesRoot)
@@ -7952,21 +7967,31 @@ object LlmPipeline extends QueryPack {
         pqRoot, "a1")
       require(won1, "unopposed delta-admission commit must win")
       val m1 = SqlGateway.occManifestAt(logDir, 1L)
-      val pre = bm25AgainstArtifacts(
-          PlaneChains.resolve(spark, "index", m1("index")),
-          PlaneChains.resolve(spark, "postings", m1("postings")),
-          PlaneChains.resolve(spark, "stats", m1("stats")))
-        .localCheckpoint()
-      val (won2, folded, _) = compactManifest(
-        spark, planesRoot.toString, logDir, "c1")
+      // The pre-compaction chain read and the compaction transaction
+      // both read generation 1's committed chains and never conflict
+      // (the compaction stages NEW writer-tagged directories and CASes
+      // generation 2) — concurrent (guide §2.6), as are the generation
+      // audits beside the post-compaction read, and the two directions
+      // of the read-equivalence check.
+      val (pre, compacted) = graft.Par.par2(
+        () => bm25AgainstArtifacts(
+            PlaneChains.resolve(spark, "index", m1("index")),
+            PlaneChains.resolve(spark, "postings", m1("postings")),
+            PlaneChains.resolve(spark, "stats", m1("stats")))
+          .localCheckpoint(),
+        () => compactManifest(spark, planesRoot.toString, logDir, "c1"))
+      val (won2, folded, _) = compacted
       require(won2, "unopposed compaction commit must win")
       val finalGen = SqlGateway.occCurrentGen(logDir)
-      val consistent = allGensConsistent(spark, logDir, finalGen)
       val mF = SqlGateway.occManifestAt(logDir, finalGen)
       def resF(p: String): DataFrame = PlaneChains.resolve(spark, p, mF(p))
-      val post = bm25AgainstArtifacts(resF("index"), resF("postings"),
-        resF("stats")).localCheckpoint()
-      val readEquiv = pre.exceptAll(post).isEmpty && post.exceptAll(pre).isEmpty
+      val (consistent, post) = graft.Par.par2(
+        () => allGensConsistent(spark, logDir, finalGen),
+        () => bm25AgainstArtifacts(resF("index"), resF("postings"),
+          resF("stats")).localCheckpoint())
+      val readEquiv = graft.Par.forallPar(Seq(
+        () => pre.exceptAll(post).isEmpty,
+        () => post.exceptAll(pre).isEmpty))
       val (expired, orphans) = SqlGateway.vacuumManifestLog(
         logDir, planesRoot, retainFrom = finalGen)
       val headConsistent = manifestPlanesConsistent(spark, logDir, finalGen)
@@ -7983,7 +8008,6 @@ object LlmPipeline extends QueryPack {
           lit(failClosed).as("fail_closed_below_retention"),
           col("query_id"), col("rank"), col("doc_id"), col("score_r"))
         .orderBy("query_id", "rank")
-        .localCheckpoint()
     } finally {
       deleteRecursively(logDir)
       deleteRecursively(planesRoot)
@@ -8095,7 +8119,6 @@ object LlmPipeline extends QueryPack {
       val carried = EmbeddingPlanes.forall(p => m1(p) == m0(p)) &&
         TextPlanes.forall(p => m2(p) == m1(p))
       val finalGen = SqlGateway.occCurrentGen(logDir)
-      val consistent = allGensConsistent(spark, logDir, finalGen)
       def resF(p: String): DataFrame = PlaneChains.resolve(spark, p, m2(p))
       def missingDoc(plane: String): Long =
         shardDocs.select("doc_id")
@@ -8105,12 +8128,18 @@ object LlmPipeline extends QueryPack {
         shardEmb.select("vec_id")
           .join(resF(plane).select("vec_id").distinct(),
             Seq("vec_id"), "left_anti").count()
-      // Nine independent audit counts — concurrent (guide §2.6).
-      val shardMissing = graft.Par.run[Long](
-        Seq("postings", "positions", "docstats", "bands", "shingles")
-          .map(p => () => missingDoc(p)) ++
-        EmbeddingPlanes.map(p => () => missingVec(p))).sum
-      bm25AgainstArtifacts(resF("index"), resF("postings"), resF("stats"))
+      // The generation audits, the nine per-plane counts, and the
+      // ranked read-back are mutually independent — one concurrent
+      // tail (guide §2.6).
+      val (consistent, shardMissing, ranked) = graft.Par.par3(
+        () => allGensConsistent(spark, logDir, finalGen),
+        () => graft.Par.run[Long](
+          Seq("postings", "positions", "docstats", "bands", "shingles")
+            .map(p => () => missingDoc(p)) ++
+          EmbeddingPlanes.map(p => () => missingVec(p))).sum,
+        () => bm25AgainstArtifacts(resF("index"), resF("postings"),
+          resF("stats")).localCheckpoint())
+      ranked
         .select(lit(won1 && won2).as("committed"),
           lit(finalGen).as("final_gen"),
           lit(carried).as("carried_verbatim"),
@@ -8120,7 +8149,6 @@ object LlmPipeline extends QueryPack {
           lit(shardMissing).as("shard_missing"),
           col("query_id"), col("rank"), col("doc_id"), col("score_r"))
         .orderBy("query_id", "rank")
-        .localCheckpoint()
     } finally {
       deleteRecursively(logDir)
       deleteRecursively(planesRoot)
@@ -8217,19 +8245,24 @@ object LlmPipeline extends QueryPack {
         spark, b1, planesRoot.toString, logDir, 1L)
       require(g3 == 3L, s"stream batch 1 landed at generation $g3")
       val finalGen = SqlGateway.occCurrentGen(logDir)
-      val consistent = allGensConsistent(spark, logDir, finalGen)
       val mF = SqlGateway.occManifestAt(logDir, finalGen)
       def resF(p: String): DataFrame = PlaneChains.resolve(spark, p, mF(p))
-      val removedServed = graft.Par.sumLong(
-        Seq("postings", "positions", "docstats"))(p => resF(p)
-          .join(broadcast(removed), Seq("doc_id"), "left_semi").count())
-      bm25AgainstArtifacts(resF("index"), resF("postings"), resF("stats"))
+      // The generation audits, the three served counts, and the ranked
+      // read-back are mutually independent — one concurrent tail
+      // (guide §2.6).
+      val (consistent, removedServed, ranked) = graft.Par.par3(
+        () => allGensConsistent(spark, logDir, finalGen),
+        () => graft.Par.sumLong(
+          Seq("postings", "positions", "docstats"))(p => resF(p)
+            .join(broadcast(removed), Seq("doc_id"), "left_semi").count()),
+        () => bm25AgainstArtifacts(resF("index"), resF("postings"),
+          resF("stats")).localCheckpoint())
+      ranked
         .select(lit(wonT).as("committed"), lit(finalGen).as("final_gen"),
           lit(consistent).as("all_gens_consistent"),
           lit(removedServed).as("removed_served"),
           col("query_id"), col("rank"), col("doc_id"), col("score_r"))
         .orderBy("query_id", "rank")
-        .localCheckpoint()
     } finally {
       deleteRecursively(logDir)
       deleteRecursively(planesRoot)
